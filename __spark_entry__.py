@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full validation gauntlet (clean →
+validate → score → route) over synthetic reviews derived from the
+sf0.001 documents fixture.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (+ §7 extensions); the driver compares each Spark
+result against the DuckDB oracle at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +14,231 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark import oracles as O
+from yelp_streaming_etl_pipeline_spark.functions import language as LANG
+from yelp_streaming_etl_pipeline_spark.functions import text_features as TF
+from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
+from yelp_streaming_etl_pipeline_spark.operators import stats as ST
+from yelp_streaming_etl_pipeline_spark.sources.events import read_events
+from yelp_streaming_etl_pipeline_spark.sources.reviews import (
+    NOW_LITERAL,
+    synthetic_reviews,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    """Make results independent of the caller's session defaults:
+    UTC timestamps (oracle comparison) and nanos-as-long parquet
+    reads (events.parquet uses TIMESTAMP(NANOS))."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _now() -> F.Column:
+    return F.to_timestamp(F.lit(NOW_LITERAL))
+
+
+def _staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauntlet-annotated synthetic reviews with scores (all rows)."""
+    reviews = synthetic_reviews(_ensure_conf(spark), sf_dir)
+    validated = G.validate_reviews(reviews, _now())
+    return G.score_reviews(validated, _now())
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    accepted, _rejected, _issues = G.clean_reviews(
+        synthetic_reviews(_ensure_conf(spark), SF0001), _now()
+    )
+    return accepted
+
+
+# ---------------- queries ----------------
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ensure_conf(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TF.word_count(t).alias("word_count"),
+        TF.char_count(t).alias("char_count"),
+        TF.sentence_count(t).alias("sentence_count"),
+        TF.avg_word_length(t).alias("avg_word_length"),
+        TF.caps_ratio(t).alias("caps_ratio"),
+        TF.punct_ratio(t).alias("punct_ratio"),
+        TF.digit_ratio(t).alias("digit_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ensure_conf(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    return LANG.with_lang_id(d.select("doc_id", "text"), "text").select(
+        "doc_id", "language", "language_confidence"
+    )
+
+
+def q_clean_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    accepted, _r, _i = G.clean_reviews(
+        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
+    )
+    return accepted
+
+
+def q_quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _a, _r, issues = G.clean_reviews(
+        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
+    )
+    return issues
+
+
+def q_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _a, _r, issues = G.clean_reviews(
+        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
+    )
+    return ST.issue_type_counts(issues)
+
+
+def q_acceptance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    validated = G.validate_reviews(
+        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
+    )
+    return ST.acceptance_summary(validated)
+
+
+def q_review_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.full_review_stats(_staged(spark, sf_dir), by_business=True)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "text_features": q_text_features,
+        "lang_id": q_lang_id,
+        "clean_reviews": q_clean_reviews,
+        "quality_issues": q_quality_issues,
+        "issue_counts": q_issue_counts,
+        "acceptance_summary": q_acceptance_summary,
+        "review_stats": q_review_stats,
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------- oracles ----------------
+
+def _sql_text_features() -> str:
+    return f"""
+SELECT doc_id,
+  {O.sql_word_count('text')} AS word_count,
+  {O.sql_char_count('text')} AS char_count,
+  {O.sql_sentence_count('text')} AS sentence_count,
+  {O.sql_avg_word_length('text')} AS avg_word_length,
+  {O.sql_caps_ratio('text')} AS caps_ratio,
+  {O.sql_punct_ratio('text')} AS punct_ratio,
+  {O.sql_digit_ratio('text')} AS digit_ratio
+FROM documents"""
+
+
+def _sql_lang_id() -> str:
+    lang_expr, conf_expr = O.sql_lang_id("text")
+    return f"""
+SELECT doc_id, {lang_expr} AS language, {conf_expr} AS language_confidence
+FROM documents"""
+
+
+def _sql_clean_reviews() -> str:
+    return f"WITH {O.gauntlet_cte()} {O.accepted_select()}"
+
+
+def _sql_quality_issues() -> str:
+    return f"WITH {O.gauntlet_cte()} {O.issues_select()}"
+
+
+def _sql_issue_counts() -> str:
+    return (
+        f"WITH {O.gauntlet_cte()}, iss AS ({O.issues_select()}) "
+        "SELECT issue_type, count(*) AS n FROM iss GROUP BY issue_type "
+        "ORDER BY n DESC, issue_type"
+    )
+
+
+def _sql_acceptance_summary() -> str:
+    return f"""
+WITH {O.gauntlet_cte()}
+SELECT count(*) AS processed,
+  sum(CASE WHEN fatal_stage IS NULL THEN 1 ELSE 0 END) AS accepted,
+  sum(CASE WHEN fatal_stage IS NOT NULL THEN 1 ELSE 0 END) AS rejected,
+  (CAST(floor((sum(CASE WHEN fatal_stage IS NULL THEN 1.0 ELSE 0.0 END)
+        / count(*) * 100.0) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS acceptance_rate_pct
+FROM staged"""
+
+
+def _sql_review_stats() -> str:
+    now = f"TIMESTAMP '{NOW_LITERAL}'"
+    comp = O.sql_completeness(
+        ["review_id", "business_id", "user_id", "text_clean", "rating", "date"],
+        ["useful", "funny", "cool"],
+    )
+    val = O.sql_validity("text_clean", "rating")
+    fresh = O.sql_freshness("date", now)
+    spam = O.sql_spam_score("text_clean", "text")
+    dq = O.sql_dq_score(comp, val, fresh, spam)
+    return f"""
+WITH {O.gauntlet_cte()},
+scored AS (
+  SELECT *,
+    (fatal_stage IS NULL) AS is_accepted,
+    {dq} AS dq,
+    {O.sql_word_count('text_clean')} AS wc,
+    {O.sql_sentence_count('text_clean')} AS sc,
+    (p4 AND (fatal_stage IS NULL OR fatal_stage > 4)) AS has_wrong_lang
+  FROM staged
+)
+SELECT
+  date_trunc('hour', date) AS window_start,
+  date_trunc('hour', date) + INTERVAL 1 HOUR AS window_end,
+  business_id,
+  count(*) AS total_reviews,
+  sum(CASE WHEN is_accepted THEN 1 ELSE 0 END) AS valid_reviews,
+  sum(CASE WHEN is_accepted THEN 0 ELSE 1 END) AS rejected_reviews,
+  (CAST(floor(avg(CASE WHEN is_accepted THEN dq END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_quality_score,
+  sum(CASE WHEN fatal_stage = 5 THEN 1 ELSE 0 END) AS spam_count,
+  sum(CASE WHEN has_wrong_lang THEN 1 ELSE 0 END) AS wrong_language_count,
+  sum(CASE WHEN is_accepted AND rating >= 1.0 AND rating < 2.0 THEN 1 ELSE 0 END) AS rating_1_count,
+  sum(CASE WHEN is_accepted AND rating >= 2.0 AND rating < 3.0 THEN 1 ELSE 0 END) AS rating_2_count,
+  sum(CASE WHEN is_accepted AND rating >= 3.0 AND rating < 4.0 THEN 1 ELSE 0 END) AS rating_3_count,
+  sum(CASE WHEN is_accepted AND rating >= 4.0 AND rating < 5.0 THEN 1 ELSE 0 END) AS rating_4_count,
+  sum(CASE WHEN is_accepted AND rating >= 5.0 AND rating < 6.0 THEN 1 ELSE 0 END) AS rating_5_count,
+  (CAST(floor(avg(CASE WHEN is_accepted THEN rating END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_rating,
+  (CAST(floor(avg(CASE WHEN is_accepted THEN wc END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_word_count,
+  (CAST(floor(avg(CASE WHEN is_accepted THEN sc END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_sentence_count
+FROM scored
+GROUP BY 1, 2, 3"""
+
+
+def _sql_events_hourly() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(*) AS total,
+       (CAST(floor(sum(value) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS total_value,
+       (CAST(floor(avg(value) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "text_features": _sql_text_features(),
+        "lang_id": _sql_lang_id(),
+        "clean_reviews": _sql_clean_reviews(),
+        "quality_issues": _sql_quality_issues(),
+        "issue_counts": _sql_issue_counts(),
+        "acceptance_summary": _sql_acceptance_summary(),
+        "review_stats": _sql_review_stats(),
+        "events_hourly": _sql_events_hourly(),
+    }

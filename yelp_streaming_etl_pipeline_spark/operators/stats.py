@@ -1,0 +1,146 @@
+"""Windowed statistics aggregates (SURVEY.md §2.5 A1-A5).
+
+Reference behavior: ``aggregate_stats``
+(/root/reference/streaming/faust_app.py:173-189) keeps a per-hour
+running dict {total, accepted, rejected, total_quality_score} in a
+RocksDB table keyed by the hour-truncated event time; the full
+``ReviewStats`` model (models.py:101-127) declares a much richer
+aggregate (rating histogram, avgs, spam/wrong-language counts, optional
+per-business grouping) that no reference code computes — we implement
+the full declared aggregate (A3) as the flagship.
+
+Fixed-to-intent (§8.4): the reference's ``rejected`` counter is never
+incremented (the agent only consumes accepted rows); we aggregate from
+the PRE-split stream so total/valid/rejected are all real.
+
+Scale notes: a single hash-aggregate shuffle keyed by
+(hour, business_id); Catalyst does map-side partial aggregation, so at
+100 TB the shuffle carries only one partial row per (key, task) — this
+is the canonical scalable shape. No windows-over-rows, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+
+
+def hourly_stats(events: DataFrame) -> DataFrame:
+    """A1+A2 analog over the generic events table: per event-hour
+    totals, sum/avg of value (reference keys stats by hour-truncated
+    event time, faust_app.py:177)."""
+    return (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count("*").alias("total"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+            stable_round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+def full_review_stats(
+    staged: DataFrame, by_business: bool = True
+) -> DataFrame:
+    """A3: the full declared ReviewStats aggregate over the gauntlet's
+    annotated output (validate_reviews + data_quality_score for
+    accepted rows).
+
+    Expects columns: date, business_id, rating, is_accepted,
+    fatal_stage, issues (array), data_quality_score (null on rejected),
+    word_count, sentence_count.
+    """
+    keys = [F.date_trunc("hour", F.col("date")).alias("window_start")]
+    if by_business:
+        keys.append(F.col("business_id"))
+
+    acc = F.col("is_accepted")
+    r = F.col("rating")
+
+    def rating_count(v: int):
+        return F.sum(
+            F.when(acc & (r >= float(v)) & (r < float(v + 1)), 1).otherwise(0)
+        ).alias(f"rating_{v}_count")
+
+    has_wrong_lang = F.exists(
+        F.col("issues"), lambda i: i["issue_type"] == "wrong_language"
+    )
+
+    out = (
+        staged.groupBy(*keys)
+        .agg(
+            F.count("*").alias("total_reviews"),
+            F.sum(acc.cast("long")).alias("valid_reviews"),
+            F.sum((~acc).cast("long")).alias("rejected_reviews"),
+            stable_round(F.avg(F.when(acc, F.col("data_quality_score"))), 6).alias(
+                "avg_quality_score"
+            ),
+            F.sum(
+                F.when(F.col("fatal_stage") == 5, F.lit(1)).otherwise(F.lit(0))
+            ).alias("spam_count"),
+            F.sum(F.when(has_wrong_lang, F.lit(1)).otherwise(F.lit(0))).alias(
+                "wrong_language_count"
+            ),
+            rating_count(1),
+            rating_count(2),
+            rating_count(3),
+            rating_count(4),
+            rating_count(5),
+            stable_round(F.avg(F.when(acc, r)), 6).alias("avg_rating"),
+            stable_round(F.avg(F.when(acc, F.col("word_count"))), 6).alias(
+                "avg_word_count"
+            ),
+            stable_round(F.avg(F.when(acc, F.col("sentence_count"))), 6).alias(
+                "avg_sentence_count"
+            ),
+        )
+        .withColumn(
+            "window_end", F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    cols = ["window_start", "window_end"]
+    if by_business:
+        cols.append("business_id")
+    cols += [
+        "total_reviews",
+        "valid_reviews",
+        "rejected_reviews",
+        "avg_quality_score",
+        "spam_count",
+        "wrong_language_count",
+        "rating_1_count",
+        "rating_2_count",
+        "rating_3_count",
+        "rating_4_count",
+        "rating_5_count",
+        "avg_rating",
+        "avg_word_count",
+        "avg_sentence_count",
+    ]
+    return out.select(*cols)
+
+
+def issue_type_counts(issues: DataFrame) -> DataFrame:
+    """A4: frequency per issue type, desc
+    (test_quality.py:43-54)."""
+    return (
+        issues.groupBy("issue_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("issue_type"))
+    )
+
+
+def acceptance_summary(staged: DataFrame) -> DataFrame:
+    """A5: processed/accepted/rejected totals + acceptance rate
+    (test_quality.py:46-49)."""
+    return staged.agg(
+        F.count("*").alias("processed"),
+        F.sum(F.col("is_accepted").cast("long")).alias("accepted"),
+        F.sum((~F.col("is_accepted")).cast("long")).alias("rejected"),
+        stable_round(
+            F.sum(F.col("is_accepted").cast("double")) / F.count("*") * 100.0, 6
+        ).alias("acceptance_rate_pct"),
+    )

@@ -1,0 +1,328 @@
+"""DuckDB oracle-SQL builders.
+
+Every ``queries()`` entry in __spark_entry__.py has an ANSI-SQL twin
+built here. The SQL is generated from the SAME constants (regex
+patterns, thresholds, weights, synthetic-derivation spec) the Spark
+expression library uses, so both sides independently evaluate one
+declared semantics. DuckDB function mapping:
+
+  Spark regexp_count(c, p)   -> len(regexp_extract_all(c, p))
+  Spark c.rlike(p)           -> regexp_matches(c, p)
+  Spark split(trim(c),'\\s+') -> string_split_regex(trim(c), '\\s+')
+  Spark aggregate/transform  -> list_sum / list_transform
+"""
+
+from __future__ import annotations
+
+from .functions import quality as Q
+from .functions.rounding import sql_stable_round
+from .functions.patterns import (
+    LANG_MARKERS,
+    LANG_ZH_CLASS,
+    REPEAT4_RUN,
+    SPAM_PATTERNS,
+    SPAM_PUNCT_CLASS,
+)
+from .sources.reviews import NOW_LITERAL, SYNTH_REVIEWS_SQL
+
+
+def rc(expr: str, pattern: str) -> str:
+    """regexp_count in DuckDB. Pattern single-quotes must be doubled."""
+    p = pattern.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{p}'))"
+
+
+def rlike(expr: str, pattern: str) -> str:
+    p = pattern.replace("'", "''")
+    return f"regexp_matches({expr}, '{p}')"
+
+
+# ---------------- text features (T1-T7) ----------------
+
+def sql_word_count(c: str) -> str:
+    return (
+        f"CASE WHEN {c} IS NULL OR len(trim({c})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({c}), '\\s+')) END"
+    )
+
+
+def sql_char_count(c: str) -> str:
+    return f"COALESCE(len({c}), 0)"
+
+
+def sql_sentence_count(c: str) -> str:
+    coalesced = f"COALESCE({c}, '')"
+    return f"greatest(1, {rc(coalesced, '[.!?]')})"
+
+
+def sql_avg_word_length(c: str) -> str:
+    words = f"string_split_regex(trim({c}), '\\s+')"
+    stripped_len = (
+        "len(regexp_replace(regexp_replace(w, '^[.,!?;:]+', ''), "
+        "'[.,!?;:]+$', ''))"
+    )
+    return (
+        f"CASE WHEN {c} IS NULL OR len(trim({c})) = 0 THEN 0.0 "
+        f"ELSE {sql_stable_round(f'CAST(list_sum(list_transform({words}, w -> {stripped_len})) AS DOUBLE) / len({words})', 2)} END"
+    )
+
+
+def sql_caps_ratio(c: str) -> str:
+    ns = f"len(replace(COALESCE({c}, ''), ' ', ''))"
+    caps = rc(f"COALESCE({c}, '')", "[A-Z]")
+    return (
+        f"CASE WHEN {ns} = 0 THEN 0.0 "
+        f"ELSE {sql_stable_round(f'CAST({caps} AS DOUBLE) / {ns}', 2)} END"
+    )
+
+
+def sql_punct_ratio(c: str) -> str:
+    punct = rc(f"COALESCE({c}, '')", "[.,!?;:'\"()\\-]")
+    return (
+        f"CASE WHEN {c} IS NULL OR len({c}) = 0 THEN 0.0 "
+        f"ELSE {sql_stable_round(f'CAST({punct} AS DOUBLE) / len({c})', 2)} END"
+    )
+
+
+def sql_digit_ratio(c: str) -> str:
+    digits = rc(f"COALESCE({c}, '')", "[0-9]")
+    return (
+        f"CASE WHEN {c} IS NULL OR len({c}) = 0 THEN 0.0 "
+        f"ELSE {sql_stable_round(f'CAST({digits} AS DOUBLE) / len({c})', 2)} END"
+    )
+
+
+def sql_alpha_ratio(c: str) -> str:
+    alpha = rc(f"COALESCE({c}, '')", "[A-Za-z]")
+    return (
+        f"CASE WHEN {c} IS NULL OR len({c}) = 0 THEN 0.0 "
+        f"ELSE CAST({alpha} AS DOUBLE) / len({c}) END"
+    )
+
+
+# ---------------- spam + scores (F4, Q1-Q5) ----------------
+
+def sql_spam_hits(c: str) -> str:
+    lc = f"lower(COALESCE({c}, ''))"
+    terms = [f"(CASE WHEN {rlike(lc, p)} THEN 1 ELSE 0 END)" for p in SPAM_PATTERNS]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_completeness(req: list[str], opt: list[str]) -> str:
+    req_sum = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN 1.0 ELSE 0.0 END)" for c in req
+    )
+    opt_sum = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN 1.0 ELSE 0.0 END)" for c in opt
+    )
+    return f"((({req_sum}) / 6.0) * 0.8 + (({opt_sum}) / 3.0) * 0.2)"
+
+
+def sql_validity(text: str, rating: str) -> str:
+    n = f"COALESCE(len({text}), 0)"
+    text_score = (
+        f"(CASE WHEN {n} >= {Q.TEXT_MIN_LEN} AND {n} <= {Q.TEXT_MAX_LEN} THEN 1.0 "
+        f"WHEN {n} < {Q.TEXT_MIN_LEN} THEN CAST({n} AS DOUBLE) / {float(Q.TEXT_MIN_LEN)} "
+        f"ELSE {float(Q.TEXT_MAX_LEN)} / CAST({n} AS DOUBLE) END)"
+    )
+    rating_score = (
+        f"(CASE WHEN {rating} IS NULL THEN 0.0 "
+        f"WHEN {rating} >= 1.0 AND {rating} <= 5.0 THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"(({text_score} + {rating_score}) / 2.0)"
+
+
+def sql_freshness(date: str, now: str) -> str:
+    age = (
+        f"(CAST(date_part('epoch', {now}) - date_part('epoch', {date}) AS DOUBLE)"
+        f" / 3600.0)"
+    )
+    full, mx = Q.FRESH_FULL_HOURS, Q.FRESH_MAX_HOURS
+    return (
+        f"(CASE WHEN {date} IS NULL THEN 0.0 "
+        f"WHEN {age} < 0.0 THEN 0.0 "
+        f"WHEN {age} <= {full} THEN 1.0 - ({age} / {full}) * 0.5 "
+        f"WHEN {age} <= {mx} THEN 0.5 * (1.0 - ({age} - {full}) / {mx - full}) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def sql_spam_score(text: str, original: str) -> str:
+    lc = f"lower(COALESCE({text}, ''))"
+    n = f"COALESCE(len({text}), 0)"
+    hits = sql_spam_hits(text)
+    punct = rc(lc, SPAM_PUNCT_CLASS)
+    punct_pen = (
+        f"(CASE WHEN {n} > 0 AND CAST({punct} AS DOUBLE) / {n} > 0.3 "
+        f"THEN 0.3 ELSE 0.0 END)"
+    )
+    orig = f"COALESCE({original}, '')"
+    caps_pen = (
+        f"(CASE WHEN {rc(orig, '[a-z]')} = 0 AND {rc(orig, '[A-Z]')} > 0 "
+        f"AND {n} > 10 THEN 0.4 ELSE 0.0 END)"
+    )
+    runs = rc(lc, REPEAT4_RUN)
+    runs_pen = f"(CASE WHEN {runs} > 2 THEN 0.2 ELSE 0.0 END)"
+    digits = rc(lc, "[0-9]")
+    digit_pen = (
+        f"(CASE WHEN {n} > 0 AND CAST({digits} AS DOUBLE) / {n} > 0.3 "
+        f"THEN 0.3 ELSE 0.0 END)"
+    )
+    raw = (
+        f"(1.0 - 0.3 * CAST({hits} AS DOUBLE) - {punct_pen} - {caps_pen} "
+        f"- {runs_pen} - {digit_pen})"
+    )
+    return f"greatest(0.0, least(1.0, {raw}))"
+
+
+def sql_dq_score(comp: str, val: str, fresh: str, spam: str) -> str:
+    expr = (
+        f"{Q.W_COMPLETENESS} * {comp} + {Q.W_VALIDITY} * {val} "
+        f"+ {Q.W_FRESHNESS} * {fresh} + {Q.W_SPAM} * {spam}"
+    )
+    return sql_stable_round(expr, 2)
+
+
+# ---------------- gauntlet CTE ----------------
+
+def gauntlet_cte() -> str:
+    """CTE chain: reviews -> v (predicates + text_clean + fatal_stage).
+
+    Mirrors operators/gauntlet.py:validate_reviews stage-for-stage.
+    """
+    hits = sql_spam_hits("text")
+    supported = ", ".join(f"'{lang}'" for lang in Q.SUPPORTED_LANGUAGES)
+    return f"""
+reviews AS ({SYNTH_REVIEWS_SQL}),
+v AS (
+  SELECT *,
+    (text IS NULL OR len(text) = 0) AS p1,
+    (rating IS NULL OR rating = 0.0) AS p2,
+    (language NOT IN ({supported})) AS p3,
+    (language_confidence < {Q.LANG_CONFIDENCE_THRESHOLD}) AS p4,
+    {hits} AS spam_hits,
+    ({hits} >= 2) AS p5,
+    (COALESCE(len(text), 0) < {Q.TEXT_MIN_LEN}) AS p6,
+    (COALESCE(len(text), 0) > {Q.TEXT_MAX_LEN}) AS p7,
+    (NOT (rating >= 1.0 AND rating <= 5.0)) AS p8,
+    COALESCE(len(text), 0) AS tlen,
+    (CASE WHEN COALESCE(len(text), 0) > {Q.TEXT_MAX_LEN}
+          THEN substr(text, 1, {Q.TEXT_MAX_LEN}) ELSE text END) AS text_clean
+  FROM reviews
+),
+g AS (
+  SELECT *,
+    (len(trim(text_clean)) = 0
+     OR {sql_alpha_ratio('trim(text_clean)')} < 0.4) AS p9
+  FROM v
+),
+staged AS (
+  SELECT *,
+    CASE WHEN p1 THEN 1 WHEN p2 THEN 2 WHEN p3 THEN 3 WHEN p5 THEN 5
+         WHEN p6 THEN 6 WHEN p8 THEN 8 WHEN p9 THEN 9 END AS fatal_stage
+  FROM g
+)"""
+
+
+def accepted_select() -> str:
+    """SELECT producing the CLEANED_REVIEW shape from ``staged``
+    (accepted rows only), mirroring operators/gauntlet.py:clean_reviews."""
+    now = f"TIMESTAMP '{NOW_LITERAL}'"
+    comp = sql_completeness(
+        ["review_id", "business_id", "user_id", "text_clean", "rating", "date"],
+        ["useful", "funny", "cool"],
+    )
+    val = sql_validity("text_clean", "rating")
+    fresh = sql_freshness("date", now)
+    spam = sql_spam_score("text_clean", "text")
+    dq = sql_dq_score(comp, val, fresh, spam)
+    return f"""
+SELECT
+  review_id, business_id, user_id, rating,
+  text_clean AS text, date,
+  useful AS useful_count, funny AS funny_count, cool AS cool_count,
+  {sql_word_count('text_clean')} AS word_count,
+  {sql_char_count('text_clean')} AS char_count,
+  {sql_sentence_count('text_clean')} AS sentence_count,
+  {sql_avg_word_length('text_clean')} AS avg_word_length,
+  language, language_confidence,
+  {dq} AS data_quality_score,
+  FALSE AS is_spam,
+  ({dq} < {Q.ANOMALY_THRESHOLD}) AS is_anomaly,
+  source, ingestion_timestamp,
+  {now} AS processing_timestamp
+FROM staged WHERE fatal_stage IS NULL"""
+
+
+def issues_select() -> str:
+    """UNION ALL producing the QUALITY_ISSUE dead-letter rows from
+    ``staged`` — flags emitted only when their stage is reached."""
+    now = f"TIMESTAMP '{NOW_LITERAL}'"
+
+    def issue_row(where: str, itype: str, field: str, og: str, rng: str, sev: int) -> str:
+        return f"""
+SELECT review_id, '{itype}' AS issue_type, '{field}' AS field_name,
+       {og} AS og_value, '{rng}' AS expected_range,
+       {sev} AS severity, {now} AS detected_at,
+       'validation' AS detection_range
+FROM staged WHERE {where}"""
+
+    parts = [
+        issue_row(
+            "p4 AND (fatal_stage IS NULL OR fatal_stage > 4)",
+            "wrong_language",
+            "text",
+            "CAST(language_confidence AS VARCHAR)",
+            ">=0.8 confidence",
+            6,
+        ),
+        issue_row(
+            "p7 AND (fatal_stage IS NULL OR fatal_stage > 7)",
+            "too_long",
+            "text",
+            "CAST(tlen AS VARCHAR)",
+            "<=5000 chars",
+            5,
+        ),
+        issue_row("fatal_stage = 1", "missing_value", "text", "CAST(NULL AS VARCHAR)", "non-empty", 10),
+        issue_row("fatal_stage = 2", "missing_value", "rating", "CAST(rating AS VARCHAR)", "1-5", 10),
+        issue_row("fatal_stage = 3", "unsupported_language", "text", "language", "en", 8),
+        issue_row("fatal_stage = 5", "spam_detected", "text", "CAST(spam_hits AS VARCHAR)", "<2 patterns", 9),
+        issue_row("fatal_stage = 6", "too_short", "text", "CAST(tlen AS VARCHAR)", ">=10 chars", 7),
+        issue_row("fatal_stage = 8", "out_of_range", "rating", "CAST(rating AS VARCHAR)", "1-5", 10),
+        issue_row("fatal_stage = 9", "invalid_format", "text", "CAST(NULL AS VARCHAR)", "alpha_ratio>=0.4", 10),
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ---------------- language ID heuristic ----------------
+
+def sql_lang_id(c: str) -> tuple[str, str]:
+    """(language_expr, confidence_expr) mirroring
+    functions/language.py:lang_id_struct."""
+    lc = f"lower(COALESCE({c}, ''))"
+    zh = rc(lc, LANG_ZH_CLASS)
+    h = {lang: rc(lc, pat) for lang, pat in LANG_MARKERS.items()}
+    words = (
+        f"(CASE WHEN len(trim({lc})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({lc}), '\\s+')) END)"
+    )
+    cond_en = f"({h['en']} >= {h['es']} AND {h['en']} >= {h['fr']} AND {h['en']} >= {h['de']} AND {h['en']} > 0)"
+    cond_es = f"({h['es']} >= {h['fr']} AND {h['es']} >= {h['de']} AND {h['es']} > 0)"
+    cond_fr = f"({h['fr']} >= {h['de']} AND {h['fr']} > 0)"
+    cond_de = f"({h['de']} > 0)"
+    lang_expr = (
+        f"(CASE WHEN {zh} > 0 THEN 'zh' WHEN {cond_en} THEN 'en' "
+        f"WHEN {cond_es} THEN 'es' WHEN {cond_fr} THEN 'fr' "
+        f"WHEN {cond_de} THEN 'de' ELSE 'unknown' END)"
+    )
+    best = (
+        f"(CASE WHEN {zh} > 0 THEN {zh} WHEN {cond_en} THEN {h['en']} "
+        f"WHEN {cond_es} THEN {h['es']} WHEN {cond_fr} THEN {h['fr']} "
+        f"WHEN {cond_de} THEN {h['de']} ELSE 0 END)"
+    )
+    conf_expr = (
+        f"(CASE WHEN {words} = 0 OR {best} = 0 THEN 0.0 "
+        f"ELSE {sql_stable_round(f'least(1.0, CAST({best} AS DOUBLE) / {words})', 2)} END)"
+    )
+    return lang_expr, conf_expr

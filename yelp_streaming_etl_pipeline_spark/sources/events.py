@@ -1,0 +1,23 @@
+"""Events-table reader.
+
+The driver's events.parquet stores ``ts`` as parquet
+TIMESTAMP(NANOS) which Spark's vectorized reader rejects
+(PARQUET_TYPE_ILLEGAL). We read it via the legacy nanos-as-long path
+and rebuild a microsecond TimestampType column — lossless for every
+operation here (hour/minute windows, sessionization gaps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
