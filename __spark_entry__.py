@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from yelp_streaming_etl_pipeline_spark import oracles as O
 from yelp_streaming_etl_pipeline_spark.functions import language as LANG
 from yelp_streaming_etl_pipeline_spark.functions import text_features as TF
+from yelp_streaming_etl_pipeline_spark.functions.rounding import (
+    sql_stable_round as SR,
+)
 from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
+from yelp_streaming_etl_pipeline_spark.operators import relational as REL
 from yelp_streaming_etl_pipeline_spark.operators import stats as ST
 from yelp_streaming_etl_pipeline_spark.sources.events import read_events
 from yelp_streaming_etl_pipeline_spark.sources.reviews import (
@@ -117,6 +121,62 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
 
+# ---------------- relational library (SURVEY.md §7 Phase 2) ----------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _ensure_conf(spark).read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.revenue_by_nation(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.top_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_parts_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.parts_with_shipments(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.supplier_running_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.rollup_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.order_priority_counts(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.sessionize_events(read_events(_ensure_conf(spark), sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_features": q_text_features,
@@ -127,6 +187,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acceptance_summary": q_acceptance_summary,
         "review_stats": q_review_stats,
         "events_hourly": q_events_hourly,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_shipments": q_parts_with_shipments,
+        "supplier_running_revenue": q_supplier_running_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "order_priority_counts": q_order_priority_counts,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -231,6 +300,120 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events GROUP BY 1 ORDER BY 1"""
 
 
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _sql_pricing_summary() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  {SR('sum(l_quantity)', 2)} AS sum_qty,
+  {SR('sum(l_extendedprice)', 2)} AS sum_base_price,
+  {SR(f'sum({_REV})', 4)} AS sum_disc_price,
+  {SR(f'sum({_REV} * (1 + l_tax))', 6)} AS sum_charge,
+  {SR('avg(l_quantity)', 6)} AS avg_qty,
+  {SR('avg(l_extendedprice)', 6)} AS avg_price,
+  {SR('avg(l_discount)', 6)} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def _sql_revenue_by_nation() -> str:
+    return f"""
+SELECT n_name, {SR(f'sum({_REV})', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name"""
+
+
+def _sql_top_customers() -> str:
+    return f"""
+WITH totals AS (
+  SELECT o_custkey, {SR('sum(o_totalprice)', 2)} AS total_spent,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c_custkey, c_name, c_mktsegment, total_spent, n_orders
+  FROM totals JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY total_spent DESC, c_custkey ASC)
+            AS rank
+  FROM j
+)
+SELECT rank, c_custkey, c_name, c_mktsegment, total_spent, n_orders
+FROM r WHERE rank <= 10"""
+
+
+def _sql_customers_without_orders() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+def _sql_parts_with_shipments() -> str:
+    return """
+SELECT p_partkey, p_name, p_brand, p_size FROM part
+WHERE p_size >= 30
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"""
+
+
+def _sql_supplier_running_revenue() -> str:
+    win = (
+        "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
+    )
+    running = (
+        f"sum({_REV}) OVER ({win} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+  {SR(running, 4)} AS running_revenue,
+  row_number() OVER ({win}) AS seq
+FROM lineitem"""
+
+
+def _sql_rollup_revenue() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {SR(f'sum({_REV})', 4)} AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def _sql_order_priority_counts() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS order_count FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority"""
+
+
+def _sql_sessionize_events() -> str:
+    win = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH e AS (
+  SELECT *, lag(ts) OVER ({win}) AS prev_ts FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 1800
+                THEN 1 ELSE 0 END)
+            OVER ({win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_seq
+  FROM e
+)
+SELECT user_id, session_seq,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events, {SR('sum(value)', 2)} AS session_value
+FROM s GROUP BY user_id, session_seq"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "text_features": _sql_text_features(),
@@ -241,4 +424,13 @@ def oracle_sql() -> dict[str, str]:
         "acceptance_summary": _sql_acceptance_summary(),
         "review_stats": _sql_review_stats(),
         "events_hourly": _sql_events_hourly(),
+        "pricing_summary": _sql_pricing_summary(),
+        "revenue_by_nation": _sql_revenue_by_nation(),
+        "top_customers": _sql_top_customers(),
+        "customers_without_orders": _sql_customers_without_orders(),
+        "parts_with_shipments": _sql_parts_with_shipments(),
+        "supplier_running_revenue": _sql_supplier_running_revenue(),
+        "rollup_revenue": _sql_rollup_revenue(),
+        "order_priority_counts": _sql_order_priority_counts(),
+        "sessionize_events": _sql_sessionize_events(),
     }

@@ -1,0 +1,209 @@
+"""Relational query library over the star-schema fixtures.
+
+The reference implements NO joins (SURVEY.md §2.4) — its Postgres DDL
+merely anticipates them (init_db.sql:33-36 indexes on business_id,
+date DESC, quality DESC, rating). This module demonstrates the join /
+window / top-k / set-op coverage Spark provides, expressed so that
+Catalyst picks the right physical strategy at any scale:
+
+- dimension joins are explicitly ``broadcast()`` (region/nation/
+  supplier/part are tiny at every sf; avoids a shuffle of the fact);
+- fact-fact joins (orders x lineitem) are left to sort-merge/AQE —
+  both sides shuffle-partition on the join key, skew handled by AQE;
+- top-k is window row_number + filter (no global sort of the fact);
+- running windows use (partition, orderBy with full tie-break) so
+  results — including float accumulation order — are deterministic
+  and oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-heavy group-by with
+    map-side partial aggregation; the canonical 100 TB-safe agg."""
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            stable_round(F.sum(charge), 6).alias("sum_charge"),
+            stable_round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5-style star join: broadcast the dim chain, shuffle only
+    the two facts on their join keys."""
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name)
+            ),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("c_custkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(stable_round(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def top_customers(
+    customer: DataFrame, orders: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k by total order value — window row_number, never a global
+    sort of the fact; deterministic tie-break on c_custkey."""
+    totals = (
+        orders.groupBy("o_custkey")
+        .agg(
+            stable_round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    joined = totals.join(
+        F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+        totals.o_custkey == customer.c_custkey,
+    )
+    w = Window.orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "c_custkey", "c_name", "c_mktsegment", "total_spent", "n_orders")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def parts_with_shipments(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Semi join (EXISTS) + dim filter."""
+    return (
+        part.filter(F.col("p_size") >= 30)
+        .join(lineitem, part.p_partkey == lineitem.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+def supplier_running_revenue(lineitem: DataFrame) -> DataFrame:
+    """Per-supplier running revenue — window sum with FULL tie-break
+    (shipdate, orderkey, linenumber) so float accumulation order is
+    deterministic and identical to the SQL oracle."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        # scale 4 = the product's true decimal precision (2dp price x
+        # 2dp discount); rounding at 2 would sit exactly on the .005
+        # boundary for ~1% of rows and flip on engine ulp differences
+        stable_round(F.sum(revenue).over(w), 4).alias("running_revenue"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_suppkey").orderBy(
+                "l_shipdate", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("seq"),
+    )
+
+
+def rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): hierarchical subtotals +
+    grand total in one pass."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum(revenue), 4).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one lineitem (semi join),
+    counted per priority."""
+    return (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + cumulative gap count — the batch analog
+    of streaming session_window (which the reference lacks entirely).
+    Deterministic tie-break on event_id for equal timestamps."""
+    order_cols = [F.col("ts"), F.col("event_id")]
+    w_user = Window.partitionBy("user_id").orderBy(*order_cols)
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag("ts").over(w_user)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_s)
+    ).cast("long")
+    with_session = events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

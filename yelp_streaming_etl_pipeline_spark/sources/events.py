@@ -17,7 +17,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Integer division — a double round-trip loses 1 microsecond on
+        # epoch-nanos magnitudes (> 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
