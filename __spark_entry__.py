@@ -22,9 +22,12 @@ from yelp_streaming_etl_pipeline_spark.functions import text_features as TF
 from yelp_streaming_etl_pipeline_spark.functions.rounding import (
     sql_stable_round as SR,
 )
+from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
 from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
 from yelp_streaming_etl_pipeline_spark.operators import relational as REL
+from yelp_streaming_etl_pipeline_spark.operators import similarity as SIM
 from yelp_streaming_etl_pipeline_spark.operators import stats as ST
+from yelp_streaming_etl_pipeline_spark.operators import text_analysis as TA
 from yelp_streaming_etl_pipeline_spark.sources.events import read_events
 from yelp_streaming_etl_pipeline_spark.sources.reviews import (
     NOW_LITERAL,
@@ -177,6 +180,50 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.sessionize_events(read_events(_ensure_conf(spark), sf_dir))
 
 
+# ------------- dedup / similarity / text-analysis (SURVEY.md §7 Phase 4) -----
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_doc_corpus(spark, sf_dir), "text", "doc_id")
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(_doc_corpus(spark, sf_dir), "text", "doc_id", 0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_table(_doc_corpus(spark, sf_dir), "text", "doc_id")
+
+
+def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        _doc_corpus(spark, sf_dir), "text", "doc_id", "source", 2, 0.3
+    )
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.analyze_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_neardup_pairs(
+        SIM.with_synthetic_vec_dups(_t(spark, sf_dir, "embeddings")), tau=0.99
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_features": q_text_features,
@@ -196,6 +243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "order_priority_counts": q_order_priority_counts,
         "sessionize_events": q_sessionize_events,
+        "dedup_exact": q_dedup_exact,
+        "neardup_minhash": q_neardup_minhash,
+        "simhash_signatures": q_simhash,
+        "neardup_ngram": q_neardup_ngram,
+        "text_analysis": q_text_analysis,
+        "ann_cosine_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -433,4 +488,12 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _sql_rollup_revenue(),
         "order_priority_counts": _sql_order_priority_counts(),
         "sessionize_events": _sql_sessionize_events(),
+        "dedup_exact": O.sql_dedup_exact(),
+        "neardup_minhash": O.sql_minhash_lsh_pairs(0.5),
+        "simhash_signatures": O.sql_simhash(),
+        "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),
+        "text_analysis": O.sql_text_analysis(),
+        "ann_cosine_topk": O.sql_ann_topk(),
+        "ann_lsh_topk": O.sql_ann_lsh_topk(),
+        "embedding_neardup": O.sql_embedding_neardup(0.99),
     }

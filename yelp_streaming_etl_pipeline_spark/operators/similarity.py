@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Operators over ``embeddings.embedding`` (array<float>, dim 64):
+
+- cosine_topk          brute-force exact top-k: broadcast the (small)
+                       query set against the corpus; per-(query, doc)
+                       cosine via zip_with/aggregate — JVM-side, no
+                       UDF. The exact baseline every ANN variant is
+                       measured against.
+- lsh_bucketed_topk    random-hyperplane LSH: b signed projections
+                       against deterministic pseudo-random hyperplanes
+                       -> bucket key; candidates = same-bucket docs
+                       (multi-probe = hamming-1 neighbors optional).
+                       At 100 TB the bucket key becomes the shuffle /
+                       partition key and the quadratic term drops to
+                       per-bucket size.
+- cosine_neardup_pairs embedding near-duplicate pairs within a label
+                       block (cosine >= tau).
+
+Determinism: element values are cast float->double BEFORE any
+arithmetic (exact conversion), accumulation is index-ordered, and both
+the Spark and oracle sides use dot / sqrt(na * nb) in that exact
+shape — bit-identical doubles, so ranking is stable across engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sqnorm(a: Column) -> Column:
+    return F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_sqnorm(a) * _sqnorm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    streams through a single codegen'd projection, then a per-query
+    window picks the top k. Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component: interleaved
+    cosines — fixed, seedless, reproducible anywhere (including SQL
+    literals for the oracle)."""
+    return [math.cos(0.7 * plane_idx + 1.3 * j + 0.1) for j in range(dim)]
+
+
+def lsh_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-of-projection bucket key: one bit per hyperplane."""
+    bits = []
+    for p in range(n_planes):
+        plane = hyperplane(dim, p)
+        proj = None
+        for j, w in enumerate(plane):
+            term = F.element_at(vec, j + 1).cast("double") * F.lit(w)
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket.
+
+    Scale path: bucket key is the join/shuffle key; per-bucket corpus
+    size ~ n / 2^planes. Recall < 1.0 by design — the exact
+    cosine_topk is the correctness baseline; this is the throughput
+    variant. Fewer than k same-bucket neighbors -> fewer rows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def with_synthetic_vec_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Test-harness helper: plant deterministic duplicate vectors —
+    exact copies (vec_id % 29 == 0 -> +100000) and jittered copies
+    (+200000, per-component multiplicative jitter built from integer
+    arithmetic only, so Spark and the SQL oracle agree bit-for-bit;
+    cosine vs original ~0.99998). Mirrored in
+    oracles.sql_vec_dup_corpus()."""
+    exact = embeddings.filter(F.col(id_col) % 29 == 0).withColumn(
+        id_col, F.col(id_col) + F.lit(100_000)
+    )
+    near = (
+        embeddings.filter(F.col(id_col) % 29 == 0)
+        .withColumn(id_col, F.col(id_col) + F.lit(200_000))
+        .withColumn(
+            vec_col,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col(vec_col))),
+                lambda i: (
+                    F.element_at(F.col(vec_col), i.cast("int")).cast("double")
+                    * (
+                        F.lit(1.0)
+                        + F.lit(0.001) * (((i * 37) % 13) - 6).cast("double")
+                    )
+                ).cast("float"),
+            ),
+        )
+    )
+    return embeddings.unionByName(exact).unionByName(near)
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    tau: float = 0.9,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= tau within a blocking
+    key. Quadratic within the block only (at scale: block = LSH bucket
+    or cluster assignment)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("vec"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    ).withColumn("sim", cosine(F.col("a.vec"), F.col("b.vec")))
+    return (
+        pairs.filter(F.col("sim") >= tau)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.block").alias("block"),
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )

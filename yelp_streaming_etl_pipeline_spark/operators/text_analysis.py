@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): token counting, document fingerprinting, quality scoring.
+
+Everything is native Column arithmetic (one codegen'd map stage; the
+100 TB cost is scan bandwidth). Language ID lives in
+functions/language.py (same family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single
+# non-alphanumeric glyphs — the classic GPT-2-style pre-split shape,
+# expressed RE2-and-Java-compatibly.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Compact English stopword set for quality scoring (public knowledge).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "was", "on", "with", "as", "this", "at", "by",
+]
+
+
+def whitespace_token_count(c: Column) -> Column:
+    t = F.trim(c)
+    return (
+        F.when(c.isNull() | (F.length(t) == 0), F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("int")
+    )
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter runs / digit runs /
+    punctuation glyphs)."""
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(TOKEN_REGEX)).cast("int")
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text
+    (lowercase, whitespace collapsed)."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
+    )
+
+
+def winnow_fingerprint(c: Column, gram: int = 8) -> Column:
+    """Locality-sensitive fingerprint: the minimum md5 over all
+    character 8-grams of the normalized text (a 1-fingerprint
+    winnowing scheme — robust to local edits, cheap to compute)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), n - (gram - 1))),
+        lambda i: F.md5(norm.substr(i, F.lit(gram))),
+    )
+    return F.array_min(grams)
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    words = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    nw = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    return F.when(
+        c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0.0)
+    ).otherwise(sw.cast("double") / nw.cast("double"))
+
+
+def text_quality_score(c: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    + length in a healthy band, + some stopwords (natural language),
+    - punctuation/digit-heavy. Weights are declared constants."""
+    n = F.coalesce(F.length(c), F.lit(0))
+    len_score = (
+        F.when((n >= 200) & (n <= 8000), F.lit(1.0))
+        .when(n < 200, n.cast("double") / F.lit(200.0))
+        .otherwise(F.lit(8000.0) / n.cast("double"))
+    )
+    sw = stopword_ratio(c)
+    sw_score = F.when(sw >= 0.05, F.lit(1.0)).otherwise(sw / F.lit(0.05))
+    punct = F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"[^A-Za-z0-9\s]"))
+    punct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / n
+    )
+    punct_score = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (punct_ratio - F.lit(0.1)) * F.lit(2.0))
+    )
+    digits = F.regexp_count(F.coalesce(c, F.lit("")), F.lit("[0-9]"))
+    digit_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        digits.cast("double") / n
+    )
+    digit_score = F.when(digit_ratio <= 0.2, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (digit_ratio - F.lit(0.2)) * F.lit(2.0))
+    )
+    return stable_round(
+        F.lit(0.4) * len_score
+        + F.lit(0.2) * sw_score
+        + F.lit(0.2) * punct_score
+        + F.lit(0.2) * digit_score,
+        4,
+    )
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full text-analysis block over a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        whitespace_token_count(t).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
+        doc_fingerprint(t).alias("fingerprint"),
+        winnow_fingerprint(t).alias("winnow_fp"),
+        stable_round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        text_quality_score(t).alias("quality_score"),
+    )

@@ -326,3 +326,303 @@ def sql_lang_id(c: str) -> tuple[str, str]:
         f"ELSE {sql_stable_round(f'least(1.0, CAST({best} AS DOUBLE) / {words})', 2)} END)"
     )
     return lang_expr, conf_expr
+
+
+# ---------------- dedup / similarity / text-analysis extensions ----------------
+
+from .operators.dedup import (  # noqa: E402
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MINHASH_K,
+)
+from .operators.similarity import hyperplane  # noqa: E402
+from .operators.text_analysis import STOPWORDS, TOKEN_REGEX  # noqa: E402
+
+NEAR_DUP_CORPUS_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 1000000, text, lang, source, n_chars
+FROM documents WHERE doc_id % 31 = 0
+UNION ALL
+SELECT doc_id + 2000000, text || ' zq extra near dup token',
+       lang, source, n_chars
+FROM documents WHERE doc_id % 17 = 0
+"""
+
+VEC_DUP_CORPUS_SQL = """
+SELECT vec_id, embedding, label FROM embeddings
+UNION ALL
+SELECT vec_id + 100000, embedding, label
+FROM embeddings WHERE vec_id % 29 = 0
+UNION ALL
+SELECT vec_id + 200000,
+  [CAST(CAST(embedding[i] AS DOUBLE)
+        * (1.0 + 0.001 * CAST((i * 37) % 13 - 6 AS DOUBLE)) AS FLOAT)
+   FOR i IN generate_series(1, len(embedding))],
+  label
+FROM embeddings WHERE vec_id % 29 = 0
+"""
+
+
+def sql_norm_text(c: str) -> str:
+    """Lowercased, whitespace-collapsed normalization (global flag!)."""
+    return f"regexp_replace(lower(trim(COALESCE({c}, ''))), '\\s+', ' ', 'g')"
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+WITH corpus AS ({NEAR_DUP_CORPUS_SQL})
+SELECT md5({sql_norm_text('text')}) AS content_hash,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1"""
+
+
+def _sql_shingles_cte(n: int = 3) -> str:
+    """CTEs corpus -> sh(doc_id, shingles) with word n-gram shingles."""
+    gram_concat = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    return f"""
+corpus AS ({NEAR_DUP_CORPUS_SQL}),
+base AS (
+  SELECT doc_id, trim(lower(text)) AS lt,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {n}
+         THEN list_distinct([{gram_concat}
+                             FOR i IN generate_series(1, len(words) - {n - 1})])
+         ELSE [lt] END AS shingles
+  FROM base
+)"""
+
+
+def sql_minhash_lsh_pairs(threshold: float = 0.5) -> str:
+    sig_exprs = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(
+            f"sig[{b * LSH_ROWS_PER_BAND + r + 1}]"
+            for r in range(LSH_ROWS_PER_BAND)
+        )
+        band_exprs.append(f"md5('{b}' || '|' || {parts})")
+    bands_list = ", ".join(band_exprs)
+    jac = (
+        "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)"
+    )
+    return f"""
+WITH {_sql_shingles_cte(3)},
+sigs AS (
+  SELECT doc_id, shingles, [{sig_exprs}] AS sig FROM sh
+),
+banded AS (
+  SELECT doc_id, shingles, unnest([{bands_list}]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {sql_stable_round(jac, 6)} AS jaccard
+FROM cand
+WHERE {sql_stable_round(jac, 6)} >= {threshold}"""
+
+
+def sql_simhash() -> str:
+    bit_exprs = []
+    for j in range(64):
+        di = j // 4 + 1
+        p = float(2 ** (3 - (j % 4)))
+        bit = (
+            f"(CAST(floor((strpos('0123456789abcdef', substr(h, {di}, 1)) - 1)"
+            f" / {p}) AS INT) % 2) * 2 - 1"
+        )
+        bit_exprs.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> {bit})) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bit_exprs)
+    return f"""
+WITH corpus AS ({NEAR_DUP_CORPUS_SQL}),
+th AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(string_split_regex(trim(lower(COALESCE(text, ''))),
+                    '\\s+')),
+      t -> md5(t)) AS hs
+  FROM corpus
+)
+SELECT doc_id, {concat} AS simhash FROM th"""
+
+
+def sql_ngram_jaccard_pairs(n: int = 2, threshold: float = 0.3) -> str:
+    gram_concat = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    jac = (
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)"
+    )
+    return f"""
+WITH corpus AS ({NEAR_DUP_CORPUS_SQL}),
+base AS (
+  SELECT doc_id, source AS block, trim(lower(text)) AS lt,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM corpus
+),
+g AS (
+  SELECT doc_id, block,
+    CASE WHEN len(words) >= {n}
+         THEN list_distinct([{gram_concat}
+                             FOR i IN generate_series(1, len(words) - {n - 1})])
+         ELSE [lt] END AS grams
+  FROM base
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.block AS block,
+       {sql_stable_round(jac, 6)} AS jaccard
+FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE {sql_stable_round(jac, 6)} >= {threshold}"""
+
+
+def sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, {dim})], (x, y) -> x + y)"
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({sql_dot(a, b, dim)} / "
+        f"sqrt({sql_dot(a, a, dim)} * {sql_dot(b, b, dim)}))"
+    )
+
+
+def sql_ann_topk(k: int = 5, dim: int = 64) -> str:
+    sim = sql_cosine("cv", "qv", dim)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {sim} AS sim
+  FROM c CROSS JOIN q WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id,
+       {sql_stable_round('sim', 6)} AS cosine_sim
+FROM r WHERE rank <= {k}"""
+
+
+def sql_bucket_expr(vec: str, dim: int = 64, n_planes: int = 8) -> str:
+    bits = []
+    for p in range(n_planes):
+        plane = hyperplane(dim, p)
+        terms = " + ".join(
+            f"CAST({vec}[{j + 1}] AS DOUBLE) * {w!r}" for j, w in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def sql_ann_lsh_topk(k: int = 5, dim: int = 64, n_planes: int = 8) -> str:
+    sim = sql_cosine("cv", "qv", dim)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {sql_bucket_expr('embedding', dim, n_planes)} AS bucket
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {sql_bucket_expr('embedding', dim, n_planes)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {sim} AS sim
+  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id,
+       {sql_stable_round('sim', 6)} AS cosine_sim
+FROM r WHERE rank <= {k}"""
+
+
+def sql_embedding_neardup(tau: float = 0.99, dim: int = 64) -> str:
+    sim = sql_cosine("a.embedding", "b.embedding", dim)
+    return f"""
+WITH corpus AS ({VEC_DUP_CORPUS_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
+       {sql_stable_round(sim, 6)} AS cosine_sim
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sim} >= {tau}"""
+
+
+def sql_text_analysis() -> str:
+    tok = TOKEN_REGEX.replace("'", "''")
+    norm = sql_norm_text("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = "string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+')"
+    sw_ratio = (
+        f"(CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0.0 "
+        f"ELSE CAST(len(list_filter({words}, "
+        f"w -> list_contains([{stop_list}], w))) AS DOUBLE) "
+        f"/ CAST(len({words}) AS DOUBLE) END)"
+    )
+    n = "COALESCE(len(text), 0)"
+    len_score = (
+        f"(CASE WHEN {n} >= 200 AND {n} <= 8000 THEN 1.0 "
+        f"WHEN {n} < 200 THEN CAST({n} AS DOUBLE) / 200.0 "
+        f"ELSE 8000.0 / CAST({n} AS DOUBLE) END)"
+    )
+    sw_score = f"(CASE WHEN {sw_ratio} >= 0.05 THEN 1.0 ELSE {sw_ratio} / 0.05 END)"
+    punct = rc("COALESCE(text, '')", r"[^A-Za-z0-9\s]")
+    punct_ratio = (
+        f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({punct} AS DOUBLE) / {n} END)"
+    )
+    punct_score = (
+        f"(CASE WHEN {punct_ratio} <= 0.1 THEN 1.0 "
+        f"ELSE greatest(0.0, 1.0 - ({punct_ratio} - 0.1) * 2.0) END)"
+    )
+    digits = rc("COALESCE(text, '')", "[0-9]")
+    digit_ratio = (
+        f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({digits} AS DOUBLE) / {n} END)"
+    )
+    digit_score = (
+        f"(CASE WHEN {digit_ratio} <= 0.2 THEN 1.0 "
+        f"ELSE greatest(0.0, 1.0 - ({digit_ratio} - 0.2) * 2.0) END)"
+    )
+    quality = sql_stable_round(
+        f"0.4 * {len_score} + 0.2 * {sw_score} + 0.2 * {punct_score} "
+        f"+ 0.2 * {digit_score}",
+        4,
+    )
+    winnow = (
+        f"list_aggregate([md5(substr({norm}, i, 8)) "
+        f"FOR i IN generate_series(1, greatest(1, len({norm}) - 7))], 'min')"
+    )
+    return f"""
+SELECT doc_id,
+  (CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text), '\\s+')) END) AS ws_tokens,
+  len(regexp_extract_all(COALESCE(text, ''), '{tok}')) AS bpe_tokens,
+  md5({norm}) AS fingerprint,
+  {winnow} AS winnow_fp,
+  {sql_stable_round(sw_ratio, 6)} AS stopword_ratio,
+  {quality} AS quality_score
+FROM documents"""
