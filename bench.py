@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Execution is forced with the noop datasource writer (full pipeline
+runs, nothing collected to the driver). A small warmup job absorbs
+JVM/codegen startup so per-query times reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from yelp_streaming_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every operator family, weighted toward the scan/shuffle
+# heavy ones that dominate at scale.
+HEADLINE = [
+    "clean_reviews",
+    "quality_issues",
+    "review_stats",
+    "events_hourly",
+    "sessionize_events",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "supplier_running_revenue",
+    "rollup_revenue",
+    "dedup_exact",
+    "neardup_minhash",
+    "simhash_signatures",
+    "text_analysis",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = E.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

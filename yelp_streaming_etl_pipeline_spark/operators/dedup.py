@@ -70,34 +70,49 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def word_shingles(c: Column, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles as array<string>. Documents with
-    fewer than n words get a single shingle = whole trimmed text."""
+    fewer than n words get a single shingle = whole trimmed text.
+
+    Built from n shifted slices combined with zip_with — NOT from
+    element_at(words, i) inside a transform lambda: higher-order
+    functions are interpreted, so expressions referenced inside a
+    lambda re-evaluate per element (the split() would run once per
+    shingle per word — catastrophic). Slice arguments are evaluated
+    once per row."""
     words = F.split(F.trim(F.lower(c)), r"\s+")
     nw = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), nw - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    m = F.greatest(nw - (n - 1), F.lit(0))
+    shifted = [F.slice(words, j + 1, m) for j in range(n)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(nw >= n, F.array_distinct(grams)).otherwise(
         F.array(F.trim(F.lower(c)))
     )
 
 
 def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
-    """array<string> of k MinHash signatures: for salt i, the
-    lexicographically smallest md5(i ':' shingle)."""
+    """array<string> of k MinHash signatures from a DIGESTS column
+    (array of per-shingle md5 hex; materialize it as its own column —
+    passing the md5-transform expression inline would re-evaluate it k
+    times, since interpreted HOF arguments get no subexpression
+    elimination).
 
-    def salted(salt: str):
-        # single-arg lambda: a 2-arg lambda would receive the array
-        # INDEX as its second argument and shadow the salt
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
+    Signature i is the lexicographic minimum of the digest ROTATED by
+    i hex chars (ordering by a different offset of the same 128-bit
+    digest per signature — the one-permutation-hashing family: ~k×
+    cheaper than k salted digests, empirically equivalent argmin
+    independence for banding)."""
+    digests = shingles
+
+    def rotated(i: int):
+        if i == 0:
+            return lambda h: h
+        return lambda h: F.concat(
+            F.substring(h, i + 1, 32 - i), F.substring(h, 1, i)
+        )
 
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, salted(f"{i}:")))
-            for i in range(k)
-        ]
+        *[F.array_min(F.transform(digests, rotated(i))) for i in range(k)]
     )
 
 
@@ -128,13 +143,19 @@ def minhash_lsh_pairs(
     band collide, so the join output is ~(candidate pairs), not n^2.
     The exact Jaccard check then touches candidates only.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col)).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles")))
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col)).alias("shingles"),
+        )
+        # separate projections: digests referenced 12x, sig 4x — the
+        # multi-reference keeps Catalyst from collapse-inlining them
+        .withColumn("digests", F.transform(F.col("shingles"), lambda s: F.md5(s)))
+        .withColumn("sig", minhash_signature(F.col("digests")))
+    )
     banded = base.select(
         "doc_id", "shingles", F.explode(lsh_band_keys(F.col("sig"))).alias("band_key")
-    )
+    ).cache()  # scanned twice by the self-join; tiny (n_docs * n_bands rows)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -163,35 +184,49 @@ def minhash_lsh_pairs(
 
 def simhash_signature(token_hashes: Column, bits: int = 64) -> Column:
     """64-bit SimHash as a bit-string column, from an array of token
-    md5-hex digests (compute once per token, reuse for all 64 bits).
+    md5-hex digests.
 
     Per token, the first 16 hex digits supply 64 deterministic bits;
     bit j contributes +1/-1 to accumulator j; the signature bit is 1
-    iff the sum is positive. Pure per-row map (no shuffle) — the
-    canonical petabyte-safe fingerprint.
+    iff the sum is positive. ONE aggregate with an array<int>
+    accumulator (zip_with add) — a single pass over the tokens and a
+    compact expression tree, vs 64 separate aggregates. Pure per-row
+    map (no shuffle) — the canonical petabyte-safe fingerprint.
     """
     hexmap = "0123456789abcdef"
 
-    def bit_adder(di: int, sh: int):
-        # per-token bit: ((hex digit value) >> shift) & 1 -> ±1
-        def add(acc, h):
-            return acc + (
+    def bits_of(h: Column) -> Column:
+        # array<int> of ±1 for bit positions 0..bits-1
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: (
                 F.floor(
-                    (F.instr(F.lit(hexmap), F.substring(h, di, 1)) - 1)
-                    / F.lit(2**sh)
+                    (
+                        F.instr(
+                            F.lit(hexmap),
+                            h.substr(F.floor(j / 4).cast("int") + 1, F.lit(1)),
+                        )
+                        - 1
+                    )
+                    / F.pow(F.lit(2.0), (3 - (j % 4)).cast("double"))
                 )
                 % 2
-            ).cast("int") * 2 - 1
-
-        return add
-
-    bit_cols = []
-    for j in range(bits):
-        contrib = F.aggregate(
-            token_hashes, F.lit(0), bit_adder(j // 4 + 1, 3 - (j % 4))
+            ).cast("int")
+            * 2
+            - 1,
         )
-        bit_cols.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_cols)
+
+    sums = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b),
+    )
+    return F.array_join(
+        F.transform(
+            sums, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
 
 
 def token_md5s(c: Column) -> Column:

@@ -100,16 +100,32 @@ def hyperplane(dim: int, plane_idx: int) -> list[float]:
 
 
 def lsh_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-of-projection bucket key: one bit per hyperplane."""
-    bits = []
-    for p in range(n_planes):
-        plane = hyperplane(dim, p)
-        proj = None
-        for j, w in enumerate(plane):
-            term = F.element_at(vec, j + 1).cast("double") * F.lit(w)
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    """Sign-of-projection bucket key: one bit per hyperplane.
+
+    The plane matrix is one nested array literal and the projection a
+    zip_with/aggregate fold — a compact expression tree (a chained
+    512-term add makes analysis+codegen the dominant cost). The fold
+    starts at 0.0, so accumulation order matches the oracle's explicit
+    t1+t2+...  exactly (0.0+t1 == t1 bitwise)."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(w) for w in hyperplane(dim, p)])
+            for p in range(n_planes)
+        ]
+    )
+    bits = F.transform(
+        planes,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def lsh_bucketed_topk(

@@ -51,14 +51,25 @@ def doc_fingerprint(c: Column) -> Column:
 def winnow_fingerprint(c: Column, gram: int = 8) -> Column:
     """Locality-sensitive fingerprint: the minimum md5 over all
     character 8-grams of the normalized text (a 1-fingerprint
-    winnowing scheme — robust to local edits, cheap to compute)."""
+    winnowing scheme — robust to local edits, cheap to compute).
+
+    The normalized string rides inside the aggregate's zero value so
+    it is evaluated ONCE per row; referencing it from the lambda body
+    would re-run the regexp_replace per 8-gram (interpreted HOFs)."""
     norm = F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
     n = F.length(norm)
-    grams = F.transform(
+    return F.aggregate(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n - (gram - 1))),
-        lambda i: F.md5(norm.substr(i, F.lit(gram))),
+        F.struct(norm.alias("s"), F.lit(None).cast("string").alias("mn")),
+        lambda acc, i: F.struct(
+            acc["s"].alias("s"),
+            F.least(
+                F.coalesce(acc["mn"], F.lit("g")),  # 'g' > any hex digest
+                F.md5(acc["s"].substr(i, F.lit(gram))),
+            ).alias("mn"),
+        ),
+        lambda acc: acc["mn"],
     )
-    return F.array_min(grams)
 
 
 def stopword_ratio(c: Column) -> Column:

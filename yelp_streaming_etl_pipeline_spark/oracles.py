@@ -399,8 +399,15 @@ sh AS (
 
 
 def sql_minhash_lsh_pairs(threshold: float = 0.5) -> str:
+    # rotation-family MinHash: one md5 per shingle, signature i = min of
+    # the digest rotated by i hex chars (mirrors operators/dedup.py)
+    def rot(i: int) -> str:
+        if i == 0:
+            return "h"
+        return f"(substr(h, {i + 1}, {32 - i}) || substr(h, 1, {i}))"
+
     sig_exprs = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
+        f"list_aggregate(list_transform(digests, h -> {rot(i)}), 'min')"
         for i in range(MINHASH_K)
     )
     band_exprs = []
@@ -417,8 +424,13 @@ def sql_minhash_lsh_pairs(threshold: float = 0.5) -> str:
     )
     return f"""
 WITH {_sql_shingles_cte(3)},
+dg AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> md5(s)) AS digests
+  FROM sh
+),
 sigs AS (
-  SELECT doc_id, shingles, [{sig_exprs}] AS sig FROM sh
+  SELECT doc_id, shingles, [{sig_exprs}] AS sig FROM dg
 ),
 banded AS (
   SELECT doc_id, shingles, unnest([{bands_list}]) AS band_key FROM sigs
@@ -435,19 +447,12 @@ WHERE {sql_stable_round(jac, 6)} >= {threshold}"""
 
 
 def sql_simhash() -> str:
-    bit_exprs = []
-    for j in range(64):
-        di = j // 4 + 1
-        p = float(2 ** (3 - (j % 4)))
-        bit = (
-            f"(CAST(floor((strpos('0123456789abcdef', substr(h, {di}, 1)) - 1)"
-            f" / {p}) AS INT) % 2) * 2 - 1"
-        )
-        bit_exprs.append(
-            f"CASE WHEN list_sum(list_transform(hs, h -> {bit})) > 0 "
-            f"THEN '1' ELSE '0' END"
-        )
-    concat = " || ".join(bit_exprs)
+    bits_of = (
+        "[(CAST(floor((strpos('0123456789abcdef', "
+        "substr(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1) "
+        "/ pow(2.0, CAST(3 - (j % 4) AS DOUBLE))) AS INT) % 2) * 2 - 1 "
+        "FOR j IN generate_series(0, 63)]"
+    )
     return f"""
 WITH corpus AS ({NEAR_DUP_CORPUS_SQL}),
 th AS (
@@ -457,8 +462,19 @@ th AS (
                     '\\s+')),
       t -> md5(t)) AS hs
   FROM corpus
+),
+sums AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend([0 FOR j IN generate_series(0, 63)],
+                   list_transform(hs, h -> {bits_of})),
+      (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, 64)]) AS s
+  FROM th
 )
-SELECT doc_id, {concat} AS simhash FROM th"""
+SELECT doc_id,
+  list_aggregate([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN s],
+                 'string_agg', '') AS simhash
+FROM sums"""
 
 
 def sql_ngram_jaccard_pairs(n: int = 2, threshold: float = 0.3) -> str:
