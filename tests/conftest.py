@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from yelp_streaming_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]", extra_conf={
+        "spark.sql.shuffle.partitions": "4",
+        "spark.default.parallelism": "4",
+    })
+    yield s
+    s.stop()

@@ -1,0 +1,96 @@
+"""Dedup-family and similarity-search behavior tests on planted data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+from yelp_streaming_etl_pipeline_spark.operators import similarity as SIM
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 1
+    (4, "completely different content about database query engines and joins"),
+    (5, "spark structured streaming processes unbounded data with watermarks"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = DD.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_survivor = {r["survivor_id"]: r["n_copies"] for r in out}
+    assert by_survivor[1] == 2  # doc 2 collapsed into doc 1
+    assert len(out) == 4
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    pairs = DD.minhash_lsh_pairs(_docs(spark), "text", "doc_id", 0.3).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert found.get((1, 2)) == 1.0  # exact dup
+    assert (1, 3) in found and 0.3 <= found[(1, 3)] < 1.0  # near dup
+    assert (4, 5) not in found
+
+
+def test_simhash_distance_ordering(spark):
+    t = DD.simhash_table(_docs(spark), "text", "doc_id").collect()
+    sig = {r["doc_id"]: r["simhash"] for r in t}
+    assert sig[1] == sig[2]  # identical text -> identical signature
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sig.values())
+
+
+def test_ngram_jaccard_blocked(spark):
+    df = _docs(spark).withColumn("src", F.lit("s1"))
+    pairs = DD.ngram_jaccard_pairs(df, "text", "doc_id", "src", 2, 0.3).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in out]
+    assert ranked == [(1, 2), (2, 3)]
+    assert out[0]["cosine_sim"] > 0.99
+
+
+def test_lsh_bucket_recall_on_planted_dup(spark):
+    base = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = SIM.with_synthetic_vec_dups(base.withColumn("label", F.lit(0)))
+    # planted exact copy of vec 0 is id 100000 -> same bucket, sim 1.0
+    out = SIM.lsh_bucketed_topk(
+        corpus, corpus.filter(F.col("vec_id") == 0), k=3, dim=8
+    ).collect()
+    assert any(r["neighbor_id"] == 100000 and r["cosine_sim"] == 1.0 for r in out)
+
+
+def test_embedding_neardup_pairs(spark):
+    base = spark.createDataFrame(
+        [
+            (i, [float((i * 5 + j) % 9 - 4) for j in range(8)], i % 2)
+            for i in range(29, 60, 1)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = SIM.with_synthetic_vec_dups(base)
+    pairs = SIM.cosine_neardup_pairs(corpus, tau=0.99).collect()
+    keys = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (29, 100029) in keys  # exact copy
+    assert (29, 200029) in keys  # jittered copy still > 0.99

@@ -1,0 +1,146 @@
+"""Structured Streaming topology tests (availableNow trigger + file/
+memory sinks — SURVEY.md §7 Phase 3 / §5 strategy for non-SQL ops)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators.gauntlet import clean_reviews
+from yelp_streaming_etl_pipeline_spark.schemas import RAW_REVIEW
+from yelp_streaming_etl_pipeline_spark.streaming import topology as TOP
+
+GOOD_TEXT = (
+    "The food here was absolutely wonderful and the service was quick. "
+    "I would definitely come back with friends for the weekend brunch."
+)
+BASE = datetime(2026, 8, 1, 12, 0, 0)
+
+
+def _reviews(n=40):
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                f"r{i}",
+                f"b{i % 3}",
+                f"u{i}",
+                None if i % 13 == 0 else float(1 + i % 5),
+                None if i % 11 == 0 else GOOD_TEXT + f" visit number {i}.",
+                # span > 8 days so the 7-day watermark finalizes early
+                # windows under trigger(availableNow)
+                BASE + timedelta(hours=5 * i, minutes=7 * i),
+                i % 4,
+                i % 3,
+                i % 2,
+                "test",
+                BASE,
+            )
+        )
+    # a deliberate duplicate of r1 (same review_id + date)
+    rows.append(rows[1])
+    return rows
+
+
+def _write_source(spark, tmp_path):
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(_reviews(), RAW_REVIEW)
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _with_lang(df):
+    return df.withColumn("language", F.lit("en")).withColumn(
+        "language_confidence", F.lit(0.95)
+    )
+
+
+@pytest.fixture()
+def patched_lang(monkeypatch):
+    """The file-stream test data carries no language columns; attach
+    trusted ones inside the streaming pipeline."""
+    orig = TOP.validate_reviews
+    monkeypatch.setattr(
+        TOP, "validate_reviews", lambda df, now: orig(_with_lang(df), now)
+    )
+
+
+def test_topology_available_now(spark, tmp_path, patched_lang):
+    src = _write_source(spark, tmp_path)
+    counts = TOP.run_topology_available_now(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # 41 input rows, 1 duplicate dropped -> 40 through the gauntlet
+    assert counts["cleaned_reviews"] + counts["quality_issues"] >= 30
+    out = spark.read.parquet(str(tmp_path / "out" / "cleaned_reviews"))
+    assert out.filter(F.col("review_id") == "r1").count() == 1  # dedup held
+    assert set(out.columns) >= {
+        "review_id",
+        "data_quality_score",
+        "word_count",
+        "is_anomaly",
+    }
+
+
+def test_streaming_batch_parity(spark, tmp_path, patched_lang):
+    """The streaming pipeline must produce the same accepted set as the
+    batch gauntlet over the same (deduped) input — the key design
+    property: one expression library, two execution modes."""
+    src = _write_source(spark, tmp_path)
+    TOP.run_topology_available_now(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    stream_ids = {
+        r["review_id"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "cleaned_reviews"))
+        .select("review_id")
+        .collect()
+    }
+    batch_input = _with_lang(
+        spark.read.parquet(src).dropDuplicates(["review_id", "date"])
+    )
+    accepted, _r, _i = clean_reviews(batch_input, F.current_timestamp())
+    batch_ids = {r["review_id"] for r in accepted.select("review_id").collect()}
+    assert stream_ids == batch_ids
+
+
+def test_windowed_stats_stream(spark, tmp_path, patched_lang):
+    # stats is its own query stage (separate agent in the reference),
+    # fed by the cleaned stream — not chained after the dedup operator
+    # (Spark disallows widening the watermark downstream of it)
+    src = _write_source(spark, tmp_path)
+    reviews = TOP.read_review_file_stream(spark, src)
+    accepted, _ = TOP.streaming_quality_pipeline(reviews)
+    stats = TOP.windowed_stats_stream(accepted)
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stats_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stats"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stats_out").collect()
+    # 40 reviews x 7-minute spacing -> several 1-h windows; windows are
+    # finalized because availableNow advances the watermark to max(event)
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["total"] == r["accepted"] > 0
+        assert r["window_end"] - r["window_start"] == timedelta(hours=1)
+
+
+def test_upsert_sql_shape():
+    from yelp_streaming_etl_pipeline_spark.sources.jdbc import build_upsert_sql
+
+    sql = build_upsert_sql(
+        "cleaned_reviews",
+        ["review_id", "rating", "data_quality_score", "processing_timestamp"],
+        "review_id",
+        ["data_quality_score", "processing_timestamp"],
+    )
+    assert "ON CONFLICT (review_id) DO UPDATE SET" in sql
+    assert sql.count("%s") == 4
+    assert "data_quality_score = EXCLUDED.data_quality_score" in sql

@@ -1,0 +1,92 @@
+"""JDBC idempotent-upsert sink (S6/W5/W8).
+
+Reference behavior (/root/reference/streaming/postgres_sink.py):
+batches of 100 records or 10 s, INSERT ... ON CONFLICT (review_id)
+DO UPDATE SET data_quality_score, processing_timestamp; Kafka offsets
+committed only after the DB commit (at-least-once made effectively
+exactly-once by the idempotent upsert). Column renames useful ->
+useful_count etc. happen en route (postgres_sink.py:119-134 — in our
+engine the gauntlet already emits the warehouse shape).
+
+Spark idiom: ``foreachBatch`` + per-partition JDBC upsert. The
+checkpoint guarantees each micro-batch is applied at least once; the
+ON CONFLICT upsert makes re-application idempotent -> effective
+exactly-once (same guarantee ladder as the reference). The micro-batch
+trigger (processingTime=10s) subsumes the count-based flush (W8).
+
+The psycopg2/JDBC driver is not in this image — the sink degrades to a
+clearly-typed ImportError at call time; the SQL generation and batch
+plumbing are real and unit-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+UPSERT_TABLE = "cleaned_reviews"
+UPSERT_KEY = "review_id"
+UPDATE_COLS = ["data_quality_score", "processing_timestamp"]  # init_db.sql upsert set
+
+
+def build_upsert_sql(
+    table: str, columns: list[str], key: str, update_cols: list[str]
+) -> str:
+    """INSERT ... ON CONFLICT DO UPDATE statement with %s placeholders
+    (reference: postgres_sink.py:85-117)."""
+    col_list = ", ".join(columns)
+    placeholders = ", ".join(["%s"] * len(columns))
+    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    return (
+        f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({key}) DO UPDATE SET {updates}"
+    )
+
+
+def postgres_upsert_batch(
+    rows: Iterator, columns: list[str], dsn: str, table: str = UPSERT_TABLE
+) -> int:
+    """Per-partition upsert executor. Requires psycopg2 (not in this
+    image)."""
+    try:
+        import psycopg2
+        from psycopg2.extras import execute_batch
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "psycopg2 is not installed in this environment; the JDBC/"
+            "Postgres sink is exercised only for SQL generation and "
+            "batch shape in tests"
+        ) from e
+    sql = build_upsert_sql(table, columns, UPSERT_KEY, UPDATE_COLS)
+    conn = psycopg2.connect(dsn)
+    n = 0
+    try:
+        with conn.cursor() as cur:
+            batch = [tuple(r[c] for c in columns) for r in rows]
+            execute_batch(cur, sql, batch, page_size=100)  # postgres_sink.py:18
+            n = len(batch)
+        conn.commit()  # commit before the streaming checkpoint advances
+    finally:
+        conn.close()
+    return n
+
+
+def foreach_batch_upsert(dsn: str, table: str = UPSERT_TABLE):
+    """foreachBatch hook: write each micro-batch via partition-parallel
+    upserts. Usage:
+
+        accepted.writeStream.foreachBatch(foreach_batch_upsert(dsn))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="10 seconds").start()
+    """
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = batch_df.columns
+
+        def run_partition(rows: Iterator) -> None:
+            postgres_upsert_batch(rows, cols, dsn, table)
+
+        batch_df.foreachPartition(run_partition)
+
+    return apply
