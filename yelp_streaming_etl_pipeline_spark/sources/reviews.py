@@ -44,26 +44,34 @@ def read_yelp_jsonlines(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    if shuffle_seed is not None:
-        df = df.orderBy(F.rand(shuffle_seed))  # O2 randomized replay
-    if limit is not None:
-        df = df.limit(limit)  # O1
-    return df.select(
+    # malformed lines leave every schema field null in PERMISSIVE mode;
+    # filtering on review_id (never null in valid data) drops them
+    # without referencing _corrupt_record, which Spark refuses to query
+    # in isolation (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    df = df.filter(F.col("review_id").isNotNull()).drop("_corrupt_record")
+    mapped = df.select(
         F.col("review_id"),
         F.col("business_id"),
         F.col("user_id"),
         F.col("stars").cast("double").alias("rating"),  # producer.py:73 rename
         F.col("text"),
         F.coalesce(
-            F.to_timestamp(F.col("date"), YELP_DATE_FMT), F.current_timestamp()
-        ).alias("date"),  # producer.py:62-66 fallback-to-now
+            F.try_to_timestamp(F.col("date"), F.lit(YELP_DATE_FMT)),
+            F.current_timestamp(),
+        ).alias("date"),  # producer.py:62-66 fallback-to-now (try_: ANSI-safe)
         F.coalesce(F.col("useful"), F.lit(0)).alias("useful"),
         F.coalesce(F.col("funny"), F.lit(0)).alias("funny"),
         F.coalesce(F.col("cool"), F.lit(0)).alias("cool"),
         F.lit("yelp_dataset").alias("source"),
         F.current_timestamp().alias("ingestion_timestamp"),
     )
+    # shuffle/limit AFTER the mapping projection: a plan that references
+    # only _corrupt_record (e.g. orderBy(rand)) is rejected by Spark
+    if shuffle_seed is not None:
+        mapped = mapped.orderBy(F.rand(shuffle_seed))  # O2 randomized replay
+    if limit is not None:
+        mapped = mapped.limit(limit)  # O1
+    return mapped
 
 
 def synthetic_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
