@@ -50,11 +50,26 @@ def _now() -> F.Column:
     return F.to_timestamp(F.lit(NOW_LITERAL))
 
 
+_STAGED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gauntlet-annotated synthetic reviews with scores (all rows)."""
+    """Gauntlet-annotated synthetic reviews with scores (all rows).
+
+    Persisted once per (session, sf_dir): the reference computes the
+    gauntlet ONCE and routes it to several sinks (faust_app.py:131-170)
+    — the accepted/issues/counts/summary/stats queries here are
+    projections of that single pass, so they share the materialized
+    intermediate instead of recomputing the whole expression tree."""
+    key = (id(spark), sf_dir)
+    cached = _STAGED_CACHE.get(key)
+    if cached is not None:
+        return cached
     reviews = synthetic_reviews(_ensure_conf(spark), sf_dir)
     validated = G.validate_reviews(reviews, _now())
-    return G.score_reviews(validated, _now())
+    staged = G.score_reviews(validated, _now()).persist()
+    _STAGED_CACHE[key] = staged
+    return staged
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -89,31 +104,28 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clean_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
-    accepted, _r, _i = G.clean_reviews(
-        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
+    staged = _staged(spark, sf_dir)
+    return G.select_cleaned(staged.filter(F.col("is_accepted")), _now())
+
+
+def _issues_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _staged(spark, sf_dir)
+        .select(F.explode("issues").alias("i"))
+        .select("i.*")
     )
-    return accepted
 
 
 def q_quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _a, _r, issues = G.clean_reviews(
-        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
-    )
-    return issues
+    return _issues_df(spark, sf_dir)
 
 
 def q_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _a, _r, issues = G.clean_reviews(
-        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
-    )
-    return ST.issue_type_counts(issues)
+    return ST.issue_type_counts(_issues_df(spark, sf_dir))
 
 
 def q_acceptance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    validated = G.validate_reviews(
-        synthetic_reviews(_ensure_conf(spark), sf_dir), _now()
-    )
-    return ST.acceptance_summary(validated)
+    return ST.acceptance_summary(_staged(spark, sf_dir))
 
 
 def q_review_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import quality as Q
-from ..functions.rounding import stable_round
 from ..functions import text_features as TF
 
 
@@ -208,29 +207,21 @@ def score_reviews(df: DataFrame, now: Column) -> DataFrame:
     freshness = Q.freshness_score(F.col("date"), now)
     spam = Q.spam_score(tc, original_text=F.col("text"))
     dq = Q.data_quality_score(completeness, validity, freshness, spam)
+    # component scores stay internal subtrees of dq — materializing
+    # them as extra columns doubles the expression tree (codegen
+    # compile is the dominant fixed cost of this stage)
     return (
-        out.withColumn("completeness_score", stable_round(completeness, 4))
-        .withColumn("validity_score", stable_round(validity, 4))
-        .withColumn("freshness_score", stable_round(freshness, 4))
-        .withColumn("spam_score", stable_round(spam, 4))
-        .withColumn("data_quality_score", dq)
+        out.withColumn("data_quality_score", dq)
         .withColumn("is_anomaly", Q.is_anomaly(dq))
         .withColumn("is_spam", F.lit(False))
     )
 
 
-def clean_reviews(
-    df: DataFrame, now: Column
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full gauntlet: returns (accepted, rejected, issues).
-
-    ``accepted`` follows the CLEANED_REVIEW warehouse shape
-    (init_db.sql:1-31 + postgres_sink.py:119-134 renames: useful ->
-    useful_count etc.); ``issues`` the QUALITY_ISSUE dead-letter shape.
-    """
-    validated = validate_reviews(df, now)
-    scored = score_reviews(validated.filter(F.col("is_accepted")), now)
-    accepted = scored.select(
+def select_cleaned(scored: DataFrame, now: Column) -> DataFrame:
+    """Project a scored gauntlet DataFrame (accepted rows) onto the
+    CLEANED_REVIEW warehouse shape (init_db.sql:1-31 +
+    postgres_sink.py:119-134 renames: useful -> useful_count etc.)."""
+    return scored.select(
         "review_id",
         "business_id",
         "user_id",
@@ -252,6 +243,18 @@ def clean_reviews(
         "source",
         "ingestion_timestamp",
         now.alias("processing_timestamp"),
+    )
+
+
+def clean_reviews(
+    df: DataFrame, now: Column
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full gauntlet: returns (accepted, rejected, issues) — the
+    reference's routing (faust_app.py:131-170) as three projections of
+    ONE validated pass."""
+    validated = validate_reviews(df, now)
+    accepted = select_cleaned(
+        score_reviews(validated.filter(F.col("is_accepted")), now), now
     )
     rejected = validated.filter(~F.col("is_accepted"))
     issues = validated.select(F.explode("issues").alias("i")).select("i.*")
