@@ -33,6 +33,7 @@ from yelp_streaming_etl_pipeline_spark.sources.reviews import (
     NOW_LITERAL,
     synthetic_reviews,
 )
+from yelp_streaming_etl_pipeline_spark.sources.tables import read_fixture
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -82,7 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------- queries ----------------
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _ensure_conf(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t_cpu(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -97,7 +98,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _ensure_conf(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    d = _t_cpu(spark, sf_dir, "documents")
     return LANG.with_lang_id(d.select("doc_id", "text"), "text").select(
         "doc_id", "language", "language_confidence"
     )
@@ -139,7 +140,13 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------- relational library (SURVEY.md §7 Phase 2) ----------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return _ensure_conf(spark).read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_fixture(_ensure_conf(spark), sf_dir, name)
+
+
+def _t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture read for CPU-bound-per-row pipelines (regex, shingles,
+    hashes, vector math): spread small single-split scans over cores."""
+    return read_fixture(_ensure_conf(spark), sf_dir, name, spread=True)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,41 +205,48 @@ def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
 
 
+def _doc_corpus_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.with_synthetic_near_dups(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_doc_corpus(spark, sf_dir), "text", "doc_id")
 
 
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_lsh_pairs(_doc_corpus(spark, sf_dir), "text", "doc_id", 0.5)
+    return DD.minhash_lsh_pairs(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", 0.5
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_table(_doc_corpus(spark, sf_dir), "text", "doc_id")
+    return DD.simhash_table(_doc_corpus_cpu(spark, sf_dir), "text", "doc_id")
 
 
 def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
-        _doc_corpus(spark, sf_dir), "text", "doc_id", "source", 2, 0.3
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", "source", 2, 0.3
     )
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TA.analyze_documents(_t(spark, sf_dir, "documents"))
+    return TA.analyze_documents(_t_cpu(spark, sf_dir, "documents"))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_cpu(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_cpu(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(
-        SIM.with_synthetic_vec_dups(_t(spark, sf_dir, "embeddings")), tau=0.99
+        SIM.with_synthetic_vec_dups(_t_cpu(spark, sf_dir, "embeddings")),
+        tau=0.99,
     )
 
 

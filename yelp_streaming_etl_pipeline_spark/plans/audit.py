@@ -79,3 +79,20 @@ def shuffle_exchanges(df: DataFrame) -> int:
 
     plan = physical_plan(df)
     return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+
+
+def key_shuffle_exchanges(df: DataFrame) -> int:
+    """Exchanges that repartition BY DATA (hash/range partitioning) —
+    the ones whose cost grows with key skew and data volume at scale.
+    Round-robin exchanges (the deliberate small-input spread in
+    sources/tables.py) and single-partition collapses are excluded:
+    they never run against large inputs by construction."""
+    import re
+
+    plan = physical_plan(df)
+    n = 0
+    for m in re.finditer(r"^\(\d+\) Exchange\n((?:[^\n(][^\n]*\n)*)", plan, flags=re.MULTILINE):
+        body = m.group(1)
+        if "hashpartitioning" in body or "rangepartitioning" in body:
+            n += 1
+    return n

@@ -184,7 +184,9 @@ TESTDATA_TABLES = [
 
 def load_tables(spark, sf_dir: str, names: list[str] | None = None):
     """Load driver-provided parquet tables as a dict of DataFrames."""
+    from .sources.tables import read_fixture
+
     return {
-        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        name: read_fixture(spark, sf_dir, name)
         for name in (names or TESTDATA_TABLES)
     }

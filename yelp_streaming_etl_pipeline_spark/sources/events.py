@@ -12,10 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import read_fixture
+
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = read_fixture(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] == "bigint":
         # Integer division — a double round-trip loses 1 microsecond on
         # epoch-nanos magnitudes (> 2^53).

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
 from ..schemas import YELP_SOURCE_JSON
+from .tables import read_fixture
 
 YELP_DATE_FMT = "yyyy-MM-dd HH:mm:ss"  # producer.py:64
 
@@ -80,7 +81,7 @@ def synthetic_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors SYNTH_REVIEWS_SQL exactly — any edit here must be mirrored
     there.
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_fixture(spark, sf_dir, "documents", spread=True)
     k = F.col("doc_id") % 23
     m = F.col("doc_id") % 19
     text = (
