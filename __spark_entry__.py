@@ -21,6 +21,7 @@ from yelp_streaming_etl_pipeline_spark.functions import language as LANG
 from yelp_streaming_etl_pipeline_spark.functions import text_features as TF
 from yelp_streaming_etl_pipeline_spark.functions.rounding import (
     sql_stable_round as SR,
+    stable_round as ROUND,
 )
 from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
 from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
@@ -199,6 +200,44 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.sessionize_events(read_events(_ensure_conf(spark), sf_dir))
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) run
+    to completion over the events fixture with trigger(availableNow).
+
+    The fixture is one file -> ONE micro-batch, so the emitted set is
+    deterministic: every session closed by a later in-batch event —
+    i.e. all sessions except each user's final (still-open) one. That
+    makes this streaming operator fully oracle-checkable."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+    from yelp_streaming_etl_pipeline_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    name = "closed_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stream(read_events_stream(_ensure_conf(spark), sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        ROUND(F.col("session_value"), 2).alias("session_value"),
+    )
+
+
 # ------------- dedup / similarity / text-analysis (SURVEY.md §7 Phase 4) -----
 
 def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +262,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_table(_doc_corpus_cpu(spark, sf_dir), "text", "doc_id")
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(_doc_corpus_cpu(spark, sf_dir), "text", "doc_id")
+
+
 def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
         _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", "source", 2, 0.3
@@ -241,6 +284,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_cpu(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,13 +317,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "order_priority_counts": q_order_priority_counts,
         "sessionize_events": q_sessionize_events,
+        "sessionize_stream": q_sessionize_stream,
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "simhash_signatures": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
         "text_analysis": q_text_analysis,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
     }
 
@@ -495,6 +546,46 @@ SELECT user_id, session_seq,
 FROM s GROUP BY user_id, session_seq"""
 
 
+def _sql_sessionize_stream() -> str:
+    """Closed sessions emitted by the stream: every non-final session
+    per user (closed by a later in-batch event), PLUS final sessions
+    flushed by the event-time timeout in the trailing no-data
+    micro-batch — those whose timeout (last event + 30 min, in ms)
+    fell below the final watermark (max event time - 10 min, Spark
+    truncates event times to ms)."""
+    win = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH e AS (
+  SELECT *, lag(ts) OVER ({win}) AS prev_ts FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 1800
+                THEN 1 ELSE 0 END)
+            OVER ({win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_seq
+  FROM e
+),
+wm AS (
+  SELECT (max(epoch_us(ts)) // 1000) - 600000 AS wm_ms FROM events
+),
+sess AS (
+  SELECT user_id, session_seq,
+    min(ts) AS session_start, max(ts) AS session_end,
+    count(*) AS n_events, {SR('sum(value)', 2)} AS session_value
+  FROM s GROUP BY user_id, session_seq
+),
+ranked AS (
+  SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS final_seq
+  FROM sess
+)
+SELECT user_id, session_start, session_end, n_events, session_value
+FROM ranked
+WHERE session_seq < final_seq
+   OR ((epoch_us(session_end) // 1000) + 1800000
+       < (SELECT wm_ms FROM wm))"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "text_features": _sql_text_features(),
@@ -514,12 +605,15 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _sql_rollup_revenue(),
         "order_priority_counts": _sql_order_priority_counts(),
         "sessionize_events": _sql_sessionize_events(),
+        "sessionize_stream": _sql_sessionize_stream(),
         "dedup_exact": O.sql_dedup_exact(),
         "neardup_minhash": O.sql_minhash_lsh_pairs(0.5),
         "simhash_signatures": O.sql_simhash(),
+        "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),
         "text_analysis": O.sql_text_analysis(),
         "ann_cosine_topk": O.sql_ann_topk(),
         "ann_lsh_topk": O.sql_ann_lsh_topk(),
+        "ann_ivf_topk": O.sql_ann_ivf_topk(),
         "embedding_neardup": O.sql_embedding_neardup(0.99),
     }

@@ -144,3 +144,65 @@ def test_upsert_sql_shape():
     assert "ON CONFLICT (review_id) DO UPDATE SET" in sql
     assert sql.count("%s") == 4
     assert "data_quality_score = EXCLUDED.data_quality_score" in sql
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closure,
+    cross-batch closure, and event-time-timeout flush for a silent key."""
+    from yelp_streaming_etl_pipeline_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    t0 = datetime(2026, 8, 1, 0, 0, 0)
+
+    def ev(user, minutes, value):
+        return (user, t0 + timedelta(minutes=minutes), float(value))
+
+    # batch 1 (file 0): a has two sessions split by an in-batch gap;
+    # b has two; c has one then goes silent (timeout path)
+    batch1 = [
+        ev("a", 0, 1), ev("a", 5, 2), ev("a", 10, 3),      # a session 1
+        ev("a", 120, 4), ev("a", 125, 5),                  # a session 2
+        ev("b", 1, 10), ev("b", 180, 20),                  # b sessions 1+2
+        ev("c", 0, 7), ev("c", 1, 8),                      # c session 1
+    ]
+    # batch 2 (file 1): late events close a2/b2 cross-batch and push the
+    # watermark far past c's timeout
+    batch2 = [ev("a", 600, 6), ev("b", 600, 30)]
+
+    schema = "user_id string, ts timestamp, value double"
+    src = tmp_path / "sessions_src"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f=0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f=1")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in rows
+    }
+    assert ("a", t0, 3, 6.0) in got                                  # in-batch gap
+    assert ("a", t0 + timedelta(minutes=120), 2, 9.0) in got          # cross-batch
+    assert ("b", t0 + timedelta(minutes=1), 1, 10.0) in got
+    assert ("b", t0 + timedelta(minutes=180), 1, 20.0) in got
+    assert ("c", t0, 2, 15.0) in got                                  # timeout flush
+    # open sessions (the minute-600 events) must NOT be emitted
+    assert not any(s == t0 + timedelta(minutes=600) for (_, s, _, _) in got)

@@ -244,6 +244,83 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+SIMHASH_CHUNK_BITS = 16  # band width for the banded hamming join
+SIMHASH_MAX_HAMMING = 3  # <= bands-1 differing bits guarantees a shared band
+
+
+def simhash_hamming(a: Column, b: Column, bits: int = 64) -> Column:
+    """Hamming distance between two equal-length bit-string signatures,
+    computed 16 bits at a time (conv -> xor -> bit_count stays inside
+    signed-long range; a full 64-bit conv would overflow on a set sign
+    bit)."""
+    total = F.lit(0)
+    for i in range(bits // SIMHASH_CHUNK_BITS):
+        ai = F.conv(F.substring(a, i * SIMHASH_CHUNK_BITS + 1, SIMHASH_CHUNK_BITS), 2, 10).cast("long")
+        bi = F.conv(F.substring(b, i * SIMHASH_CHUNK_BITS + 1, SIMHASH_CHUNK_BITS), 2, 10).cast("long")
+        total = total + F.bit_count(ai.bitwiseXOR(bi))
+    return total
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate pairs via banded SimHash + exact Hamming verify.
+
+    The 64-bit signature is split into 4 chunks of 16 bits; candidate
+    pairs must agree on at least one whole chunk (pigeonhole: any pair
+    within Hamming distance 3 shares one of 4 chunks, so recall is
+    EXACT for max_hamming <= 3). Scale shape mirrors minhash_lsh_pairs:
+    the self-join is on the chunk key — ~n_docs * 4 rows shuffled,
+    never O(n^2) — and the exact Hamming check touches candidates only.
+    """
+    n_chunks = 64 // SIMHASH_CHUNK_BITS
+    sigs = simhash_table(df, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.substring(
+                            "simhash",
+                            i * SIMHASH_CHUNK_BITS + 1,
+                            SIMHASH_CHUNK_BITS,
+                        ),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("band_key"),
+    ).cache()  # signature computation is the CPU cost; scanned twice below
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", simhash_hamming(F.col("sh_a"), F.col("sh_b")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -174,6 +174,88 @@ def lsh_bucketed_topk(
     )
 
 
+IVF_CENTROID_MOD = 40  # vec_id % MOD == 0 -> coarse-quantizer centroid
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse quantizer + inverted
+    lists + nprobe.
+
+    Structure (the FAISS IVF-Flat shape, expressed relationally):
+      1. centroids — a deterministic subsample of the corpus stands in
+         for k-means centers (id % centroid_mod == 0), keeping the
+         whole index oracle-checkable; swap in KMeans fit offline at
+         production scale without changing this query shape.
+      2. inverted lists — every corpus vector is assigned to its
+         nearest centroid via a BROADCAST of the (small) centroid set;
+         the assignment becomes the partition key of the lists.
+      3. search — each query probes its ``nprobe`` nearest centroids
+         and scores exact cosine against ONLY those lists: the scored
+         set shrinks from n to ~n * nprobe / n_centroids.
+
+    At 100 TB the lists are bucketed/partitioned by ``centroid_id`` so
+    a probe touches only matching partitions; the quadratic term never
+    materializes. Recall < 1.0 by design (cosine_topk is the exact
+    baseline)."""
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def nearest(df: DataFrame, in_id: str, out_id: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "c_sim", cosine(F.col("vec"), F.col("cent_vec"))
+        )
+        w = Window.partitionBy(in_id).orderBy(
+            F.desc("c_sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n_keep)
+            .select(F.col(in_id).alias(out_id), "centroid_id", "vec")
+        )
+
+    lists = nearest(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")),
+        "nid",
+        "neighbor_id",
+        1,
+    )
+    probes = nearest(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")),
+        "qid",
+        "query_id",
+        nprobe,
+    ).select("query_id", "centroid_id", F.col("vec").alias("q_vec"))
+
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
 def with_synthetic_vec_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -446,7 +446,9 @@ FROM cand
 WHERE {sql_stable_round(jac, 6)} >= {threshold}"""
 
 
-def sql_simhash() -> str:
+def _sql_simhash_cte() -> str:
+    """CTE chain corpus -> sigs(doc_id, simhash) — shared by the
+    signature table and the banded-pairs oracle."""
     bits_of = (
         "[(CAST(floor((strpos('0123456789abcdef', "
         "substr(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1) "
@@ -454,7 +456,7 @@ def sql_simhash() -> str:
         "FOR j IN generate_series(0, 63)]"
     )
     return f"""
-WITH corpus AS ({NEAR_DUP_CORPUS_SQL}),
+corpus AS ({NEAR_DUP_CORPUS_SQL}),
 th AS (
   SELECT doc_id,
     list_transform(
@@ -470,11 +472,41 @@ sums AS (
                    list_transform(hs, h -> {bits_of})),
       (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, 64)]) AS s
   FROM th
+),
+sigs AS (
+  SELECT doc_id,
+    list_aggregate([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN s],
+                   'string_agg', '') AS simhash
+  FROM sums
+)"""
+
+
+def sql_simhash() -> str:
+    return f"WITH {_sql_simhash_cte()} SELECT doc_id, simhash FROM sigs"
+
+
+def sql_simhash_pairs(max_hamming: int = 3) -> str:
+    from .operators.dedup import SIMHASH_CHUNK_BITS
+
+    n_chunks = 64 // SIMHASH_CHUNK_BITS
+    chunks = ", ".join(
+        f"'{i}:' || substr(simhash, {i * SIMHASH_CHUNK_BITS + 1}, {SIMHASH_CHUNK_BITS})"
+        for i in range(n_chunks)
+    )
+    ham = "CAST(bit_count(xor(CAST(sh_a AS BIT), CAST(sh_b AS BIT))) AS INT)"
+    return f"""
+WITH {_sql_simhash_cte()},
+banded AS (
+  SELECT doc_id, simhash, unnest([{chunks}]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
-SELECT doc_id,
-  list_aggregate([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN s],
-                 'string_agg', '') AS simhash
-FROM sums"""
+SELECT doc_a, doc_b, {ham} AS hamming
+FROM cand WHERE {ham} <= {max_hamming}"""
 
 
 def sql_ngram_jaccard_pairs(n: int = 2, threshold: float = 0.3) -> str:
@@ -567,6 +599,52 @@ c AS (
 scored AS (
   SELECT query_id, neighbor_id, {sim} AS sim
   FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id,
+       {sql_stable_round('sim', 6)} AS cosine_sim
+FROM r WHERE rank <= {k}"""
+
+
+def sql_ann_ivf_topk(
+    k: int = 5,
+    dim: int = 64,
+    centroid_mod: int = 40,
+    nprobe: int = 2,
+) -> str:
+    """Mirrors operators/similarity.py:ivf_topk — deterministic
+    coarse quantizer (vec_id % mod), nearest-centroid inverted lists,
+    nprobe search."""
+    assign_sim = sql_cosine("v.embedding", "c.cent_vec", dim)
+    search_sim = sql_cosine("p.q_vec", "l.vec", dim)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
+  WHERE vec_id % {centroid_mod} = 0
+),
+assigned AS (
+  SELECT v.vec_id, v.embedding, c.centroid_id, {assign_sim} AS c_sim,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_sim} DESC, c.centroid_id ASC)
+           AS c_rank
+  FROM embeddings v CROSS JOIN cent c
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, centroid_id, embedding AS vec
+  FROM assigned WHERE c_rank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id, embedding AS q_vec
+  FROM assigned WHERE vec_id % 100 = 0 AND c_rank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, l.neighbor_id, {search_sim} AS sim
+  FROM lists l JOIN probes p USING (centroid_id)
+  WHERE l.neighbor_id != p.query_id
 ),
 r AS (
   SELECT *, row_number() OVER

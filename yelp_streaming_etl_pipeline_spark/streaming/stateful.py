@@ -1,0 +1,148 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The reference has no custom state beyond its dedup/stats tables
+(/root/reference/streaming/faust_app.py:77-91); this is the north-star
+streaming extension — the operator family Spark's built-ins cannot
+express (``session_window`` aggregates but cannot carry arbitrary
+per-session state or emit on custom conditions).
+
+Semantics (mirrors the batch operators/relational.py:sessionize_events):
+events for a user belong to one session while consecutive gaps are
+<= GAP; a longer gap closes the session. Closed sessions are emitted:
+
+- in-batch / cross-batch: when a later event arrives whose gap from the
+  open session's last event exceeds GAP, the old session is emitted and
+  a new one opened (arbitrary-lateness handling is the watermark's job);
+- by event-time timeout: a user silent past ``last_event + GAP`` once
+  the watermark passes that point is flushed via ``state.hasTimedOut``
+  — no arrival needed (this is what a windowed agg cannot do with
+  custom per-session payloads).
+
+Scale shape: ONE shuffle keyed by user_id; state is one small tuple per
+open session per user, sharded across executors by the group key and
+RocksDB-backed (session.py). Per-key batch data is tiny (a user's
+events in one micro-batch), so the pandas concat is bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_SECONDS = 30 * 60  # matches the batch operator's 30-min gap
+SESSION_WATERMARK = "10 minutes"
+
+def session_output_schema(user_id_type) -> StructType:
+    """Output schema, with user_id typed like the grouping column of
+    the input stream (string test data, bigint fixture data)."""
+    return StructType(
+        [
+            StructField("user_id", user_id_type),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("session_value", DoubleType()),
+        ]
+    )
+
+# open-session state: bounds in epoch-microseconds + running aggregates
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _session_fn(
+    key: Tuple[str], pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    user = key[0]
+    closed: list[tuple] = []
+
+    def gap_exceeded(last_us: int, t_us: int) -> bool:
+        # whole-second truncation, matching the batch operator's
+        # unix_timestamp(ts) - unix_timestamp(prev) > gap (and the
+        # DuckDB oracle's date_diff('second', ...))
+        return (t_us // 1_000_000) - (last_us // 1_000_000) > SESSION_GAP_SECONDS
+
+    def to_frame(rows: list[tuple]) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": user,
+                    "session_start": pd.Timestamp(s, unit="us"),
+                    "session_end": pd.Timestamp(e, unit="us"),
+                    "n_events": n,
+                    "session_value": v,
+                }
+                for (s, e, n, v) in rows
+            ]
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            closed.append(tuple(state.get))
+            state.remove()
+        if closed:
+            yield to_frame(closed)
+        return
+
+    events = pd.concat(list(pdfs))
+    events = events.sort_values("ts")
+    ts_us = (events["ts"].astype("int64") // 1000).tolist()
+    vals = events["value"].astype("float64").tolist()
+
+    open_session = state.exists
+    if open_session:
+        start, last, n, value = state.get
+
+    for t, v in zip(ts_us, vals):
+        if not open_session:
+            start, last, n, value = t, t, 1, v
+            open_session = True
+        elif gap_exceeded(last, t):
+            closed.append((start, last, n, value))
+            start, last, n, value = t, t, 1, v
+        else:
+            last, n, value = t, n + 1, value + v
+
+    state.update((start, last, n, value))
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_SECONDS * 1000)
+    if closed:
+        yield to_frame(closed)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, value, ...) stream -> closed-session stream.
+
+    Requires an event-time watermark for the timeout clock; emits in
+    append mode (sessions are final when emitted)."""
+    return (
+        events.withWatermark("ts", SESSION_WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=session_output_schema(
+                events.schema["user_id"].dataType
+            ),
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
