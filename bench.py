@@ -41,9 +41,15 @@ HEADLINE = [
     "dedup_exact",
     "neardup_minhash",
     "simhash_signatures",
+    "simhash_pairs",
     "text_analysis",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    # sessionize_stream (applyInPandasWithState) is correctness-gated in
+    # queries() but excluded here: its cost is streaming-machinery fixed
+    # overhead (state store init, per-batch planning), not data-path
+    # throughput, and it would swamp the batch suite signal at sf0.1.
 ]
 
 

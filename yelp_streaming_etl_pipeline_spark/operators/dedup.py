@@ -182,6 +182,12 @@ def minhash_lsh_pairs(
     )
 
 
+# per hex nibble value, its 4 bits MSB-first mapped to +1/-1
+_NIBBLE_PM1 = [
+    [1 if (v >> (3 - b)) & 1 else -1 for b in range(4)] for v in range(16)
+]
+
+
 def simhash_signature(token_hashes: Column, bits: int = 64) -> Column:
     """64-bit SimHash as a bit-string column, from an array of token
     md5-hex digests.
@@ -192,28 +198,27 @@ def simhash_signature(token_hashes: Column, bits: int = 64) -> Column:
     accumulator (zip_with add) — a single pass over the tokens and a
     compact expression tree, vs 64 separate aggregates. Pure per-row
     map (no shuffle) — the canonical petabyte-safe fingerprint.
+
+    Bit extraction is a per-hex-char table lookup (ascii -> nibble
+    index -> ±1 quadruple, flattened): 16 cheap ops per token instead
+    of 64 instr/pow/mod evaluations.
     """
-    hexmap = "0123456789abcdef"
+    nibble_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in _NIBBLE_PM1]
+    )
 
     def bits_of(h: Column) -> Column:
-        # array<int> of ±1 for bit positions 0..bits-1
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: (
-                F.floor(
-                    (
-                        F.instr(
-                            F.lit(hexmap),
-                            h.substr(F.floor(j / 4).cast("int") + 1, F.lit(1)),
-                        )
-                        - 1
-                    )
-                    / F.pow(F.lit(2.0), (3 - (j % 4)).cast("double"))
-                )
-                % 2
-            ).cast("int")
-            * 2
-            - 1,
+        # array<int> of ±1 for bit positions 0..bits-1, MSB-first
+        def nibble(i: Column) -> Column:
+            a = F.ascii(h.substr(i, F.lit(1)))
+            # '0'-'9' -> 0-9, 'a'-'f' -> 10-15
+            return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits // 4)),
+                lambda i: F.element_at(nibble_lit, nibble(i) + 1),
+            )
         )
 
     sums = F.aggregate(

@@ -153,8 +153,11 @@ def validate_reviews(df: DataFrame, now: Column) -> DataFrame:
 
     # Non-fatal flags are emitted only if their stage is reached, i.e.
     # no earlier fatal stage fired (reference short-circuit semantics).
+    # fs references the materialized fatal_stage COLUMN (see the
+    # withColumn chain below) so the when-chain tree is declared once.
+    fs = F.col("fatal_stage")
     wrong_lang_flag = F.when(
-        p4 & (fatal_stage.isNull() | (fatal_stage > 4)),
+        p4 & (fs.isNull() | (fs > 4)),
         _issue(
             rid,
             "wrong_language",
@@ -166,7 +169,7 @@ def validate_reviews(df: DataFrame, now: Column) -> DataFrame:
         ),
     ).otherwise(F.lit(None))
     too_long_flag = F.when(
-        p7 & (fatal_stage.isNull() | (fatal_stage > 7)),
+        p7 & (fs.isNull() | (fs > 7)),
         _issue(rid, "too_long", "text", tlen, "<=5000 chars", 5, now),
     ).otherwise(F.lit(None))
 
@@ -178,7 +181,7 @@ def validate_reviews(df: DataFrame, now: Column) -> DataFrame:
     return (
         df.withColumn("text_clean", text_clean)
         .withColumn("fatal_stage", fatal_stage)
-        .withColumn("is_accepted", fatal_stage.isNull())
+        .withColumn("is_accepted", F.col("fatal_stage").isNull())
         .withColumn("issues", issues)
     )
 
@@ -212,7 +215,10 @@ def score_reviews(df: DataFrame, now: Column) -> DataFrame:
     # compile is the dominant fixed cost of this stage)
     return (
         out.withColumn("data_quality_score", dq)
-        .withColumn("is_anomaly", Q.is_anomaly(dq))
+        # reference the COLUMN, not the dq expression tree: keeps the
+        # analyzed plan half the size (the optimizer inlines either
+        # way, but analysis/compile cost tracks the authored tree)
+        .withColumn("is_anomaly", Q.is_anomaly(F.col("data_quality_score")))
         .withColumn("is_spam", F.lit(False))
     )
 
