@@ -248,6 +248,22 @@ def _doc_corpus_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.with_synthetic_near_dups(_t_cpu(spark, sf_dir, "documents"))
 
 
+def _dup_review_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.with_replayed_duplicates(
+        synthetic_reviews(_ensure_conf(spark), sf_dir)
+    )
+
+
+def q_dedup_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    survivors, _ = DD.dedup_reviews(_dup_review_corpus(spark, sf_dir), _now())
+    return survivors
+
+
+def q_duplicate_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, issues = DD.dedup_reviews(_dup_review_corpus(spark, sf_dir), _now())
+    return issues
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_doc_corpus(spark, sf_dir), "text", "doc_id")
 
@@ -318,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         "sessionize_events": q_sessionize_events,
         "sessionize_stream": q_sessionize_stream,
+        "dedup_reviews": q_dedup_reviews,
+        "duplicate_issues": q_duplicate_issues,
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "simhash_signatures": q_simhash,
@@ -586,6 +604,46 @@ WHERE session_seq < final_seq
        < (SELECT wm_ms FROM wm))"""
 
 
+_DUP_RANKED_CTE = """
+dup AS (
+  SELECT * FROM reviews
+  UNION ALL
+  SELECT review_id, business_id, user_id, rating, text, date,
+         useful, funny, cool, 'zz_replay' AS source,
+         ingestion_timestamp, language, language_confidence
+  FROM reviews WHERE user_id = 'u7'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY review_id, date
+            ORDER BY source ASC, ingestion_timestamp ASC) AS rn
+  FROM dup
+)"""
+
+_REVIEW_COLS = (
+    "review_id, business_id, user_id, rating, text, date, useful, funny, "
+    "cool, source, ingestion_timestamp, language, language_confidence"
+)
+
+
+def _sql_dedup_reviews() -> str:
+    return (
+        f"WITH reviews AS ({O.SYNTH_REVIEWS_SQL}), {_DUP_RANKED_CTE.lstrip()} "
+        f"SELECT {_REVIEW_COLS} FROM ranked WHERE rn = 1"
+    )
+
+
+def _sql_duplicate_issues() -> str:
+    now = f"TIMESTAMP '{NOW_LITERAL}'"
+    return f"""
+WITH reviews AS ({O.SYNTH_REVIEWS_SQL}), {_DUP_RANKED_CTE.lstrip()}
+SELECT review_id, 'duplicate' AS issue_type, 'review_id' AS field_name,
+       CAST(review_id AS VARCHAR) AS og_value,
+       'unique (review_id, date)' AS expected_range,
+       7 AS severity, {now} AS detected_at,
+       'deduplication' AS detection_range
+FROM ranked WHERE rn > 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "text_features": _sql_text_features(),
@@ -606,6 +664,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": _sql_order_priority_counts(),
         "sessionize_events": _sql_sessionize_events(),
         "sessionize_stream": _sql_sessionize_stream(),
+        "dedup_reviews": _sql_dedup_reviews(),
+        "duplicate_issues": _sql_duplicate_issues(),
         "dedup_exact": O.sql_dedup_exact(),
         "neardup_minhash": O.sql_minhash_lsh_pairs(0.5),
         "simhash_signatures": O.sql_simhash(),

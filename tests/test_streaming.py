@@ -112,8 +112,8 @@ def test_windowed_stats_stream(spark, tmp_path, patched_lang):
     # (Spark disallows widening the watermark downstream of it)
     src = _write_source(spark, tmp_path)
     reviews = TOP.read_review_file_stream(spark, src)
-    accepted, _ = TOP.streaming_quality_pipeline(reviews)
-    stats = TOP.windowed_stats_stream(accepted)
+    staged = TOP.staged_quality_stream(reviews)
+    stats = TOP.windowed_stats_stream(staged)
     q = (
         stats.writeStream.outputMode("append")
         .format("memory")
@@ -128,8 +128,11 @@ def test_windowed_stats_stream(spark, tmp_path, patched_lang):
     # finalized because availableNow advances the watermark to max(event)
     assert len(rows) >= 3
     for r in rows:
-        assert r["total"] == r["accepted"] > 0
+        assert r["total"] == r["accepted"] + r["rejected"] > 0
         assert r["window_end"] - r["window_start"] == timedelta(hours=1)
+    # the fixture plants missing-text/rating rows: the rejected counter
+    # must actually count them (reference quirk §8.4 fixed)
+    assert sum(r["rejected"] for r in rows) > 0
 
 
 def test_upsert_sql_shape():
@@ -206,3 +209,63 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert ("c", t0, 2, 15.0) in got                                  # timeout flush
     # open sessions (the minute-600 events) must NOT be emitted
     assert not any(s == t0 + timedelta(minutes=600) for (_, s, _, _) in got)
+
+
+def test_stateful_dedup_stream_with_issues(spark, tmp_path):
+    """applyInPandasWithState dedup: first occurrence passes, in-batch
+    and cross-batch duplicates are tagged (the reference emits a
+    'duplicate' issue instead of silently dropping, faust_app.py:115-124)."""
+    from yelp_streaming_etl_pipeline_spark.streaming.stateful import (
+        dedup_reviews_stream,
+    )
+
+    t0 = datetime(2026, 8, 1, 0, 0, 0)
+    schema = (
+        "review_id string, date timestamp, business_id string, "
+        "source string, ingestion_timestamp timestamp"
+    )
+
+    def row(rid, date, src):
+        return (rid, date, "b0", src, date)
+
+    batch1 = [
+        row("r1", t0, "src_a"),
+        row("r1", t0, "zz_replay"),      # in-batch duplicate
+        row("r2", t0, "src_a"),
+        row("r2", t0 + timedelta(hours=1), "src_a"),  # different date: NOT a dup
+    ]
+    batch2 = [
+        row("r1", t0, "zz_replay2"),     # cross-batch duplicate
+        row("r3", t0 + timedelta(minutes=30), "src_a"),
+    ]
+    src = tmp_path / "dedup_src"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f=0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f=1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    q = (
+        dedup_reviews_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    got = {(r["review_id"], r["date"], r["source"]): r["is_duplicate"] for r in rows}
+    assert got[("r1", t0, "src_a")] == "first"
+    assert got[("r1", t0, "zz_replay")] == "duplicate"       # in-batch
+    assert got[("r1", t0, "zz_replay2")] == "duplicate"      # cross-batch
+    assert got[("r2", t0, "src_a")] == "first"
+    assert got[("r2", t0 + timedelta(hours=1), "src_a")] == "first"  # composite key
+    assert got[("r3", t0 + timedelta(minutes=30), "src_a")] == "first"
+    assert len(rows) == 6  # every input row is tagged, none dropped

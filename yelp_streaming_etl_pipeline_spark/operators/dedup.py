@@ -29,7 +29,7 @@ both engines order identically (lowercase-hex ASCII).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
@@ -66,6 +66,49 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
     )
+
+
+def with_replayed_duplicates(
+    df: DataFrame, filter_col: str = "user_id", filter_val: str = "u7"
+) -> DataFrame:
+    """Test-harness helper: replay a deterministic slice of reviews
+    with source='zz_replay' — planted (review_id, date) duplicates for
+    the dedup-with-issues operator. Mirrored in the SQL oracle."""
+    replay = df.filter(F.col(filter_col) == filter_val).withColumn(
+        "source", F.lit("zz_replay")
+    )
+    return df.unionByName(replay)
+
+
+def dedup_reviews(
+    df: DataFrame, now: Column
+) -> tuple[DataFrame, DataFrame]:
+    """W1 batch analog with issue emission: dedup on the reference's
+    composite key (review_id, date) (faust_app.py:113; quirk §8.7 — the
+    same id with a different date is NOT a duplicate), emitting one
+    ``duplicate`` issue per dropped row (faust_app.py:115-124,
+    severity 7) instead of silently discarding it.
+
+    Survivor = first row by ``source`` (original sources sort before
+    the replay marker) — deterministic, and at scale one hash-partition
+    shuffle on the key; the window never sees more rows per key than
+    that key's duplicates."""
+    w = Window.partitionBy("review_id", "date").orderBy(
+        F.col("source").asc(), F.col("ingestion_timestamp").asc()
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    survivors = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    issues = ranked.filter(F.col("_rn") > 1).select(
+        F.col("review_id"),
+        F.lit("duplicate").alias("issue_type"),
+        F.lit("review_id").alias("field_name"),
+        F.col("review_id").cast("string").alias("og_value"),
+        F.lit("unique (review_id, date)").alias("expected_range"),
+        F.lit(7).cast("int").alias("severity"),
+        now.alias("detected_at"),
+        F.lit("deduplication").alias("detection_range"),
+    )
+    return survivors, issues
 
 
 def word_shingles(c: Column, n: int = SHINGLE_N) -> Column:

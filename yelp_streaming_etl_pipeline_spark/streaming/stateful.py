@@ -128,6 +128,71 @@ def _session_fn(
         yield to_frame(closed)
 
 
+DEDUP_TTL_SECONDS = 2 * 3600  # faust_app.py:77-80 (2-h state TTL)
+DEDUP_WATERMARK = "2 hours"
+
+DEDUP_OUTPUT = StructType(
+    [
+        StructField("review_id", StringType()),
+        StructField("date", TimestampType()),
+        StructField("business_id", StringType()),
+        StructField("source", StringType()),
+        StructField("is_duplicate", StringType()),  # 'first' | 'duplicate'
+    ]
+)
+
+DEDUP_STATE = StructType([StructField("seen", LongType())])
+
+
+def _dedup_fn(
+    key: Tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    if state.hasTimedOut:
+        # TTL expiry: drop the seen-marker; a re-arrival after this
+        # point is treated as new — the reference's 2-h RocksDB TTL
+        # semantics (faust_app.py:80)
+        state.remove()
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values(["source", "ingestion_timestamp"])
+    seen = state.exists
+    flags = []
+    for _ in range(len(rows)):
+        flags.append("duplicate" if seen else "first")
+        seen = True
+    state.update((1,))
+    # expire the marker TTL past this key's event time
+    key_date_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
+    state.setTimeoutTimestamp(key_date_ms + DEDUP_TTL_SECONDS * 1000)
+    out = rows[["review_id", "date", "business_id", "source"]].copy()
+    out["is_duplicate"] = flags
+    yield out
+
+
+def dedup_reviews_stream(reviews: DataFrame) -> DataFrame:
+    """W1 streaming twin WITH duplicate-issue emission (the built-in
+    ``dropDuplicatesWithinWatermark`` drops silently; the reference
+    emits a ``duplicate`` issue per dropped record,
+    faust_app.py:115-124). Key = (review_id, date); the 2-h event-time
+    timeout bounds state exactly like the reference's RocksDB TTL.
+
+    Returns every input row tagged 'first'/'duplicate'; route 'first'
+    into the gauntlet and 'duplicate' into the issues sink."""
+    return (
+        reviews.withWatermark("date", DEDUP_WATERMARK)
+        .groupBy("review_id", "date")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=DEDUP_OUTPUT,
+            stateStructType=DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """events(user_id, ts, value, ...) stream -> closed-session stream.
 

@@ -100,9 +100,20 @@ def streaming_quality_pipeline(
     return accepted, issues
 
 
-def windowed_stats_stream(accepted: DataFrame) -> DataFrame:
+def staged_quality_stream(reviews: DataFrame, now=None) -> DataFrame:
+    """Gauntlet verdicts + scores over ALL rows (pre-split) — the input
+    windowed_stats_stream needs so rejected rows are actually counted
+    (the reference declares a ``rejected`` counter but aggregates only
+    the accepted stream, so it is forever 0 — faust_app.py:88,180-183;
+    quirk §8.4 fixed here as in the batch path)."""
+    now = now if now is not None else F.current_timestamp()
+    return score_reviews(validate_reviews(reviews, now), now)
+
+
+def windowed_stats_stream(staged: DataFrame) -> DataFrame:
     """A1/A2 streaming: 1-h tumbling event-time windows, 7-d watermark
-    (state TTL parity). Emits append-mode finalized windows.
+    (state TTL parity). Emits append-mode finalized windows with true
+    accepted/rejected splits (see staged_quality_stream).
 
     NOTE: must run as its OWN query stage. Spark disallows widening a
     watermark downstream of ``dropDuplicatesWithinWatermark`` (2 h), so
@@ -111,14 +122,17 @@ def windowed_stats_stream(accepted: DataFrame) -> DataFrame:
     agents connected by the ``cleaned_reviews`` topic
     (faust_app.py:156-159, 173-177). Feed this from the cleaned-reviews
     sink (Kafka topic / parquet dir), not from the dedup stage."""
+    acc = F.col("is_accepted").cast("int")
+    dq_acc = F.when(F.col("is_accepted"), F.col("data_quality_score"))
     return (
-        accepted.withWatermark("date", STATS_WATERMARK)
+        staged.withWatermark("date", STATS_WATERMARK)
         .groupBy(F.window(F.col("date"), "1 hour"), F.col("business_id"))
         .agg(
             F.count("*").alias("total"),
-            F.count("*").alias("accepted"),
-            F.sum("data_quality_score").alias("total_quality_score"),
-            F.avg("data_quality_score").alias("avg_quality"),
+            F.sum(acc).alias("accepted"),
+            F.sum(F.lit(1) - acc).alias("rejected"),
+            F.sum(dq_acc).alias("total_quality_score"),
+            F.avg(dq_acc).alias("avg_quality"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -126,6 +140,7 @@ def windowed_stats_stream(accepted: DataFrame) -> DataFrame:
             "business_id",
             "total",
             "accepted",
+            "rejected",
             "total_quality_score",
             "avg_quality",
         )
