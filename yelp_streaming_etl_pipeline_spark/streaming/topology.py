@@ -35,7 +35,7 @@ batch path and by key-salting if a hot business emerges in streaming).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.gauntlet import score_reviews, validate_reviews
@@ -147,6 +147,39 @@ def windowed_stats_stream(staged: DataFrame) -> DataFrame:
     )
 
 
+def rate_replay_stream(
+    spark: SparkSession, static_df: DataFrame, rows_per_batch: int = 100
+) -> DataFrame:
+    """S4: rate-limited replay of a static table as a live stream.
+
+    The reference throttles its producer to N records/sec with jitter
+    (producer.py:127-174) to simulate a live feed. Spark-first: a
+    ``rate-micro-batch`` source (deterministic ``rows_per_batch`` per
+    trigger) stream-static-joined to the row-numbered table — each
+    micro-batch replays the next slice, in order. For file-based
+    replay, ``maxFilesPerTrigger`` (read_review_file_stream) is the
+    coarser-grained equivalent."""
+    w = Window.orderBy(F.lit(1))  # stable input order = replay order
+    indexed = static_df.withColumn("_seq", F.row_number().over(w) - 1)
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(F.col("value").alias("_seq"))
+    )
+    return ticks.join(indexed, "_seq").drop("_seq")
+
+
+def kafka_payload(df: DataFrame, key_col: str = "business_id") -> DataFrame:
+    """Keyed JSON payload projection for the Kafka sink: key =
+    ``key_col`` (the reference partitions by business_id,
+    producer.py:114), value = the full row as JSON."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+
+
 def write_kafka_keyed(
     df: DataFrame,
     bootstrap_servers: str,
@@ -158,10 +191,7 @@ def write_kafka_keyed(
     reference's partitioning at producer.py:114 / faust_app.py:157).
     At-least-once (documented divergence from the reference's Kafka
     transactions)."""
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
-    )
+    payload = kafka_payload(df, key_col)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
