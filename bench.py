@@ -89,6 +89,31 @@ def main() -> None:
     cold, times = passes
 
     total = round(sum(times.values()), 3)
+
+    # Throughput vs the reference's documented 1,000 rec/s stress rate
+    # (producer.py:242): the full clean->validate->score pass over a
+    # 20x-replicated review corpus, steady state.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
+    from yelp_streaming_etl_pipeline_spark.sources.reviews import (
+        synthetic_reviews,
+    )
+
+    reviews = synthetic_reviews(E._ensure_conf(spark), SF_DIR)
+    scaled = (
+        reviews.crossJoin(spark.range(20).select(F.col("id").alias("_rep")))
+        .withColumn("review_id", F.concat_ws("-", "review_id", "_rep"))
+        .drop("_rep")
+    )
+    n_rows = scaled.count()
+    staged = G.score_reviews(G.validate_reviews(scaled, E._now()), E._now())
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        staged.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -97,6 +122,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cold_total": round(sum(cold.values()), 3),
+                "pipeline_rows": n_rows,
+                "pipeline_rps": round(n_rows / best),
                 "sf": sf_from_dir(SF_DIR),
             }
         )
