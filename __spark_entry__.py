@@ -307,6 +307,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthetic binary payloads ->
+    Arrow-batched mapInPandas extract -> (content hash, first feature).
+    The fake decode kernel is deterministic, so even this Python-side
+    stage is value-checked against DuckDB."""
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    feats = MM.extract_features(MM.synthetic_media(_ensure_conf(spark), 256))
+    return feats.select(
+        "media_id",
+        "content_sha",
+        ROUND(F.element_at(F.col("features"), 1).cast("double"), 6).alias("f0"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(
         SIM.with_synthetic_vec_dups(_t_cpu(spark, sf_dir, "embeddings")),
@@ -346,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
     }
 
 
@@ -644,6 +660,29 @@ SELECT review_id, 'duplicate' AS issue_type, 'review_id' AS field_name,
 FROM ranked WHERE rn > 1"""
 
 
+def _sql_media_features(n: int = 256) -> str:
+    """Mirrors operators/multimodal.py: payload = sha256('media-i')
+    digest repeated 4 + i%7 times; content hash over lowercase hex;
+    f0 = first digest byte / 255 as float32."""
+    hexmap = "0123456789abcdef"
+    byte0 = (
+        f"((strpos('{hexmap}', substr(content_sha, 1, 1)) - 1) * 16 "
+        f"+ strpos('{hexmap}', substr(content_sha, 2, 1)) - 1)"
+    )
+    f0 = f"CAST(CAST({byte0} / 255.0 AS FLOAT) AS DOUBLE)"
+    return f"""
+WITH m AS (
+  SELECT i AS media_id,
+         repeat(unhex(sha256('media-' || CAST(i AS VARCHAR))), 4 + i % 7)
+           AS payload
+  FROM generate_series(0, {n - 1}) t(i)
+),
+c AS (
+  SELECT media_id, sha256(lower(hex(payload))) AS content_sha FROM m
+)
+SELECT media_id, content_sha, {SR(f0, 6)} AS f0 FROM c"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "text_features": _sql_text_features(),
@@ -676,4 +715,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": O.sql_ann_lsh_topk(),
         "ann_ivf_topk": O.sql_ann_ivf_topk(),
         "embedding_neardup": O.sql_embedding_neardup(0.99),
+        "media_features": _sql_media_features(),
     }

@@ -18,9 +18,14 @@ def test_feature_extraction_schema_and_determinism(spark):
     assert feats.schema == MM.FEATURES_SCHEMA
     rows = {r["media_id"]: r for r in feats.collect()}
     assert len(rows) == 32
-    # deterministic: recompute locally
+    # deterministic: recompute locally (content hash is over the
+    # lowercase-hex encoding — portable to string-typed sha256 engines)
     payload = hashlib.sha256(b"media-3").digest() * (4 + 3 % 7)
-    assert rows[3]["content_sha"] == hashlib.sha256(payload).hexdigest()
+    assert rows[3]["content_sha"] == MM.content_sha(payload)
+    assert (
+        rows[3]["content_sha"]
+        == hashlib.sha256(payload.hex().encode()).hexdigest()
+    )
     assert len(rows[3]["features"]) == MM.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in rows[3]["features"])
 

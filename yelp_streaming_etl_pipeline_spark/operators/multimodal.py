@@ -82,12 +82,20 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def content_sha(payload: bytes) -> str:
+    """Content hash over the LOWERCASE-HEX encoding of the payload —
+    hex-normalized so every engine with a string sha256 (DuckDB included)
+    computes the identical value, making the multimodal extract
+    oracle-checkable."""
+    return hashlib.sha256(payload.hex().encode()).hexdigest()
+
+
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """STUB decode kernel (codecs not in this container): deterministic
-    pseudo-features from the payload digest. A real deployment replaces
+    pseudo-features from the content digest. A real deployment replaces
     this body with PIL/librosa/ffmpeg decoding — signature, batch shape
     and schema stay identical."""
-    digest = hashlib.sha256(payload).digest()
+    digest = bytes.fromhex(content_sha(payload))
     return [digest[j] / 255.0 for j in range(dim)]
 
 
@@ -100,7 +108,7 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
                 {
                     "media_id": pdf["media_id"],
                     "content_sha": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                        content_sha(bytes(p)) for p in pdf["payload"]
                     ],
                     "features": [
                         _fake_decode_features(bytes(p)) for p in pdf["payload"]
