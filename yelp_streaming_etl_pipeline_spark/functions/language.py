@@ -26,6 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .patterns import LANG_MARKERS, LANG_ZH_CLASS
+from .text_features import ws_trim
 from .rounding import stable_round
 
 # Fixed evaluation order: ties break toward earlier entries, matching
@@ -43,8 +44,8 @@ def lang_id_struct(c: Column) -> Column:
     lc = F.lower(F.coalesce(c, F.lit("")))
     zh_hits = F.regexp_count(lc, F.lit(LANG_ZH_CLASS))
     hits = {lang: _marker_hits(lc, lang) for lang in LANG_ORDER}
-    words = F.when(F.length(F.trim(lc)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(lc), r"\s+"))
+    words = F.when(F.length(ws_trim(lc)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(ws_trim(lc), r"\s+"))
     )
 
     # argmax with fixed tie-break: en >= all, then es >= rest, ...

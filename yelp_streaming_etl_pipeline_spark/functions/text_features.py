@@ -33,8 +33,18 @@ _EDGE_PUNCT = "[.,!?;:]"
 PUNCT_CLASS = "[.,!?;:'\"()\\-]"
 
 
+def ws_trim(c: Column) -> Column:
+    """Strip leading/trailing WHITESPACE (the semantics of Python's
+    str.strip / str.split in the reference). Spark's trim() strips
+    only the space character, so tab/newline-edged text would
+    otherwise grow phantom empty tokens at split boundaries."""
+    return F.regexp_replace(
+        F.regexp_replace(F.coalesce(c, F.lit("")), r"^\s+", ""), r"\s+$", ""
+    )
+
+
 def word_count(c: Column) -> Column:
-    t = F.trim(c)
+    t = ws_trim(c)
     return (
         F.when(c.isNull() | (F.length(t) == 0), F.lit(0))
         .otherwise(F.size(F.split(t, r"\s+")))
@@ -53,7 +63,7 @@ def sentence_count(c: Column) -> Column:
 
 def _stripped_word_lengths(c: Column) -> Column:
     """array<int> of per-token lengths after edge-punct strip."""
-    words = F.split(F.trim(c), r"\s+")
+    words = F.split(ws_trim(c), r"\s+")
     stripped = F.transform(
         words,
         lambda w: F.length(
@@ -72,7 +82,7 @@ def avg_word_length(c: Column) -> Column:
     total = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
     n = F.size(lens)
     return (
-        F.when(c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0.0))
+        F.when(c.isNull() | (F.length(ws_trim(c)) == 0), F.lit(0.0))
         .otherwise(stable_round(total.cast("double") / n, 2))
         .cast("double")
     )

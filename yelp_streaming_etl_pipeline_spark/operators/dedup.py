@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
+from ..functions.text_features import ws_trim
 
 # MinHash/LSH parameters: 12 signatures in 4 bands of 3.
 MINHASH_K = 12
@@ -44,7 +45,7 @@ SHINGLE_N = 3  # word 3-grams
 def content_hash(c: Column) -> Column:
     """Normalized content hash: md5 of lowercased, whitespace-collapsed
     text."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " "))
+    return F.md5(F.regexp_replace(F.lower(ws_trim(c)), r"\s+", " "))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -121,7 +122,7 @@ def word_shingles(c: Column, n: int = SHINGLE_N) -> Column:
     lambda re-evaluate per element (the split() would run once per
     shingle per word — catastrophic). Slice arguments are evaluated
     once per row."""
-    words = F.split(F.trim(F.lower(c)), r"\s+")
+    words = F.split(ws_trim(F.lower(c)), r"\s+")
     nw = F.size(words)
     m = F.greatest(nw - (n - 1), F.lit(0))
     shifted = [F.slice(words, j + 1, m) for j in range(n)]
@@ -129,7 +130,7 @@ def word_shingles(c: Column, n: int = SHINGLE_N) -> Column:
     for nxt in shifted[1:]:
         grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(nw >= n, F.array_distinct(grams)).otherwise(
-        F.array(F.trim(F.lower(c)))
+        F.array(ws_trim(F.lower(c)))
     )
 
 
@@ -280,7 +281,7 @@ def simhash_signature(token_hashes: Column, bits: int = 64) -> Column:
 def token_md5s(c: Column) -> Column:
     """Distinct-token md5 digests for a text column."""
     tokens = F.array_distinct(
-        F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+        F.split(ws_trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
     )
     return F.transform(tokens, lambda t: F.md5(t))
 

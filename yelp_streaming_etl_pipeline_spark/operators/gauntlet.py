@@ -88,9 +88,10 @@ def validate_reviews(df: DataFrame, now: Column) -> DataFrame:
     p7 = tlen > Q.TEXT_MAX_LEN
     p8 = ~((rating >= 1.0) & (rating <= 5.0))
     text_clean = F.when(p7, F.substring(text, 1, Q.TEXT_MAX_LEN)).otherwise(text)
-    p9 = (F.length(F.trim(text_clean)) == 0) | (
-        TF.alpha_ratio(F.trim(text_clean)) < 0.4
-    )
+    # whitespace-strip (reference validates the .strip()ped text,
+    # models.py:71-83) — Spark trim() strips spaces only
+    tc_ws = TF.ws_trim(text_clean)
+    p9 = (F.length(tc_ws) == 0) | (TF.alpha_ratio(tc_ws) < 0.4)
 
     fatal_stage = (
         F.when(p1, F.lit(1))

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
+from ..functions.text_features import ws_trim
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single
 # non-alphanumeric glyphs — the classic GPT-2-style pre-split shape,
@@ -26,7 +27,7 @@ STOPWORDS = [
 
 
 def whitespace_token_count(c: Column) -> Column:
-    t = F.trim(c)
+    t = ws_trim(c)
     return (
         F.when(c.isNull() | (F.length(t) == 0), F.lit(0))
         .otherwise(F.size(F.split(t, r"\s+")))
@@ -44,7 +45,7 @@ def doc_fingerprint(c: Column) -> Column:
     """Whole-document fingerprint: md5 of the normalized text
     (lowercase, whitespace collapsed)."""
     return F.md5(
-        F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
+        F.regexp_replace(F.lower(ws_trim(c)), r"\s+", " ")
     )
 
 
@@ -56,7 +57,7 @@ def winnow_fingerprint(c: Column, gram: int = 8) -> Column:
     The normalized string rides inside the aggregate's zero value so
     it is evaluated ONCE per row; referencing it from the lambda body
     would re-run the regexp_replace per 8-gram (interpreted HOFs)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(ws_trim(c)), r"\s+", " ")
     n = F.length(norm)
     return F.aggregate(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n - (gram - 1))),
@@ -74,11 +75,11 @@ def winnow_fingerprint(c: Column, gram: int = 8) -> Column:
 
 def stopword_ratio(c: Column) -> Column:
     """Fraction of whitespace tokens that are stopwords."""
-    words = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    words = F.split(ws_trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
     nw = F.size(words)
     sw = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
     return F.when(
-        c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0.0)
+        c.isNull() | (F.length(ws_trim(c)) == 0), F.lit(0.0)
     ).otherwise(sw.cast("double") / nw.cast("double"))
 
 

@@ -26,6 +26,15 @@ from .functions.patterns import (
 from .sources.reviews import NOW_LITERAL, SYNTH_REVIEWS_SQL
 
 
+
+def sql_ws_trim(c: str) -> str:
+    """Whitespace-strip (Python str.strip semantics) — DuckDB trim()
+    strips spaces only, mirroring functions/text_features.py:ws_trim."""
+    return (
+        f"regexp_replace(regexp_replace(COALESCE({c}, ''), "
+        f"'^\\s+', ''), '\\s+$', '')"
+    )
+
 def rc(expr: str, pattern: str) -> str:
     """regexp_count in DuckDB. Pattern single-quotes must be doubled."""
     p = pattern.replace("'", "''")
@@ -40,9 +49,10 @@ def rlike(expr: str, pattern: str) -> str:
 # ---------------- text features (T1-T7) ----------------
 
 def sql_word_count(c: str) -> str:
+    t = sql_ws_trim(c)
     return (
-        f"CASE WHEN {c} IS NULL OR len(trim({c})) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({c}), '\\s+')) END"
+        f"CASE WHEN {c} IS NULL OR len({t}) = 0 THEN 0 "
+        f"ELSE len(string_split_regex({t}, '\\s+')) END"
     )
 
 
@@ -56,13 +66,13 @@ def sql_sentence_count(c: str) -> str:
 
 
 def sql_avg_word_length(c: str) -> str:
-    words = f"string_split_regex(trim({c}), '\\s+')"
+    words = f"string_split_regex({sql_ws_trim(c)}, '\\s+')"
     stripped_len = (
         "len(regexp_replace(regexp_replace(w, '^[.,!?;:]+', ''), "
         "'[.,!?;:]+$', ''))"
     )
     return (
-        f"CASE WHEN {c} IS NULL OR len(trim({c})) = 0 THEN 0.0 "
+        f"CASE WHEN {c} IS NULL OR len({sql_ws_trim(c)}) = 0 THEN 0.0 "
         f"ELSE {sql_stable_round(f'CAST(list_sum(list_transform({words}, w -> {stripped_len})) AS DOUBLE) / len({words})', 2)} END"
     )
 
@@ -191,6 +201,7 @@ def gauntlet_cte() -> str:
     Mirrors operators/gauntlet.py:validate_reviews stage-for-stage.
     """
     hits = sql_spam_hits("text")
+    tc_ws = sql_ws_trim("text_clean")
     supported = ", ".join(f"'{lang}'" for lang in Q.SUPPORTED_LANGUAGES)
     return f"""
 reviews AS ({SYNTH_REVIEWS_SQL}),
@@ -212,8 +223,8 @@ v AS (
 ),
 g AS (
   SELECT *,
-    (len(trim(text_clean)) = 0
-     OR {sql_alpha_ratio('trim(text_clean)')} < 0.4) AS p9
+    (len({tc_ws}) = 0
+     OR {sql_alpha_ratio(tc_ws)} < 0.4) AS p9
   FROM v
 ),
 staged AS (
@@ -303,9 +314,10 @@ def sql_lang_id(c: str) -> tuple[str, str]:
     lc = f"lower(COALESCE({c}, ''))"
     zh = rc(lc, LANG_ZH_CLASS)
     h = {lang: rc(lc, pat) for lang, pat in LANG_MARKERS.items()}
+    wst = sql_ws_trim(lc)
     words = (
-        f"(CASE WHEN len(trim({lc})) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({lc}), '\\s+')) END)"
+        f"(CASE WHEN len({wst}) = 0 THEN 0 "
+        f"ELSE len(string_split_regex({wst}, '\\s+')) END)"
     )
     cond_en = f"({h['en']} >= {h['es']} AND {h['en']} >= {h['fr']} AND {h['en']} >= {h['de']} AND {h['en']} > 0)"
     cond_es = f"({h['es']} >= {h['fr']} AND {h['es']} >= {h['de']} AND {h['es']} > 0)"
@@ -366,7 +378,7 @@ FROM embeddings WHERE vec_id % 29 = 0
 
 def sql_norm_text(c: str) -> str:
     """Lowercased, whitespace-collapsed normalization (global flag!)."""
-    return f"regexp_replace(lower(trim(COALESCE({c}, ''))), '\\s+', ' ', 'g')"
+    return f"regexp_replace(lower({sql_ws_trim(c)}), '\\s+', ' ', 'g')"
 
 
 def sql_dedup_exact() -> str:
@@ -381,11 +393,12 @@ FROM corpus GROUP BY 1"""
 def _sql_shingles_cte(n: int = 3) -> str:
     """CTEs corpus -> sh(doc_id, shingles) with word n-gram shingles."""
     gram_concat = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    wst = sql_ws_trim("lower(text)")
     return f"""
 corpus AS ({NEAR_DUP_CORPUS_SQL}),
 base AS (
-  SELECT doc_id, trim(lower(text)) AS lt,
-         string_split_regex(trim(lower(text)), '\\s+') AS words
+  SELECT doc_id, {wst} AS lt,
+         string_split_regex({wst}, '\\s+') AS words
   FROM corpus
 ),
 sh AS (
@@ -449,6 +462,7 @@ WHERE {sql_stable_round(jac, 6)} >= {threshold}"""
 def _sql_simhash_cte() -> str:
     """CTE chain corpus -> sigs(doc_id, simhash) — shared by the
     signature table and the banded-pairs oracle."""
+    wst = sql_ws_trim("lower(COALESCE(text, ''))")
     bits_of = (
         "[(CAST(floor((strpos('0123456789abcdef', "
         "substr(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1) "
@@ -460,8 +474,7 @@ corpus AS ({NEAR_DUP_CORPUS_SQL}),
 th AS (
   SELECT doc_id,
     list_transform(
-      list_distinct(string_split_regex(trim(lower(COALESCE(text, ''))),
-                    '\\s+')),
+      list_distinct(string_split_regex({wst}, '\\s+')),
       t -> md5(t)) AS hs
   FROM corpus
 ),
@@ -511,6 +524,7 @@ FROM cand WHERE {ham} <= {max_hamming}"""
 
 def sql_ngram_jaccard_pairs(n: int = 2, threshold: float = 0.3) -> str:
     gram_concat = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    wst = sql_ws_trim("lower(text)")
     jac = (
         "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
         "CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)"
@@ -518,8 +532,8 @@ def sql_ngram_jaccard_pairs(n: int = 2, threshold: float = 0.3) -> str:
     return f"""
 WITH corpus AS ({NEAR_DUP_CORPUS_SQL}),
 base AS (
-  SELECT doc_id, source AS block, trim(lower(text)) AS lt,
-         string_split_regex(trim(lower(text)), '\\s+') AS words
+  SELECT doc_id, source AS block, {wst} AS lt,
+         string_split_regex({wst}, '\\s+') AS words
   FROM corpus
 ),
 g AS (
@@ -669,11 +683,13 @@ WHERE {sim} >= {tau}"""
 
 def sql_text_analysis() -> str:
     tok = TOKEN_REGEX.replace("'", "''")
+    wst_t = sql_ws_trim("text")
     norm = sql_norm_text("text")
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    words = "string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+')"
+    wst_lower = sql_ws_trim("lower(COALESCE(text, ''))")
+    words = f"string_split_regex({wst_lower}, '\\s+')"
     sw_ratio = (
-        f"(CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0.0 "
+        f"(CASE WHEN text IS NULL OR len({sql_ws_trim('text')}) = 0 THEN 0.0 "
         f"ELSE CAST(len(list_filter({words}, "
         f"w -> list_contains([{stop_list}], w))) AS DOUBLE) "
         f"/ CAST(len({words}) AS DOUBLE) END)"
@@ -712,8 +728,8 @@ def sql_text_analysis() -> str:
     )
     return f"""
 SELECT doc_id,
-  (CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
-        ELSE len(string_split_regex(trim(text), '\\s+')) END) AS ws_tokens,
+  (CASE WHEN text IS NULL OR len({wst_t}) = 0 THEN 0
+        ELSE len(string_split_regex({wst_t}, '\\s+')) END) AS ws_tokens,
   len(regexp_extract_all(COALESCE(text, ''), '{tok}')) AS bpe_tokens,
   md5({norm}) AS fingerprint,
   {winnow} AS winnow_fp,
