@@ -190,6 +190,16 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.rollup_revenue(_t(spark, sf_dir, "lineitem"))
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.cube_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.customer_value_quartiles(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.order_priority_counts(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
@@ -346,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_with_shipments": q_parts_with_shipments,
         "supplier_running_revenue": q_supplier_running_revenue,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "customer_quartiles": q_customer_quartiles,
         "order_priority_counts": q_order_priority_counts,
         "sessionize_events": q_sessionize_events,
         "sessionize_stream": q_sessionize_stream,
@@ -553,6 +565,29 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
+def _sql_cube_revenue() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {SR(f'sum({_REV})', 4)} AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
+def _sql_customer_quartiles() -> str:
+    return f"""
+WITH totals AS (
+  SELECT o_custkey, {SR('sum(o_totalprice)', 2)} AS total_spent
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c_custkey, c_mktsegment, total_spent
+  FROM totals JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_custkey, c_mktsegment, total_spent,
+       ntile(4) OVER (ORDER BY total_spent DESC, c_custkey ASC) AS quartile
+FROM j"""
+
+
 def _sql_order_priority_counts() -> str:
     return """
 SELECT o_orderpriority, count(*) AS order_count FROM orders
@@ -700,6 +735,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_with_shipments": _sql_parts_with_shipments(),
         "supplier_running_revenue": _sql_supplier_running_revenue(),
         "rollup_revenue": _sql_rollup_revenue(),
+        "cube_revenue": _sql_cube_revenue(),
+        "customer_quartiles": _sql_customer_quartiles(),
         "order_priority_counts": _sql_order_priority_counts(),
         "sessionize_events": _sql_sessionize_events(),
         "sessionize_stream": _sql_sessionize_stream(),

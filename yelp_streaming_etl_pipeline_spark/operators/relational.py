@@ -168,6 +168,34 @@ def rollup_revenue(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def cube_revenue(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every grouping-set
+    combination incl. grand total — Catalyst expands the sets and the
+    aggregate stays one shuffle."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum(rev), 4).alias("revenue"),
+        )
+    )
+
+
+def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """ntile(4) over per-customer total spend (window-function breadth:
+    ranking into equi-depth buckets). Deterministic tie-break on
+    custkey."""
+    totals = orders.groupBy("o_custkey").agg(
+        stable_round(F.sum("o_totalprice"), 2).alias("total_spent")
+    )
+    j = totals.join(
+        customer, totals["o_custkey"] == customer["c_custkey"]
+    ).select("c_custkey", "c_mktsegment", "total_spent")
+    w = Window.orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return j.withColumn("quartile", F.ntile(4).over(w))
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4-style: orders with at least one lineitem (semi join),
     counted per priority."""
