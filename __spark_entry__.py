@@ -200,6 +200,20 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.top_orders_per_segment(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.salted_event_counts(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.numeric_profile(_t(spark, sf_dir, "lineitem"))
+
+
 def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.order_priority_counts(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
@@ -358,6 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "customer_quartiles": q_customer_quartiles,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "salted_event_counts": q_salted_event_counts,
+        "numeric_profile": q_numeric_profile,
         "order_priority_counts": q_order_priority_counts,
         "sessionize_events": q_sessionize_events,
         "sessionize_stream": q_sessionize_stream,
@@ -588,6 +605,46 @@ SELECT c_custkey, c_mktsegment, total_spent,
 FROM j"""
 
 
+def _sql_top_orders_per_segment(k: int = 3) -> str:
+    return f"""
+SELECT c_mktsegment, rank, o_orderkey, o_custkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_custkey,
+         {SR('o_totalprice', 2)} AS o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= {k}"""
+
+
+def _sql_salted_event_counts() -> str:
+    # deliberately the PLAIN aggregation: the salted two-phase plan
+    # must produce identical results
+    return f"""
+SELECT user_id, count(*) AS n_events,
+       {SR('sum(value)', 2)} AS total_value
+FROM events GROUP BY user_id"""
+
+
+def _sql_numeric_profile() -> str:
+    cols = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        x = f"CAST({c} AS DOUBLE)"
+        mean = f"(sum({x}) / count({x}))"
+        var = (
+            f"((sum({x} * {x}) - sum({x}) * sum({x}) / count({x}))"
+            f" / (count({x}) - 1))"
+        )
+        cols += [
+            f"{SR(f'min({x})', 4)} AS {c}_min",
+            f"{SR(f'max({x})', 4)} AS {c}_max",
+            f"{SR(mean, 4)} AS {c}_mean",
+            f"{SR(var, 4)} AS {c}_var",
+        ]
+    return "SELECT " + ", ".join(cols) + " FROM lineitem"
+
+
 def _sql_order_priority_counts() -> str:
     return """
 SELECT o_orderpriority, count(*) AS order_count FROM orders
@@ -737,6 +794,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _sql_rollup_revenue(),
         "cube_revenue": _sql_cube_revenue(),
         "customer_quartiles": _sql_customer_quartiles(),
+        "top_orders_per_segment": _sql_top_orders_per_segment(),
+        "salted_event_counts": _sql_salted_event_counts(),
+        "numeric_profile": _sql_numeric_profile(),
         "order_priority_counts": _sql_order_priority_counts(),
         "sessionize_events": _sql_sessionize_events(),
         "sessionize_stream": _sql_sessionize_stream(),

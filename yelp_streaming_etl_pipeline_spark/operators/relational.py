@@ -196,6 +196,77 @@ def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFram
     return j.withColumn("quartile", F.ntile(4).over(w))
 
 
+def top_orders_per_segment(
+    customer: DataFrame, orders: DataFrame, k: int = 3
+) -> DataFrame:
+    """Grouped top-k: the k largest orders within each market segment
+    (rank window partitioned by the group key — the shuffle is keyed by
+    segment, each partition ranks locally)."""
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "c_mktsegment",
+            "rank",
+            "o_orderkey",
+            "o_custkey",
+            stable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+
+
+def salted_event_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Skew-safe aggregation: two-phase count/sum with an explicit salt.
+
+    Phase 1 groups by (key, salt) — a hot key fans out over n_salts
+    reducers instead of melting one; phase 2 merges the partials. The
+    result is IDENTICAL to the plain groupBy (the oracle proves it);
+    the plan shape is what you deploy when AQE's skew handling isn't
+    available (e.g. streaming aggregations with a known-hot key)."""
+    salted = events.withColumn(
+        "_salt", (F.col("event_id") % n_salts).cast("int")
+    )
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            stable_round(F.sum("pv"), 2).alias("total_value"),
+        )
+    )
+
+
+def numeric_profile(lineitem: DataFrame) -> DataFrame:
+    """Data-profiling operator: per-column min/max/mean/variance for
+    the lineitem measures, computed in ONE aggregate pass (sum /
+    sum-of-squares moments — explicit so the arithmetic is engine-
+    portable; stddev_samp's internal accumulation order is not)."""
+    out_cols = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        x = F.col(c).cast("double")
+        n = F.count(x)
+        s = F.sum(x)
+        ss = F.sum(x * x)
+        mean = s / n
+        var = (ss - s * s / n) / (n - F.lit(1))
+        out_cols += [
+            stable_round(F.min(x), 4).alias(f"{c}_min"),
+            stable_round(F.max(x), 4).alias(f"{c}_max"),
+            stable_round(mean, 4).alias(f"{c}_mean"),
+            stable_round(var, 4).alias(f"{c}_var"),
+        ]
+    return lineitem.agg(*out_cols)
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4-style: orders with at least one lineitem (semi join),
     counted per priority."""
