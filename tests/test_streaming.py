@@ -314,3 +314,47 @@ def test_rate_replay_stream(spark, tmp_path):
     assert sorted(r["review_id"] for r in rows) == sorted(
         f"r{i}" for i in range(10)
     )
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream attribution join: purchases match only clicks in
+    the preceding 30-minute window, across two live streams."""
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    t0 = datetime(2026, 8, 1, 0, 0, 0)
+    clicks = [
+        ("u1", t0, "c1"),
+        ("u1", t0 + timedelta(minutes=25), "c2"),
+        ("u1", t0 + timedelta(minutes=90), "c3"),   # outside any window
+        ("u2", t0 + timedelta(minutes=5), "c4"),
+    ]
+    purchases = [
+        ("u1", t0 + timedelta(minutes=28), "p1", 10.0),  # matches c1+c2
+        ("u2", t0 + timedelta(minutes=50), "p2", 5.0),   # c4 is 45min prior: no match
+    ]
+    cs = "user_id string, click_ts timestamp, click_id string"
+    ps = "user_id string, purchase_ts timestamp, purchase_id string, amount double"
+    spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(
+        str(tmp_path / "clicks")
+    )
+    spark.createDataFrame(purchases, ps).coalesce(1).write.parquet(
+        str(tmp_path / "purchases")
+    )
+    out = attribute_purchases(
+        spark.readStream.schema(cs).parquet(str(tmp_path / "clicks")),
+        spark.readStream.schema(ps).parquet(str(tmp_path / "purchases")),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM attr_out").collect()
+    pairs = {(r["purchase_id"], r["click_id"]) for r in rows}
+    assert pairs == {("p1", "c1"), ("p1", "c2")}

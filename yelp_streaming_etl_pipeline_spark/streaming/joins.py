@@ -1,0 +1,51 @@
+"""Stream-stream interval join (extension — the reference has no
+stream joins at all, SURVEY.md §2.6).
+
+The canonical attribution shape: purchases join the clicks that
+preceded them within an attribution window, both sides unbounded
+streams. Watermarks on BOTH sides + the interval condition let Spark
+bound the join state: a click older than (watermark - window) can
+never match a future purchase and is evicted.
+
+Scale shape: one shuffle per side keyed by user_id; state per live
+(user, window) only — the interval predicate is what keeps this from
+being an unbounded cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_WINDOW = "30 minutes"
+JOIN_WATERMARK = "1 hour"
+
+
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = JOIN_WATERMARK,
+) -> DataFrame:
+    """clicks(user_id, click_ts, click_id) x purchases(user_id,
+    purchase_ts, purchase_id, amount) -> every (purchase, prior click
+    within the window) pair."""
+    c = clicks.withWatermark("click_ts", watermark).alias("c")
+    p = purchases.withWatermark("purchase_ts", watermark).alias("p")
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            c.click_ts <= p.purchase_ts AND
+            c.click_ts >= p.purchase_ts - INTERVAL {window}
+            """
+        ),
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.purchase_id").alias("purchase_id"),
+        F.col("p.purchase_ts").alias("purchase_ts"),
+        F.col("p.amount").alias("amount"),
+        F.col("c.click_id").alias("click_id"),
+        F.col("c.click_ts").alias("click_ts"),
+    )
