@@ -38,6 +38,11 @@ HEADLINE = [
     "top_customers",
     "supplier_running_revenue",
     "rollup_revenue",
+    "cube_revenue",
+    "customer_quartiles",
+    "top_orders_per_segment",
+    "salted_event_counts",
+    "numeric_profile",
     "dedup_exact",
     "neardup_minhash",
     "simhash_signatures",
