@@ -60,3 +60,24 @@ def test_limit_and_shuffle(spark, tmp_path):
     b = [r["review_id"] for r in read_yelp_jsonlines(spark, path, shuffle_seed=1).collect()]
     assert a == b  # deterministic given the seed
     assert set(a) == {f"r{i}" for i in range(10)} | {"r_nodate"}
+
+
+def test_sql_surface_over_fixture_views(spark):
+    """The engine is usable through plain spark.sql over registered
+    views — the declarative surface a reference user would migrate to."""
+    from yelp_streaming_etl_pipeline_spark.schemas import load_tables
+
+    for name, df in load_tables(
+        spark, "/root/testdata/sf0.001", ["region", "nation", "customer"]
+    ).items():
+        df.createOrReplaceTempView(name)
+    out = spark.sql(
+        """
+        SELECT r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    ).collect()
+    assert len(out) == 5 and sum(r["n_customers"] for r in out) > 0

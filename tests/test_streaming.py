@@ -358,3 +358,67 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("SELECT * FROM attr_out").collect()
     pairs = {(r["purchase_id"], r["click_id"]) for r in rows}
     assert pairs == {("p1", "c1"), ("p1", "c2")}
+
+
+def test_kafka_roundtrip_parse(spark):
+    """S3 -> S5 parity: a record serialized by the Kafka payload
+    projection deserializes back to the same values through the typed
+    consumer schema."""
+    rows = [
+        (
+            "r1", "b7", "u3", 4.0,
+            GOOD_TEXT, BASE, 1, 2, 3, "test", BASE,
+        )
+    ]
+    df = spark.createDataFrame(rows, RAW_REVIEW)
+    payload = TOP.kafka_payload(df)
+    parsed = payload.select(
+        F.from_json(F.col("value"), RAW_REVIEW).alias("r")
+    ).select("r.*")
+    a, b = df.collect()[0], parsed.collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_transform_with_state_dedup(spark, tmp_path):
+    """The same dedup semantics on the transformWithState API (typed
+    ValueState + event-time timer TTL). Skipped where the state
+    protocol's protobuf dependency is absent (this image)."""
+    from yelp_streaming_etl_pipeline_spark.streaming.stateful import (
+        dedup_reviews_stream_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed (environment contract)")
+
+    t0 = datetime(2026, 8, 1, 0, 0, 0)
+    schema = (
+        "review_id string, date timestamp, business_id string, "
+        "source string, ingestion_timestamp timestamp"
+    )
+    rows = [
+        ("r1", t0, "b0", "src_a", t0),
+        ("r1", t0, "b0", "zz_replay", t0),   # duplicate
+        ("r2", t0, "b0", "src_a", t0),
+    ]
+    src = tmp_path / "tws_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    q = (
+        dedup_reviews_stream_tws(
+            spark.readStream.schema(schema).parquet(str(src))
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["review_id"], r["source"]): r["is_duplicate"]
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    assert got[("r1", "src_a")] == "first"
+    assert got[("r1", "zz_replay")] == "duplicate"
+    assert got[("r2", "src_a")] == "first"

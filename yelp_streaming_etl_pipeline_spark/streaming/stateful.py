@@ -193,6 +193,77 @@ def dedup_reviews_stream(reviews: DataFrame) -> DataFrame:
     )
 
 
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its state
+    protocol; absent in this image (no installs per the environment
+    contract), so the tws variant is gated, like the langdetect UDF."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def dedup_reviews_stream_tws(reviews: DataFrame) -> DataFrame:
+    """dedup_reviews_stream on the transformWithState API (Spark 4's
+    successor to applyInPandasWithState): typed ValueState for the
+    seen-marker + an event-time TIMER for the 2-h TTL instead of the
+    single implicit timeout. Same semantics, same output schema —
+    kept alongside the classic implementation to cover both stateful
+    APIs. Requires google.protobuf at runtime (see
+    transform_with_state_available)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.seen = handle.getValueState("seen", "seen LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            data = pd.concat(list(rows)).sort_values(
+                ["source", "ingestion_timestamp"]
+            )
+            seen = self.seen.exists()
+            flags = []
+            for _ in range(len(data)):
+                flags.append("duplicate" if seen else "first")
+                seen = True
+            self.seen.update((1,))
+            key_date_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
+            self.handle.registerTimer(
+                key_date_ms + DEDUP_TTL_SECONDS * 1000
+            )
+            out = data[
+                ["review_id", "date", "business_id", "source"]
+            ].copy()
+            out["is_duplicate"] = flags
+            yield out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self.seen.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (
+        reviews.withWatermark("date", DEDUP_WATERMARK)
+        .groupBy("review_id", "date")
+        .transformWithStateInPandas(
+            statefulProcessor=_DedupProcessor(),
+            outputStructType=DEDUP_OUTPUT,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """events(user_id, ts, value, ...) stream -> closed-session stream.
 
