@@ -347,26 +347,28 @@ def simhash_pairs(
         ).alias("band_key"),
     ).cache()  # signature computation is the CPU cost; scanned twice below
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
     )
+    # Pair dedup (a pair can collide on several bands) runs AFTER the
+    # hamming filter: hamming is functionally determined by the pair,
+    # so dedup position commutes — but deduping survivors means the
+    # shuffle carries only (ids, int) for the few near-dup pairs
+    # instead of every collision row with two 64-char signatures.
     return (
         cand.withColumn(
             "hamming", simhash_hamming(F.col("sh_a"), F.col("sh_b")).cast("int")
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
