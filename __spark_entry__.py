@@ -138,6 +138,18 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
 
+def q_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.distinct_daily_users(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.event_type_pivot(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.value_percentiles(read_events(_ensure_conf(spark), sf_dir))
+
+
 # ---------------- relational library (SURVEY.md §7 Phase 2) ----------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -363,6 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acceptance_summary": q_acceptance_summary,
         "review_stats": q_review_stats,
         "events_hourly": q_events_hourly,
+        "distinct_daily_users": q_distinct_daily_users,
+        "event_type_pivot": q_event_type_pivot,
+        "value_percentiles": q_value_percentiles,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -493,6 +508,35 @@ SELECT date_trunc('hour', ts) AS window_start,
        (CAST(floor(sum(value) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS total_value,
        (CAST(floor(avg(value) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_value
 FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def _sql_distinct_daily_users() -> str:
+    return """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY 1"""
+
+
+def _sql_event_type_pivot() -> str:
+    from yelp_streaming_etl_pipeline_spark.operators.stats import EVENT_TYPES
+
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, {cols}
+FROM events GROUP BY 1"""
+
+
+def _sql_value_percentiles() -> str:
+    return f"""
+SELECT event_type,
+       {SR('quantile_cont(value, 0.5)', 6)} AS p50,
+       {SR('quantile_cont(value, 0.9)', 6)} AS p90
+FROM events GROUP BY event_type"""
 
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -785,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
         "acceptance_summary": _sql_acceptance_summary(),
         "review_stats": _sql_review_stats(),
         "events_hourly": _sql_events_hourly(),
+        "distinct_daily_users": _sql_distinct_daily_users(),
+        "event_type_pivot": _sql_event_type_pivot(),
+        "value_percentiles": _sql_value_percentiles(),
         "pricing_summary": _sql_pricing_summary(),
         "revenue_by_nation": _sql_revenue_by_nation(),
         "top_customers": _sql_top_customers(),

@@ -144,3 +144,44 @@ def acceptance_summary(staged: DataFrame) -> DataFrame:
             F.sum(F.col("is_accepted").cast("double")) / F.count("*") * 100.0, 6
         ).alias("acceptance_rate_pct"),
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def distinct_daily_users(events: DataFrame) -> DataFrame:
+    """Distinct aggregation (absent from the reference): exact per-day
+    distinct users. At scale countDistinct is a two-stage expand-agg;
+    swap in approx_count_distinct (HLL) when exactness is negotiable."""
+    return (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: per-day event counts, one column per event type. The
+    value list is pinned so the output schema is static (required for
+    a deterministic plan and for the oracle's CASE-sum twin)."""
+    p = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles per event type (Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition —
+    verified bit-identical)."""
+    return events.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        stable_round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
