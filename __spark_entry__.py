@@ -150,6 +150,18 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.value_percentiles(read_events(_ensure_conf(spark), sf_dir))
 
 
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.props_extract_stats(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.returning_users(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.top_bigrams(_t_cpu(spark, sf_dir, "documents"))
+
+
 # ---------------- relational library (SURVEY.md §7 Phase 2) ----------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -378,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
+        "props_extract": q_props_extract,
+        "returning_users": q_returning_users,
+        "top_bigrams": q_top_bigrams,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -537,6 +552,44 @@ SELECT event_type,
        {SR('quantile_cont(value, 0.5)', 6)} AS p50,
        {SR('quantile_cont(value, 0.9)', 6)} AS p90
 FROM events GROUP BY event_type"""
+
+
+def _sql_props_extract() -> str:
+    k = "CAST(props->>'k' AS BIGINT)"
+    return f"""
+SELECT event_type, count(*) AS n, sum({k}) AS sum_k,
+       {SR(f'avg({k})', 6)} AS avg_k
+FROM events GROUP BY event_type"""
+
+
+def _sql_returning_users() -> str:
+    return """
+SELECT DISTINCT user_id FROM events WHERE day(ts) % 2 = 0
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE day(ts) % 2 = 1"""
+
+
+def _sql_top_bigrams(k: int = 20) -> str:
+    wst = O.sql_ws_trim("lower(text)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {wst} AS lt,
+         string_split_regex({wst}, '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 2
+         THEN list_distinct([words[i] || ' ' || words[i + 1]
+                             FOR i IN generate_series(1, len(words) - 1)])
+         ELSE [lt] END AS grams
+  FROM base
+),
+x AS (SELECT unnest(grams) AS bigram FROM g)
+SELECT bigram, count(*) AS doc_freq
+FROM x GROUP BY bigram
+ORDER BY doc_freq DESC, bigram ASC
+LIMIT {k}"""
 
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -832,6 +885,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),
         "value_percentiles": _sql_value_percentiles(),
+        "props_extract": _sql_props_extract(),
+        "returning_users": _sql_returning_users(),
+        "top_bigrams": _sql_top_bigrams(),
         "pricing_summary": _sql_pricing_summary(),
         "revenue_by_nation": _sql_revenue_by_nation(),
         "top_customers": _sql_top_customers(),

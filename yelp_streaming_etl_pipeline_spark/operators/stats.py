@@ -185,3 +185,38 @@ def value_percentiles(events: DataFrame) -> DataFrame:
         stable_round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         stable_round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
     )
+
+
+def props_extract_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured processing: pull a typed field out of the JSON
+    props column (get_json_object stays JVM-side) and aggregate it.
+    At scale prefer from_json with an explicit schema once the props
+    shape stabilizes — same plan, fewer per-row parses for multi-field
+    extraction."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            stable_round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def returning_users(events: DataFrame) -> DataFrame:
+    """Set operation (INTERSECT): users active on both even and odd
+    days of month — scale-independent split, one shuffle per distinct +
+    the intersect's own."""
+    even = (
+        events.filter(F.dayofmonth("ts") % 2 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    odd = (
+        events.filter(F.dayofmonth("ts") % 2 == 1)
+        .select("user_id")
+        .distinct()
+    )
+    return even.intersect(odd)

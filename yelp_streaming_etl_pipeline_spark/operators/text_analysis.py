@@ -130,3 +130,20 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         stable_round(stopword_ratio(t), 6).alias("stopword_ratio"),
         text_quality_score(t).alias("quality_score"),
     )
+
+
+def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus n-gram statistics: document frequency of word bigrams,
+    top-k. Global top-k compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows) — no full sort shuffle at any scale."""
+    from .dedup import word_shingles
+
+    exploded = df.select(
+        F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+    )
+    return (
+        exploded.groupBy("bigram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("bigram"))
+        .limit(k)
+    )
