@@ -43,6 +43,12 @@ HEADLINE = [
     "top_orders_per_segment",
     "salted_event_counts",
     "numeric_profile",
+    "distinct_daily_users",
+    "event_type_pivot",
+    "value_percentiles",
+    "props_extract",
+    "returning_users",
+    "top_bigrams",
     "dedup_exact",
     "neardup_minhash",
     "simhash_signatures",

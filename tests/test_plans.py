@@ -139,3 +139,22 @@ def test_ivf_assignment_is_aggregate_not_window(spark):
     plan = A.physical_plan(df)
     assert "max_by" in plan or "HashAggregate" in plan
     assert A.key_shuffle_exchanges(df) <= 3, plan[:3000]
+
+
+def test_top_bigrams_take_ordered(spark):
+    # global top-k must compile to TakeOrderedAndProject, never a full
+    # range-shuffle sort
+    df = E.q_top_bigrams(spark, SF)
+    plan = A.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
+
+
+def test_pivot_two_phase_shape(spark):
+    # Spark's pivot is two aggregations: partial-combined (day, type)
+    # counts, then the pivot agg keyed by day. Both exchanges carry
+    # already-reduced rows (one per group), never raw events.
+    df = E.q_event_type_pivot(spark, SF)
+    assert A.key_shuffle_exchanges(df) == 2, A.physical_plan(df)[:2000]
+    plan = A.physical_plan(df)
+    assert "partial_count" in plan, plan[:2000]
