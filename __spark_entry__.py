@@ -162,6 +162,10 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.top_bigrams(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.tfidf_keywords(_t_cpu(spark, sf_dir, "documents"))
+
+
 # ---------------- relational library (SURVEY.md §7 Phase 2) ----------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -393,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "returning_users": q_returning_users,
         "top_bigrams": q_top_bigrams,
+        "tfidf_keywords": q_tfidf_keywords,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -590,6 +595,32 @@ SELECT bigram, count(*) AS doc_freq
 FROM x GROUP BY bigram
 ORDER BY doc_freq DESC, bigram ASC
 LIMIT {k}"""
+
+
+def _sql_tfidf_keywords(k: int = 3) -> str:
+    wst = O.sql_ws_trim("lower(text)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex({wst}, '\\s+')) AS term
+  FROM documents
+),
+t AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM t GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term,
+         (tf * CAST(n_docs AS DOUBLE)) / doc_freq AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN tot
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, rank, term, {SR('score', 6)} AS score
+FROM r WHERE rank <= {k}"""
 
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -888,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": _sql_props_extract(),
         "returning_users": _sql_returning_users(),
         "top_bigrams": _sql_top_bigrams(),
+        "tfidf_keywords": _sql_tfidf_keywords(),
         "pricing_summary": _sql_pricing_summary(),
         "revenue_by_nation": _sql_revenue_by_nation(),
         "top_customers": _sql_top_customers(),

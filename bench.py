@@ -49,6 +49,7 @@ HEADLINE = [
     "props_extract",
     "returning_users",
     "top_bigrams",
+    "tfidf_keywords",
     "dedup_exact",
     "neardup_minhash",
     "simhash_signatures",

@@ -8,7 +8,7 @@ functions/language.py (same family).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
@@ -146,4 +146,49 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("bigram"))
         .limit(k)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf with LINEAR idf
+    (n_docs / doc_freq, no logarithm): ln() is not guaranteed
+    correctly-rounded and differs across libm implementations in the
+    last ulp, which can flip ranks between engines — the linear
+    variant is bit-exact everywhere and order-equivalent to log idf
+    for ranking within a document when doc frequencies differ.
+
+    Scale shape: one shuffle for tf (doc, term), one for doc_freq
+    (term), a broadcast of the 1-row corpus count, and a per-doc
+    window over that doc's terms only."""
+    tokens = df.select(
+        "doc_id",
+        F.explode(
+            F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doc_freq = (
+        tokens.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    total = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs").cast("double")) / F.col("doc_freq"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "rank", "term", stable_round(F.col("score"), 6).alias("score")
+        )
     )
