@@ -158,3 +158,50 @@ def test_pivot_two_phase_shape(spark):
     assert A.key_shuffle_exchanges(df) == 2, A.physical_plan(df)[:2000]
     plan = A.physical_plan(df)
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """The 100 TB scan lever: data written partitioned by a date key is
+    read with partition pruning — the filtered scan lists only matching
+    directories (PartitionFilters), never touching other partitions'
+    files."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import read_events
+
+    ev = read_events(spark, SF).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    one_day = ev.select("day").first()["day"]
+    df = spark.read.parquet(out).filter(F.col("day") == one_day)
+    plan = A.physical_plan(df)
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear as a partition filter, not a
+    # post-scan data filter
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan[:2000]
+    assert df.count() == ev.filter(F.col("day") == one_day).count()
+
+
+def test_approx_sketches_track_exact(spark):
+    """The sketch scale path (HLL distinct, approx quantiles) tracks
+    the exact operators within documented error bounds — exact versions
+    are the oracle-checked queries; these are their 100 TB stand-ins."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.01")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50_approx"] - row["p50_exact"]) < 1.0
