@@ -326,6 +326,13 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.minhash_lsh_pairs(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", 0.5
+    )
+    return DD.dedup_clusters(pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_table(_doc_corpus_cpu(spark, sf_dir), "text", "doc_id")
 
@@ -417,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_issues": q_duplicate_issues,
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
@@ -939,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_issues": _sql_duplicate_issues(),
         "dedup_exact": O.sql_dedup_exact(),
         "neardup_minhash": O.sql_minhash_lsh_pairs(0.5),
+        "dedup_clusters": O.sql_dedup_clusters(0.5),
         "simhash_signatures": O.sql_simhash(),
         "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),

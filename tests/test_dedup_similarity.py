@@ -79,6 +79,26 @@ def test_simhash_hamming_matches_python(spark):
         assert r["h"] == expected, (r["x"], r["y"])
 
 
+def test_dedup_clusters_transitive(spark):
+    # pairs (1,2) and (2,3) but never (1,3): transitivity must still
+    # put all three in cluster 1, and singletons keep their own label
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in DD.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_chain_convergence(spark):
+    # a length-8 path graph exercises multi-round label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 18)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in DD.dedup_clusters(pairs).collect()}
+    assert set(out) == set(range(10, 19))
+    assert set(out.values()) == {10}
+
+
 def test_ngram_jaccard_blocked(spark):
     df = _docs(spark).withColumn("src", F.lit("s1"))
     pairs = DD.ngram_jaccard_pairs(df, "text", "doc_id", "src", 2, 0.3).collect()

@@ -409,6 +409,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    in a transitive duplicate cluster gets the cluster's minimum doc id
+    as its label (the survivor). The step a real dedup pipeline needs
+    between pair detection (minhash_lsh_pairs et al.) and row pruning.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(diameter) rounds. Each round is one distributed join + aggregate;
+    the driver only orchestrates iterations and checks convergence
+    (count of changed labels), so the data never leaves the cluster.
+    Lineage is truncated per round (localCheckpoint) — without it the
+    plan doubles every iteration. For web-scale graphs swap in the
+    large-star/small-star variant; the loop shape is identical.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = sym.join(
+            labels, sym["b"] == labels["node"]
+        ).select(sym["a"].alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def with_synthetic_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test-harness helper: union deterministic exact copies
     (doc_id % 31 == 0 -> +1_000_000) and near copies with a token

@@ -522,6 +522,34 @@ SELECT doc_a, doc_b, {ham} AS hamming
 FROM cand WHERE {ham} <= {max_hamming}"""
 
 
+def sql_dedup_clusters(threshold: float = 0.5) -> str:
+    """Connected components over the minhash near-dup pairs via a
+    recursive CTE: full reachability closure, then min reachable id
+    per node — the declarative twin of the iterative min-label
+    propagation in operators/dedup.py:dedup_clusters."""
+    pairs = sql_minhash_lsh_pairs(threshold)
+    # reuse the pair query's CTE chain inside a recursive WITH: strip
+    # its leading "WITH" and wrap its final SELECT as another CTE
+    body = pairs.strip()
+    assert body.startswith("WITH")
+    cte_chain, final_select = body[len("WITH"):].rsplit(")\nSELECT", 1)
+    return f"""
+WITH RECURSIVE {cte_chain}),
+pairs AS (SELECT{final_select}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r AS r
+  FROM edges e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"""
+
+
 def sql_ngram_jaccard_pairs(n: int = 2, threshold: float = 0.3) -> str:
     gram_concat = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
     wst = sql_ws_trim("lower(text)")
