@@ -252,6 +252,41 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.sessionize_events(read_events(_ensure_conf(spark), sf_dir))
 
 
+def q_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the same user's most recent
+    click at-or-before it (right side deduped per (user, ts))."""
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return REL.asof_join(
+        purchases, clicks, "user_id", right_cols=("event_id",)
+    ).filter(F.col("prior_event_id").isNotNull())
+
+
+def q_click_purchase_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: (click, purchase) pairs by the same user
+    within 5 minutes, as an equi-join on (user, time-bucket)."""
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return REL.interval_pairs(clicks, purchases, "user_id", 300).select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "gap_us",
+    )
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState) run
     to completion over the events fixture with trigger(availableNow).
@@ -419,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": q_numeric_profile,
         "order_priority_counts": q_order_priority_counts,
         "sessionize_events": q_sessionize_events,
+        "purchase_prior_click": q_purchase_prior_click,
+        "click_purchase_5min": q_click_purchase_5min,
         "sessionize_stream": q_sessionize_stream,
         "dedup_reviews": q_dedup_reviews,
         "duplicate_issues": q_duplicate_issues,
@@ -808,6 +845,36 @@ SELECT user_id, session_seq,
 FROM s GROUP BY user_id, session_seq"""
 
 
+def _sql_purchase_prior_click() -> str:
+    """Declarative twin of asof_join: join every purchase to ALL
+    earlier same-user clicks, then argmax by click ts. Quadratic per
+    key — fine as an sf0.01 oracle, exactly what the union-window
+    implementation avoids at scale."""
+    return """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       max_by(c.event_id, c.ts) AS prior_event_id,
+       max(c.ts) AS prior_ts
+FROM p JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+GROUP BY 1, 2, 3"""
+
+
+def _sql_click_purchase_5min() -> str:
+    return """
+SELECT c.event_id AS click_id, c.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) > epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000"""
+
+
 def _sql_sessionize_stream() -> str:
     """Closed sessions emitted by the stream: every non-final session
     per user (closed by a later in-batch event), PLUS final sessions
@@ -942,6 +1009,8 @@ def oracle_sql() -> dict[str, str]:
         "numeric_profile": _sql_numeric_profile(),
         "order_priority_counts": _sql_order_priority_counts(),
         "sessionize_events": _sql_sessionize_events(),
+        "purchase_prior_click": _sql_purchase_prior_click(),
+        "click_purchase_5min": _sql_click_purchase_5min(),
         "sessionize_stream": _sql_sessionize_stream(),
         "dedup_reviews": _sql_dedup_reviews(),
         "duplicate_issues": _sql_duplicate_issues(),

@@ -205,3 +205,22 @@ def test_approx_sketches_track_exact(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50_approx"] - row["p50_exact"]) < 1.0
+
+
+def test_asof_join_is_single_window_pass(spark):
+    # union + one window over user_id: exactly ONE key shuffle, no
+    # join operator at all (the naive theta-join would BNL-explode)
+    df = E.q_purchase_prior_click(spark, SF)
+    plan = A.physical_plan(df)
+    assert A.key_shuffle_exchanges(df) <= 2, plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert not A.has_python_udf(df)
+
+
+def test_interval_pairs_is_equi_join(spark):
+    # binned range join must plan as a hash/sort-merge EQUI join on
+    # (user, bucket), never a broadcast nested loop on the inequality
+    df = E.q_click_purchase_5min(spark, SF)
+    plan = A.physical_plan(df)
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert not A.has_python_udf(df)

@@ -308,3 +308,110 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         # no final sort (output scales with |sessions| — see above)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    prefix: str = "prior_",
+) -> DataFrame:
+    """As-of join: attach to each left row the right row with the
+    greatest ``right_ts <= left_ts`` for the same key (inclusive).
+    The right side must be unique per (key, right_ts) — pre-aggregate
+    it if it isn't, or the carried payload is nondeterministic.
+
+    Scale shape: union both sides, then ONE shuffle on the key and a
+    single sorted window pass with ``last(..., ignorenulls=True)`` —
+    the standard distributed as-of. No join explosion: a naive
+    ``ON key AND r.ts <= l.ts`` join materializes every (left, earlier
+    right) pair before the argmax; this touches each row exactly once.
+    Right rows order BEFORE left rows at equal ts (side 0 < 1), which
+    is what makes the match inclusive.
+    """
+    l2 = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+    )
+    r2 = (
+        right.select(
+            F.col(key_col),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(prefix + c) for c in right_cols],
+        )
+        .withColumn(prefix + "ts", F.col("__ts"))
+        .withColumn("__side", F.lit(0))
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [prefix + c for c in right_cols] + [prefix + "ts"]
+    filled = u.select(
+        *[c for c in l2.columns if c not in ("__side",)],
+        F.col("__side"),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in carried
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side", "__ts")
+
+
+def interval_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    max_gap_s: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Range (interval) join: all (left, right) pairs with the same key
+    and ``0 < right_ts - left_ts <= max_gap_s``. Returns the left and
+    right rows' columns plus ``gap_us`` (exact integer microseconds).
+
+    Scale shape: binned range join. Both sides bucket their timestamp
+    by ``max_gap_s``; a qualifying right row can only live in the left
+    row's bucket or the next one, so the left side explodes into those
+    two probe buckets and the join becomes an EQUI-join on
+    (key, bucket) + a residual filter. Catalyst gets a hash-joinable
+    key instead of an inequality theta-join (which it would execute as
+    a broadcast nested loop — quadratic per key). The composite key
+    also spreads one hot user's rows across time buckets.
+    """
+    gap_us = int(max_gap_s) * 1_000_000
+    l = left.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(left_ts)).alias("__lus"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key_col],
+    )
+    l = l.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("__lus") / gap_us),
+                F.floor(F.col("__lus") / gap_us) + 1,
+            )
+        ),
+    )
+    r = right.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(right_ts)).alias("__rus"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key_col],
+    ).withColumn("__bucket", F.floor(F.col("__rus") / gap_us))
+    out = (
+        l.join(r, ["__k", "__bucket"])
+        .filter(
+            (F.col("__rus") > F.col("__lus"))
+            & (F.col("__rus") <= F.col("__lus") + gap_us)
+        )
+        .withColumn("gap_us", F.col("__rus") - F.col("__lus"))
+        .withColumnRenamed("__k", key_col)
+        .drop("__bucket", "__lus", "__rus")
+    )
+    return out
