@@ -141,22 +141,21 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
     times, since interpreted HOF arguments get no subexpression
     elimination).
 
-    Signature i is the lexicographic minimum of the digest ROTATED by
-    i hex chars (ordering by a different offset of the same 128-bit
-    digest per signature — the one-permutation-hashing family: ~k×
-    cheaper than k salted digests, empirically equivalent argmin
-    independence for banding)."""
+    Signature i is the lexicographic minimum of the digest's 15-hex-
+    char WINDOW at offset i (ordering by a different offset of the
+    same 128-bit digest per signature — the one-permutation-hashing
+    family: ~k× cheaper than k salted digests). A window is ordered
+    by the same leading chars as a full rotation by i, and 15 hex
+    chars = 60 bits make argmin ties vanishingly rare, so it selects
+    the same minimum as the rotation at a third of the string
+    allocations (one substring vs concat of two)."""
     digests = shingles
 
-    def rotated(i: int):
-        if i == 0:
-            return lambda h: h
-        return lambda h: F.concat(
-            F.substring(h, i + 1, 32 - i), F.substring(h, 1, i)
-        )
+    def window(i: int):
+        return lambda h: F.substring(h, i + 1, 15)
 
     return F.array(
-        *[F.array_min(F.transform(digests, rotated(i))) for i in range(k)]
+        *[F.array_min(F.transform(digests, window(i))) for i in range(k)]
     )
 
 
@@ -324,47 +323,64 @@ def simhash_pairs(
     EXACT for max_hamming <= 3). Scale shape mirrors minhash_lsh_pairs:
     the self-join is on the chunk key — ~n_docs * 4 rows shuffled,
     never O(n^2) — and the exact Hamming check touches candidates only.
+
+    The join carries the signature as FOUR 16-bit longs, not the
+    64-char bit string: they double as the band keys (band_key =
+    band_id * 2^16 + chunk value, one long) and as the hamming inputs
+    (sum of bit_count(a_ci XOR b_ci)). ~48 B/row shuffled instead of
+    ~150 B, long-key hashing instead of string keys — on a skewed
+    corpus the band join emits millions of candidate rows, so
+    per-candidate width is what dominates the stage.
     """
     n_chunks = 64 // SIMHASH_CHUNK_BITS
     sigs = simhash_table(df, text_col, id_col)
+    chunk_cols = [f"c{i}" for i in range(n_chunks)]
     banded = sigs.select(
         "doc_id",
-        "simhash",
+        *[
+            F.conv(
+                F.substring(
+                    "simhash", i * SIMHASH_CHUNK_BITS + 1, SIMHASH_CHUNK_BITS
+                ),
+                2,
+                10,
+            )
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(n_chunks)
+        ],
+    ).select(
+        "doc_id",
+        *chunk_cols,
         F.explode(
             F.array(
                 *[
-                    F.concat(
-                        F.lit(f"{i}:"),
-                        F.substring(
-                            "simhash",
-                            i * SIMHASH_CHUNK_BITS + 1,
-                            SIMHASH_CHUNK_BITS,
-                        ),
-                    )
+                    F.lit(i << SIMHASH_CHUNK_BITS) + F.col(f"c{i}")
                     for i in range(n_chunks)
                 ]
             )
         ).alias("band_key"),
     ).cache()  # signature computation is the CPU cost; scanned twice below
     a, b = banded.alias("a"), banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("sh_a"),
-        F.col("b.simhash").alias("sh_b"),
-    )
+    hamming = sum(
+        F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        for c in chunk_cols
+    ).cast("int")
     # Pair dedup (a pair can collide on several bands) runs AFTER the
     # hamming filter: hamming is functionally determined by the pair,
     # so dedup position commutes — but deduping survivors means the
     # shuffle carries only (ids, int) for the few near-dup pairs
-    # instead of every collision row with two 64-char signatures.
+    # instead of every collision row.
     return (
-        cand.withColumn(
-            "hamming", simhash_hamming(F.col("sh_a"), F.col("sh_b")).cast("int")
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("doc_a", "doc_b")

@@ -412,15 +412,11 @@ sh AS (
 
 
 def sql_minhash_lsh_pairs(threshold: float = 0.5) -> str:
-    # rotation-family MinHash: one md5 per shingle, signature i = min of
-    # the digest rotated by i hex chars (mirrors operators/dedup.py)
-    def rot(i: int) -> str:
-        if i == 0:
-            return "h"
-        return f"(substr(h, {i + 1}, {32 - i}) || substr(h, 1, {i}))"
-
+    # window-family MinHash: one md5 per shingle, signature i = min of
+    # the digest's 15-hex-char window at offset i (mirrors
+    # operators/dedup.py:minhash_signature)
     sig_exprs = ", ".join(
-        f"list_aggregate(list_transform(digests, h -> {rot(i)}), 'min')"
+        f"list_aggregate(list_transform(digests, h -> substr(h, {i + 1}, 15)), 'min')"
         for i in range(MINHASH_K)
     )
     band_exprs = []
