@@ -26,6 +26,7 @@ from yelp_streaming_etl_pipeline_spark.functions.rounding import (
 from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
 from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
 from yelp_streaming_etl_pipeline_spark.operators import relational as REL
+from yelp_streaming_etl_pipeline_spark.operators import sampling as SAMP
 from yelp_streaming_etl_pipeline_spark.operators import similarity as SIM
 from yelp_streaming_etl_pipeline_spark.operators import stats as ST
 from yelp_streaming_etl_pipeline_spark.operators import text_analysis as TA
@@ -361,6 +362,34 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"src0": 0.5, "src1": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+CLASS_CAP = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SAMP.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        SAMPLE_RATES,
+        "doc_id",
+        default_rate=SAMPLE_DEFAULT_RATE,
+    ).select("doc_id", "source")
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SAMP.train_test_split(
+        _t(spark, sf_dir, "documents"), "doc_id", SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
+def q_class_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SAMP.class_capped_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", CLASS_CAP
+    ).select("doc_id", "lang")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.minhash_lsh_pairs(
         _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", 0.5
@@ -462,6 +491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "train_test_split": q_train_test_split,
+        "class_capped_sample": q_class_capped_sample,
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
@@ -1017,6 +1049,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": O.sql_dedup_exact(),
         "neardup_minhash": O.sql_minhash_lsh_pairs(0.5),
         "dedup_clusters": O.sql_dedup_clusters(0.5),
+        "stratified_sample": O.sql_stratified_sample(
+            SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+        ),
+        "train_test_split": O.sql_train_test_split(SPLIT_WEIGHTS),
+        "class_capped_sample": O.sql_class_capped_sample(CLASS_CAP),
         "simhash_signatures": O.sql_simhash(),
         "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),

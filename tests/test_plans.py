@@ -224,3 +224,12 @@ def test_interval_pairs_is_equi_join(spark):
     plan = A.physical_plan(df)
     assert "NestedLoop" not in plan, plan[:3000]
     assert not A.has_python_udf(df)
+
+
+def test_sampling_is_pure_map(spark):
+    # hash-bucket sampling and split assignment are per-row decisions:
+    # zero shuffles at any scale, no Python in the row path
+    for q in (E.q_stratified_sample, E.q_train_test_split):
+        df = q(spark, SF)
+        assert A.key_shuffle_exchanges(df) == 0, A.physical_plan(df)[:2000]
+        assert not A.has_python_udf(df)

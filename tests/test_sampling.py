@@ -1,0 +1,88 @@
+"""Deterministic-sampling behavior: stable under re-runs and data
+growth, rates near nominal, splits exhaustive and disjoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators import sampling as SAMP
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("label"),
+    )
+
+
+def test_hash_bucket_uniform_and_stable(spark):
+    df = _docs(spark).select(
+        "doc_id", SAMP.hash_bucket(F.col("doc_id"), 10).alias("b")
+    )
+    counts = {r["b"]: r["n"] for r in df.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(10))
+    assert all(130 <= c <= 270 for c in counts.values()), counts
+    # stable: same input -> same buckets on a second evaluation
+    again = {r["doc_id"]: r["b"] for r in df.collect()}
+    assert {r["doc_id"]: r["b"] for r in df.collect()} == again
+
+
+def test_stratified_sample_rates(spark):
+    out = SAMP.stratified_sample(
+        _docs(spark), "label", {"0": 0.5, "1": 0.1}, "doc_id",
+        default_rate=0.0,
+    )
+    counts = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= {"0", "1"}  # default rate 0 drops labels 2, 3
+    assert 200 <= counts["0"] <= 300  # ~250 of 500
+    assert 25 <= counts["1"] <= 75  # ~50 of 500
+
+
+def test_sample_decisions_stable_under_growth(spark):
+    # hash sampling must not reshuffle earlier decisions when rows
+    # are added — the property rand() sampling loses
+    small = SAMP.stratified_sample(
+        _docs(spark, 500), "label", {}, "doc_id", default_rate=0.3
+    )
+    big = SAMP.stratified_sample(
+        _docs(spark, 2000), "label", {}, "doc_id", default_rate=0.3
+    )
+    kept_small = {r["doc_id"] for r in small.collect()}
+    kept_big = {r["doc_id"] for r in big.collect() if r["doc_id"] < 500}
+    assert kept_small == kept_big
+
+
+def test_train_test_split_exhaustive_disjoint(spark):
+    out = SAMP.train_test_split(
+        _docs(spark), "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 2000  # every row labeled exactly once
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    assert 1500 <= counts["train"] <= 1700
+    # bucket ranges, not modulo tricks: highest bucket is 'test'
+    assert 150 <= counts["valid"] + counts["test"] <= 450
+
+
+def test_class_capped_sample(spark):
+    out = SAMP.class_capped_sample(_docs(spark), "label", "doc_id", 7)
+    counts = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": 7, "1": 7, "2": 7, "3": 7}
+    # deterministic pick: the same 28 ids every run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in SAMP.class_capped_sample(
+            _docs(spark), "label", "doc_id", 7
+        ).collect()
+    )
+    assert ids1 == ids2

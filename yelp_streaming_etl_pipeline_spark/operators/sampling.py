@@ -1,0 +1,107 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference has no sampling story (its producer replays everything);
+these are the operators a 100 TB corpus needs before training: keep a
+reproducible fraction per stratum, assign stable train/valid/test
+splits, cap over-represented classes. All of them key off a HASH
+BUCKET, never ``rand()``: the decision for a row is a pure function of
+its id, so re-runs, retries, and both engines of the oracle agree
+row-for-row, and adding data never reshuffles earlier decisions
+(the property rand()-sampling loses).
+
+Scale shape: ``stratified_sample`` and ``train_test_split`` are pure
+per-row maps — zero shuffles at any data size, and the filter is
+codegen'd into the scan. ``class_capped_sample`` is one window
+shuffle on the class key; for classes too hot for one partition,
+pre-filter with a stratified rate first (cap / approx class count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, n_buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 hex chars of
+    md5(key) as an integer, mod n_buckets. md5 (not xxhash64) so the
+    DuckDB oracle can reproduce it exactly; 32 bits >> bucket count,
+    so the mod is uniform."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def sql_hash_bucket(key_expr: str, n_buckets: int = HASH_BUCKETS) -> str:
+    """DuckDB twin of hash_bucket (hex parse via '0x' cast)."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {n_buckets})"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction: a row survives iff
+    its hash bucket falls below rate * HASH_BUCKETS for its stratum.
+    Unlisted strata get default_rate (0.0 = drop)."""
+    thresh = F.lit(int(default_rate * HASH_BUCKETS))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * HASH_BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key_col)) < thresh)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable split label by hash-bucket range:
+    cumulative weight boundaries partition [0, HASH_BUCKETS). Weights
+    must sum to 1; iteration order of the dict defines the ranges, so
+    pass an ordered mapping like {"train": .8, "valid": .1, "test": .1}.
+    """
+    assert abs(sum(weights.values()) - 1.0) < 1e-9, "weights must sum to 1"
+    b = hash_bucket(F.col(key_col))
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < F.lit(int(round(cum * HASH_BUCKETS)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # the last split takes the remaining bucket range, absorbing any
+    # rounding drift in the boundaries
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def class_capped_sample(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """At most ``cap`` rows per class, chosen deterministically: rank
+    within the class by (hash bucket, key) — i.e. a reproducible
+    pseudo-random draw — and keep the first ``cap``."""
+    w = Window.partitionBy(class_col).orderBy(
+        hash_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -760,3 +760,52 @@ SELECT doc_id,
   {sql_stable_round(sw_ratio, 6)} AS stopword_ratio,
   {quality} AS quality_score
 FROM documents"""
+
+
+# ---------------- deterministic sampling ----------------
+
+def _sql_hash_bucket(key_expr: str, n_buckets: int = 10_000) -> str:
+    """DuckDB twin of operators/sampling.py:hash_bucket."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {n_buckets})"
+    )
+
+
+def sql_stratified_sample(
+    rates: dict[str, float], default_rate: float
+) -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {int(r * 10_000)}" for v, r in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {_sql_hash_bucket('doc_id')}
+      < CASE source {whens} ELSE {int(default_rate * 10_000)} END"""
+
+
+def sql_train_test_split(weights: dict[str, float]) -> str:
+    names = list(weights)
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(
+            f"WHEN {_sql_hash_bucket('doc_id')} < {int(round(cum * 10_000))} "
+            f"THEN '{name}'"
+        )
+    case = " ".join(whens)
+    return f"""
+SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split FROM documents"""
+
+
+def sql_class_capped_sample(cap: int) -> str:
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash_bucket('doc_id')}, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {cap}"""
