@@ -23,6 +23,7 @@ from yelp_streaming_etl_pipeline_spark.functions.rounding import (
     sql_stable_round as SR,
     stable_round as ROUND,
 )
+from yelp_streaming_etl_pipeline_spark.operators import cdc as CDC
 from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
 from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
 from yelp_streaming_etl_pipeline_spark.operators import relational as REL
@@ -362,6 +363,24 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: the user's current state is their latest event
+    (ties broken by event_id)."""
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return CDC.compact_latest(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+def q_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over each user's event history: validity window per event."""
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return CDC.scd2_intervals(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to",
+        "is_current",
+    )
+
+
 SAMPLE_RATES = {"src0": 0.5, "src1": 0.25}
 SAMPLE_DEFAULT_RATE = 0.1
 SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
@@ -494,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "class_capped_sample": q_class_capped_sample,
+        "latest_event_per_user": q_latest_event_per_user,
+        "user_event_intervals": q_user_event_intervals,
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
@@ -907,6 +928,25 @@ FROM events c JOIN events p
  AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000"""
 
 
+def _sql_latest_event_per_user() -> str:
+    return """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn FROM events
+) WHERE rn = 1"""
+
+
+def _sql_user_event_intervals() -> str:
+    win = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER ({win}) AS valid_to,
+       (lead(ts) OVER ({win}) IS NULL) AS is_current
+FROM events"""
+
+
 def _sql_sessionize_stream() -> str:
     """Closed sessions emitted by the stream: every non-final session
     per user (closed by a later in-batch event), PLUS final sessions
@@ -1054,6 +1094,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_test_split": O.sql_train_test_split(SPLIT_WEIGHTS),
         "class_capped_sample": O.sql_class_capped_sample(CLASS_CAP),
+        "latest_event_per_user": _sql_latest_event_per_user(),
+        "user_event_intervals": _sql_user_event_intervals(),
         "simhash_signatures": O.sql_simhash(),
         "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),

@@ -233,3 +233,13 @@ def test_sampling_is_pure_map(spark):
         df = q(spark, SF)
         assert A.key_shuffle_exchanges(df) == 0, A.physical_plan(df)[:2000]
         assert not A.has_python_udf(df)
+
+
+def test_compact_latest_is_aggregate_not_window(spark):
+    # log compaction must plan as hash aggregate with map-side partial
+    # (shuffle carries <= one row per key per partition), never as a
+    # row_number window that sorts every version of every key
+    df = E.q_latest_event_per_user(spark, SF)
+    plan = A.physical_plan(df)
+    assert "Window" not in plan, plan[:3000]
+    assert A.key_shuffle_exchanges(df) == 1, plan[:3000]
