@@ -58,6 +58,14 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "purchase_prior_click",
+    "click_purchase_5min",
+    "dedup_clusters",
+    "stratified_sample",
+    "train_test_split",
+    "class_capped_sample",
+    "latest_event_per_user",
+    "user_event_intervals",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -445,12 +445,16 @@ def dedup_clusters(
     plan doubles every iteration. For web-scale graphs swap in the
     large-star/small-star variant; the loop shape is identical.
     """
+    # materialize the detected pairs ONCE, before anything scans them
+    # twice: the union below reads edges in both directions, and the
+    # per-round joins re-scan sym — without the checkpoints the full
+    # pair-detection pipeline (minhash + LSH + verify) re-runs per scan
     edges = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    )
+    ).localCheckpoint()
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -460,21 +464,26 @@ def dedup_clusters(
     for _ in range(max_iter):
         neighbor = sym.join(
             labels, sym["b"] == labels["node"]
-        ).select(sym["a"].alias("node"), "label")
-        new_labels = (
-            labels.unionByName(neighbor)
+        ).select(
+            sym["a"].alias("node"),
+            "label",
+            F.lit(None).cast(dict(labels.dtypes)["label"]).alias("old"),
+        )
+        # carry each node's previous label through the aggregate so
+        # convergence is a filter on the materialized result — no
+        # extra join per round
+        merged = (
+            labels.withColumn("old", F.col("label"))
+            .unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max("old").alias("old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
