@@ -159,9 +159,12 @@ def tfidf_keywords(
     variant is bit-exact everywhere and order-equivalent to log idf
     for ranking within a document when doc frequencies differ.
 
-    Scale shape: one shuffle for tf (doc, term), one for doc_freq
-    (term), a broadcast of the 1-row corpus count, and a per-doc
-    window over that doc's terms only."""
+    Scale shape: tokenize ONCE into tf (doc, term) — tf rows are
+    already the distinct (doc, term) pairs, so doc_freq is a count
+    over a term-partitioned window on tf, not a second tokenization +
+    groupBy + join. One shuffle for tf, one for the term window, a
+    broadcast of the 1-row corpus count, and a per-doc window over
+    that doc's terms only."""
     tokens = df.select(
         "doc_id",
         F.explode(
@@ -169,15 +172,11 @@ def tfidf_keywords(
         ).alias("term"),
     ).filter(F.length("term") > 0)
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    doc_freq = (
-        tokens.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("doc_freq"))
-    )
     total = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(doc_freq, "term")
+        tf.withColumn(
+            "doc_freq", F.count("*").over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(total))
         .withColumn(
             "score",
