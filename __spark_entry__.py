@@ -29,6 +29,7 @@ from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
 from yelp_streaming_etl_pipeline_spark.operators import relational as REL
 from yelp_streaming_etl_pipeline_spark.operators import sampling as SAMP
 from yelp_streaming_etl_pipeline_spark.operators import similarity as SIM
+from yelp_streaming_etl_pipeline_spark.operators import sketches as SK
 from yelp_streaming_etl_pipeline_spark.operators import stats as ST
 from yelp_streaming_etl_pipeline_spark.operators import text_analysis as TA
 from yelp_streaming_etl_pipeline_spark.sources.events import read_events
@@ -158,6 +159,14 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.returning_users(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_lapsed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.lapsed_users(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_sliding_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.sliding_hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,6 +390,18 @@ def q_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HyperLogLog register table over event ids — the
+    mergeable sketch itself, hash-compared register-for-register."""
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return SK.hll_registers(ev, F.col("event_id"))
+
+
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return SK.hll_estimate(SK.hll_registers(ev, F.col("event_id")))
+
+
 SAMPLE_RATES = {"src0": 0.5, "src1": 0.25}
 SAMPLE_DEFAULT_RATE = 0.1
 SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
@@ -486,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "props_extract": q_props_extract,
         "returning_users": q_returning_users,
+        "lapsed_users": q_lapsed_users,
+        "sliding_hourly_stats": q_sliding_hourly_stats,
         "top_bigrams": q_top_bigrams,
         "tfidf_keywords": q_tfidf_keywords,
         "pricing_summary": q_pricing_summary,
@@ -515,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
+        "hll_registers": q_hll_registers,
+        "hll_estimate": q_hll_estimate,
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
@@ -670,6 +695,28 @@ def _sql_returning_users() -> str:
 SELECT DISTINCT user_id FROM events WHERE day(ts) % 2 = 0
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE day(ts) % 2 = 1"""
+
+
+def _sql_lapsed_users() -> str:
+    return """
+SELECT DISTINCT user_id FROM events WHERE day(ts) % 2 = 0
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE day(ts) % 2 = 1"""
+
+
+def _sql_sliding_hourly_stats() -> str:
+    return f"""
+WITH fanout AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - (k * INTERVAL '15 minutes') AS window_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       count(*) AS n_events,
+       {SR('sum(value)', 2)} AS total_value
+FROM fanout GROUP BY window_start"""
 
 
 def _sql_top_bigrams(k: int = 20) -> str:
@@ -1065,6 +1112,8 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _sql_value_percentiles(),
         "props_extract": _sql_props_extract(),
         "returning_users": _sql_returning_users(),
+        "lapsed_users": _sql_lapsed_users(),
+        "sliding_hourly_stats": _sql_sliding_hourly_stats(),
         "top_bigrams": _sql_top_bigrams(),
         "tfidf_keywords": _sql_tfidf_keywords(),
         "pricing_summary": _sql_pricing_summary(),
@@ -1096,6 +1145,8 @@ def oracle_sql() -> dict[str, str]:
         "class_capped_sample": O.sql_class_capped_sample(CLASS_CAP),
         "latest_event_per_user": _sql_latest_event_per_user(),
         "user_event_intervals": _sql_user_event_intervals(),
+        "hll_registers": O.sql_hll_registers(),
+        "hll_estimate": O.sql_hll_estimate(),
         "simhash_signatures": O.sql_simhash(),
         "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),

@@ -66,6 +66,10 @@ HEADLINE = [
     "class_capped_sample",
     "latest_event_per_user",
     "user_event_intervals",
+    "hll_registers",
+    "hll_estimate",
+    "lapsed_users",
+    "sliding_hourly_stats",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

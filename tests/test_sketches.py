@@ -1,0 +1,47 @@
+"""Explicit-HLL behavior: accuracy envelope and sketch mergeability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators import sketches as SK
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    # m=256 -> standard error ~1.04/sqrt(256) = 6.5%; assert 3 sigma
+    for n in (500, 5000, 50000):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        est = SK.hll_estimate(SK.hll_registers(df, F.col("k"))).collect()[0][
+            "hll_estimate"
+        ]
+        assert abs(est - n) / n < 0.20, (n, est)
+
+
+def test_hll_registers_mergeable(spark):
+    # sketch(A ∪ B) == bucket-wise max of sketch(A), sketch(B) — the
+    # property that makes the 256-row shuffle sufficient at any scale
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("k"))
+    direct = {
+        (r["bucket"], r["max_rho"])
+        for r in SK.hll_registers(a.union(b), F.col("k")).collect()
+    }
+    merged = {
+        (r["bucket"], r["max_rho"])
+        for r in (
+            SK.hll_registers(a, F.col("k"))
+            .unionByName(SK.hll_registers(b, F.col("k")))
+            .groupBy("bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+        ).collect()
+    }
+    assert direct == merged
+
+
+def test_hll_insensitive_to_duplication(spark):
+    # distinct-count sketch must not move when rows repeat
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    dup = df.union(df).union(df)
+    one = SK.hll_estimate(SK.hll_registers(df, F.col("k"))).collect()[0][0]
+    three = SK.hll_estimate(SK.hll_registers(dup, F.col("k"))).collect()[0][0]
+    assert one == three

@@ -1,0 +1,91 @@
+"""Mergeable distributed sketches, oracle-checkable by construction.
+
+Spark's own approx_count_distinct is a HyperLogLog whose register
+layout is engine-internal — it cannot be cross-checked value-for-value
+against another engine. This module builds the sketch EXPLICITLY from
+md5 (the one hash both Spark and DuckDB evaluate identically), so the
+full register table is a deterministic DataFrame: the DuckDB oracle
+hash-compares every register, and the estimate is plain arithmetic
+over them.
+
+Scale shape: the register table IS the map-side-combinable state —
+``groupBy(bucket).agg(max(rho))`` shuffles at most m=256 rows per
+input partition regardless of input size, and two sketches merge by
+the same max. That is the whole point of HLL at 100 TB: a distinct
+count over any partitioning with a 256-row shuffle.
+
+Register derivation (identical in both engines, string-domain only):
+  h        = md5(cast(key as string))            32 hex chars
+  bucket   = first 2 hex chars -> 0..255         (b = 8 bits)
+  tail     = next 6 hex chars  -> 24-bit suffix
+  rho      = 1 + leading zero BITS of tail       (25 if tail == 0)
+leading zeros = 4 * (stripped leading '0' nibbles) + per-nibble CASE
+lookup on the first non-zero nibble — no base conversion, no log2,
+no float anywhere until the final estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+
+HLL_BUCKETS = 256  # b = 8 bits
+HLL_TAIL_HEX = 6  # 24-bit suffix
+_MAX_RHO = 4 * HLL_TAIL_HEX + 1
+
+# leading zero bits contributed by the first non-zero hex nibble
+_NIBBLE_LZ = {
+    "1": 3,
+    "2": 2, "3": 2,
+    "4": 1, "5": 1, "6": 1, "7": 1,
+    "8": 0, "9": 0, "a": 0, "b": 0, "c": 0, "d": 0, "e": 0, "f": 0,
+}
+
+
+def _rho(tail: Column) -> Column:
+    """1 + leading zero bits of the 6-hex-char tail (25 if zero)."""
+    stripped = F.regexp_replace(tail, "^0+", "")
+    nibble_zeros = (F.length(tail) - F.length(stripped)) * 4
+    first = F.substring(stripped, 1, 1)
+    head_zeros = F.lit(0)
+    for ch, lz in _NIBBLE_LZ.items():
+        head_zeros = F.when(first == ch, F.lit(lz)).otherwise(head_zeros)
+    return (
+        F.when(F.length(stripped) == 0, F.lit(_MAX_RHO))
+        .otherwise(nibble_zeros + head_zeros + 1)
+        .cast("int")
+    )
+
+
+def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+    """The sketch itself: (bucket, max_rho) — at most 256 rows, exact
+    integers, mergeable with any other sketch of the same layout by
+    bucket-wise max."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tail = F.substring(h, 3, HLL_TAIL_HEX)
+    return (
+        df.select(bucket.alias("bucket"), _rho(tail).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Raw HyperLogLog estimate (no small/large-range correction —
+    both engines compute the SAME formula, and the tolerance test vs
+    the exact count covers the regime the fixtures live in):
+    alpha_m * m^2 / (sum over ALL m registers of 2^-M_j), with absent
+    buckets contributing 2^0 = 1."""
+    m = HLL_BUCKETS
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
+        F.count("*").alias("present_buckets"),
+    )
+    harm = F.col("present_sum") + (F.lit(m) - F.col("present_buckets"))
+    return agg.select(
+        stable_round(F.lit(alpha) * m * m / harm, 2).alias("hll_estimate")
+    )

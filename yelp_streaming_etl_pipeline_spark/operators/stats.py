@@ -220,3 +220,41 @@ def returning_users(events: DataFrame) -> DataFrame:
         .distinct()
     )
     return even.intersect(odd)
+
+
+def lapsed_users(events: DataFrame) -> DataFrame:
+    """Set operation (EXCEPT): users active on even days of month but
+    never on odd days — the anti twin of returning_users, same
+    scale-independent split."""
+    even = (
+        events.filter(F.dayofmonth("ts") % 2 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    odd = (
+        events.filter(F.dayofmonth("ts") % 2 == 1)
+        .select("user_id")
+        .distinct()
+    )
+    return even.exceptAll(odd)
+
+
+def sliding_hourly_stats(events: DataFrame) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows advancing every 15
+    minutes — each event lands in exactly 4 windows. Spark's window()
+    does the fan-out BEFORE the shuffle (map-side explode), so the agg
+    is still one exchange keyed by window start; output scales with
+    |windows|, 4x the tumbling count, independent of input size."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -809,3 +809,48 @@ SELECT doc_id, lang FROM (
   FROM documents
 )
 WHERE rn <= {cap}"""
+
+
+# ---------------- explicit HLL sketch ----------------
+
+_HLL_RHO_CASE = """CASE WHEN len(stripped) = 0 THEN 25
+     ELSE (6 - len(stripped)) * 4
+          + CASE substr(stripped, 1, 1)
+              WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+              WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+              WHEN '7' THEN 1 ELSE 0 END
+          + 1 END"""
+
+_HLL_REGISTERS_CTE = f"""h AS (
+  SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events
+),
+parts AS (
+  SELECT ('0x' || substr(h, 1, 2))::INTEGER AS bucket,
+         regexp_replace(substr(h, 3, 6), '^0+', '') AS stripped
+  FROM h
+),
+regs AS (
+  SELECT bucket, max(CAST({_HLL_RHO_CASE} AS INTEGER)) AS max_rho
+  FROM parts GROUP BY bucket
+)"""
+
+
+def sql_hll_registers() -> str:
+    """Twin of operators/sketches.py:hll_registers over events."""
+    return f"""
+WITH {_HLL_REGISTERS_CTE}
+SELECT bucket, max_rho FROM regs"""
+
+
+def sql_hll_estimate() -> str:
+    # alpha * 256 * 256 precomputed: scaling by powers of two is exact
+    # in double, so this equals Spark's (alpha * 256) * 256 bit-for-bit;
+    # the float literal also keeps DuckDB out of DECIMAL arithmetic
+    scale = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+    est = (
+        f"CAST({scale!r} AS DOUBLE) / "
+        f"(sum(pow(2.0, -max_rho)) + (256 - count(*)))"
+    )
+    return f"""
+WITH {_HLL_REGISTERS_CTE}
+SELECT {sql_stable_round(est, 2)} AS hll_estimate FROM regs"""
