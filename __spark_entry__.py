@@ -390,6 +390,28 @@ def q_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowercased whitespace tokens of documents.text (the corpus the
+    count-min sketch counts)."""
+    return (
+        _t_cpu(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(TF.ws_trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.length("term") > 0)
+    )
+
+
+def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.cms_counters(_doc_tokens(spark, sf_dir), F.col("term"))
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.cms_heavy_hitters(_doc_tokens(spark, sf_dir), F.col("term"), 20)
+
+
 def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit HyperLogLog register table over event ids — the
     mergeable sketch itself, hash-compared register-for-register."""
@@ -540,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_intervals": q_user_event_intervals,
         "hll_registers": q_hll_registers,
         "hll_estimate": q_hll_estimate,
+        "cms_counters": q_cms_counters,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
@@ -1147,6 +1171,8 @@ def oracle_sql() -> dict[str, str]:
         "user_event_intervals": _sql_user_event_intervals(),
         "hll_registers": O.sql_hll_registers(),
         "hll_estimate": O.sql_hll_estimate(),
+        "cms_counters": O.sql_cms_counters(),
+        "cms_heavy_hitters": O.sql_cms_heavy_hitters(20),
         "simhash_signatures": O.sql_simhash(),
         "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),

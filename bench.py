@@ -68,6 +68,8 @@ HEADLINE = [
     "user_event_intervals",
     "hll_registers",
     "hll_estimate",
+    "cms_counters",
+    "cms_heavy_hitters",
     "lapsed_users",
     "sliding_hourly_stats",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in

@@ -45,3 +45,38 @@ def test_hll_insensitive_to_duplication(spark):
     one = SK.hll_estimate(SK.hll_registers(df, F.col("k"))).collect()[0][0]
     three = SK.hll_estimate(SK.hll_registers(dup, F.col("k"))).collect()[0][0]
     assert one == three
+
+
+def test_cms_never_undercounts(spark):
+    # est >= exact for EVERY term (the count-min guarantee), and the
+    # overcount is bounded in aggregate
+    rows = [(f"w{i % 50}",) for i in range(3000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["term"])
+    exact = {
+        r["term"]: r["n"]
+        for r in df.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r["term"]: r["est_count"]
+        for r in SK.cms_heavy_hitters(df, F.col("term"), k=100).collect()
+    }
+    assert est["hot"] >= 500
+    for t, e in est.items():
+        assert e >= exact[t], (t, e, exact[t])
+    # hot term dominates the estimates
+    assert max(est, key=est.get) == "hot"
+
+
+def test_cms_counters_merge_by_sum(spark):
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(200)], ["term"])
+    b = spark.createDataFrame([(f"a{i % 5}",) for i in range(300)], ["term"])
+    direct = {
+        (r["salt"], r["bucket"]): r["cnt"]
+        for r in SK.cms_counters(a.union(b), F.col("term")).collect()
+    }
+    merged = {}
+    for part in (a, b):
+        for r in SK.cms_counters(part, F.col("term")).collect():
+            k = (r["salt"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert direct == merged

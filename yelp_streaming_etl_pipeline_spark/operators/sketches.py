@@ -89,3 +89,82 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     return agg.select(
         stable_round(F.lit(alpha) * m * m / harm, 2).alias("hll_estimate")
     )
+
+
+CMS_DEPTH = 4  # independent salted hash rows
+CMS_HEX = 3  # 3 hex chars -> width 4096
+CMS_WIDTH = 16**CMS_HEX
+
+
+def _cms_bucket(term: Column, salt: int) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), term)), 1, CMS_HEX),
+        16,
+        10,
+    ).cast("int")
+
+
+def cms_counters(df: DataFrame, term: Column) -> DataFrame:
+    """Count-min counter table: (salt, bucket, cnt) — at most
+    depth*width rows of exact integers, mergeable by summing cnt.
+    One explode (depth rows per item, map-side) + one hash aggregate
+    whose map-side partials cap the shuffle at depth*width rows per
+    input partition."""
+    fanned = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        _cms_bucket(term, s).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    )
+    return (
+        fanned.select("sb.salt", "sb.bucket")
+        .groupBy("salt", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, term: Column, k: int = 20
+) -> DataFrame:
+    """Top-k terms by count-min ESTIMATE (min over the depth rows of
+    the term's counter). The estimate never undercounts; collisions
+    can overcount by ~N/width per row, which min() suppresses.
+
+    The candidate set here is the distinct terms themselves (the
+    fixtures fit); at 100 TB the sketch answers point queries for an
+    EXTERNAL candidate list without storing the term universe — the
+    join shape below is unchanged, only the left side shrinks."""
+    terms = df.select(term.alias("term")).distinct()
+    probes = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        _cms_bucket(F.col("term"), s).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb"),
+    ).select("term", "sb.salt", "sb.bucket")
+    counters = cms_counters(df, term)
+    est = (
+        probes.join(counters, ["salt", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    w = F.desc("est_count")
+    return (
+        est.orderBy(w, F.asc("term"))
+        .limit(k)
+        .select("term", "est_count")
+    )

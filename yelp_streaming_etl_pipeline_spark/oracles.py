@@ -854,3 +854,51 @@ def sql_hll_estimate() -> str:
     return f"""
 WITH {_HLL_REGISTERS_CTE}
 SELECT {sql_stable_round(est, 2)} AS hll_estimate FROM regs"""
+
+
+# ---------------- count-min sketch ----------------
+
+_CMS_TOKENS_CTE = """toks AS (
+  SELECT unnest(string_split_regex(
+    regexp_replace(regexp_replace(COALESCE(lower(text), ''), '^\\s+', ''),
+                   '\\s+$', ''),
+    '\\s+')) AS term
+  FROM documents
+),
+t AS (SELECT term FROM toks WHERE len(term) > 0),
+salts AS (SELECT unnest([0, 1, 2, 3]) AS salt),
+fan AS (
+  SELECT salt,
+         ('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || term), 1, 3))::INTEGER AS bucket
+  FROM t CROSS JOIN salts
+),
+counters AS (
+  SELECT salt, bucket, count(*) AS cnt FROM fan GROUP BY salt, bucket
+)"""
+
+
+def sql_cms_counters() -> str:
+    """Twin of operators/sketches.py:cms_counters over document
+    tokens (lowercased, ws_trim-tokenized like the Spark side)."""
+    return f"""
+WITH {_CMS_TOKENS_CTE}
+SELECT salt, bucket, cnt FROM counters"""
+
+
+def sql_cms_heavy_hitters(k: int = 20) -> str:
+    return f"""
+WITH {_CMS_TOKENS_CTE},
+terms AS (SELECT DISTINCT term FROM t),
+probes AS (
+  SELECT term, salt,
+         ('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || term), 1, 3))::INTEGER AS bucket
+  FROM terms CROSS JOIN salts
+),
+est AS (
+  SELECT term, min(cnt) AS est_count
+  FROM probes JOIN counters USING (salt, bucket)
+  GROUP BY term
+)
+SELECT term, est_count FROM est
+ORDER BY est_count DESC, term
+LIMIT {k}"""
