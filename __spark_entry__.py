@@ -372,6 +372,47 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (W2/A1 shape) run to
+    completion with trigger(availableNow) and APPEND output: only
+    windows finalized by the watermark are emitted. One-file fixture
+    -> one data batch, so the emitted set is deterministic: windows
+    whose end (ms) <= final watermark (max event time ms - 1 h)."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+
+    agg = (
+        read_events_stream(_ensure_conf(spark), sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            ROUND(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "hourly_windows_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_win_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log compaction: the user's current state is their latest event
     (ties broken by event_id)."""
@@ -550,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_prior_click": q_purchase_prior_click,
         "click_purchase_5min": q_click_purchase_5min,
         "sessionize_stream": q_sessionize_stream,
+        "windowed_events_stream": q_windowed_events_stream,
         "dedup_reviews": q_dedup_reviews,
         "duplicate_issues": q_duplicate_issues,
         "dedup_exact": q_dedup_exact,
@@ -999,6 +1041,27 @@ FROM events c JOIN events p
  AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000"""
 
 
+def _sql_windowed_events_stream() -> str:
+    """Append-mode emission = hourly agg restricted to windows closed
+    by the final watermark (max event ms - 1 h; Spark tracks event
+    times in ms)."""
+    we_ms = (
+        "(epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')"
+        " // 1000)"
+    )
+    return f"""
+WITH wm AS (
+  SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       count(*) AS n_events,
+       {SR('sum(value)', 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING {we_ms} <= (SELECT wm_ms FROM wm)"""
+
+
 def _sql_latest_event_per_user() -> str:
     return """
 SELECT user_id, event_id, ts, event_type FROM (
@@ -1157,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_prior_click": _sql_purchase_prior_click(),
         "click_purchase_5min": _sql_click_purchase_5min(),
         "sessionize_stream": _sql_sessionize_stream(),
+        "windowed_events_stream": _sql_windowed_events_stream(),
         "dedup_reviews": _sql_dedup_reviews(),
         "duplicate_issues": _sql_duplicate_issues(),
         "dedup_exact": O.sql_dedup_exact(),
