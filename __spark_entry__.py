@@ -445,6 +445,11 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return SK.value_histogram(ev, F.col("value"))
+
+
 def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_counters(_doc_tokens(spark, sf_dir), F.col("term"))
 
@@ -606,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate": q_hll_estimate,
         "cms_counters": q_cms_counters,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "value_histogram": q_value_histogram,
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
@@ -1062,6 +1068,22 @@ GROUP BY 1, 2
 HAVING {we_ms} <= (SELECT wm_ms FROM wm)"""
 
 
+def _sql_value_histogram() -> str:
+    return f"""
+WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+binned AS (
+  SELECT least(31, CAST(floor((value - vmin) / ((vmax - vmin) / 32))
+                   AS INTEGER)) AS bin,
+         vmin, (vmax - vmin) / 32 AS step
+  FROM events CROSS JOIN b
+)
+SELECT bin,
+       {SR('vmin + bin * step', 6)} AS lo,
+       {SR('vmin + (bin + 1) * step', 6)} AS hi,
+       count(*) AS n
+FROM binned GROUP BY bin, vmin, step"""
+
+
 def _sql_latest_event_per_user() -> str:
     return """
 SELECT user_id, event_id, ts, event_type FROM (
@@ -1237,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_estimate": O.sql_hll_estimate(),
         "cms_counters": O.sql_cms_counters(),
         "cms_heavy_hitters": O.sql_cms_heavy_hitters(20),
+        "value_histogram": _sql_value_histogram(),
         "simhash_signatures": O.sql_simhash(),
         "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),

@@ -70,6 +70,7 @@ HEADLINE = [
     "hll_estimate",
     "cms_counters",
     "cms_heavy_hitters",
+    "value_histogram",
     "lapsed_users",
     "sliding_hourly_stats",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in

@@ -80,3 +80,39 @@ def test_cms_counters_merge_by_sum(spark):
             k = (r["salt"], r["bucket"])
             merged[k] = merged.get(k, 0) + r["cnt"]
     assert direct == merged
+
+
+def test_histogram_quantile_tracks_exact(spark):
+    df = spark.range(10000).select(
+        ((F.col("id") * 37) % 1000).cast("double").alias("v")
+    )
+    hist = sorted(
+        SK.value_histogram(df, F.col("v")).collect(), key=lambda r: r["bin"]
+    )
+    total = sum(r["n"] for r in hist)
+    assert total == 10000
+    # estimate the median from the cumulative histogram (bin midpoint)
+    acc = 0
+    for r in hist:
+        acc += r["n"]
+        if acc >= total / 2:
+            est = (r["lo"] + r["hi"]) / 2
+            break
+    exact = df.selectExpr("percentile(v, 0.5) AS m").collect()[0]["m"]
+    span = hist[-1]["hi"] - hist[0]["lo"]
+    assert abs(est - exact) <= span / SK.HIST_BINS, (est, exact)
+
+
+def test_histogram_merge_by_sum(spark):
+    # same bin edges (same global range in both halves) -> merge = sum
+    a = spark.range(0, 4000).select((F.col("id") % 1000).cast("double").alias("v"))
+    b = spark.range(0, 3000).select((F.col("id") % 1000).cast("double").alias("v"))
+    direct = {
+        r["bin"]: r["n"]
+        for r in SK.value_histogram(a.union(b), F.col("v")).collect()
+    }
+    merged = {}
+    for part in (a, b):
+        for r in SK.value_histogram(part, F.col("v")).collect():
+            merged[r["bin"]] = merged.get(r["bin"], 0) + r["n"]
+    assert direct == merged

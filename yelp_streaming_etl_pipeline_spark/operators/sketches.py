@@ -168,3 +168,41 @@ def cms_heavy_hitters(
         .limit(k)
         .select("term", "est_count")
     )
+
+
+HIST_BINS = 32
+
+
+def value_histogram(df: DataFrame, value: Column) -> DataFrame:
+    """Equi-width histogram sketch: (bin, lo, hi, n) over the value's
+    observed range — mergeable by summing n (same range), deterministic
+    both engines (bin edges derive from min/max by the same float ops
+    in the same order). Two aggregates: a 1-row min/max broadcast,
+    then one hash aggregate on the bin id. The quantile-from-histogram
+    estimate lives in tests — the sketch itself is the contract."""
+    bounds = df.agg(
+        F.min(value).alias("vmin"), F.max(value).alias("vmax")
+    )
+    step = (F.col("vmax") - F.col("vmin")) / HIST_BINS
+    binned = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((value - F.col("vmin")) / step).cast("int"),
+        ).alias("bin"),
+        F.col("vmin"),
+        step.alias("step"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("vmin").alias("vmin"),
+            F.first("step").alias("step"),
+        )
+        .select(
+            "bin",
+            stable_round(F.col("vmin") + F.col("bin") * F.col("step"), 6).alias("lo"),
+            stable_round(F.col("vmin") + (F.col("bin") + 1) * F.col("step"), 6).alias("hi"),
+            "n",
+        )
+    )
