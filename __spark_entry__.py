@@ -460,13 +460,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit HyperLogLog register table over event ids — the
-    mergeable sketch itself, hash-compared register-for-register."""
-    ev = read_events(_ensure_conf(spark), sf_dir)
+    mergeable sketch itself, hash-compared register-for-register.
+    Spread read: md5-per-row is CPU-bound and keys off event_id only
+    (no timestamp semantics), so the single-split fixture scan is
+    round-robined across cores."""
+    ev = _t_cpu(spark, sf_dir, "events")
     return SK.hll_registers(ev, F.col("event_id"))
 
 
 def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events(_ensure_conf(spark), sf_dir)
+    ev = _t_cpu(spark, sf_dir, "events")
     return SK.hll_estimate(SK.hll_registers(ev, F.col("event_id")))
 
 
