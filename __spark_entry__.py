@@ -265,12 +265,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the same user's most recent
-    click at-or-before it (right side deduped per (user, ts))."""
+    click at-or-before it (same-timestamp ties -> max event_id,
+    resolved inside the window sort — no pre-dedup shuffle)."""
     ev = read_events(_ensure_conf(spark), sf_dir)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("event_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"

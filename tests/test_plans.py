@@ -212,7 +212,7 @@ def test_asof_join_is_single_window_pass(spark):
     # join operator at all (the naive theta-join would BNL-explode)
     df = E.q_purchase_prior_click(spark, SF)
     plan = A.physical_plan(df)
-    assert A.key_shuffle_exchanges(df) <= 2, plan[:3000]
+    assert A.key_shuffle_exchanges(df) == 1, plan[:3000]
     assert "NestedLoop" not in plan, plan[:3000]
     assert not A.has_python_udf(df)
 

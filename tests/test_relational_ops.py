@@ -36,6 +36,23 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert got[102] == (None, None)
 
 
+def test_asof_join_right_tie_break(spark):
+    # two clicks at the identical (user, ts): the max event_id wins,
+    # deterministically, without any pre-dedup of the right side
+    left = spark.createDataFrame(
+        [(1, 1, _ts(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, 1, _ts(10)), (9, 1, _ts(10)), (7, 1, _ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = REL.asof_join(
+        left, right.select("user_id", "ts", "event_id"), "user_id",
+        right_cols=("event_id",),
+    ).collect()
+    assert out[0]["prior_event_id"] == 9
+
+
 def test_asof_join_no_cross_key_leak(spark):
     left = spark.createDataFrame(
         [(1, 1, _ts(30))], "event_id long, user_id long, ts timestamp"

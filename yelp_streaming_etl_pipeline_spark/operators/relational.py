@@ -321,8 +321,10 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: attach to each left row the right row with the
     greatest ``right_ts <= left_ts`` for the same key (inclusive).
-    The right side must be unique per (key, right_ts) — pre-aggregate
-    it if it isn't, or the carried payload is nondeterministic.
+    Duplicate right rows per (key, right_ts) are broken by the
+    ``right_cols`` values themselves (the max wins) — the window sort
+    includes them, so no pre-dedup aggregation (and no second
+    shuffle) is needed.
 
     Scale shape: union both sides, then ONE shuffle on the key and a
     single sorted window pass with ``last(..., ignorenulls=True)`` —
@@ -346,12 +348,12 @@ def asof_join(
         .withColumn("__side", F.lit(0))
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
+    carried = [prefix + c for c in right_cols] + [prefix + "ts"]
     w = (
         Window.partitionBy(key_col)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", *[prefix + c for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [prefix + c for c in right_cols] + [prefix + "ts"]
     filled = u.select(
         *[c for c in l2.columns if c not in ("__side",)],
         F.col("__side"),
