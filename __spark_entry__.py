@@ -500,6 +500,15 @@ def q_class_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+PPS_SCALE = 400.0
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SAMP.pps_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id", PPS_SCALE
+    ).select("doc_id", "n_chars")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.minhash_lsh_pairs(
         _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", 0.5
@@ -607,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "class_capped_sample": q_class_capped_sample,
+        "pps_sample": q_pps_sample,
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         "hll_registers": q_hll_registers,
@@ -1255,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_test_split": O.sql_train_test_split(SPLIT_WEIGHTS),
         "class_capped_sample": O.sql_class_capped_sample(CLASS_CAP),
+        "pps_sample": O.sql_pps_sample(PPS_SCALE),
         "latest_event_per_user": _sql_latest_event_per_user(),
         "user_event_intervals": _sql_user_event_intervals(),
         "hll_registers": O.sql_hll_registers(),

@@ -86,3 +86,22 @@ def test_class_capped_sample(spark):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_pps_sample_rate_proportional_to_weight(spark):
+    # weight w kept with probability ~w/scale; heavy rows kept more
+    rows = [(i, 100 if i < 1000 else 900) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = SAMP.pps_sample(df, "w", "doc_id", 1000.0)
+    kept = out.groupBy("w").agg(F.count("*").alias("n")).collect()
+    by_w = {r["w"]: r["n"] for r in kept}
+    # expect ~10% of light (100) and ~90% of heavy (900) rows
+    assert 50 <= by_w.get(100, 0) <= 160
+    assert 820 <= by_w.get(900, 0) <= 960
+    # determinism: identical second draw
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in SAMP.pps_sample(df, "w", "doc_id", 1000.0).collect()
+    )
+    assert ids1 == ids2

@@ -105,3 +105,21 @@ def class_capped_sample(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    scale: float,
+) -> DataFrame:
+    """Probability-proportional-to-size sampling: a row survives with
+    probability min(1, weight/scale), decided by its hash bucket —
+    deterministic like the other samplers (longer documents are kept
+    more often, but the same document always gets the same answer).
+    Zero-shuffle per-row map."""
+    rate = F.least(
+        F.lit(1.0), F.col(weight_col).cast("double") / F.lit(float(scale))
+    )
+    threshold = F.floor(rate * HASH_BUCKETS)
+    return df.filter(hash_bucket(F.col(key_col)) < threshold)

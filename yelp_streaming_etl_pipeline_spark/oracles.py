@@ -902,3 +902,12 @@ est AS (
 SELECT term, est_count FROM est
 ORDER BY est_count DESC, term
 LIMIT {k}"""
+
+
+def sql_pps_sample(scale: float) -> str:
+    """Twin of operators/sampling.py:pps_sample over documents
+    weighted by n_chars."""
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {_sql_hash_bucket('doc_id')}
+      < floor(least(1.0, CAST(n_chars AS DOUBLE) / {float(scale)!r}) * 10000)"""
