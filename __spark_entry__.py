@@ -544,6 +544,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.lsh_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0)
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_cpu(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
@@ -630,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
@@ -1279,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": O.sql_text_analysis(),
         "ann_cosine_topk": O.sql_ann_topk(),
         "ann_lsh_topk": O.sql_ann_lsh_topk(),
+        "ann_lsh_multiprobe": O.sql_ann_lsh_multiprobe_topk(),
         "ann_ivf_topk": O.sql_ann_ivf_topk(),
         "embedding_neardup": O.sql_embedding_neardup(0.99),
         "media_features": _sql_media_features(),

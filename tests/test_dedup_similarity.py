@@ -167,3 +167,28 @@ def test_embedding_neardup_pairs(spark):
     keys = {(r["vec_a"], r["vec_b"]) for r in pairs}
     assert (29, 100029) in keys  # exact copy
     assert (29, 200029) in keys  # jittered copy still > 0.99
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    base = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = base.filter(F.col("vec_id") < 4)
+    single = SIM.lsh_bucketed_topk(base, qs, k=3, dim=8)
+    multi = SIM.lsh_multiprobe_topk(base, qs, k=3, dim=8)
+    exact = SIM.cosine_topk(base, qs, k=3)
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = hits(exact)
+    rec_single = len(hits(single) & truth)
+    rec_multi = len(hits(multi) & truth)
+    # probing hamming-1 buckets can only widen the candidate set
+    assert rec_multi >= rec_single
+    # and per query the top-1 similarity never degrades
+    top1_s = {r["query_id"]: r["cosine_sim"] for r in single.collect() if r["rank"] == 1}
+    top1_m = {r["query_id"]: r["cosine_sim"] for r in multi.collect() if r["rank"] == 1}
+    for qid, s in top1_s.items():
+        assert top1_m.get(qid, -2.0) >= s

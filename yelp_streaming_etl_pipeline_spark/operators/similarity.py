@@ -336,3 +336,73 @@ def cosine_neardup_pairs(
             stable_round(F.col("sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+def _flip_bit(bucket: Column, i: int, n: int) -> Column:
+    ch = F.substring(bucket, i + 1, 1)
+    flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, n - i - 1)
+    )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe LSH top-k: each query probes its own bucket AND all
+    hamming-1 neighbors (one flipped hyperplane sign), trading
+    (n_planes+1)x more candidate comparisons for the recall lost to
+    near-boundary projections. The probe fan-out happens on the tiny
+    QUERY side (explode before the broadcast); the corpus is still
+    scanned once with one bucket key per vector — at scale the join
+    stays an equi-join on the bucket, so cost grows with probes x
+    per-bucket size, never with corpus x queries."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("qb"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("qb"),
+                    *[
+                        _flip_bit(F.col("qb"), i, n_planes)
+                        for i in range(n_planes)
+                    ],
+                )
+            ),
+        )
+        .drop("qb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )

@@ -911,3 +911,45 @@ def sql_pps_sample(scale: float) -> str:
 SELECT doc_id, n_chars FROM documents
 WHERE {_sql_hash_bucket('doc_id')}
       < floor(least(1.0, CAST(n_chars AS DOUBLE) / {float(scale)!r}) * 10000)"""
+
+
+def sql_ann_lsh_multiprobe_topk(
+    k: int = 5, dim: int = 64, n_planes: int = 8
+) -> str:
+    """Twin of operators/similarity.py:lsh_multiprobe_topk — the query
+    bucket plus every hamming-1 flip, then the same bucket equi-join."""
+    sim = sql_cosine("cv", "qv", dim)
+    flips = ["qb"]
+    for i in range(n_planes):
+        flips.append(
+            f"substr(qb, 1, {i}) || "
+            f"(CASE WHEN substr(qb, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr(qb, {i + 2}, {n_planes - i - 1})"
+        )
+    probe_list = ", ".join(flips)
+    return f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {sql_bucket_expr('embedding', dim, n_planes)} AS qb
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+q AS (
+  SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM q0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {sql_bucket_expr('embedding', dim, n_planes)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {sim} AS sim
+  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id,
+       {sql_stable_round('sim', 6)} AS cosine_sim
+FROM r WHERE rank <= {k}"""
