@@ -57,6 +57,7 @@ HEADLINE = [
     "text_analysis",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "purchase_prior_click",
     "click_purchase_5min",
