@@ -198,7 +198,10 @@ def minhash_lsh_pairs(
     )
     banded = base.select(
         "doc_id", "shingles", F.explode(lsh_band_keys(F.col("sig"))).alias("band_key")
-    ).cache()  # scanned twice by the self-join; tiny (n_docs * n_bands rows)
+    ).cache()  # scanned twice by the self-join; REMOVING this doubles
+    # the whole corpus+signature lineage (measured ~2x slower — beware
+    # that same-session A/B tests of "no cache" are invalid, the cache
+    # manager substitutes cached data into matching uncached plans)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
