@@ -449,6 +449,11 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.value_histogram(ev, F.col("value"))
 
 
+def q_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return SK.histogram_median(SK.value_histogram(ev, F.col("value")))
+
+
 def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_counters(_doc_tokens(spark, sf_dir), F.col("term"))
 
@@ -631,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q_cms_counters,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "value_histogram": q_value_histogram,
+        "histogram_median": q_histogram_median,
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "neardup_ngram": q_neardup_ngram,
@@ -1104,6 +1110,17 @@ SELECT bin,
 FROM binned GROUP BY bin, vmin, step"""
 
 
+def _sql_histogram_median() -> str:
+    return f"""
+WITH hist AS ({_sql_value_histogram()}),
+c AS (
+  SELECT *, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS total
+  FROM hist
+)
+SELECT {SR('(lo + hi) / 2.0', 6)} AS median_est
+FROM c WHERE cum * 2 >= total ORDER BY bin LIMIT 1"""
+
+
 def _sql_latest_event_per_user() -> str:
     return """
 SELECT user_id, event_id, ts, event_type FROM (
@@ -1281,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counters": O.sql_cms_counters(),
         "cms_heavy_hitters": O.sql_cms_heavy_hitters(20),
         "value_histogram": _sql_value_histogram(),
+        "histogram_median": _sql_histogram_median(),
         "simhash_signatures": O.sql_simhash(),
         "simhash_pairs": O.sql_simhash_pairs(),
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),

@@ -206,3 +206,30 @@ def value_histogram(df: DataFrame, value: Column) -> DataFrame:
             "n",
         )
     )
+
+
+def histogram_median(hist: DataFrame) -> DataFrame:
+    """Median estimate from the histogram sketch: midpoint of the
+    first bin where the cumulative count crosses half the total.
+    Runs over the <= HIST_BINS-row sketch, so the unpartitioned
+    window is a non-issue at any input scale."""
+    from pyspark.sql import Window
+
+    cum = F.sum("n").over(
+        Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        hist.withColumn("cum", cum)
+        .withColumn("total", total)
+        .filter(F.col("cum") * 2 >= F.col("total"))
+        .orderBy("bin")
+        .limit(1)
+        .select(
+            stable_round((F.col("lo") + F.col("hi")) / 2.0, 6).alias(
+                "median_est"
+            )
+        )
+    )
