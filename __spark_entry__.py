@@ -361,6 +361,42 @@ def q_duplicate_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return issues
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 streaming dedup (applyInPandasWithState, 2-h event-time TTL)
+    run to completion over the replayed-duplicate corpus. The corpus
+    is staged as ONE parquet file so trigger(availableNow) sees a
+    single micro-batch — the state function sorts each key's rows by
+    (source, ingestion_timestamp), so every row's first/duplicate tag
+    is deterministic and matches the batch oracle's ranking."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.streaming.stateful import (
+        dedup_reviews_stream,
+    )
+
+    corpus = _dup_review_corpus(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dup_corpus_")
+    corpus.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    name = "dedup_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup_reviews_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dd_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "review_id", "date", "business_id", "source", "is_duplicate"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_doc_corpus(spark, sf_dir), "text", "doc_id")
 
@@ -622,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events_stream": q_windowed_events_stream,
         "dedup_reviews": q_dedup_reviews,
         "duplicate_issues": q_duplicate_issues,
+        "dedup_stream": q_dedup_stream,
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1208,6 +1245,15 @@ def _sql_dedup_reviews() -> str:
     )
 
 
+def _sql_dedup_stream() -> str:
+    return (
+        f"WITH reviews AS ({O.SYNTH_REVIEWS_SQL}), {_DUP_RANKED_CTE.lstrip()} "
+        f"SELECT review_id, date, business_id, source, "
+        f"CASE WHEN rn = 1 THEN 'first' ELSE 'duplicate' END AS is_duplicate "
+        f"FROM ranked"
+    )
+
+
 def _sql_duplicate_issues() -> str:
     now = f"TIMESTAMP '{NOW_LITERAL}'"
     return f"""
@@ -1282,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events_stream": _sql_windowed_events_stream(),
         "dedup_reviews": _sql_dedup_reviews(),
         "duplicate_issues": _sql_duplicate_issues(),
+        "dedup_stream": _sql_dedup_stream(),
         "dedup_exact": O.sql_dedup_exact(),
         "neardup_minhash": O.sql_minhash_lsh_pairs(0.5),
         "dedup_clusters": O.sql_dedup_clusters(0.5),
