@@ -557,6 +557,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_clusters(pairs)
 
 
+def q_dedup_corpus_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline in one plan: detect near-dup pairs
+    (MinHash+LSH), resolve transitive clusters (label propagation),
+    prune every non-survivor (left_anti), report kept rows per source
+    — the complete corpus-dedup shape a training pipeline runs."""
+    corpus = _doc_corpus_cpu(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", 0.5)
+    losers = (
+        DD.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = corpus.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_table(_doc_corpus_cpu(spark, sf_dir), "text", "doc_id")
 
@@ -662,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus_prune": q_dedup_corpus_prune,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "class_capped_sample": q_class_capped_sample,
@@ -1332,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": O.sql_dedup_exact(),
         "neardup_minhash": O.sql_minhash_lsh_pairs(0.5),
         "dedup_clusters": O.sql_dedup_clusters(0.5),
+        "dedup_corpus_prune": O.sql_dedup_corpus_prune(0.5),
         "stratified_sample": O.sql_stratified_sample(
             SAMPLE_RATES, SAMPLE_DEFAULT_RATE
         ),

@@ -953,3 +953,19 @@ r AS (
 SELECT query_id, rank, neighbor_id,
        {sql_stable_round('sim', 6)} AS cosine_sim
 FROM r WHERE rank <= {k}"""
+
+
+def sql_dedup_corpus_prune(threshold: float = 0.5) -> str:
+    """End-to-end dedup twin: cluster non-survivors removed from the
+    synthetic corpus, kept counts per source. The recursive-CTE
+    cluster query runs as a derived table."""
+    clusters = sql_dedup_clusters(threshold)
+    return f"""
+WITH corpus AS ({NEAR_DUP_CORPUS_SQL}),
+losers AS (
+  SELECT doc_id FROM ({clusters}) WHERE doc_id != cluster_id
+)
+SELECT source, count(*) AS n_kept
+FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY source"""
