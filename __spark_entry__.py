@@ -20,6 +20,10 @@ from yelp_streaming_etl_pipeline_spark import oracles as O
 from yelp_streaming_etl_pipeline_spark.functions import language as LANG
 from yelp_streaming_etl_pipeline_spark.functions import text_features as TF
 from yelp_streaming_etl_pipeline_spark.functions.rounding import (
+    exact_sum,
+    sql_exact_avg as XA,
+    sql_exact_sum as XS,
+    sql_exact_sum_over as XSO,
     sql_stable_round as SR,
     stable_round as ROUND,
 )
@@ -426,7 +430,7 @@ def q_windowed_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(
             F.count("*").alias("n_events"),
-            ROUND(F.sum("value"), 2).alias("total_value"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -636,57 +640,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order matters: the driver evaluates the FIRST 50 entries.
+
+    Ordering policy (round 2): (a) the 14 entries the round-1 driver
+    never reached, (b) everything whose values changed this round
+    (order-independent aggregation sweep), (c) streaming/stateful and
+    multi-stage queries worth continuous re-verification. Entries past
+    position 50 are unchanged since their green CORRECTNESS_r01 rows.
+    """
     return {
-        "text_features": q_text_features,
-        "lang_id": q_lang_id,
-        "clean_reviews": q_clean_reviews,
-        "quality_issues": q_quality_issues,
-        "issue_counts": q_issue_counts,
-        "acceptance_summary": q_acceptance_summary,
-        "review_stats": q_review_stats,
-        "events_hourly": q_events_hourly,
-        "distinct_daily_users": q_distinct_daily_users,
-        "event_type_pivot": q_event_type_pivot,
-        "value_percentiles": q_value_percentiles,
-        "props_extract": q_props_extract,
-        "returning_users": q_returning_users,
-        "lapsed_users": q_lapsed_users,
-        "sliding_hourly_stats": q_sliding_hourly_stats,
-        "top_bigrams": q_top_bigrams,
-        "tfidf_keywords": q_tfidf_keywords,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_customers": q_top_customers,
-        "customers_without_orders": q_customers_without_orders,
-        "parts_with_shipments": q_parts_with_shipments,
-        "supplier_running_revenue": q_supplier_running_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
-        "customer_quartiles": q_customer_quartiles,
-        "top_orders_per_segment": q_top_orders_per_segment,
-        "salted_event_counts": q_salted_event_counts,
-        "numeric_profile": q_numeric_profile,
-        "order_priority_counts": q_order_priority_counts,
-        "sessionize_events": q_sessionize_events,
-        "purchase_prior_click": q_purchase_prior_click,
-        "click_purchase_5min": q_click_purchase_5min,
-        "sessionize_stream": q_sessionize_stream,
-        "windowed_events_stream": q_windowed_events_stream,
-        "dedup_reviews": q_dedup_reviews,
-        "duplicate_issues": q_duplicate_issues,
-        "dedup_stream": q_dedup_stream,
-        "dedup_exact": q_dedup_exact,
-        "neardup_minhash": q_neardup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_corpus_prune": q_dedup_corpus_prune,
-        "stratified_sample": q_stratified_sample,
-        "train_test_split": q_train_test_split,
-        "class_capped_sample": q_class_capped_sample,
-        "pps_sample": q_pps_sample,
-        "latest_event_per_user": q_latest_event_per_user,
-        "user_event_intervals": q_user_event_intervals,
-        "hll_registers": q_hll_registers,
-        "hll_estimate": q_hll_estimate,
+        # (a) driver-unchecked in round 1 — must land in the window
         "cms_counters": q_cms_counters,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "value_histogram": q_value_histogram,
@@ -701,6 +664,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        # (b) values changed this round (rounding-determinism sweep /
+        # HLL correction) — re-verify
+        "review_stats": q_review_stats,
+        "acceptance_summary": q_acceptance_summary,
+        "props_extract": q_props_extract,
+        "sessionize_events": q_sessionize_events,
+        "hll_registers": q_hll_registers,
+        "hll_estimate": q_hll_estimate,
+        "events_hourly": q_events_hourly,
+        "sliding_hourly_stats": q_sliding_hourly_stats,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "supplier_running_revenue": q_supplier_running_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "customer_quartiles": q_customer_quartiles,
+        "salted_event_counts": q_salted_event_counts,
+        "numeric_profile": q_numeric_profile,
+        "windowed_events_stream": q_windowed_events_stream,
+        # (c) gauntlet family + streaming/stateful + multi-stage
+        "lang_id": q_lang_id,
+        "clean_reviews": q_clean_reviews,
+        "quality_issues": q_quality_issues,
+        "issue_counts": q_issue_counts,
+        "sessionize_stream": q_sessionize_stream,
+        "dedup_stream": q_dedup_stream,
+        "dedup_reviews": q_dedup_reviews,
+        "duplicate_issues": q_duplicate_issues,
+        "dedup_exact": q_dedup_exact,
+        "neardup_minhash": q_neardup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus_prune": q_dedup_corpus_prune,
+        "stratified_sample": q_stratified_sample,
+        "train_test_split": q_train_test_split,
+        "class_capped_sample": q_class_capped_sample,
+        "pps_sample": q_pps_sample,
+        "purchase_prior_click": q_purchase_prior_click,
+        "click_purchase_5min": q_click_purchase_5min,
+        # ---- position > 50: unchanged since green CORRECTNESS_r01 ----
+        "text_features": q_text_features,
+        "distinct_daily_users": q_distinct_daily_users,
+        "event_type_pivot": q_event_type_pivot,
+        "value_percentiles": q_value_percentiles,
+        "returning_users": q_returning_users,
+        "lapsed_users": q_lapsed_users,
+        "top_bigrams": q_top_bigrams,
+        "tfidf_keywords": q_tfidf_keywords,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_shipments": q_parts_with_shipments,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "order_priority_counts": q_order_priority_counts,
+        "latest_event_per_user": q_latest_event_per_user,
+        "user_event_intervals": q_user_event_intervals,
     }
 
 
@@ -748,8 +765,7 @@ WITH {O.gauntlet_cte()}
 SELECT count(*) AS processed,
   sum(CASE WHEN fatal_stage IS NULL THEN 1 ELSE 0 END) AS accepted,
   sum(CASE WHEN fatal_stage IS NOT NULL THEN 1 ELSE 0 END) AS rejected,
-  (CAST(floor((sum(CASE WHEN fatal_stage IS NULL THEN 1.0 ELSE 0.0 END)
-        / count(*) * 100.0) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS acceptance_rate_pct
+  {SR('CAST(sum(CASE WHEN fatal_stage IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 100.0', 6)} AS acceptance_rate_pct
 FROM staged"""
 
 
@@ -781,7 +797,7 @@ SELECT
   count(*) AS total_reviews,
   sum(CASE WHEN is_accepted THEN 1 ELSE 0 END) AS valid_reviews,
   sum(CASE WHEN is_accepted THEN 0 ELSE 1 END) AS rejected_reviews,
-  (CAST(floor(avg(CASE WHEN is_accepted THEN dq END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_quality_score,
+  {XA('CASE WHEN is_accepted THEN dq END', 6)} AS avg_quality_score,
   sum(CASE WHEN fatal_stage = 5 THEN 1 ELSE 0 END) AS spam_count,
   sum(CASE WHEN has_wrong_lang THEN 1 ELSE 0 END) AS wrong_language_count,
   sum(CASE WHEN is_accepted AND rating >= 1.0 AND rating < 2.0 THEN 1 ELSE 0 END) AS rating_1_count,
@@ -789,19 +805,19 @@ SELECT
   sum(CASE WHEN is_accepted AND rating >= 3.0 AND rating < 4.0 THEN 1 ELSE 0 END) AS rating_3_count,
   sum(CASE WHEN is_accepted AND rating >= 4.0 AND rating < 5.0 THEN 1 ELSE 0 END) AS rating_4_count,
   sum(CASE WHEN is_accepted AND rating >= 5.0 AND rating < 6.0 THEN 1 ELSE 0 END) AS rating_5_count,
-  (CAST(floor(avg(CASE WHEN is_accepted THEN rating END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_rating,
-  (CAST(floor(avg(CASE WHEN is_accepted THEN wc END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_word_count,
-  (CAST(floor(avg(CASE WHEN is_accepted THEN sc END) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_sentence_count
+  {XA('CASE WHEN is_accepted THEN rating END', 6)} AS avg_rating,
+  {XA('CASE WHEN is_accepted THEN wc END', 6)} AS avg_word_count,
+  {XA('CASE WHEN is_accepted THEN sc END', 6)} AS avg_sentence_count
 FROM scored
 GROUP BY 1, 2, 3"""
 
 
 def _sql_events_hourly() -> str:
-    return """
+    return f"""
 SELECT date_trunc('hour', ts) AS window_start,
        count(*) AS total,
-       (CAST(floor(sum(value) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS total_value,
-       (CAST(floor(avg(value) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_value
+       {XS('value', 2)} AS total_value,
+       {XA('value', 6)} AS avg_value
 FROM events GROUP BY 1 ORDER BY 1"""
 
 
@@ -838,7 +854,7 @@ def _sql_props_extract() -> str:
     k = "CAST(props->>'k' AS BIGINT)"
     return f"""
 SELECT event_type, count(*) AS n, sum({k}) AS sum_k,
-       {SR(f'avg({k})', 6)} AS avg_k
+       {SR(f'CAST(sum({k}) AS DOUBLE) / count({k})', 6)} AS avg_k
 FROM events GROUP BY event_type"""
 
 
@@ -867,7 +883,7 @@ WITH fanout AS (
 SELECT window_start,
        window_start + INTERVAL '1 hour' AS window_end,
        count(*) AS n_events,
-       {SR('sum(value)', 2)} AS total_value
+       {XS('value', 2)} AS total_value
 FROM fanout GROUP BY window_start"""
 
 
@@ -926,13 +942,13 @@ _REV = "l_extendedprice * (1 - l_discount)"
 def _sql_pricing_summary() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-  {SR('sum(l_quantity)', 2)} AS sum_qty,
-  {SR('sum(l_extendedprice)', 2)} AS sum_base_price,
-  {SR(f'sum({_REV})', 4)} AS sum_disc_price,
-  {SR(f'sum({_REV} * (1 + l_tax))', 6)} AS sum_charge,
-  {SR('avg(l_quantity)', 6)} AS avg_qty,
-  {SR('avg(l_extendedprice)', 6)} AS avg_price,
-  {SR('avg(l_discount)', 6)} AS avg_disc,
+  {XS('l_quantity', 2)} AS sum_qty,
+  {XS('l_extendedprice', 2)} AS sum_base_price,
+  {XS(_REV, 4)} AS sum_disc_price,
+  {XS(f'{_REV} * (1 + l_tax)', 6)} AS sum_charge,
+  {XA('l_quantity', 6)} AS avg_qty,
+  {XA('l_extendedprice', 6)} AS avg_price,
+  {XA('l_discount', 6)} AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -941,7 +957,7 @@ GROUP BY l_returnflag, l_linestatus"""
 
 def _sql_revenue_by_nation() -> str:
     return f"""
-SELECT n_name, {SR(f'sum({_REV})', 4)} AS revenue
+SELECT n_name, {XS(_REV, 4)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -954,7 +970,7 @@ GROUP BY n_name"""
 def _sql_top_customers() -> str:
     return f"""
 WITH totals AS (
-  SELECT o_custkey, {SR('sum(o_totalprice)', 2)} AS total_spent,
+  SELECT o_custkey, {XS('o_totalprice', 2)} AS total_spent,
          count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ),
@@ -988,13 +1004,10 @@ def _sql_supplier_running_revenue() -> str:
     win = (
         "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
     )
-    running = (
-        f"sum({_REV}) OVER ({win} "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    )
+    frame = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     return f"""
 SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-  {SR(running, 4)} AS running_revenue,
+  {XSO(_REV, frame, 4)} AS running_revenue,
   row_number() OVER ({win}) AS seq
 FROM lineitem"""
 
@@ -1002,7 +1015,7 @@ FROM lineitem"""
 def _sql_rollup_revenue() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       {SR(f'sum({_REV})', 4)} AS revenue
+       {XS(_REV, 4)} AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
@@ -1010,7 +1023,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 def _sql_cube_revenue() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       {SR(f'sum({_REV})', 4)} AS revenue
+       {XS(_REV, 4)} AS revenue
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
@@ -1018,7 +1031,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)"""
 def _sql_customer_quartiles() -> str:
     return f"""
 WITH totals AS (
-  SELECT o_custkey, {SR('sum(o_totalprice)', 2)} AS total_spent
+  SELECT o_custkey, {XS('o_totalprice', 2)} AS total_spent
   FROM orders GROUP BY o_custkey
 ),
 j AS (
@@ -1048,18 +1061,28 @@ def _sql_salted_event_counts() -> str:
     # must produce identical results
     return f"""
 SELECT user_id, count(*) AS n_events,
-       {SR('sum(value)', 2)} AS total_value
+       {XS('value', 2)} AS total_value
 FROM events GROUP BY user_id"""
 
 
 def _sql_numeric_profile() -> str:
+    from yelp_streaming_etl_pipeline_spark.functions.rounding import (
+        sql_quantize,
+    )
+
     cols = []
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
         x = f"CAST({c} AS DOUBLE)"
-        mean = f"(sum({x}) / count({x}))"
+        # moments over per-row quantized integers — mirrors
+        # relational.numeric_profile's order-independent arithmetic
+        q = sql_quantize(x)
+        s = f"CAST(sum({q}) AS DOUBLE)"
+        ss = f"CAST(sum({q} * {q}) AS DOUBLE)"
+        n = f"count({x})"
+        mean = f"({s} / {n} / 1000000.0)"
         var = (
-            f"((sum({x} * {x}) - sum({x}) * sum({x}) / count({x}))"
-            f" / (count({x}) - 1))"
+            f"((({ss} - {s} * {s} / {n}) / ({n} - 1))"
+            f" / (1000000.0 * 1000000.0))"
         )
         cols += [
             f"{SR(f'min({x})', 4)} AS {c}_min",
@@ -1093,7 +1116,7 @@ s AS (
 )
 SELECT user_id, session_seq,
   min(ts) AS session_start, max(ts) AS session_end,
-  count(*) AS n_events, {SR('sum(value)', 2)} AS session_value
+  count(*) AS n_events, {XS('value', 2)} AS session_value
 FROM s GROUP BY user_id, session_seq"""
 
 
@@ -1142,7 +1165,7 @@ WITH wm AS (
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        count(*) AS n_events,
-       {SR('sum(value)', 2)} AS total_value
+       {XS('value', 2)} AS total_value
 FROM events
 GROUP BY 1, 2
 HAVING {we_ms} <= (SELECT wm_ms FROM wm)"""

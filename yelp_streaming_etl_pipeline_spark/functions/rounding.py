@@ -30,3 +30,83 @@ def stable_round(c: Column, scale: int = 2) -> Column:
 def sql_stable_round(expr: str, scale: int = 2) -> str:
     m = f"{float(10 ** scale)!r}"
     return f"(CAST(floor(({expr}) * {m} + 0.5) AS DOUBLE) / {m})"
+
+
+# ---------------------------------------------------------------------------
+# Order-independent aggregates.
+#
+# ``stable_round(F.sum(double))`` is deterministic per input double but NOT
+# per dataset: Spark's partial aggregation sums in partition-scheduling
+# order, so the pre-rounding double differs by ulps run-to-run and boundary
+# values flip across the floor(x*10^s+0.5) cliff (observed as 4 hash-flaky
+# queries in round 1). The fix: quantize each ROW with the stable kernel
+# (bit-deterministic pure-double math), then sum exact integers — integer
+# addition is associative and commutative, so partial-agg order cannot
+# matter — and descale once at the end. This is also the right 100 TB
+# answer: more partitions means more reorderings means more flakes.
+#
+# Decimal(38,0)-backed sums hold ~1e38, far beyond any 100 TB aggregate of
+# scale-6-quantized doubles (1e11/row x 1e12 rows = 1e23). DuckDB twins sum
+# HUGEINT. Both engines' big-int -> double casts are correctly rounded, so
+# identical exact sums produce identical doubles.
+# ---------------------------------------------------------------------------
+
+_QS = 6  # per-row quantization scale (1e-6 resolution)
+
+
+def quantize(c: Column, qs: int = _QS) -> Column:
+    """floor(x * 10^qs + 0.5) as an exact decimal integer."""
+    m = F.lit(float(10**qs))
+    return F.floor(c * m + F.lit(0.5)).cast("decimal(24,0)")
+
+
+def exact_sum(c: Column, scale: int = 2, qs: int = _QS) -> Column:
+    """Order-independent rounded sum of a double column."""
+    m = F.lit(float(10**qs))
+    return stable_round(F.sum(quantize(c, qs)).cast("double") / m, scale)
+
+
+def exact_avg(c: Column, scale: int = 6, qs: int = _QS) -> Column:
+    """Order-independent rounded avg (null-skipping, like F.avg)."""
+    m = F.lit(float(10**qs))
+    return stable_round(
+        F.sum(quantize(c, qs)).cast("double") / F.count(c) / m, scale
+    )
+
+
+def exact_sum_over(c: Column, window, scale: int = 4, qs: int = _QS) -> Column:
+    """Order-independent rounded windowed (running) sum."""
+    m = F.lit(float(10**qs))
+    return stable_round(
+        F.sum(quantize(c, qs)).over(window).cast("double") / m, scale
+    )
+
+
+def sql_quantize(expr: str, qs: int = _QS) -> str:
+    m = f"{float(10 ** qs)!r}"
+    return f"CAST(floor(({expr}) * {m} + 0.5) AS HUGEINT)"
+
+
+def sql_exact_sum(expr: str, scale: int = 2, qs: int = _QS) -> str:
+    m = f"{float(10 ** qs)!r}"
+    return sql_stable_round(
+        f"CAST(sum({sql_quantize(expr, qs)}) AS DOUBLE) / {m}", scale
+    )
+
+
+def sql_exact_avg(expr: str, scale: int = 6, qs: int = _QS) -> str:
+    m = f"{float(10 ** qs)!r}"
+    return sql_stable_round(
+        f"CAST(sum({sql_quantize(expr, qs)}) AS DOUBLE) / count({expr}) / {m}",
+        scale,
+    )
+
+
+def sql_exact_sum_over(
+    expr: str, over: str, scale: int = 4, qs: int = _QS
+) -> str:
+    m = f"{float(10 ** qs)!r}"
+    return sql_stable_round(
+        f"CAST(sum({sql_quantize(expr, qs)}) OVER ({over}) AS DOUBLE) / {m}",
+        scale,
+    )

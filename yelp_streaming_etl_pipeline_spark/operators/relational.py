@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import stable_round
+from ..functions.rounding import (
+    exact_avg,
+    exact_sum,
+    exact_sum_over,
+    quantize,
+    stable_round,
+)
 
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
@@ -33,13 +39,16 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            stable_round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            stable_round(F.sum(charge), 6).alias("sum_charge"),
-            stable_round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            stable_round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            stable_round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # exact_sum/exact_avg: per-row fixed-point quantization +
+            # exact integer sums, so partial-agg order can never flip
+            # the rounding (see functions/rounding.py)
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
+            exact_avg(F.col("l_quantity"), 6).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 6).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -73,7 +82,7 @@ def revenue_by_nation(
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(stable_round(F.sum(revenue), 4).alias("revenue"))
+        .agg(exact_sum(revenue, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -86,7 +95,7 @@ def top_customers(
     totals = (
         orders.groupBy("o_custkey")
         .agg(
-            stable_round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            exact_sum(F.col("o_totalprice"), 2).alias("total_spent"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -141,9 +150,9 @@ def supplier_running_revenue(lineitem: DataFrame) -> DataFrame:
         "l_linenumber",
         "l_shipdate",
         # scale 4 = the product's true decimal precision (2dp price x
-        # 2dp discount); rounding at 2 would sit exactly on the .005
-        # boundary for ~1% of rows and flip on engine ulp differences
-        stable_round(F.sum(revenue).over(w), 4).alias("running_revenue"),
+        # 2dp discount); quantized running sum keeps the prefix exact
+        # regardless of each engine's frame-accumulation strategy
+        exact_sum_over(revenue, w, 4).alias("running_revenue"),
         F.row_number()
         .over(
             Window.partitionBy("l_suppkey").orderBy(
@@ -162,7 +171,7 @@ def rollup_revenue(lineitem: DataFrame) -> DataFrame:
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            stable_round(F.sum(revenue), 4).alias("revenue"),
+            exact_sum(revenue, 4).alias("revenue"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -177,7 +186,7 @@ def cube_revenue(lineitem: DataFrame) -> DataFrame:
         lineitem.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            stable_round(F.sum(rev), 4).alias("revenue"),
+            exact_sum(rev, 4).alias("revenue"),
         )
     )
 
@@ -187,7 +196,7 @@ def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFram
     ranking into equi-depth buckets). Deterministic tie-break on
     custkey."""
     totals = orders.groupBy("o_custkey").agg(
-        stable_round(F.sum("o_totalprice"), 2).alias("total_spent")
+        exact_sum(F.col("o_totalprice"), 2).alias("total_spent")
     )
     j = totals.join(
         customer, totals["o_custkey"] == customer["c_custkey"]
@@ -233,14 +242,19 @@ def salted_event_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
     salted = events.withColumn(
         "_salt", (F.col("event_id") % n_salts).cast("int")
     )
+    # phase-1 partials carry exact quantized integers so the re-merge in
+    # phase 2 is associative — bit-identical to the plain groupBy oracle
     partial = salted.groupBy("user_id", "_salt").agg(
-        F.count("*").alias("pn"), F.sum("value").alias("pv")
+        F.count("*").alias("pn"),
+        F.sum(quantize(F.col("value"))).alias("pv"),
     )
     return (
         partial.groupBy("user_id")
         .agg(
             F.sum("pn").alias("n_events"),
-            stable_round(F.sum("pv"), 2).alias("total_value"),
+            stable_round(
+                F.sum("pv").cast("double") / F.lit(1e6), 2
+            ).alias("total_value"),
         )
     )
 
@@ -251,13 +265,18 @@ def numeric_profile(lineitem: DataFrame) -> DataFrame:
     sum-of-squares moments — explicit so the arithmetic is engine-
     portable; stddev_samp's internal accumulation order is not)."""
     out_cols = []
+    mm = F.lit(1e6)  # 10^_QS
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
         x = F.col(c).cast("double")
         n = F.count(x)
-        s = F.sum(x)
-        ss = F.sum(x * x)
-        mean = s / n
-        var = (ss - s * s / n) / (n - F.lit(1))
+        # moments over per-row quantized integers: the sums are exact,
+        # so the double arithmetic below is a fixed expression tree over
+        # deterministic inputs — engine- and order-independent
+        q = quantize(x)
+        s = F.sum(q).cast("double")
+        ss = F.sum(q * q).cast("double")
+        mean = s / n / mm
+        var = ((ss - s * s / n) / (n - F.lit(1))) / (mm * mm)
         out_cols += [
             stable_round(F.min(x), 4).alias(f"{c}_min"),
             stable_round(F.max(x), 4).alias(f"{c}_max"),
@@ -304,7 +323,7 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            stable_round(F.sum("value"), 2).alias("session_value"),
+            exact_sum(F.col("value"), 2).alias("session_value"),
         )
         # no final sort (output scales with |sessions| — see above)
     )

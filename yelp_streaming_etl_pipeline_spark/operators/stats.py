@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.rounding import stable_round
+from ..functions.rounding import exact_avg, exact_sum, stable_round
 
 
 def hourly_stats(events: DataFrame) -> DataFrame:
@@ -35,8 +35,8 @@ def hourly_stats(events: DataFrame) -> DataFrame:
         events.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
         .agg(
             F.count("*").alias("total"),
-            stable_round(F.sum("value"), 2).alias("total_value"),
-            stable_round(F.avg("value"), 6).alias("avg_value"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+            exact_avg(F.col("value"), 6).alias("avg_value"),
         )
         .orderBy("window_start")
     )
@@ -75,7 +75,7 @@ def full_review_stats(
             F.count("*").alias("total_reviews"),
             F.sum(acc.cast("long")).alias("valid_reviews"),
             F.sum((~acc).cast("long")).alias("rejected_reviews"),
-            stable_round(F.avg(F.when(acc, F.col("data_quality_score"))), 6).alias(
+            exact_avg(F.when(acc, F.col("data_quality_score")), 6).alias(
                 "avg_quality_score"
             ),
             F.sum(
@@ -89,11 +89,11 @@ def full_review_stats(
             rating_count(3),
             rating_count(4),
             rating_count(5),
-            stable_round(F.avg(F.when(acc, r)), 6).alias("avg_rating"),
-            stable_round(F.avg(F.when(acc, F.col("word_count"))), 6).alias(
+            exact_avg(F.when(acc, r), 6).alias("avg_rating"),
+            exact_avg(F.when(acc, F.col("word_count")), 6).alias(
                 "avg_word_count"
             ),
-            stable_round(F.avg(F.when(acc, F.col("sentence_count"))), 6).alias(
+            exact_avg(F.when(acc, F.col("sentence_count")), 6).alias(
                 "avg_sentence_count"
             ),
         )
@@ -140,8 +140,13 @@ def acceptance_summary(staged: DataFrame) -> DataFrame:
         F.count("*").alias("processed"),
         F.sum(F.col("is_accepted").cast("long")).alias("accepted"),
         F.sum((~F.col("is_accepted")).cast("long")).alias("rejected"),
+        # long sum of the 0/1 flags is exact; the single final division
+        # is a fixed double op — order-independent by construction
         stable_round(
-            F.sum(F.col("is_accepted").cast("double")) / F.count("*") * 100.0, 6
+            F.sum(F.col("is_accepted").cast("long")).cast("double")
+            / F.count("*")
+            * 100.0,
+            6,
         ).alias("acceptance_rate_pct"),
     )
 
@@ -200,7 +205,11 @@ def props_extract_stats(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("k").alias("sum_k"),
-            stable_round(F.avg("k"), 6).alias("avg_k"),
+            # exact long sum / count — not F.avg, whose double-typed sum
+            # buffer is partial-agg-order dependent even for long input
+            stable_round(
+                F.sum("k").cast("double") / F.count(F.col("k")), 6
+            ).alias("avg_k"),
         )
     )
 
@@ -249,7 +258,7 @@ def sliding_hourly_stats(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            stable_round(F.sum("value"), 2).alias("total_value"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
