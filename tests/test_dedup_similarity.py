@@ -192,3 +192,50 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     top1_m = {r["query_id"]: r["cosine_sim"] for r in multi.collect() if r["rank"] == 1}
     for qid, s in top1_s.items():
         assert top1_m.get(qid, -2.0) >= s
+
+
+def test_simhash_hot_bucket_subbanding_exact_and_bounded(spark):
+    """Skew property: a low-entropy corpus (one constant chunk => one
+    hot band bucket) must NOT produce a quadratic candidate stream,
+    and the skew-proofed output must equal the brute-force hamming
+    pairs exactly (the sub-banding is recall-exact by pigeonhole)."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    rows = []
+    for i in range(n):
+        # chunk 0 constant (hot band); chunks 1-3 random => remainders
+        # diverse, so true near-dup pairs are rare
+        c = [0x1234] + [rng.getrandbits(16) for _ in range(3)]
+        sig = "".join(format(v, "016b") for v in c)
+        rows.append((f"d{i:04d}", sig))
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"])
+
+    banded = DD._simhash_banded(sigs)
+    candidates = DD._simhash_candidates(banded, hot_threshold=64)
+    n_cand = candidates.count()
+    # naive band join emits C(400,2)=79800 rows from the hot band alone
+    assert n_cand < 25_000, n_cand
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in DD._simhash_candidates(banded, hot_threshold=64)
+        .filter(F.col("hamming") <= DD.SIMHASH_MAX_HAMMING)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .collect()
+    }
+    # brute force over all pairs
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    sig_by_id = dict(rows)
+    ids = sorted(sig_by_id)
+    want = {
+        (a, b, ham(sig_by_id[a], sig_by_id[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sig_by_id[a], sig_by_id[b]) <= DD.SIMHASH_MAX_HAMMING
+    }
+    assert got == want

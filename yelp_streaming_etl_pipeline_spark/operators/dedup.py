@@ -312,33 +312,24 @@ def simhash_hamming(a: Column, b: Column, bits: int = 64) -> Column:
     return total
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    max_hamming: int = SIMHASH_MAX_HAMMING,
-) -> DataFrame:
-    """Near-duplicate pairs via banded SimHash + exact Hamming verify.
+# Band-bucket size above which we sub-band. A bucket of m rows costs
+# ~m^2/2 join work; 4096 caps an unrefined bucket at ~8M row-pairs (a
+# bounded, parallelizable chunk), while a true pathological bucket
+# (10^5-10^6 rows on a low-entropy 100 TB corpus — quadrillions of
+# pairs) is forced through the exact-recall sub-band refinement.
+# Measured on the dup-heavy sf0.1 fixture: refining its merely-warm
+# buckets (max ~1.8k rows) INCREASES candidates ~2x (cluster members
+# share most remainder bytes), so the threshold deliberately leaves
+# warm buckets on the plain band join.
+SIMHASH_HOT_BUCKET = 4096
 
-    The 64-bit signature is split into 4 chunks of 16 bits; candidate
-    pairs must agree on at least one whole chunk (pigeonhole: any pair
-    within Hamming distance 3 shares one of 4 chunks, so recall is
-    EXACT for max_hamming <= 3). Scale shape mirrors minhash_lsh_pairs:
-    the self-join is on the chunk key — ~n_docs * 4 rows shuffled,
-    never O(n^2) — and the exact Hamming check touches candidates only.
 
-    The join carries the signature as FOUR 16-bit longs, not the
-    64-char bit string: they double as the band keys (band_key =
-    band_id * 2^16 + chunk value, one long) and as the hamming inputs
-    (sum of bit_count(a_ci XOR b_ci)). ~48 B/row shuffled instead of
-    ~150 B, long-key hashing instead of string keys — on a skewed
-    corpus the band join emits millions of candidate rows, so
-    per-candidate width is what dominates the stage.
-    """
+def _simhash_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, c0..c3, band_key) — one row per (doc, band). The four
+    16-bit chunk longs double as band keys and hamming inputs."""
     n_chunks = 64 // SIMHASH_CHUNK_BITS
-    sigs = simhash_table(df, text_col, id_col)
     chunk_cols = [f"c{i}" for i in range(n_chunks)]
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         *[
             F.conv(
@@ -363,28 +354,163 @@ def simhash_pairs(
                 ]
             )
         ).alias("band_key"),
-    ).cache()  # signature computation is the CPU cost; scanned twice below
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = sum(
-        F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
-        for c in chunk_cols
-    ).cast("int")
-    # Pair dedup (a pair can collide on several bands) runs AFTER the
-    # hamming filter: hamming is functionally determined by the pair,
-    # so dedup position commutes — but deduping survivors means the
-    # shuffle carries only (ids, int) for the few near-dup pairs
-    # instead of every collision row.
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
+    )
+
+
+def _simhash_candidates(
+    banded: DataFrame, hot_threshold: int = SIMHASH_HOT_BUCKET
+) -> DataFrame:
+    """Candidate (doc_a, doc_b, hamming) rows from the banded table,
+    skew-proofed with EXACT recall.
+
+    A low-entropy corpus makes one band value hot (e.g. a near-constant
+    chunk), and per-bucket join work is quadratic — the classic LSH
+    straggler/OOM at scale. Fix: split the join by bucket size.
+
+    - cold buckets (<= hot_threshold docs): plain band equi-join.
+    - hot buckets: re-key each row by the 6 BYTES of the three chunks
+      the band does NOT cover. A pair at hamming <= 3 that shares this
+      band has <= 3 flipped bits spread over those 48 bits, which can
+      ruin at most 3 of the 6 bytes — so the pair still agrees on >= 3
+      sub-keys (pigeonhole). Non-duplicates with diverse remainders
+      spread across 256 values per byte position, so the hot bucket
+      fans out instead of going quadratic. The only bucket that stays
+      quadratic is one whose members agree on band AND remainder bytes
+      — i.e. genuine near-duplicates, where the OUTPUT itself is
+      quadratic and no exact algorithm can do better.
+
+    The band-key histogram used for the split has a bounded domain
+    (4 bands x 2^16 values = 262,144 keys) so it broadcasts at ANY
+    corpus size. Output is row-identical to the naive banded join.
+    """
+    n_chunks = 64 // SIMHASH_CHUNK_BITS
+    chunk_cols = [f"c{i}" for i in range(n_chunks)]
+    hot_keys = (
+        banded.groupBy("band_key")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > hot_threshold)
+        .select("band_key")
+    )
+    cold = banded.join(F.broadcast(hot_keys), "band_key", "left_anti")
+    hot = banded.join(F.broadcast(hot_keys), "band_key")
+
+    def hamming(a, b):
+        return sum(
+            F.bit_count(F.col(f"{a}.{c}").bitwiseXOR(F.col(f"{b}.{c}")))
+            for c in chunk_cols
+        ).cast("int")
+
+    ca, cb = cold.alias("a"), cold.alias("b")
+    cold_pairs = ca.join(
+        cb,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        hamming("a", "b").alias("hamming"),
+    )
+
+    # sub-key = band_key (18 bits) | byte position (3 bits) | byte (8)
+    band_i = F.shiftright(F.col("band_key"), SIMHASH_CHUNK_BITS)
+    all_bytes = F.array(
+        *[
+            F.struct(
+                F.lit(k * 2 + hi).alias("pos"),
+                F.shiftright(F.col(f"c{k}"), 8 * (1 - hi))
+                .bitwiseAND(F.lit(255))
+                .alias("val"),
+            )
+            for k in range(n_chunks)
+            for hi in (0, 1)
+        ]
+    )
+    rest_bytes = F.filter(
+        all_bytes, lambda s: F.shiftright(s["pos"], 1) != band_i
+    )
+    sub = F.explode(rest_bytes).alias("s")
+    hot_keyed = hot.select(
+        "doc_id",
+        *chunk_cols,
+        "band_key",
+        sub,
+    ).select(
+        "doc_id",
+        *chunk_cols,
+        (
+            F.shiftleft(F.col("band_key"), 11)
+            + F.shiftleft(F.col("s.pos"), 8)
+            + F.col("s.val")
+        ).alias("sub_key"),
+    )
+    ha, hb = hot_keyed.alias("a"), hot_keyed.alias("b")
+
+    # First-match filter: a dup-ish pair agrees on several remainder
+    # bytes and would otherwise be emitted once per agreeing byte (up
+    # to 6x); keep only the collision at the SMALLEST agreeing byte
+    # position so each pair surfaces once per band, like the cold path.
+    def byte_of(side: str, p: int):
+        k, hi = divmod(p, 2)
+        return F.shiftright(F.col(f"{side}.c{k}"), 8 * (1 - hi)).bitwiseAND(
+            F.lit(255)
+        )
+
+    band_i = F.shiftright(F.col("a.sub_key"), 11 + SIMHASH_CHUNK_BITS)
+    pos = F.shiftright(F.col("a.sub_key"), 8).bitwiseAND(F.lit(7))
+    earlier_match = F.lit(False)
+    for p in range(8):
+        earlier_match = earlier_match | (
+            (F.lit(p) < pos)
+            & (F.lit(p >> 1) != band_i)
+            & (byte_of("a", p) == byte_of("b", p))
+        )
+
+    hot_pairs = (
+        ha.join(
+            hb,
+            (F.col("a.sub_key") == F.col("b.sub_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(~earlier_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming("a", "b").alias("hamming"),
         )
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    hot_threshold: int = SIMHASH_HOT_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs via banded SimHash + exact Hamming verify.
+
+    The 64-bit signature is split into 4 chunks of 16 bits; candidate
+    pairs must agree on at least one whole chunk (pigeonhole: any pair
+    within Hamming distance 3 shares one of 4 chunks, so recall is
+    EXACT for max_hamming <= 3). Scale shape mirrors minhash_lsh_pairs:
+    the self-join is on the chunk key — ~n_docs * 4 rows shuffled,
+    never O(n^2) — and the exact Hamming check touches candidates only.
+    Hot band buckets are sub-banded on the remaining bytes with exact
+    recall (see _simhash_candidates) so a skewed corpus cannot produce
+    a quadratic straggler.
+    """
+    sigs = simhash_table(df, text_col, id_col)
+    # signature computation is the CPU cost; scanned three times below
+    # (histogram + cold/hot joins)
+    banded = _simhash_banded(sigs).cache()
+    # Pair dedup (a pair can collide on several bands / sub-keys) runs
+    # AFTER the hamming filter: hamming is functionally determined by
+    # the pair, so dedup position commutes — but deduping survivors
+    # means the shuffle carries only (ids, int) for the few near-dup
+    # pairs instead of every collision row.
+    return (
+        _simhash_candidates(banded, hot_threshold)
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
