@@ -422,3 +422,74 @@ def test_transform_with_state_dedup(spark, tmp_path):
     assert got[("r1", "src_a")] == "first"
     assert got[("r1", "zz_replay")] == "duplicate"
     assert got[("r2", "src_a")] == "first"
+
+
+def test_sqlite_upsert_crash_recovery(spark, tmp_path):
+    """W5 executed end-to-end: checkpoint + idempotent upsert ==
+    effective exactly-once. The sink commits batch 0 to the DB, then
+    the query dies BEFORE the checkpoint acknowledges it; the restart
+    re-delivers batch 0 (same offsets from the WAL) and the ON CONFLICT
+    upsert absorbs the replay — no duplicates, no lost rows, and no
+    unique-constraint failure (which a plain INSERT would hit). Mirrors
+    the reference's commit-then-ack ordering (postgres_sink.py:85-117).
+    """
+    import sqlite3
+
+    from yelp_streaming_etl_pipeline_spark.sources import jdbc as J
+
+    cols = ["review_id", "data_quality_score", "processing_timestamp"]
+    src = str(tmp_path / "upsert_src")
+    f1 = [(f"r{i}", 0.5, "2026-08-01T12:00:00") for i in range(8)]
+    # overlap r4..r7 with identical values: batch order can't matter
+    f2 = [(f"r{i}", 0.5, "2026-08-01T12:00:00") for i in range(4, 12)]
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    db = str(tmp_path / "warehouse.db")
+    J.ensure_sqlite_table(db, "cleaned_reviews", cols)
+    ckpt = str(tmp_path / "upsert_ckpt")
+    crash_flag = tmp_path / "crashed_once"
+
+    inner = J.foreach_batch_upsert_sqlite(db)
+
+    def crashing_apply(batch_df, epoch_id):
+        inner(batch_df, epoch_id)  # DB commit happens here
+        if not crash_flag.exists():
+            crash_flag.write_text("boom")
+            raise RuntimeError("injected crash after commit, before ack")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def run():
+        return (
+            stream.writeStream.foreachBatch(crashing_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run()
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert crash_flag.exists()
+    with sqlite3.connect(db) as conn:
+        committed = conn.execute(
+            "SELECT count(*) FROM cleaned_reviews"
+        ).fetchone()[0]
+    assert committed > 0  # batch 0 WAS committed before the crash
+
+    q2 = run()
+    q2.awaitTermination()
+
+    with sqlite3.connect(db) as conn:
+        rows = conn.execute(
+            "SELECT review_id, count(*) FROM cleaned_reviews GROUP BY 1"
+        ).fetchall()
+    assert len(rows) == 12  # every id landed exactly once
+    assert all(n == 1 for _, n in rows)

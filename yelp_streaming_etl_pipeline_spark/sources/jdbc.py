@@ -31,12 +31,18 @@ UPDATE_COLS = ["data_quality_score", "processing_timestamp"]  # init_db.sql upse
 
 
 def build_upsert_sql(
-    table: str, columns: list[str], key: str, update_cols: list[str]
+    table: str,
+    columns: list[str],
+    key: str,
+    update_cols: list[str],
+    placeholder: str = "%s",
 ) -> str:
-    """INSERT ... ON CONFLICT DO UPDATE statement with %s placeholders
-    (reference: postgres_sink.py:85-117)."""
+    """INSERT ... ON CONFLICT DO UPDATE statement (reference:
+    postgres_sink.py:85-117). ``placeholder`` is '%s' for psycopg2 and
+    '?' for sqlite3 — the statement text is otherwise identical (both
+    engines speak the same ON CONFLICT dialect)."""
     col_list = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    placeholders = ", ".join([placeholder] * len(columns))
     updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
     return (
         f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
@@ -70,6 +76,82 @@ def postgres_upsert_batch(
     finally:
         conn.close()
     return n
+
+
+def _sqlite_value(v):
+    """sqlite3 binds str/int/float/bytes/None natively; everything else
+    (datetime, Decimal, ...) is stored as its ISO/str form."""
+    if v is None or isinstance(v, (str, int, float, bytes)):
+        return v
+    return str(v)
+
+
+def ensure_sqlite_table(
+    db_path: str, table: str, columns: list[str], key: str = UPSERT_KEY
+) -> None:
+    """Create the upsert target if missing. SQLite is dynamically typed
+    so no column type decls are needed; the PRIMARY KEY supplies the
+    unique constraint ON CONFLICT resolves against (the reference's
+    init_db.sql declares review_id PRIMARY KEY the same way)."""
+    import sqlite3
+
+    decls = ", ".join(
+        f"{c} PRIMARY KEY" if c == key else c for c in columns
+    )
+    with sqlite3.connect(db_path) as conn:
+        conn.execute(f"CREATE TABLE IF NOT EXISTS {table} ({decls})")
+        conn.commit()
+
+
+def sqlite_upsert_batch(
+    rows, columns: list[str], db_path: str, table: str = UPSERT_TABLE
+) -> int:
+    """Per-partition upsert executor against a local SQLite file — the
+    EXECUTABLE twin of postgres_upsert_batch (same statement shape,
+    same commit-before-checkpoint-ack ordering, postgres_sink.py:85-117).
+
+    Partition writers run concurrently inside local mode; WAL journal +
+    a generous busy timeout serialize them, mirroring how row-lock
+    contention behaves on the real warehouse. This sink exists so the
+    W5 exactly-once-via-idempotence property is an *executed, crash-
+    tested* path in environments without a Postgres (see
+    tests/test_streaming.py crash-recovery test); production swaps in
+    the psycopg2 twin unchanged.
+    """
+    import sqlite3
+
+    sql = build_upsert_sql(
+        table, columns, UPSERT_KEY, UPDATE_COLS, placeholder="?"
+    )
+    conn = sqlite3.connect(db_path, timeout=30.0)
+    n = 0
+    try:
+        conn.execute("PRAGMA journal_mode=WAL")
+        conn.execute("PRAGMA busy_timeout=30000")
+        batch = [
+            tuple(_sqlite_value(r[c]) for c in columns) for r in rows
+        ]
+        conn.executemany(sql, batch)
+        n = len(batch)
+        conn.commit()  # commit before the streaming checkpoint advances
+    finally:
+        conn.close()
+    return n
+
+
+def foreach_batch_upsert_sqlite(db_path: str, table: str = UPSERT_TABLE):
+    """foreachBatch hook writing each micro-batch to SQLite via
+    partition-parallel idempotent upserts (executable W5/W8 path)."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = batch_df.columns
+
+        def run_partition(rows) -> None:
+            sqlite_upsert_batch(rows, cols, db_path, table)
+
+        batch_df.foreachPartition(run_partition)
+
+    return apply
 
 
 def foreach_batch_upsert(dsn: str, table: str = UPSERT_TABLE):
