@@ -116,3 +116,20 @@ def test_histogram_merge_by_sum(spark):
         for r in SK.value_histogram(part, F.col("v")).collect():
             merged[r["bin"]] = merged.get(r["bin"], 0) + r["n"]
     assert direct == merged
+
+
+def test_hll_small_range_correction_accuracy(spark):
+    """At low cardinality most registers are empty and the raw HLL
+    formula is biased high; the linear-counting correction must bring
+    the estimate within a tight envelope of the exact count."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators import sketches as SK
+
+    n = 20
+    df = spark.range(1000).select(
+        (F.col("id") % n).cast("string").alias("k")
+    )
+    regs = SK.hll_registers(df, F.col("k"))
+    est = SK.hll_estimate(regs).collect()[0]["hll_estimate"]
+    assert abs(est - n) / n < 0.15, est

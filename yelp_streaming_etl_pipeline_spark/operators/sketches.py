@@ -73,12 +73,24 @@ def hll_registers(df: DataFrame, key: Column) -> DataFrame:
     )
 
 
+def _linear_counting_lut() -> list[float]:
+    """m * ln(m / V) for V = 1..m-1, precomputed in Python so Spark and
+    DuckDB use bit-identical double CONSTANTS — JVM Math.log and libm
+    log may differ in the last ulp, which would break hash-exact
+    cross-checking."""
+    import math
+
+    m = HLL_BUCKETS
+    return [m * math.log(m / v) for v in range(1, m)]
+
+
 def hll_estimate(registers: DataFrame) -> DataFrame:
-    """Raw HyperLogLog estimate (no small/large-range correction —
-    both engines compute the SAME formula, and the tolerance test vs
-    the exact count covers the regime the fixtures live in):
-    alpha_m * m^2 / (sum over ALL m registers of 2^-M_j), with absent
-    buckets contributing 2^0 = 1."""
+    """HyperLogLog estimate with the standard small-range correction:
+    raw = alpha_m * m^2 / (sum over ALL m registers of 2^-M_j), with
+    absent buckets contributing 2^0 = 1; when raw <= 2.5m and V > 0
+    registers are empty, switch to linear counting m*ln(m/V) (the raw
+    formula is biased high at low cardinality). Correction constants
+    come from a precomputed literal table mirrored into the oracle."""
     m = HLL_BUCKETS
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
@@ -86,9 +98,13 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.count("*").alias("present_buckets"),
     )
     harm = F.col("present_sum") + (F.lit(m) - F.col("present_buckets"))
-    return agg.select(
-        stable_round(F.lit(alpha) * m * m / harm, 2).alias("hll_estimate")
-    )
+    raw = F.lit(alpha) * m * m / harm
+    v = (F.lit(m) - F.col("present_buckets")).cast("int")
+    lut = F.array(*[F.lit(x) for x in _linear_counting_lut()])
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(lut, v)
+    ).otherwise(raw)
+    return agg.select(stable_round(est, 2).alias("hll_estimate"))
 
 
 CMS_DEPTH = 4  # independent salted hash rows

@@ -846,10 +846,21 @@ def sql_hll_estimate() -> str:
     # alpha * 256 * 256 precomputed: scaling by powers of two is exact
     # in double, so this equals Spark's (alpha * 256) * 256 bit-for-bit;
     # the float literal also keeps DuckDB out of DECIMAL arithmetic
-    scale = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+    from .operators.sketches import HLL_BUCKETS, _linear_counting_lut
+
+    m = HLL_BUCKETS
+    scale = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    raw = (
+        f"(CAST({scale!r} AS DOUBLE) / "
+        f"(sum(pow(2.0, -max_rho)) + ({m} - count(*))))"
+    )
+    v = f"CAST({m} - count(*) AS INTEGER)"
+    # identical double constants as the engine's literal array — list
+    # extract is 1-based on both sides
+    lut = "[" + ", ".join(f"{x!r}" for x in _linear_counting_lut()) + "]"
     est = (
-        f"CAST({scale!r} AS DOUBLE) / "
-        f"(sum(pow(2.0, -max_rho)) + (256 - count(*)))"
+        f"CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN ({lut})[{v}] ELSE {raw} END"
     )
     return f"""
 WITH {_HLL_REGISTERS_CTE}
