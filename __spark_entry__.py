@@ -141,6 +141,54 @@ def q_review_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.full_review_stats(_staged(spark, sf_dir), by_business=True)
 
 
+def q_review_stats_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNGROUPED shape of the declared ReviewStats aggregate —
+    models.py:101-127 makes business_id Optional, so both grouped and
+    global rollups are part of the reference surface."""
+    return ST.full_review_stats(_staged(spark, sf_dir), by_business=False)
+
+
+def q_attributed_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution) run to completion with
+    trigger(availableNow). The events fixture is ONE file -> one
+    micro-batch, and inner-join matches emit within the batch they
+    arrive in, so the emitted set is deterministic: every (purchase,
+    prior click within 30 min) pair — fully oracle-checkable."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    def side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        ev = read_events_stream(_ensure_conf(spark), sf_dir)
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id", *[F.col(src).alias(dst) for src, dst in cols.items()]
+        )
+
+    clicks = side("click", {"ts": "click_ts", "event_id": "click_id"})
+    purchases = side(
+        "purchase",
+        {"ts": "purchase_ts", "event_id": "purchase_id", "value": "amount"},
+    )
+    name = "attributed_" + uuid.uuid4().hex[:8]
+    q = (
+        attribute_purchases(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_attr_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
@@ -667,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) values changed this round (rounding-determinism sweep /
         # HLL correction) — re-verify
         "review_stats": q_review_stats,
+        "review_stats_overall": q_review_stats_overall,
+        "attributed_purchases_stream": q_attributed_purchases_stream,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -697,13 +747,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus_prune": q_dedup_corpus_prune,
-        "stratified_sample": q_stratified_sample,
-        "train_test_split": q_train_test_split,
         "class_capped_sample": q_class_capped_sample,
         "pps_sample": q_pps_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "click_purchase_5min": q_click_purchase_5min,
         # ---- position > 50: unchanged since green CORRECTNESS_r01 ----
+        "stratified_sample": q_stratified_sample,
+        "train_test_split": q_train_test_split,
         "text_features": q_text_features,
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
@@ -769,7 +819,7 @@ SELECT count(*) AS processed,
 FROM staged"""
 
 
-def _sql_review_stats() -> str:
+def _sql_review_stats(by_business: bool = True) -> str:
     now = f"TIMESTAMP '{NOW_LITERAL}'"
     comp = O.sql_completeness(
         ["review_id", "business_id", "user_id", "text_clean", "rating", "date"],
@@ -779,6 +829,8 @@ def _sql_review_stats() -> str:
     fresh = O.sql_freshness("date", now)
     spam = O.sql_spam_score("text_clean", "text")
     dq = O.sql_dq_score(comp, val, fresh, spam)
+    biz_col = "  business_id," if by_business else ""
+    group_by = "GROUP BY 1, 2, 3" if by_business else "GROUP BY 1, 2"
     return f"""
 WITH {O.gauntlet_cte()},
 scored AS (
@@ -793,7 +845,7 @@ scored AS (
 SELECT
   date_trunc('hour', date) AS window_start,
   date_trunc('hour', date) + INTERVAL 1 HOUR AS window_end,
-  business_id,
+{biz_col}
   count(*) AS total_reviews,
   sum(CASE WHEN is_accepted THEN 1 ELSE 0 END) AS valid_reviews,
   sum(CASE WHEN is_accepted THEN 0 ELSE 1 END) AS rejected_reviews,
@@ -809,7 +861,21 @@ SELECT
   {XA('CASE WHEN is_accepted THEN wc END', 6)} AS avg_word_count,
   {XA('CASE WHEN is_accepted THEN sc END', 6)} AS avg_sentence_count
 FROM scored
-GROUP BY 1, 2, 3"""
+{group_by}"""
+
+
+def _sql_attributed_purchases_stream() -> str:
+    """One-batch inner stream-stream join == the plain interval join
+    (inclusive 30-minute attribution window before each purchase)."""
+    return """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS amount,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000"""
 
 
 def _sql_events_hourly() -> str:
@@ -1338,6 +1404,8 @@ def oracle_sql() -> dict[str, str]:
         "issue_counts": _sql_issue_counts(),
         "acceptance_summary": _sql_acceptance_summary(),
         "review_stats": _sql_review_stats(),
+        "review_stats_overall": _sql_review_stats(by_business=False),
+        "attributed_purchases_stream": _sql_attributed_purchases_stream(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),
