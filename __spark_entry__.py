@@ -787,10 +787,39 @@ FROM documents"""
 
 
 def _sql_lang_id() -> str:
-    lang_expr, conf_expr = O.sql_lang_id("text")
+    """Twin of the trigram-default classifier: trigram scores computed
+    once in a derived table (each 100-entry profile map literal appears
+    exactly once), marker-heuristic fallback for zero-score rows."""
+    from yelp_streaming_etl_pipeline_spark.functions import (
+        lang_trigrams as LT,
+    )
+
+    fb_lang, fb_conf = O.sql_lang_id("text")
+    lc = LT.sql_norm("text")
+    tris = LT.sql_trigram_array("lc")
+    zh = O.rc("lower(coalesce(text, ''))", O.LANG_ZH_CLASS)
+    score_cols = ", ".join(
+        f"{LT.sql_trigram_score('tris', lang)} AS s_{lang}"
+        for lang in LT.LANG_ORDER
+    )
+    lang_expr, conf_expr = LT.sql_decide(
+        "zh",
+        {lang: f"s_{lang}" for lang in LT.LANG_ORDER},
+        fb_lang,
+        fb_conf,
+    )
     return f"""
+WITH norm AS (
+  SELECT *, {lc} AS lc FROM documents
+),
+tri AS (
+  SELECT *, {tris} AS tris, {zh} AS zh FROM norm
+),
+scored AS (
+  SELECT *, {score_cols} FROM tri
+)
 SELECT doc_id, {lang_expr} AS language, {conf_expr} AS language_confidence
-FROM documents"""
+FROM scored"""
 
 
 def _sql_clean_reviews() -> str:

@@ -1,0 +1,285 @@
+"""Character-trigram language classifier (SURVEY.md §2.3 L1 default).
+
+Public method: Cavnar & Trenkle, "N-Gram-Based Text Categorization"
+(1994) — rank the most frequent character n-grams of a training corpus
+per language, then score a document by how strongly its own n-grams
+align with each profile. The reference runs ``langdetect`` per row
+(/root/reference/streaming/quality_engine.py:149-161), a library this
+image does not carry; this module is the self-contained stand-in whose
+behavior is (a) fully native Spark (codegen'd higher-order functions,
+no UDF) and (b) bit-identically mirrored in DuckDB SQL so ``lang_id``
+stays oracle-checkable.
+
+Simplification vs the paper (documented): instead of the out-of-place
+rank distance over the document's own top-K profile we use additive
+rank-weight scoring — each document trigram occurrence earns the
+language's ``K - rank`` weight, argmax wins. This keeps the per-row
+expression a single ``aggregate`` fold over the trigram array (no
+per-document sort), which is the right 100 TB shape: O(len) work per
+row, zero shuffles, zero Python.
+
+Profiles are DERIVED AT IMPORT from small seed corpora embedded below
+(self-composed everyday sentences), so the constants ship with the
+repo and both engines consume the same generated literals. ``zh`` is
+short-circuited by CJK codepoint presence — a trigram profile over a
+seed this small is meaningless for an ideographic script. When the
+trigram scores are all zero (digits-only, emoji, ...), the marker-word
+heuristic (functions/language.py) is the fallback, mirrored in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .patterns import LANG_ZH_CLASS
+from .rounding import sql_stable_round, stable_round
+
+PROFILE_SIZE = 100
+
+# Seed corpora: a few hundred characters of ordinary prose per
+# language, composed for this repo (no external text).
+_SEEDS: dict[str, str] = {
+    "en": (
+        "the food was wonderful and the service was quick and friendly "
+        "we ordered the roast chicken with vegetables and a bottle of "
+        "red wine for the table everyone said they would come back "
+        "again next weekend because the prices were fair and the "
+        "kitchen stayed open late this is the best place in the city "
+        "for a long dinner with old friends and good conversation"
+    ),
+    "es": (
+        "la comida estaba deliciosa y el servicio fue rapido y muy "
+        "amable pedimos el pollo asado con verduras y una botella de "
+        "vino tinto para la mesa todos dijeron que volverian otra vez "
+        "el proximo fin de semana porque los precios eran justos y la "
+        "cocina estaba abierta hasta tarde este es el mejor lugar de "
+        "la ciudad para una cena larga con viejos amigos"
+    ),
+    "fr": (
+        "la nourriture etait delicieuse et le service etait rapide et "
+        "tres aimable nous avons commande le poulet roti avec des "
+        "legumes et une bouteille de vin rouge pour la table tout le "
+        "monde a dit quil reviendrait le weekend prochain parce que "
+        "les prix etaient justes et la cuisine restait ouverte tard "
+        "cest le meilleur endroit de la ville pour un long diner avec "
+        "de vieux amis"
+    ),
+    "de": (
+        "das essen war wunderbar und der service war schnell und sehr "
+        "freundlich wir bestellten das gebratene huhn mit gemuese und "
+        "eine flasche rotwein fuer den tisch alle sagten dass sie "
+        "naechstes wochenende wiederkommen wuerden weil die preise "
+        "fair waren und die kueche lange geoeffnet blieb das ist der "
+        "beste ort der stadt fuer ein langes abendessen mit alten "
+        "freunden"
+    ),
+}
+
+LANG_ORDER = ["en", "es", "fr", "de"]  # tie-break priority
+
+
+def _normalize(text: str) -> str:
+    return " ".join(text.lower().split())
+
+
+def _trigrams(text: str) -> list[str]:
+    return [text[i : i + 3] for i in range(len(text) - 2)]
+
+
+def build_profiles(size: int = PROFILE_SIZE) -> dict[str, dict[str, int]]:
+    """lang -> {trigram: weight}; weight = size - rank (rank 0 = most
+    frequent seed trigram). Deterministic: ties rank lexicographically."""
+    from collections import Counter
+
+    out: dict[str, dict[str, int]] = {}
+    for lang, seed in _SEEDS.items():
+        counts = Counter(_trigrams(_normalize(seed)))
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[lang] = {t: size - i for i, (t, _) in enumerate(ranked[:size])}
+    return out
+
+
+PROFILES = build_profiles()
+
+
+# ---------------- Spark side ----------------
+
+def _norm_col(c: Column) -> Column:
+    lc = F.lower(F.coalesce(c, F.lit("")))
+    return F.regexp_replace(F.trim(lc), r"\s+", " ")
+
+
+def _trigram_array(lc: Column) -> Column:
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(lc) - 2),
+        lambda i: lc.substr(i, F.lit(3)),
+    )
+    return F.when(F.length(lc) >= 3, tris).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _profile_map(lang: str) -> Column:
+    pairs: list[Column] = []
+    for t, w in sorted(PROFILES[lang].items()):
+        pairs.append(F.lit(t))
+        pairs.append(F.lit(w))
+    return F.create_map(*pairs)
+
+
+def trigram_score(tris: Column, lang: str) -> Column:
+    m = _profile_map(lang)
+    return F.aggregate(
+        tris,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(m, t), F.lit(0)).cast("long"),
+    )
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Per-language additive rank-weight scores for a raw text column."""
+    tris = _trigram_array(_norm_col(c))
+    return {lang: trigram_score(tris, lang) for lang in LANG_ORDER}
+
+
+# ---------------- DuckDB side ----------------
+
+def _sql_profile_map(lang: str) -> str:
+    entries = ", ".join(
+        f"'{t}': {w}" for t, w in sorted(PROFILES[lang].items())
+    )
+    return "MAP {" + entries + "}"
+
+
+def sql_norm(col: str) -> str:
+    return f"regexp_replace(trim(lower(coalesce({col}, ''))), '\\s+', ' ', 'g')"
+
+
+def sql_trigram_array(lc: str) -> str:
+    tris = (
+        f"[substr({lc}, CAST(i AS INTEGER), 3) "
+        f"FOR i IN generate_series(1, len({lc}) - 2)]"
+    )
+    return f"(CASE WHEN len({lc}) >= 3 THEN {tris} ELSE [] END)"
+
+
+def sql_trigram_score(tris: str, lang: str) -> str:
+    m = _sql_profile_map(lang)
+    return (
+        f"coalesce(list_sum(list_transform({tris}, "
+        f"t -> coalesce({m}[t][1], 0))), 0)"
+    )
+
+
+# ---------------- shared decision logic ----------------
+
+def decide(
+    zh: Column,
+    scores: dict[str, Column],
+    fallback_lang: Column,
+    fallback_conf: Column,
+) -> tuple[Column, Column]:
+    """argmax with fixed tie-break (en > es > fr > de); zh wins on any
+    CJK presence; all-zero scores defer to the marker fallback.
+    Confidence = best / total score share, stable-rounded."""
+    s = scores
+    cond_en = (
+        (s["en"] >= s["es"])
+        & (s["en"] >= s["fr"])
+        & (s["en"] >= s["de"])
+        & (s["en"] > 0)
+    )
+    cond_es = (s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0)
+    cond_fr = (s["fr"] >= s["de"]) & (s["fr"] > 0)
+    cond_de = s["de"] > 0
+    best = (
+        F.when(cond_en, s["en"])
+        .when(cond_es, s["es"])
+        .when(cond_fr, s["fr"])
+        .when(cond_de, s["de"])
+        .otherwise(F.lit(0))
+    )
+    total = s["en"] + s["es"] + s["fr"] + s["de"]
+    lang = (
+        F.when(zh > 0, F.lit("zh"))
+        .when(cond_en, F.lit("en"))
+        .when(cond_es, F.lit("es"))
+        .when(cond_fr, F.lit("fr"))
+        .when(cond_de, F.lit("de"))
+        .otherwise(fallback_lang)
+    )
+    conf = (
+        F.when(zh > 0, F.lit(1.0))
+        .when(
+            best > 0,
+            stable_round(
+                best.cast("double") / total.cast("double"), 2
+            ),
+        )
+        .otherwise(fallback_conf)
+        .cast("double")
+    )
+    return lang, conf
+
+
+def lang_id_trigram_struct(c: Column) -> Column:
+    """struct<language, language_confidence> — trigram default, marker
+    heuristic fallback (zero-score rows only)."""
+    from .language import lang_id_struct
+
+    zh = F.regexp_count(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit(LANG_ZH_CLASS)
+    )
+    fb = lang_id_struct(c)
+    lang, conf = decide(
+        zh,
+        lang_scores(c),
+        fb["language"],
+        fb["language_confidence"],
+    )
+    return F.struct(
+        lang.alias("language"), conf.alias("language_confidence")
+    )
+
+
+def sql_decide(
+    zh: str,
+    s: dict[str, str],
+    fallback_lang: str,
+    fallback_conf: str,
+) -> tuple[str, str]:
+    """SQL twin of ``decide`` — expects score EXPRESSIONS (typically
+    column references from a derived table so each map literal is
+    evaluated once)."""
+    cond_en = (
+        f"({s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} "
+        f"AND {s['en']} >= {s['de']} AND {s['en']} > 0)"
+    )
+    cond_es = (
+        f"({s['es']} >= {s['fr']} AND {s['es']} >= {s['de']} "
+        f"AND {s['es']} > 0)"
+    )
+    cond_fr = f"({s['fr']} >= {s['de']} AND {s['fr']} > 0)"
+    cond_de = f"({s['de']} > 0)"
+    best = (
+        f"(CASE WHEN {cond_en} THEN {s['en']} WHEN {cond_es} THEN {s['es']} "
+        f"WHEN {cond_fr} THEN {s['fr']} WHEN {cond_de} THEN {s['de']} "
+        f"ELSE 0 END)"
+    )
+    total = f"({s['en']} + {s['es']} + {s['fr']} + {s['de']})"
+    lang = (
+        f"(CASE WHEN {zh} > 0 THEN 'zh' WHEN {cond_en} THEN 'en' "
+        f"WHEN {cond_es} THEN 'es' WHEN {cond_fr} THEN 'fr' "
+        f"WHEN {cond_de} THEN 'de' ELSE {fallback_lang} END)"
+    )
+    share = sql_stable_round(
+        f"CAST({best} AS DOUBLE) / CAST({total} AS DOUBLE)", 2
+    )
+    conf = (
+        f"(CASE WHEN {zh} > 0 THEN CAST(1.0 AS DOUBLE) "
+        f"WHEN {best} > 0 THEN {share} "
+        f"ELSE {fallback_conf} END)"
+    )
+    return lang, conf

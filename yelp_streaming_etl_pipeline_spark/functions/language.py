@@ -90,9 +90,17 @@ def lang_id_struct(c: Column) -> Column:
     )
 
 
-def with_lang_id(df, text_col: str = "text"):
-    """Add ``language`` / ``language_confidence`` via the heuristic."""
-    s = lang_id_struct(F.col(text_col))
+def with_lang_id(df, text_col: str = "text", method: str = "trigram"):
+    """Add ``language`` / ``language_confidence``. Default L1 is the
+    Cavnar-Trenkle-style trigram classifier (lang_trigrams.py) with
+    this module's marker heuristic as the zero-score fallback; pass
+    method='marker' for the heuristic alone."""
+    if method == "trigram":
+        from .lang_trigrams import lang_id_trigram_struct
+
+        s = lang_id_trigram_struct(F.col(text_col))
+    else:
+        s = lang_id_struct(F.col(text_col))
     return df.withColumn("_lid", s).select(
         "*",
         F.col("_lid.language").alias("language"),
