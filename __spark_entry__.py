@@ -189,6 +189,54 @@ def q_attributed_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def q_topic_roundtrip_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 producer + S5 consumer EXECUTED end to end: the synthetic
+    review table is streamed into the file-backed topic shim (keyed by
+    business_id, JSON payload — the exact projection the real Kafka
+    sink sends, topology.kafka_payload) and consumed back through the
+    shared Kafka decode (filetopic.decode_review_records). The oracle
+    is the source-table derivation itself: a lossless broker round
+    trip returns exactly the input rows."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.streaming import filetopic as FT
+
+    spark = _ensure_conf(spark)
+    corpus = synthetic_reviews(spark, sf_dir).drop(
+        "language", "language_confidence"
+    )
+    src = tempfile.mkdtemp(prefix="topic_src_")
+    corpus.coalesce(1).write.mode("overwrite").parquet(src)
+    topic_dir = tempfile.mkdtemp(prefix="topic_")
+
+    prod = (
+        FT.write_file_topic_keyed(
+            spark.readStream.schema(corpus.schema).parquet(src),
+            topic_dir,
+            tempfile.mkdtemp(prefix="ckpt_prod_"),
+            key_col="business_id",
+            timestamp_col="ingestion_timestamp",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    prod.awaitTermination()
+
+    name = "topic_roundtrip_" + uuid.uuid4().hex[:8]
+    cons = (
+        FT.decode_review_records(FT.read_file_topic_stream(spark, topic_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cons_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    cons.awaitTermination()
+    return spark.table(name)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
@@ -717,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "attributed_purchases_stream": q_attributed_purchases_stream,
+        "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -905,6 +954,16 @@ FROM events p JOIN events c
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND epoch_us(c.ts) <= epoch_us(p.ts)
  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000"""
+
+
+def _sql_topic_roundtrip_reviews() -> str:
+    """A lossless produce->consume round trip returns exactly the
+    source table, so the oracle is the synthetic-review derivation."""
+    return f"""
+WITH reviews AS ({O.SYNTH_REVIEWS_SQL})
+SELECT review_id, business_id, user_id, rating, text, date,
+       useful, funny, cool, source, ingestion_timestamp
+FROM reviews"""
 
 
 def _sql_events_hourly() -> str:
@@ -1435,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "review_stats": _sql_review_stats(),
         "review_stats_overall": _sql_review_stats(by_business=False),
         "attributed_purchases_stream": _sql_attributed_purchases_stream(),
+        "topic_roundtrip_reviews": _sql_topic_roundtrip_reviews(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -64,6 +64,8 @@ def read_review_kafka_stream(
 ) -> DataFrame:
     """Kafka source (S5): subscribe + JSON deserialize into the typed
     schema (reference: faust_app.py:72-74, postgres_sink.py:51-58)."""
+    from .filetopic import decode_review_records
+
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -71,9 +73,7 @@ def read_review_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), RAW_REVIEW).alias("r")
-    ).select("r.*")
+    return decode_review_records(raw)
 
 
 def deduped_stream(reviews: DataFrame) -> DataFrame:
