@@ -381,7 +381,15 @@ def _simhash_candidates(
 
     The band-key histogram used for the split has a bounded domain
     (4 bands x 2^16 values = 262,144 keys) so it broadcasts at ANY
-    corpus size. Output is row-identical to the naive banded join.
+    corpus size.
+
+    Emission contract: each pair surfaces AT MOST once (at its first
+    agreeing band — see earlier_band_match) and at LEAST once when its
+    hamming distance is <= 3 (pigeonhole over the remainder bytes; a
+    pair agreeing on two bands always shares a remainder byte, namely
+    the other agreeing chunk's). Pairs at hamming > 3 may not surface
+    from hot buckets — they are bound for the hamming filter anyway,
+    so simhash_pairs' output is exact for max_hamming <= 3.
     """
     n_chunks = 64 // SIMHASH_CHUNK_BITS
     chunk_cols = [f"c{i}" for i in range(n_chunks)]
@@ -400,15 +408,37 @@ def _simhash_candidates(
             for c in chunk_cols
         ).cast("int")
 
+    def earlier_band_match(band_i):
+        """True when the pair also agrees on a band BEFORE this one.
+        Filtering on its negation emits each pair exactly once — at
+        its first agreeing band — which replaces a post-hoc
+        groupBy(doc_a, doc_b) dedup SHUFFLE with a codegen'd filter
+        (both paths apply the same rule, so exactly one band emits)."""
+        m = F.lit(False)
+        for j in range(n_chunks):
+            m = m | (
+                (F.lit(j) < band_i)
+                & (F.col(f"a.c{j}") == F.col(f"b.c{j}"))
+            )
+        return m
+
     ca, cb = cold.alias("a"), cold.alias("b")
-    cold_pairs = ca.join(
-        cb,
-        (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        hamming("a", "b").alias("hamming"),
+    cold_pairs = (
+        ca.join(
+            cb,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            ~earlier_band_match(
+                F.shiftright(F.col("a.band_key"), SIMHASH_CHUNK_BITS)
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming("a", "b").alias("hamming"),
+        )
     )
 
     # sub-key = band_key (18 bits) | byte position (3 bits) | byte (8)
@@ -471,7 +501,7 @@ def _simhash_candidates(
             (F.col("a.sub_key") == F.col("b.sub_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(~earlier_match)
+        .filter(~earlier_match & ~earlier_band_match(band_i))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -504,16 +534,11 @@ def simhash_pairs(
     # signature computation is the CPU cost; scanned three times below
     # (histogram + cold/hot joins)
     banded = _simhash_banded(sigs).cache()
-    # Pair dedup (a pair can collide on several bands / sub-keys) runs
-    # AFTER the hamming filter: hamming is functionally determined by
-    # the pair, so dedup position commutes — but deduping survivors
-    # means the shuffle carries only (ids, int) for the few near-dup
-    # pairs instead of every collision row.
-    return (
-        _simhash_candidates(banded, hot_threshold)
-        .filter(F.col("hamming") <= max_hamming)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.min("hamming").alias("hamming"))
+    # No pair-dedup aggregation: _simhash_candidates emits each pair
+    # exactly once (first-agreeing-band rule), so the near-dup output
+    # needs no shuffle beyond the band join itself.
+    return _simhash_candidates(banded, hot_threshold).filter(
+        F.col("hamming") <= max_hamming
     )
 
 
