@@ -237,6 +237,39 @@ def q_topic_roundtrip_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ------------- training-corpus assembly (SURVEY.md §7 extension) -----------
+
+def _benchmark_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in eval set: every 101st document."""
+    return _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 101 == 0)
+
+
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    return CP.token_budget_pack(
+        _t(spark, sf_dir, "documents"), shard_budget=50_000
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    return CP.decontaminate(
+        _t(spark, sf_dir, "documents"), _benchmark_docs(spark, sf_dir)
+    )
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    return CP.training_corpus(
+        _t_cpu(spark, sf_dir, "documents"),
+        _benchmark_docs(spark, sf_dir),
+        shard_budget=50_000,
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
@@ -766,6 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_stats_overall": q_review_stats_overall,
         "attributed_purchases_stream": q_attributed_purchases_stream,
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
+        "token_budget_pack": q_token_budget_pack,
+        "decontaminate": q_decontaminate,
+        "training_corpus": q_training_corpus,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -964,6 +1000,92 @@ WITH reviews AS ({O.SYNTH_REVIEWS_SQL})
 SELECT review_id, business_id, user_id, rating, text, date,
        useful, funny, cool, source, ingestion_timestamp
 FROM reviews"""
+
+
+_PACK_BUDGET = 50_000
+
+
+def _sql_pack_tail(src: str, budget: int, extra_cols: str = "") -> str:
+    """Shared packing arithmetic: global (md5(doc_id), doc_id) order +
+    running token sum + shard of the starting offset. The oracle uses
+    the plain single-partition window the Spark side decomposes into
+    bucket-local windows + broadcast offsets (operators/corpus.py)."""
+    return f"""
+SELECT doc_id, tokens,
+       sum(tokens) OVER w AS cum_tokens,
+       CAST(floor(CAST(sum(tokens) OVER w - tokens AS DOUBLE) / {float(budget)!r})
+            AS BIGINT) AS shard_id{extra_cols}
+FROM {src}
+WINDOW w AS (ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING)"""
+
+
+def _sql_token_budget_pack() -> str:
+    tok = O.sql_bpe_token_count("text")
+    return f"""
+WITH tb AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk,
+         CAST({tok} AS BIGINT) AS tokens
+  FROM documents
+){_sql_pack_tail('tb', _PACK_BUDGET)}"""
+
+
+def _sql_decontaminate() -> str:
+    return f"""
+WITH {O.sql_doc_shingles_cte(5, 'documents', 'dc').lstrip()},
+bgrams AS (
+  SELECT DISTINCT unnest(shingles) AS gram FROM dcsh WHERE doc_id % 101 = 0
+),
+hits AS (
+  SELECT d.doc_id, count(DISTINCT d.gram) AS n_hits
+  FROM (SELECT doc_id, unnest(shingles) AS gram FROM dcsh) d
+  JOIN bgrams b USING (gram)
+  GROUP BY d.doc_id
+)
+SELECT dd.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents dd LEFT JOIN hits h USING (doc_id)"""
+
+
+def _sql_training_corpus() -> str:
+    quality = O.sql_quality_score("text")
+    norm = O.sql_norm_text("text")
+    tok = O.sql_bpe_token_count("text")
+    bench_src = "(SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0)"
+    return f"""
+WITH lid AS ({_sql_lang_id()}),
+tcq AS (
+  SELECT d.doc_id, d.text, l.language, l.language_confidence,
+         {quality} AS quality_score, md5({norm}) AS fp
+  FROM documents d JOIN lid l ON d.doc_id = l.doc_id
+),
+gated AS (
+  SELECT * FROM tcq
+  WHERE language = 'en' AND language_confidence >= 0.5
+    AND quality_score >= 0.5
+),
+uniq AS (
+  SELECT * FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+),
+{O.sql_doc_shingles_cte(5, 'uniq', 'u').lstrip()},
+{O.sql_doc_shingles_cte(5, bench_src, 'tb').lstrip()},
+cont AS (
+  SELECT DISTINCT dg.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS gram FROM ush) dg
+  JOIN (SELECT DISTINCT unnest(shingles) AS gram FROM tbsh) bg USING (gram)
+),
+clean AS (
+  SELECT u.* FROM uniq u
+  WHERE NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = u.doc_id)
+),
+packed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk,
+         CAST({tok} AS BIGINT) AS tokens, quality_score
+  FROM clean
+)
+SELECT shard_id, doc_id, tokens, cum_tokens, quality_score
+FROM ({_sql_pack_tail('packed', _PACK_BUDGET, ', quality_score')})"""
 
 
 def _sql_events_hourly() -> str:
@@ -1495,6 +1617,9 @@ def oracle_sql() -> dict[str, str]:
         "review_stats_overall": _sql_review_stats(by_business=False),
         "attributed_purchases_stream": _sql_attributed_purchases_stream(),
         "topic_roundtrip_reviews": _sql_topic_roundtrip_reviews(),
+        "token_budget_pack": _sql_token_budget_pack(),
+        "decontaminate": _sql_decontaminate(),
+        "training_corpus": _sql_training_corpus(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

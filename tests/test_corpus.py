@@ -1,0 +1,125 @@
+"""Corpus-assembly operators: token-budget packing, decontamination,
+end-to-end training-corpus build."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators import corpus as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_token_budget_pack_matches_global_window_model(spark):
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: (r["tokens"], r["cum_tokens"], r["shard_id"])
+        for r in C.token_budget_pack(docs, shard_budget=5_000).collect()
+    }
+
+    # brute-force model: global order by (md5(id), id), running sum
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id",
+            C.bpe_token_count(F.col("text")).cast("long").alias("t"),
+        ).collect()
+    }
+    order = sorted(
+        toks, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    cum = 0
+    for doc_id in order:
+        t = toks[doc_id]
+        cum += t
+        assert got[doc_id] == (t, cum, (cum - t) // 5_000), doc_id
+    assert len(got) == len(toks)
+
+
+def test_token_budget_pack_shards_near_budget(spark):
+    budget = 5_000
+    packed = C.token_budget_pack(_docs(spark), shard_budget=budget)
+    sizes = {
+        r["shard_id"]: r["s"]
+        for r in packed.groupBy("shard_id")
+        .agg(F.sum("tokens").alias("s"))
+        .collect()
+    }
+    max_doc = packed.agg(F.max("tokens")).collect()[0][0]
+    last = max(sizes)
+    for sid, s in sizes.items():
+        if sid != last:
+            # a shard spans [sid*B, (sid+1)*B) of the token stream plus
+            # at most one straddling document
+            assert budget <= s + max_doc
+            assert s <= budget + max_doc
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally different words with no overlap at all here"),
+            (3, "prefix junk alpha beta gamma delta epsilon suffix junk"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in C.decontaminate(docs, bench, n=5).collect()
+    }
+    assert got[1] == (True, 1)  # shares the 5-gram
+    assert got[2] == (False, 0)
+    assert got[3] == (True, 1)  # contains it mid-document
+    assert len(got) == 3
+
+
+def test_decontaminate_self_overlap_on_fixture(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    got = C.decontaminate(docs, bench)
+    # every benchmark doc long enough to have >= 1 shingle of its own
+    # must flag itself
+    bench_flagged = got.join(
+        bench.select("doc_id"), "doc_id"
+    ).filter("NOT contaminated")
+    assert bench_flagged.count() == 0
+    # and the corpus is not all-contaminated
+    assert got.filter("NOT contaminated").count() > 0
+
+
+def test_training_corpus_end_to_end_invariants(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    out = C.training_corpus(docs, bench, shard_budget=5_000).cache()
+    n = out.count()
+    assert n > 0
+    # no contaminated doc survived
+    contaminated = {
+        r["doc_id"]
+        for r in C.decontaminate(docs, bench).filter("contaminated").collect()
+    }
+    assert not contaminated & {r["doc_id"] for r in out.collect()}
+    # no duplicate normalized fingerprints among survivors
+    fps = (
+        docs.join(out.select("doc_id"), "doc_id")
+        .select(C.doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert fps == 0
+    # shard ids are dense from 0
+    sids = sorted(r["shard_id"] for r in out.select("shard_id").distinct().collect())
+    assert sids[0] == 0 and sids == list(range(len(sids)))
+    out.unpersist()

@@ -411,6 +411,35 @@ sh AS (
 )"""
 
 
+def sql_doc_shingles_cte(n: int, src: str, prefix: str) -> str:
+    """CTE pair ``{prefix}base -> {prefix}sh(doc_id, shingles)`` with
+    word n-gram shingles over ``src`` (any table/CTE carrying doc_id +
+    text) — the table-parameterized form of _sql_shingles_cte, twin of
+    operators/dedup.py:word_shingles."""
+    gram_concat = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    wst = sql_ws_trim("lower(text)")
+    return f"""
+{prefix}base AS (
+  SELECT doc_id, {wst} AS lt,
+         string_split_regex({wst}, '\\s+') AS words
+  FROM {src}
+),
+{prefix}sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {n}
+         THEN list_distinct([{gram_concat}
+                             FOR i IN generate_series(1, len(words) - {n - 1})])
+         ELSE [lt] END AS shingles
+  FROM {prefix}base
+)"""
+
+
+def sql_bpe_token_count(c: str) -> str:
+    """Twin of operators/text_analysis.py:bpe_token_count."""
+    tok = TOKEN_REGEX.replace("'", "''")
+    return f"len(regexp_extract_all(COALESCE({c}, ''), '{tok}'))"
+
+
 def sql_minhash_lsh_pairs(threshold: float = 0.5) -> str:
     # window-family MinHash: one md5 per shingle, signature i = min of
     # the digest's 15-hex-char window at offset i (mirrors
@@ -705,27 +734,30 @@ FROM corpus a JOIN corpus b
 WHERE {sim} >= {tau}"""
 
 
-def sql_text_analysis() -> str:
-    tok = TOKEN_REGEX.replace("'", "''")
-    wst_t = sql_ws_trim("text")
-    norm = sql_norm_text("text")
+def sql_stopword_ratio(c: str) -> str:
+    """Twin of operators/text_analysis.py:stopword_ratio."""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    wst_lower = sql_ws_trim("lower(COALESCE(text, ''))")
+    wst_lower = sql_ws_trim(f"lower(COALESCE({c}, ''))")
     words = f"string_split_regex({wst_lower}, '\\s+')"
-    sw_ratio = (
-        f"(CASE WHEN text IS NULL OR len({sql_ws_trim('text')}) = 0 THEN 0.0 "
+    return (
+        f"(CASE WHEN {c} IS NULL OR len({sql_ws_trim(c)}) = 0 THEN 0.0 "
         f"ELSE CAST(len(list_filter({words}, "
         f"w -> list_contains([{stop_list}], w))) AS DOUBLE) "
         f"/ CAST(len({words}) AS DOUBLE) END)"
     )
-    n = "COALESCE(len(text), 0)"
+
+
+def sql_quality_score(c: str) -> str:
+    """Twin of operators/text_analysis.py:text_quality_score."""
+    sw_ratio = sql_stopword_ratio(c)
+    n = f"COALESCE(len({c}), 0)"
     len_score = (
         f"(CASE WHEN {n} >= 200 AND {n} <= 8000 THEN 1.0 "
         f"WHEN {n} < 200 THEN CAST({n} AS DOUBLE) / 200.0 "
         f"ELSE 8000.0 / CAST({n} AS DOUBLE) END)"
     )
     sw_score = f"(CASE WHEN {sw_ratio} >= 0.05 THEN 1.0 ELSE {sw_ratio} / 0.05 END)"
-    punct = rc("COALESCE(text, '')", r"[^A-Za-z0-9\s]")
+    punct = rc(f"COALESCE({c}, '')", r"[^A-Za-z0-9\s]")
     punct_ratio = (
         f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({punct} AS DOUBLE) / {n} END)"
     )
@@ -733,7 +765,7 @@ def sql_text_analysis() -> str:
         f"(CASE WHEN {punct_ratio} <= 0.1 THEN 1.0 "
         f"ELSE greatest(0.0, 1.0 - ({punct_ratio} - 0.1) * 2.0) END)"
     )
-    digits = rc("COALESCE(text, '')", "[0-9]")
+    digits = rc(f"COALESCE({c}, '')", "[0-9]")
     digit_ratio = (
         f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({digits} AS DOUBLE) / {n} END)"
     )
@@ -741,11 +773,19 @@ def sql_text_analysis() -> str:
         f"(CASE WHEN {digit_ratio} <= 0.2 THEN 1.0 "
         f"ELSE greatest(0.0, 1.0 - ({digit_ratio} - 0.2) * 2.0) END)"
     )
-    quality = sql_stable_round(
+    return sql_stable_round(
         f"0.4 * {len_score} + 0.2 * {sw_score} + 0.2 * {punct_score} "
         f"+ 0.2 * {digit_score}",
         4,
     )
+
+
+def sql_text_analysis() -> str:
+    tok = TOKEN_REGEX.replace("'", "''")
+    wst_t = sql_ws_trim("text")
+    norm = sql_norm_text("text")
+    sw_ratio = sql_stopword_ratio("text")
+    quality = sql_quality_score("text")
     winnow = (
         f"list_aggregate([md5(substr({norm}, i, 8)) "
         f"FOR i IN generate_series(1, greatest(1, len({norm}) - 7))], 'min')"
