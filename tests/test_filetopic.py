@@ -13,6 +13,7 @@ What a real broker would be asserted on, asserted here:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -180,3 +181,109 @@ def test_null_key_records_still_partition_deterministically(spark, tmp_path):
         )
     )
     assert a == b  # same inputs -> same layout, null keys included
+
+
+def test_full_topology_via_topics(spark, tmp_path, monkeypatch):
+    """The reference's complete agent graph executed through topics:
+    raw_reviews -> (dedup + gauntlet) -> cleaned_reviews /
+    quality_issues -> windowed stats — with batch-path parity on the
+    accepted set (one expression library, two execution modes, a
+    broker in between)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators.gauntlet import (
+        clean_reviews,
+    )
+    from yelp_streaming_etl_pipeline_spark.schemas import RAW_REVIEW
+    from yelp_streaming_etl_pipeline_spark.streaming import topology as TOP
+
+    GOOD = (
+        "The food here was absolutely wonderful and the service was quick. "
+        "I would definitely come back with friends for the weekend brunch."
+    )
+    base = datetime(2026, 8, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                f"r{i}",
+                f"b{i % 3}",
+                f"u{i}",
+                None if i % 13 == 0 else float(1 + i % 5),
+                None if i % 11 == 0 else GOOD + f" visit number {i}.",
+                base + timedelta(hours=5 * i, minutes=7 * i),
+                i % 4,
+                i % 3,
+                i % 2,
+                "test",
+                base,
+            )
+        )
+    rows.append(rows[1])  # duplicate (review_id, date)
+    src_df = spark.createDataFrame(rows, RAW_REVIEW)
+
+    # trusted language columns (the fixture has none)
+    orig = TOP.validate_reviews
+    monkeypatch.setattr(
+        TOP,
+        "validate_reviews",
+        lambda df, now: orig(
+            df.withColumn("language", F.lit("en")).withColumn(
+                "language_confidence", F.lit(0.95)
+            ),
+            now,
+        ),
+    )
+
+    base_dir = str(tmp_path / "broker")
+    # producer: replay the source table into the raw topic
+    src = str(tmp_path / "src")
+    src_df.coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        FT.write_file_topic_keyed(
+            spark.readStream.schema(src_df.schema).parquet(src),
+            f"{base_dir}/raw_reviews",
+            str(tmp_path / "ckpt_raw"),
+            key_col="business_id",
+            timestamp_col="date",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = TOP.run_topology_via_topics(spark, base_dir)
+    assert counts["cleaned_reviews"] + counts["quality_issues"] >= 30
+    assert counts["hourly_stats"] > 0
+
+    # batch parity on the accepted set, through TWO topic hops
+    cleaned_rec = FT.read_file_topic_batch(spark, f"{base_dir}/cleaned_reviews")
+    stream_ids = {
+        json.loads(bytes(r["value"]).decode())["review_id"]
+        for r in cleaned_rec.collect()
+    }
+    batch_input = (
+        src_df.dropDuplicates(["review_id", "date"])
+        .withColumn("language", F.lit("en"))
+        .withColumn("language_confidence", F.lit(0.95))
+    )
+    accepted, _r, _i = clean_reviews(batch_input, F.current_timestamp())
+    assert stream_ids == {
+        r["review_id"] for r in accepted.select("review_id").collect()
+    }
+
+    # stats consumed from the cleaned topic: totals per emitted window
+    # match a batch aggregation of the accepted rows
+    stats = spark.read.parquet(f"{base_dir}/out/hourly_stats")
+    batch_win = {
+        (r["ws"], r["business_id"]): r["n"]
+        for r in accepted.groupBy(
+            F.date_trunc("hour", "date").alias("ws"), "business_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in stats.collect():
+        assert batch_win[(r["window_start"], r["business_id"])] == r["total"]
