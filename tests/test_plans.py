@@ -243,3 +243,61 @@ def test_compact_latest_is_aggregate_not_window(spark):
     plan = A.physical_plan(df)
     assert "Window" not in plan, plan[:3000]
     assert A.key_shuffle_exchanges(df) == 1, plan[:3000]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew handling, executed: a join where one key holds ~90%
+    of the rows must come out of AQE with the skewed partition SPLIT
+    (the 'skew=true' marker on the final sort-merge join) instead of a
+    single straggler task. This is the safety net behind every equi-join
+    in the library whose key distribution is data-dependent — the
+    hand-built mitigations (salted aggregation, sub-banded LSH) cover
+    the cases AQE cannot see."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ]
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # shrink the thresholds so the ~MB-scale fixture counts as skewed
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+
+        # incompressible payload (skew detection reads COMPRESSED map
+        # sizes) that the aggregate below keeps alive through pruning
+        pad = F.concat(
+            *[F.md5((F.col("id") + F.lit(i)).cast("string")) for i in range(4)]
+        )
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            pad.alias("payload"),
+        )
+        small = spark.range(2_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        # aggregate on top so the driver collects one row, not the join
+        # output; the SMJ beneath it is what AQE re-plans
+        joined = big.join(small, "k").agg(
+            F.count("*"), F.sum("v"), F.sum(F.length("payload"))
+        )
+        joined.collect()  # executes THIS plan -> AQE finalizes it
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
