@@ -107,9 +107,9 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t_cpu(spark, sf_dir, "documents")
-    return LANG.with_lang_id(d.select("doc_id", "text"), "text").select(
-        "doc_id", "language", "language_confidence"
-    )
+    return LANG.with_lang_id(
+        d.select("doc_id", "text"), "text", id_col="doc_id"
+    ).select("doc_id", "language", "language_confidence")
 
 
 def q_clean_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:

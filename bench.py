@@ -74,6 +74,10 @@ HEADLINE = [
     "value_histogram",
     "lapsed_users",
     "sliding_hourly_stats",
+    "lang_id",
+    "token_budget_pack",
+    "decontaminate",
+    "training_corpus",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -90,14 +90,25 @@ def lang_id_struct(c: Column) -> Column:
     )
 
 
-def with_lang_id(df, text_col: str = "text", method: str = "trigram"):
+def with_lang_id(df, text_col: str = "text", method: str = "trigram",
+                 id_col: str | None = None):
     """Add ``language`` / ``language_confidence``. Default L1 is the
     Cavnar-Trenkle-style trigram classifier (lang_trigrams.py) with
     this module's marker heuristic as the zero-score fallback; pass
-    method='marker' for the heuristic alone."""
-    if method == "trigram":
-        from .lang_trigrams import lang_id_trigram_struct
+    method='marker' for the heuristic alone.
 
+    With ``id_col`` (a unique key) the trigram scores run as a
+    broadcast-join plan (codegen'd, the fast/scale path); without one
+    they run as a per-row expression (interpreted HOF — fine for small
+    streams, slow on large tables)."""
+    if method == "trigram":
+        from .lang_trigrams import (
+            lang_id_trigram_struct,
+            with_trigram_lang_id,
+        )
+
+        if id_col is not None:
+            return with_trigram_lang_id(df, text_col, id_col)
         s = lang_id_trigram_struct(F.col(text_col))
     else:
         s = lang_id_struct(F.col(text_col))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.lang_trigrams import lang_id_trigram_struct
+from ..functions.lang_trigrams import with_trigram_lang_id
 from .dedup import word_shingles
 from .text_analysis import bpe_token_count, doc_fingerprint, text_quality_score
 
@@ -40,6 +40,7 @@ def token_budget_pack(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_budget: int = 50_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign documents to token-budget shards: order the corpus by a
     deterministic hash, prefix-sum the per-document token counts, and
@@ -61,6 +62,7 @@ def token_budget_pack(
     sk = _sort_key(F.col(id_col))
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         sk.alias("_sk"),
         bpe_token_count(F.col(text_col)).cast("long").alias("tokens"),
     ).withColumn(
@@ -95,6 +97,7 @@ def token_budget_pack(
             F.floor((cum - F.col("tokens")) / F.lit(shard_budget))
             .cast("long")
             .alias("shard_id"),
+            *[F.col(c) for c in carry_cols],
         )
     )
 
@@ -157,24 +160,29 @@ def training_corpus(
     fingerprint, min-id survivor) -> decontamination -> token-budget
     shard packing. Returns (shard_id, doc_id, tokens, cum_tokens,
     quality_score)."""
-    lid = lang_id_trigram_struct(F.col(text_col))
-    staged = docs.select(
+    # cheap gate FIRST: quality is a handful of regexp counts; the
+    # classifier (explode + join) then only scores survivors. The
+    # filters are conjunctive, so ordering cannot change the result.
+    quality_pass = docs.select(
         F.col(id_col),
         F.col(text_col),
-        lid["language"].alias("_lang"),
-        lid["language_confidence"].alias("_conf"),
         text_quality_score(F.col(text_col)).alias("quality_score"),
         doc_fingerprint(F.col(text_col)).alias("_fp"),
-    ).filter(
-        (F.col("_lang") == language)
-        & (F.col("_conf") >= min_lang_confidence)
-        & (F.col("quality_score") >= min_quality)
+    ).filter(F.col("quality_score") >= min_quality)
+    staged = with_trigram_lang_id(quality_pass, text_col, id_col).filter(
+        (F.col("language") == language)
+        & (F.col("language_confidence") >= min_lang_confidence)
     )
 
     # exact dedup: min-id survivor per normalized-text fingerprint
     survivor = F.min(F.col(id_col)).over(Window.partitionBy("_fp"))
-    unique = staged.withColumn("_keep", F.col(id_col) == survivor).filter(
-        "_keep"
+    # persist: the surviving set feeds FOUR plan branches below
+    # (decontamination grams + anti join + packing + the final join) —
+    # without it each branch re-runs the classifier and gates
+    unique = (
+        staged.withColumn("_keep", F.col(id_col) == survivor)
+        .filter("_keep")
+        .persist()
     )
 
     clean = (
@@ -187,7 +195,6 @@ def training_corpus(
         )
     )
 
-    packed = token_budget_pack(clean, text_col, id_col, shard_budget)
-    return packed.join(
-        clean.select(id_col, "quality_score"), id_col
+    return token_budget_pack(
+        clean, text_col, id_col, shard_budget, carry_cols=("quality_score",)
     ).select("shard_id", id_col, "tokens", "cum_tokens", "quality_score")
