@@ -270,6 +270,15 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yelp_streaming_etl_pipeline_spark.functions.lang_trigrams import (
+        with_lm_score,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return with_lm_score(d.select("doc_id", "text"), "text", "doc_id")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.hourly_stats(read_events(_ensure_conf(spark), sf_dir))
 
@@ -802,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack": q_token_budget_pack,
         "decontaminate": q_decontaminate,
         "training_corpus": q_training_corpus,
+        "lm_score": q_lm_score,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -904,6 +914,44 @@ scored AS (
   SELECT *, {score_cols} FROM tri
 )
 SELECT doc_id, {lang_expr} AS language, {conf_expr} AS language_confidence
+FROM scored"""
+
+
+def _sql_lm_score() -> str:
+    """Twin of with_lm_score: same scored derived table as lang_id,
+    best score per trigram, stable-rounded."""
+    from yelp_streaming_etl_pipeline_spark.functions import (
+        lang_trigrams as LT,
+    )
+    from yelp_streaming_etl_pipeline_spark.functions.rounding import (
+        sql_stable_round,
+    )
+
+    lc = LT.sql_norm("text")
+    tris = LT.sql_trigram_array("lc")
+    score_cols = ", ".join(
+        f"{LT.sql_trigram_score('tris', lang)} AS s_{lang}"
+        for lang in LT.LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LT.LANG_ORDER) + ")"
+    n_tris = "greatest(len(lc) - 2, 0)"
+    raw = (
+        f"(CASE WHEN {n_tris} > 0 THEN CAST({best} AS DOUBLE) / "
+        f"CAST({n_tris} AS DOUBLE) ELSE 0.0 END)"
+    )
+    return f"""
+WITH norm AS (
+  SELECT *, {lc} AS lc FROM documents
+),
+tri AS (
+  SELECT *, {tris} AS tris FROM norm
+),
+scored AS (
+  SELECT *, {score_cols} FROM tri
+)
+SELECT doc_id,
+       CAST({n_tris} AS BIGINT) AS n_trigrams,
+       {sql_stable_round(raw, 4)} AS lm_score
 FROM scored"""
 
 
@@ -1620,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_pack": _sql_token_budget_pack(),
         "decontaminate": _sql_decontaminate(),
         "training_corpus": _sql_training_corpus(),
+        "lm_score": _sql_lm_score(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -75,6 +75,7 @@ HEADLINE = [
     "lapsed_users",
     "sliding_hourly_stats",
     "lang_id",
+    "lm_score",
     "token_budget_pack",
     "decontaminate",
     "training_corpus",

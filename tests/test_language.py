@@ -61,3 +61,24 @@ def test_marker_method_still_available(spark):
     out = with_lang_id(df, "text", method="marker").collect()[0]
     assert out["language"] == "en"
     assert out["language_confidence"] > 0.0
+
+
+def test_lm_score_orders_fluent_above_gibberish(spark):
+    from yelp_streaming_etl_pipeline_spark.functions.lang_trigrams import (
+        with_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the food was wonderful and the service was quick and friendly"),
+            (2, "zxq wvk jjx qqp zzt rrw mmv bbn ccx ddz"),
+            (3, "12345 67890 00000 11111 22222 33333"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["lm_score"]
+        for r in with_lm_score(docs, "text", "doc_id").collect()
+    }
+    assert got[1] > got[2] >= got[3] >= 0.0
+    assert got[1] > 1.0  # fluent seed-like prose scores well

@@ -294,6 +294,42 @@ def trigram_scores_frame(
     )
 
 
+def with_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Perplexity-proxy language-model score: the document's best
+    per-language rank-weight score divided by its trigram count —
+    "how much does this text look like ANY of the profiled languages,
+    per unit of text". The cheap LM-quality filter an LLM data
+    pipeline runs where a real LM is too expensive: gibberish,
+    boilerplate, and digit soup score near 0; fluent prose scores
+    high. Output: (id_col, n_trigrams, lm_score). Same broadcast-join
+    plan as the classifier; zh and empty docs score 0 by construction
+    (no profile trigrams)."""
+    scores = trigram_scores_frame(df, text_col, id_col)
+    lc = _norm_col(F.col(text_col))
+    n_tris = F.greatest(F.length(lc) - 2, F.lit(0)).cast("long")
+    best = F.greatest(
+        *[
+            F.coalesce(F.col(f"_s_{lang}"), F.lit(0)).cast("long")
+            for lang in LANG_ORDER
+        ]
+    )
+    return (
+        df.join(scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_tris.alias("n_trigrams"),
+            F.when(n_tris > 0, best.cast("double") / n_tris)
+            .otherwise(F.lit(0.0))
+            .alias("_raw"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            stable_round(F.col("_raw"), 4).alias("lm_score"),
+        )
+    )
+
+
 def with_trigram_lang_id(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
