@@ -270,6 +270,23 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append delta: existing corpus = 2/3 of documents;
+    the incoming batch = the remaining third plus re-keyed copies of
+    every 7th document (exact-text dups that must be rejected against
+    whichever side already holds the text)."""
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    incoming = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text"
+        )
+    )
+    return CP.corpus_upsert(existing, incoming).select("doc_id", "fingerprint")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_streaming_etl_pipeline_spark.functions.lang_trigrams import (
         with_lm_score,
@@ -812,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "training_corpus": q_training_corpus,
         "lm_score": q_lm_score,
+        "corpus_upsert": q_corpus_upsert,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -915,6 +933,32 @@ scored AS (
 )
 SELECT doc_id, {lang_expr} AS language, {conf_expr} AS language_confidence
 FROM scored"""
+
+
+def _sql_corpus_upsert() -> str:
+    norm = O.sql_norm_text("text")
+    return f"""
+WITH existing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+inc AS (
+  SELECT doc_id, text, md5({norm}) AS fingerprint FROM incoming
+),
+fresh AS (
+  SELECT * FROM inc
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+),
+seen AS (
+  SELECT DISTINCT md5({norm}) AS fingerprint FROM existing
+)
+SELECT f.doc_id, f.fingerprint
+FROM fresh f
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = f.fingerprint)"""
 
 
 def _sql_lm_score() -> str:
@@ -1669,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _sql_decontaminate(),
         "training_corpus": _sql_training_corpus(),
         "lm_score": _sql_lm_score(),
+        "corpus_upsert": _sql_corpus_upsert(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

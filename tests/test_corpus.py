@@ -123,3 +123,86 @@ def test_training_corpus_end_to_end_invariants(spark):
     sids = sorted(r["shard_id"] for r in out.select("shard_id").distinct().collect())
     assert sids[0] == 0 and sids == list(range(len(sids)))
     out.unpersist()
+
+
+def test_corpus_upsert_delta_semantics(spark):
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta GAMMA"),  # normalized dup of doc 1
+            (11, "eta theta iota"),      # genuinely new
+            (12, "eta  THETA iota"),     # in-batch dup of 11 (11 wins)
+            (13, "kappa lambda mu"),     # new
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"] for r in C.corpus_upsert(existing, incoming).collect()
+    }
+    assert got == {11, 13}
+
+
+def test_streaming_ingest_upsert_dedups_across_batches(spark, tmp_path):
+    """Two micro-batches with overlapping content: the corpus ends with
+    one row per distinct fingerprint, first seen wins, and a replayed
+    batch adds nothing (at-least-once append is harmless)."""
+    corpus_dir = str(tmp_path / "corpus")
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    b1 = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+    b2 = [
+        (20, "alpha BETA gamma"),   # dup of 1 across batches
+        (21, "nu xi omicron"),      # new
+    ]
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+
+    write_batch("b1", b1)
+    q = (
+        C.ingest_stream_upsert(
+            stream, corpus_dir, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    write_batch("b2", b2)
+    q = (
+        C.ingest_stream_upsert(
+            stream, corpus_dir, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    corpus = spark.read.parquet(corpus_dir)
+    ids = {r["doc_id"] for r in corpus.collect()}
+    assert ids == {1, 2, 21}  # 20 deduped against 1; first seen won
+    fps = corpus.groupBy("fingerprint").count().filter("count > 1").count()
+    assert fps == 0
+
+    # replay the same batch content as new files -> no growth
+    write_batch("b1_replay", b1)
+    q = (
+        C.ingest_stream_upsert(
+            stream, corpus_dir, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(corpus_dir).count() == 3

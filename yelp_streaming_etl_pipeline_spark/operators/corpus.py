@@ -145,6 +145,77 @@ def decontaminate(
     )
 
 
+def corpus_upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delta for an incremental corpus append: the incoming documents
+    that are neither exact duplicates (normalized-text fingerprint) of
+    the existing corpus nor of each other (min-id survivor within the
+    batch). Returns (id, text, fingerprint) of the accepted delta —
+    what a pipeline appends, with first-seen-wins semantics across
+    batches.
+
+    Scale shape: one shuffle of the (small) incoming batch on its
+    fingerprint; the existing side reduces to DISTINCT fingerprints
+    before the anti join — at 100 TB that projection is the only thing
+    read from the corpus (column pruning keeps payload bytes on disk),
+    and a bloom-filter or bucketed layout on fingerprint turns the
+    anti join into a pruned probe."""
+    inc = incoming.select(
+        F.col(id_col),
+        F.col(text_col),
+        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    survivor = F.min(F.col(id_col)).over(Window.partitionBy("fingerprint"))
+    fresh = inc.withColumn("_keep", F.col(id_col) == survivor).filter("_keep")
+    seen = existing.select(
+        doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    return fresh.join(seen, "fingerprint", "left_anti").select(
+        id_col, text_col, "fingerprint"
+    )
+
+
+def ingest_stream_upsert(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming incremental ingestion: each micro-batch is deduped
+    against the corpus-so-far (corpus_upsert) and appended. State is
+    the corpus itself — re-read per batch as DISTINCT fingerprints —
+    so a restart resumes exactly from what was durably appended
+    (at-least-once append + first-seen-wins makes replays harmless:
+    a replayed batch's docs are already fingerprint-dups). Returns
+    the unstarted DataStreamWriter."""
+    spark = docs_stream.sparkSession
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        ):
+            existing = spark.read.parquet(corpus_dir).select(
+                F.col(id_col), F.col(text_col)
+            )
+        else:
+            existing = spark.createDataFrame([], batch_df.schema).select(
+                F.col(id_col), F.col(text_col)
+            )
+        delta = corpus_upsert(existing, batch_df, text_col, id_col)
+        delta.write.mode("append").parquet(corpus_dir)
+
+    return docs_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def training_corpus(
     docs: DataFrame,
     benchmark: DataFrame,
