@@ -270,6 +270,21 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_TARGETS = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.1}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture draw over the documents' language column: the
+    largest corpus matching the declared shares (zh deliberately
+    absent from the targets -> dropped)."""
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(d, "lang", "doc_id", _MIXTURE_TARGETS)
+
+
 def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-append delta: existing corpus = 2/3 of documents;
     the incoming batch = the remaining third plus re-keyed copies of
@@ -830,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "lm_score": q_lm_score,
         "corpus_upsert": q_corpus_upsert,
+        "mixture_sample": q_mixture_sample,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -933,6 +949,37 @@ scored AS (
 )
 SELECT doc_id, {lang_expr} AS language, {conf_expr} AS language_confidence
 FROM scored"""
+
+
+def _sql_mixture_sample() -> str:
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        sql_hash_bucket,
+    )
+
+    vals = ", ".join(
+        f"('{c}', CAST({p!r} AS DOUBLE))"
+        for c, p in sorted(_MIXTURE_TARGETS.items())
+    )
+    hb = sql_hash_bucket("doc_id")
+    return f"""
+WITH tgt(lang, p) AS (VALUES {vals}),
+counts AS (
+  SELECT d.lang, t.p, count(*) AS n
+  FROM documents d JOIN tgt t ON d.lang = t.lang
+  GROUP BY d.lang, t.p
+),
+tot AS (SELECT min(CAST(n AS DOUBLE) / p) AS t FROM counts),
+caps AS (
+  SELECT lang, CAST(floor(p * t) AS BIGINT) AS cap FROM counts, tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {hb}, doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN caps c ON r.lang = c.lang
+WHERE r.rn <= c.cap"""
 
 
 def _sql_corpus_upsert() -> str:
@@ -1714,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus": _sql_training_corpus(),
         "lm_score": _sql_lm_score(),
         "corpus_upsert": _sql_corpus_upsert(),
+        "mixture_sample": _sql_mixture_sample(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -105,3 +105,37 @@ def test_pps_sample_rate_proportional_to_weight(spark):
         for r in SAMP.pps_sample(df, "w", "doc_id", 1000.0).collect()
     )
     assert ids1 == ids2
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    targets = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.1}
+    got = mixture_sample(
+        docs.select("doc_id", "lang"), "lang", "doc_id", targets
+    )
+    by_class = {
+        r["lang"]: r["count"] for r in got.groupBy("lang").count().collect()
+    }
+    assert set(by_class) <= set(targets)  # zh dropped
+    total = sum(by_class.values())
+    avail = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    # shares match targets to within floor rounding
+    for c, p in targets.items():
+        assert abs(by_class.get(c, 0) - p * total) <= len(targets)
+    # maximality: the scarcest class is fully used (its cap binds)
+    binding = min(targets, key=lambda c: avail[c] / targets[c])
+    assert by_class[binding] >= avail[binding] - len(targets)
+    # determinism
+    again = mixture_sample(
+        docs.select("doc_id", "lang"), "lang", "doc_id", targets
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )

@@ -123,3 +123,47 @@ def pps_sample(
     )
     threshold = F.floor(rate * HASH_BUCKETS)
     return df.filter(hash_bucket(F.col(key_col)) < threshold)
+
+
+def mixture_sample(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Domain-mixture sampling: draw the LARGEST corpus whose class
+    shares match ``targets`` exactly (floor rounding), deterministic
+    like the other samplers. The feasible total is bounded by the
+    scarcest class, T = min over targeted classes of n_c / p_c; each
+    class keeps its floor(p_c * T) lowest-(hash, key) rows. Classes
+    absent from ``targets`` are dropped.
+
+    Two passes at any scale: one count aggregate (|classes| rows,
+    broadcast back as literals via a join), then the same per-class
+    rank-and-cap window class_capped_sample uses. The caps come from
+    DATA + targets, which is what separates a mixture draw from a
+    fixed per-class cap.
+    """
+    tgt = [(c, float(p)) for c, p in sorted(targets.items()) if p > 0]
+    tgt_df = df.sparkSession.createDataFrame(tgt, [class_col, "__p"])
+    counts = (
+        df.join(F.broadcast(tgt_df), class_col)
+        .groupBy(class_col, "__p")
+        .agg(F.count("*").alias("__n"))
+    )
+    total = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__p")).alias("__t")
+    )
+    caps = counts.crossJoin(F.broadcast(total)).select(
+        class_col,
+        F.floor(F.col("__p") * F.col("__t")).cast("long").alias("__cap"),
+    )
+    w = Window.partitionBy(class_col).orderBy(
+        hash_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(caps), class_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__cap"))
+        .select(*df.columns)
+    )
