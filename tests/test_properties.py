@@ -111,3 +111,39 @@ def test_simhash_is_token_set_invariant(spark, texts):
         # case-insensitive tokenization: compare against the lowered base
         if set(py_words(t.lower())) == set(py_words(permuted(t))):
             assert sig_a[i] == sig_b[i], t
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(ASCII_TEXT, min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=500),
+)
+def test_token_budget_pack_matches_python_model(spark, texts, budget):
+    """Distributed prefix-sum packing == the sequential model: order by
+    (md5(id), id), running token sum, shard = floor(start / budget)."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators.corpus import (
+        token_budget_pack,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        TOKEN_REGEX,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    got = {
+        r["doc_id"]: (r["tokens"], r["cum_tokens"], r["shard_id"])
+        for r in token_budget_pack(df, shard_budget=budget).collect()
+    }
+
+    tok_re = re.compile(TOKEN_REGEX)
+    toks = {i: len(tok_re.findall(t or "")) for i, t in rows}
+    order = sorted(
+        toks, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    cum = 0
+    for i in order:
+        cum += toks[i]
+        assert got[i] == (toks[i], cum, (cum - toks[i]) // budget), i
+    assert len(got) == len(rows)
