@@ -301,3 +301,40 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The corpus side must meet the benchmark grams through a
+    broadcast join — no shuffle of the exploded corpus by gram."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as C
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    df = C.decontaminate(docs, bench)
+    plan = A.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only hash-partitioned exchanges are doc-keyed (hit count +
+    # join-back), never gram-keyed
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram" not in line, line
+
+
+def test_token_budget_pack_single_partition_is_offsets_only(spark):
+    """The distributed prefix sum may serialize ONLY the bucket-offsets
+    table (bounded at PACK_BUCKETS rows); the corpus-side window must
+    run under a hash partitioning on the bucket column."""
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as C
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = A.physical_plan(C.token_budget_pack(docs))
+    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+    single = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: SinglePartition" in ln
+    ]
+    assert len(single) == 1, plan[:3000]  # offsets table only
+    assert "BroadcastHashJoin" in plan  # offsets re-enter via broadcast
