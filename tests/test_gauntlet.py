@@ -141,3 +141,33 @@ def test_clean_reviews_routing(spark):
     assert acc["is_spam"] is False
     assert 0.0 <= acc["data_quality_score"] <= 0.8  # 4-component max (§8.2)
     assert acc["useful_count"] == 1  # S7 rename
+
+
+def test_rounded_aggregates_are_partition_order_independent(spark):
+    """Round-1 driver flake root cause: stable_round over double
+    sum()/avg() flipped at the rounding cliff depending on partial-
+    aggregation order. The fixed-point/decimal aggregates must now be
+    BIT-identical under different partitionings — the four formerly
+    flaky queries, run at 3 vs 32 shuffle partitions."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    flaky = [
+        "review_stats",
+        "acceptance_summary",
+        "props_extract",
+        "sessionize_events",
+    ]
+    results = {}
+    for parts in ("3", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            qs = E.queries()
+            results[parts] = {
+                name: sorted(map(tuple, qs[name](spark, sf).collect()))
+                for name in flaky
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    for name in flaky:
+        assert results["3"][name] == results["32"][name], name
