@@ -770,6 +770,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.quantized_rerank_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0)
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_cpu(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
@@ -846,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "corpus_upsert": q_corpus_upsert,
         "mixture_sample": q_mixture_sample,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -1762,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _sql_lm_score(),
         "corpus_upsert": _sql_corpus_upsert(),
         "mixture_sample": _sql_mixture_sample(),
+        "ann_quantized_topk": O.sql_ann_quantized_topk(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -59,6 +59,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
+    "ann_quantized_topk",
     "purchase_prior_click",
     "click_purchase_5min",
     "dedup_clusters",

@@ -239,3 +239,31 @@ def test_simhash_hot_bucket_subbanding_exact_and_bounded(spark):
         if ham(sig_by_id[a], sig_by_id[b]) <= DD.SIMHASH_MAX_HAMMING
     }
     assert got == want
+
+
+def test_quantized_rerank_recall_and_exactness_of_scores(spark):
+    """The int8 two-stage retrieval must (a) return EXACT cosine values
+    for whatever it returns (re-rank runs on floats), and (b) recover
+    nearly all of the exact top-k (int8 error is far below typical
+    neighbor gaps; the re-rank margin absorbs boundary cases)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = SIM.cosine_topk(emb, queries)
+    quant = SIM.quantized_rerank_topk(emb, queries)
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = hits(exact)
+    got = hits(quant)
+    assert len(got & truth) >= 0.9 * len(truth)
+
+    # scores for common pairs are identical (same float arithmetic)
+    ex = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in exact.collect()
+    }
+    for r in quant.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert r["cosine_sim"] == ex[key]

@@ -406,3 +406,111 @@ def lsh_multiprobe_topk(
             stable_round(F.col("sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------- int8 quantized two-stage retrieval ----------------
+
+def quantize_embedding(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i * 127 /
+    max|x| + 0.5); an all-zero vector quantizes to zeros. The scale is
+    per-vector and positive, and cosine is per-vector scale-invariant,
+    so cosine over the quantized ints approximates true cosine with no
+    need to store the scale at all.
+
+    The 100 TB lever: the embedding column drops from float32[dim] to
+    int8[dim] — 4x less to scan, shuffle, and cache for the stage-1
+    sweep; the float originals are fetched only for the tiny re-rank
+    candidate set."""
+    ma = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    q = F.transform(
+        vec,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(127.0) / ma + F.lit(0.5)
+        ).cast("int"),
+    )
+    return F.when(ma > 0, q).otherwise(
+        F.transform(vec, lambda x: F.lit(0))
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine(a: Column, b: Column) -> Column:
+    """Cosine of two int8-quantized vectors — exact integer dots, one
+    double division; zero vectors pin to -2.0 (sorts last)."""
+    daa, dbb = _idot(a, a), _idot(b, b)
+    return F.when(
+        (daa > 0) & (dbb > 0),
+        _idot(a, b).cast("double")
+        / F.sqrt(daa.cast("double") * dbb.cast("double")),
+    ).otherwise(F.lit(-2.0))
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: (1) sweep the int8-quantized corpus for
+    each query's top k*rerank_factor candidates (integer dot products
+    over 4x-smaller rows), (2) re-rank ONLY those candidates with
+    exact float cosine. Deterministic end to end, so the approximation
+    is oracle-checkable, and the output schema matches cosine_topk.
+
+    Scale shape: stage 1 is the same broadcast-queries sweep as
+    cosine_topk but over quantized rows; stage 2 broadcasts the
+    candidate list (|queries| * k * rerank_factor rows) back onto the
+    float corpus — the full-precision column is read for a vanishing
+    fraction of the corpus."""
+    qz_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_embedding(F.col(vec_col)).alias("c_q"),
+    )
+    qz_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_embedding(F.col(vec_col)).alias("q_q"),
+    )
+    m = k * rerank_factor
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("neighbor_id")
+    )
+    cand = (
+        qz_c.crossJoin(F.broadcast(qz_q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qsim", quantized_cosine(F.col("c_q"), F.col("q_q")))
+        .withColumn("qrank", F.row_number().over(w1))
+        .filter(F.col("qrank") <= m)
+        .select("query_id", "neighbor_id")
+    )
+
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        c_full.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )

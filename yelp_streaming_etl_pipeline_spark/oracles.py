@@ -639,6 +639,76 @@ SELECT query_id, rank, neighbor_id,
 FROM r WHERE rank <= {k}"""
 
 
+def sql_quantize(vec: str, dim: int = 64) -> str:
+    """Twin of operators/similarity.py:quantize_embedding (symmetric
+    int8, per-vector max-abs scale, zero vector -> zeros)."""
+    ma = f"CAST(list_max(list_transform({vec}, x -> abs(x))) AS DOUBLE)"
+    q = (
+        f"[CAST(floor(CAST({vec}[i] AS DOUBLE) * 127.0 / {ma} + 0.5) "
+        f"AS INTEGER) FOR i IN generate_series(1, {dim})]"
+    )
+    zeros = f"[0 FOR i IN generate_series(1, {dim})]"
+    return f"(CASE WHEN {ma} > 0 THEN {q} ELSE {zeros} END)"
+
+
+def sql_idot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce([CAST({a}[i] AS BIGINT) * {b}[i] "
+        f"FOR i IN generate_series(1, {dim})], (x, y) -> x + y)"
+    )
+
+
+def sql_ann_quantized_topk(
+    k: int = 5, dim: int = 64, rerank_factor: int = 4
+) -> str:
+    m = k * rerank_factor
+    daa = sql_idot("c_q", "c_q", dim)
+    dbb = sql_idot("q_q", "q_q", dim)
+    dot = sql_idot("c_q", "q_q", dim)
+    qsim = (
+        f"(CASE WHEN {daa} > 0 AND {dbb} > 0 THEN CAST({dot} AS DOUBLE) / "
+        f"sqrt(CAST({daa} AS DOUBLE) * CAST({dbb} AS DOUBLE)) "
+        f"ELSE -2.0 END)"
+    )
+    sim = sql_cosine("cv", "qv", dim)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {sql_quantize('embedding', dim)} AS q_q
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {sql_quantize('embedding', dim)} AS c_q
+  FROM embeddings
+),
+stage1 AS (
+  SELECT query_id, neighbor_id, {qsim} AS qsim
+  FROM c CROSS JOIN q WHERE neighbor_id != query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id ASC) AS qrank
+    FROM stage1
+  ) WHERE qrank <= {m}
+),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id, {sim} AS sim
+  FROM cand
+  JOIN c ON c.neighbor_id = cand.neighbor_id
+  JOIN q ON q.query_id = cand.query_id
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, rank, neighbor_id,
+       {sql_stable_round('sim', 6)} AS cosine_sim
+FROM r WHERE rank <= {k}"""
+
+
 def sql_bucket_expr(vec: str, dim: int = 64, n_planes: int = 8) -> str:
     bits = []
     for p in range(n_planes):
