@@ -143,6 +143,12 @@ def mixture_sample(
     rank-and-cap window class_capped_sample uses. The caps come from
     DATA + targets, which is what separates a mixture draw from a
     fixed per-class cap.
+
+    Edge semantics (declared): a targeted class with ZERO rows in the
+    data simply contributes nothing — the feasible-total minimum runs
+    over PRESENT classes, so the result is the largest mixture over
+    the classes that exist rather than an empty corpus. Callers that
+    need strict infeasibility should check the class inventory first.
     """
     tgt = [(c, float(p)) for c, p in sorted(targets.items()) if p > 0]
     tgt_df = df.sparkSession.createDataFrame(tgt, [class_col, "__p"])
