@@ -302,6 +302,14 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.corpus_upsert(existing, incoming).select("doc_id", "fingerprint")
 
 
+def q_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup over the near-dup corpus: content-defined
+    chunks (rolling-hash boundaries) whose exact text recurs."""
+    return DD.duplicated_passages(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id"
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_streaming_etl_pipeline_spark.functions.lang_trigrams import (
         with_lm_score,
@@ -854,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_upsert": q_corpus_upsert,
         "mixture_sample": q_mixture_sample,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "duplicated_passages": q_duplicated_passages,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
@@ -1014,6 +1023,45 @@ seen AS (
 SELECT f.doc_id, f.fingerprint
 FROM fresh f
 WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = f.fingerprint)"""
+
+
+def _sql_duplicated_passages() -> str:
+    """Twin of dedup.duplicated_passages over the near-dup corpus."""
+    norm = O.sql_norm_text("text")
+    return f"""
+WITH corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
+nrm AS (
+  SELECT doc_id, {norm} AS s FROM corpus
+),
+st AS (
+  SELECT doc_id, s,
+    -- list_sort: DuckDB's list_distinct does NOT preserve order, and
+    -- slicing below needs ascending starts (Spark's array_distinct
+    -- keeps first-occurrence order, already ascending)
+    list_sort(list_distinct(list_prepend(1,
+      CASE WHEN len(s) >= 9 THEN
+        [CAST(i AS INTEGER) FOR i IN
+           generate_series(2, greatest(2, len(s) - 7))
+         IF ((('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT % 64) = 0)]
+      ELSE [] END))) AS starts
+  FROM nrm
+),
+ch AS (
+  SELECT doc_id,
+         unnest([substr(s, starts[k],
+                        coalesce(starts[k + 1], len(s) + 1) - starts[k])
+                 FOR k IN generate_series(1, len(starts))]) AS chunk
+  FROM st
+)
+SELECT md5(chunk) AS chunk_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(len(chunk)) AS chunk_len,
+       min(doc_id) AS example_doc_id
+FROM ch
+WHERE len(chunk) >= 16
+GROUP BY 1
+HAVING count(*) >= 2"""
 
 
 def _sql_lm_score() -> str:
@@ -1771,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_upsert": _sql_corpus_upsert(),
         "mixture_sample": _sql_mixture_sample(),
         "ann_quantized_topk": O.sql_ann_quantized_topk(),
+        "duplicated_passages": _sql_duplicated_passages(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

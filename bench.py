@@ -54,6 +54,7 @@ HEADLINE = [
     "neardup_minhash",
     "simhash_signatures",
     "simhash_pairs",
+    "duplicated_passages",
     "text_analysis",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -267,3 +267,32 @@ def test_quantized_rerank_recall_and_exactness_of_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in ex:
             assert r["cosine_sim"] == ex[key]
+
+
+def test_duplicated_passages_edit_locality(spark):
+    """Content-defined chunking's reason to exist: a shared interior
+    passage is detected even when the documents differ BEFORE it (a
+    fixed-width blocker would misalign); truly disjoint text yields
+    nothing."""
+    shared = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before sunset arrives tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, "totally unrelated body of text with nothing in common"),
+            (3, "a long and different introduction comes first here " + shared),
+        ],
+        ["doc_id", "text"],
+    )
+    out = DD.duplicated_passages(docs, "text", "doc_id").collect()
+    assert len(out) >= 1
+    assert all(r["n_docs"] == 2 and r["example_doc_id"] == 1 for r in out)
+
+    disjoint = spark.createDataFrame(
+        [(1, "alpha " * 40), (2, "omega " * 40)], ["doc_id", "text"]
+    )
+    within = DD.duplicated_passages(disjoint, "text", "doc_id")
+    # repeated text WITHIN one doc is also surfaced (n_docs=1, n_occ>1)
+    assert within.filter("n_docs > 1").count() == 0

@@ -658,3 +658,99 @@ def with_synthetic_near_dups(df: DataFrame, text_col: str = "text", id_col: str 
         .withColumn(text_col, F.concat(F.col(text_col), F.lit(" zq extra near dup token")))
     )
     return df.unionByName(exact).unionByName(near)
+
+
+# ---------------- content-defined chunking / passage-level dedup ----------
+
+CDC_GRAM = 8  # rolling window width for boundary detection
+CDC_MOD = 64  # expected chunk length (1/64 boundary density)
+CDC_MIN_CHUNK = 16  # ignore sub-chunks too short to be meaningful
+
+
+def _chunk_starts(s: Column) -> Column:
+    """Ascending chunk-start positions for normalized text ``s``
+    (a materialized column reference — see duplicated_passages).
+
+    Content-defined boundaries: position i starts a new chunk when the
+    md5 of the 8-gram at i hashes to 0 mod CDC_MOD. Because the cut
+    decision depends only on a LOCAL window, an edit to a document
+    shifts chunk boundaries only near the edit — distant chunks keep
+    their identity, which is what makes chunk-hash dedup robust where
+    fixed-width blocks are not (the rsync/LBFS trick). Position 1 is
+    always a start; texts shorter than the window are one chunk."""
+    n = F.length(s)
+    bounds = F.when(
+        n >= CDC_GRAM + 1,
+        F.aggregate(
+            F.sequence(F.lit(2), F.greatest(F.lit(2), n - (CDC_GRAM - 1))),
+            F.array().cast("array<int>"),
+            lambda acc, i: F.when(
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(s.substr(i, F.lit(CDC_GRAM))), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(CDC_MOD),
+                )
+                == 0,
+                F.array_append(acc, i.cast("int")),
+            ).otherwise(acc),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.concat(F.array(F.lit(1).cast("int")), bounds)
+    )
+
+
+def duplicated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = CDC_MIN_CHUNK,
+) -> DataFrame:
+    """Sub-document duplicate detection: content-defined chunks whose
+    exact text recurs — within one document or across documents.
+    Returns (chunk_hash, n_docs, n_occurrences, chunk_len,
+    example_doc_id) for every chunk seen at least twice. The
+    passage-level complement to whole-document dedup: boilerplate
+    headers, quoted blocks, and templated spans surface here even when
+    no two documents are near-duplicates as wholes.
+
+    Scale shape: chunking is a per-row map (no shuffle); the only
+    shuffle keys (chunk_hash) — ~len/CDC_MOD rows per document, each
+    carrying a hash + a handful of ints, never the chunk text past the
+    map side. HOF-safety: norm/starts are materialized columns before
+    any lambda references them (interpreted HOFs re-evaluate captured
+    EXPRESSIONS per element; re-evaluating a column reference is
+    free)."""
+    norm = F.regexp_replace(F.lower(ws_trim(F.col(text_col))), r"\s+", " ")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_s")
+    ).withColumn("_starts", _chunk_starts(F.col("_s")))
+    s, starts = F.col("_s"), F.col("_starts")
+    k_seq = F.sequence(F.lit(1), F.size(starts))
+    chunk_at = lambda k: s.substr(  # noqa: E731
+        F.element_at(starts, k),
+        F.coalesce(F.try_element_at(starts, k + 1), F.length(s) + 1)
+        - F.element_at(starts, k),
+    )
+    chunks = staged.select(
+        "doc_id",
+        F.explode(F.transform(k_seq, chunk_at)).alias("chunk"),
+    ).filter(F.length("chunk") >= min_len)
+    return (
+        chunks.select(
+            "doc_id",
+            F.md5("chunk").alias("chunk_hash"),
+            F.length("chunk").alias("_len"),
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("_len").alias("chunk_len"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
