@@ -56,6 +56,12 @@ HEADLINE = [
     "simhash_pairs",
     "duplicated_passages",
     "text_analysis",
+    "gopher_quality",
+    "repetition_profile",
+    "doc_chunks",
+    "bloom_registers",
+    "bloom_probe",
+    "dedup_quality_prune",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",

@@ -1,0 +1,253 @@
+"""Semantics tests for the corpus-quality family (Gopher/C4 rules,
+repetition profiling, chunking) and the Bloom-filter sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators import (
+    corpus_quality as CQ,
+    sketches as SK,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _row(df, doc_id):
+    return {
+        r["doc_id"]: r for r in df.collect()
+    }[doc_id]
+
+
+GOOD = (
+    "the quick brown fox jumps over that lazy dog and keeps running "
+    "with great energy through the quiet evening fields"
+)
+
+
+class TestGopherQuality:
+    def test_clean_document_passes(self, spark):
+        r = _row(CQ.gopher_quality(_docs(spark, [(1, GOOD)])), 1)
+        assert r["passes_gopher"]
+        assert r["word_count"] == 20
+        assert r["required_word_hits"] >= 2  # the, that, and, with
+        assert r["alpha_word_frac"] == 1.0
+
+    def test_word_count_floor(self, spark):
+        r = _row(CQ.gopher_quality(_docs(spark, [(1, "too short")])), 1)
+        assert r["word_count"] == 2
+        assert not r["passes_gopher"]
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        text = "- first bullet\n- second bullet\nreal sentence here...\n"
+        r = _row(CQ.gopher_quality(_docs(spark, [(1, text)])), 1)
+        assert abs(r["bullet_line_frac"] - 2 / 3) < 1e-3
+        assert abs(r["ellipsis_line_frac"] - 1 / 3) < 1e-3
+
+    def test_symbol_ratio_counts_hash_and_ellipsis(self, spark):
+        text = "the tag # and # again plus trailing dots ... done"
+        r = _row(CQ.gopher_quality(_docs(spark, [(1, text)])), 1)
+        # 2 '#' + 1 '...' over 11 words
+        assert abs(r["symbol_word_ratio"] - 3 / 11) < 1e-3
+        assert not r["passes_gopher"]
+
+    def test_alpha_word_frac_flags_numeric_soup(self, spark):
+        text = "1 2 3 4 5 6 7 8 9 10 11 12 the end"
+        r = _row(CQ.gopher_quality(_docs(spark, [(1, text)])), 1)
+        assert r["alpha_word_frac"] < CQ.GOPHER_MIN_ALPHA_WORD_FRAC
+        assert not r["passes_gopher"]
+
+    def test_empty_and_null_text(self, spark):
+        out = CQ.gopher_quality(
+            spark.createDataFrame(
+                [(1, ""), (2, None)], "doc_id long, text string"
+            )
+        )
+        for r in out.collect():
+            assert r["word_count"] == 0
+            assert not r["passes_gopher"]
+
+    def test_mean_word_len_exact(self, spark):
+        r = _row(CQ.gopher_quality(_docs(spark, [(1, "aa bbbb cc")])), 1)
+        assert abs(r["mean_word_len"] - 8 / 3) < 1e-3
+
+
+class TestRepetitionProfile:
+    def test_no_repetition(self, spark):
+        r = _row(
+            CQ.repetition_profile(
+                _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+            ),
+            1,
+        )
+        assert r["dup_word_frac"] == 0.0
+        assert r["dup5gram_char_frac"] == 0.0
+        # unique 2-grams: top one covers its own chars only
+        assert 0 < r["top2gram_char_frac"] < 0.5
+
+    def test_duplicate_lines(self, spark):
+        text = "same line\nsame line\nother line"
+        r = _row(CQ.repetition_profile(_docs(spark, [(1, text)])), 1)
+        # 2 of 3 lines are duplicates of each other
+        assert abs(r["dup_line_frac"] - 1 / 3) < 1e-3  # 3 lines, 2 distinct
+        assert abs(r["dup_line_char_frac"] - 18 / 28) < 1e-3
+
+    def test_repeated_phrase_dominates_top_ngram(self, spark):
+        text = "spam ham " * 10 + "tail word"
+        r = _row(CQ.repetition_profile(_docs(spark, [(1, text.strip())])), 1)
+        # "spam ham"/"ham spam" repeated -> top 2-gram covers a large
+        # fraction; 5-grams inside the repeated run are duplicated too
+        assert r["top2gram_char_frac"] > 0.5
+        assert r["dup5gram_char_frac"] > 1.0  # count-weighted, overlaps
+        assert r["dup_word_frac"] > 0.8
+
+    def test_short_doc_has_no_grams(self, spark):
+        r = _row(CQ.repetition_profile(_docs(spark, [(1, "one two")])), 1)
+        assert r["top3gram_char_frac"] == 0.0
+        assert r["dup5gram_char_frac"] == 0.0
+        assert r["top2gram_char_frac"] > 0
+
+
+class TestChunkDocuments:
+    def test_single_chunk_when_short(self, spark):
+        out = CQ.chunk_documents(
+            _docs(spark, [(1, " ".join(f"w{i}" for i in range(10)))])
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_idx"] == 0
+        assert out[0]["n_tokens"] == 10
+
+    def test_overlap_and_coverage(self, spark):
+        words = [f"w{i}" for i in range(100)]
+        out = {
+            r["chunk_idx"]: r
+            for r in CQ.chunk_documents(
+                _docs(spark, [(1, " ".join(words))])
+            ).collect()
+        }
+        step = CQ.CHUNK_TOKENS - CQ.CHUNK_OVERLAP
+        # starts advance by step; chunks cover every word
+        covered = set()
+        for idx, r in out.items():
+            assert r["start_word"] == 1 + idx * step
+            toks = r["chunk_text"].split(" ")
+            assert len(toks) == r["n_tokens"]
+            assert toks == words[r["start_word"] - 1 :][: r["n_tokens"]]
+            covered.update(range(r["start_word"], r["start_word"] + r["n_tokens"]))
+        assert covered == set(range(1, 101))
+        # consecutive chunks overlap by exactly CHUNK_OVERLAP (when full)
+        full = [r for r in out.values() if r["n_tokens"] == CQ.CHUNK_TOKENS]
+        assert len(full) >= 2
+
+    def test_no_pure_overlap_tail_chunk(self, spark):
+        # wc = CHUNK_TOKENS + 1: second chunk must add new words
+        n = CQ.CHUNK_TOKENS + 1
+        out = CQ.chunk_documents(
+            _docs(spark, [(1, " ".join(f"w{i}" for i in range(n)))])
+        ).collect()
+        assert len(out) == 2
+        last = max(out, key=lambda r: r["chunk_idx"])
+        assert last["start_word"] + last["n_tokens"] - 1 == n
+
+    def test_empty_doc_emits_nothing(self, spark):
+        assert (
+            CQ.chunk_documents(
+                spark.createDataFrame(
+                    [(1, ""), (2, None)], "doc_id long, text string"
+                )
+            ).count()
+            == 0
+        )
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        keys = spark.range(0, 400).select(
+            "id", F.col("id").cast("string").alias("k")
+        )
+        members = keys.filter(F.col("id") % 2 == 0).select("k")
+        regs = SK.bloom_registers(members, F.col("k"))
+        assert regs.count() <= SK.BLOOM_WORDS
+        probed = SK.bloom_might_contain(keys, F.col("k"), regs)
+        fn = probed.filter(
+            (F.col("id") % 2 == 0) & ~F.col("might_contain")
+        ).count()
+        assert fn == 0
+        # 200 keys * 4 bits in 4096 bits -> fp well under 20%
+        fp = probed.filter(
+            (F.col("id") % 2 == 1) & F.col("might_contain")
+        ).count()
+        assert fp < 40
+
+    def test_registers_merge_by_bit_or(self, spark):
+        a = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+        b = spark.range(100, 200).select(
+            F.col("id").cast("string").alias("k")
+        )
+        merged = (
+            SK.bloom_registers(a, F.col("k"))
+            .unionByName(SK.bloom_registers(b, F.col("k")))
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        direct = SK.bloom_registers(a.unionByName(b), F.col("k"))
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+
+class TestPlanShapes:
+    """Physical-plan audits: the 100 TB contracts of the new family."""
+
+    def test_gopher_quality_is_pure_map(self, spark):
+        from yelp_streaming_etl_pipeline_spark.plans import audit as A
+
+        df = CQ.gopher_quality(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+        assert A.shuffle_exchanges(df) == 0
+        assert not A.has_python_udf(df)
+        # column pruning: only doc_id + text reach the scan
+        assert set(A.read_schema_columns(df)) == {"doc_id", "text"}
+
+    def test_chunk_documents_is_pure_map(self, spark):
+        from yelp_streaming_etl_pipeline_spark.plans import audit as A
+
+        df = CQ.chunk_documents(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+        assert A.shuffle_exchanges(df) == 0
+        assert set(A.read_schema_columns(df)) == {"doc_id", "text"}
+
+    def test_repetition_profile_bounded_shuffles(self, spark):
+        from yelp_streaming_etl_pipeline_spark.plans import audit as A
+
+        df = CQ.repetition_profile(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+        # gram count agg + (doc,n) window/agg + (doc) pivot + join:
+        # every exchange is keyed by doc_id (+n/gram) — bounded, and
+        # never a global or all-pairs key
+        assert A.key_shuffle_exchanges(df) <= 5
+        assert not A.has_python_udf(df)
+
+    def test_bloom_probe_is_broadcast_no_probe_shuffle(self, spark):
+        from yelp_streaming_etl_pipeline_spark.plans import audit as A
+
+        cust = spark.read.parquet(
+            "/root/testdata/sf0.001/customer.parquet"
+        )
+        regs = SK.bloom_registers(
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("c_custkey").cast("string"),
+        )
+        probed = SK.bloom_might_contain(
+            cust, F.col("c_custkey").cast("string"), regs
+        )
+        plan = A.physical_plan(probed)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # the register build is the ONLY keyed shuffle; the probe side
+        # itself is a pure map over the scan
+        assert A.key_shuffle_exchanges(probed) <= 1

@@ -249,3 +249,98 @@ def histogram_median(hist: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+# ---------------- Bloom filter ----------------
+#
+# Same design rule as HLL/CMS above: the sketch is built EXPLICITLY
+# from md5 so the register table is a deterministic DataFrame that
+# DuckDB can rebuild bit-for-bit. 4096 bits laid out as 128 words of
+# 32 bits each (masks stay well inside BIGINT in both engines), k=4
+# salted hash functions; size the bit count ~10x the expected build
+# side (m/n ~ 13 here at oracle scale keeps FP well under 1%).
+#
+# Scale shape: ``groupBy(word).agg(bit_or)`` shuffles at most
+# BLOOM_WORDS=128 rows per input partition regardless of build-side
+# size, and two filters over the same layout merge by bit_or — the
+# classic use is runtime join pruning: build on the small/filtered
+# side, broadcast the 128-row register table, and drop probe rows
+# before they reach the shuffle. Never a false negative; false
+# positives only widen the prune, never break correctness.
+
+BLOOM_WORDS = 128  # 128 words x 32 bits = 4096 bits
+BLOOM_BITS_PER_WORD = 32
+BLOOM_K = 4  # salted hash functions
+
+
+def _bloom_word_bit(key: Column, salt: int) -> tuple[Column, Column]:
+    """(word index, bit index) for one salted hash: hex chars 1-2 of
+    md5('salt:key') pick the word (mod 128), chars 3-4 pick the bit
+    (mod 32) — uniform and engine-identical."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key))
+    word = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % BLOOM_WORDS
+    bit = (
+        F.conv(F.substring(h, 3, 2), 16, 10).cast("int")
+        % BLOOM_BITS_PER_WORD
+    )
+    return word, bit
+
+
+def _bloom_mask(bit: Column) -> Column:
+    # 2^bit for bit <= 31: exact in double, fits BIGINT (shiftleft
+    # needs a literal shift amount, so pow is the portable form)
+    return F.pow(F.lit(2.0), bit).cast("long")
+
+
+def bloom_registers(df: DataFrame, key: Column) -> DataFrame:
+    """Build the filter: (word int, bits long), <= 128 rows.
+
+    One map-side explode (k rows per key) + one hash aggregate whose
+    map-side bit_or partials cap the shuffle at 128 rows per input
+    partition."""
+    fanned = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        w.alias("word"), _bloom_mask(b).alias("mask")
+                    )
+                    for w, b in (
+                        _bloom_word_bit(key, s) for s in range(BLOOM_K)
+                    )
+                ]
+            )
+        ).alias("wb")
+    )
+    return (
+        fanned.select("wb.word", "wb.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame, key: Column, registers: DataFrame
+) -> DataFrame:
+    """Membership test: probe rows gain ``might_contain`` (true iff
+    all k bits are set). The register table collapses to ONE row
+    (word->bits map) and broadcasts — the probe side is a pure map,
+    so bloom pruning composes with any downstream join without
+    adding a shuffle."""
+    reg_row = registers.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("regmap")
+    )
+    probed = probe.join(F.broadcast(reg_row))
+    ok = F.lit(True)
+    for s in range(BLOOM_K):
+        w, b = _bloom_word_bit(key, s)
+        hit = (
+            F.coalesce(
+                F.element_at(F.col("regmap"), w), F.lit(0).cast("long")
+            ).bitwiseAND(_bloom_mask(b))
+            != 0
+        )
+        ok = ok & hit
+    return probed.withColumn("might_contain", ok).drop("regmap")

@@ -1090,3 +1090,265 @@ SELECT source, count(*) AS n_kept
 FROM corpus
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 GROUP BY source"""
+
+
+# ---------------- corpus quality (Gopher/C4 rules) ----------------
+
+def _sql_cq_base(src: str = "documents") -> str:
+    """CTE ``cqbase``: normalized text, word array, trimmed non-empty
+    line array — twin of operators/corpus_quality.py:norm_words/_lines."""
+    norm = sql_norm_text("text")
+    return f"""
+cqbase AS (
+  SELECT doc_id, text, {norm} AS norm,
+    CASE WHEN len({norm}) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE str_split({norm}, ' ') END AS words,
+    list_filter(list_transform(str_split(COALESCE(text, ''), chr(10)),
+                               l -> trim(l)),
+                l -> len(l) > 0) AS lines
+  FROM {src}
+)"""
+
+
+def _sql_frac(num: str, den: str, scale: int = 4) -> str:
+    """Twin of corpus_quality._frac: guarded ratio, stable-rounded."""
+    return sql_stable_round(
+        f"(CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) ELSE 0.0 END)",
+        scale,
+    )
+
+
+def sql_gopher_quality() -> str:
+    """Twin of operators/corpus_quality.py:gopher_quality."""
+    from .operators import corpus_quality as CQ
+
+    wc = "len(words)"
+    nl = "len(lines)"
+    word_chars = f"(CASE WHEN {wc} > 0 THEN len(norm) - ({wc} - 1) ELSE 0 END)"
+    mean_wl = sql_stable_round(
+        f"(CASE WHEN {wc} > 0 THEN CAST({word_chars} AS DOUBLE) / {wc} ELSE 0.0 END)",
+        4,
+    )
+    symbols = rc("COALESCE(text, '')", CQ.SYMBOL_REGEX)
+    bullet = f"len(list_filter(lines, l -> regexp_matches(l, '{CQ.BULLET_LINE_REGEX}')))"
+    ellipsis = f"len(list_filter(lines, l -> regexp_matches(l, '{CQ.ELLIPSIS_LINE_REGEX}')))"
+    alpha = "len(list_filter(words, w -> regexp_matches(w, '[a-z]')))"
+    req = ", ".join(f"'{w}'" for w in CQ.GOPHER_REQUIRED_WORDS)
+    hits = f"len(list_intersect(list_distinct(words), [{req}]))"
+    return f"""
+WITH {_sql_cq_base()},
+m AS (
+  SELECT doc_id,
+    CAST({wc} AS INTEGER) AS word_count,
+    {mean_wl} AS mean_word_len,
+    {_sql_frac(symbols, wc)} AS symbol_word_ratio,
+    {_sql_frac(bullet, nl)} AS bullet_line_frac,
+    {_sql_frac(ellipsis, nl)} AS ellipsis_line_frac,
+    {_sql_frac(alpha, wc)} AS alpha_word_frac,
+    CAST({hits} AS INTEGER) AS required_word_hits
+  FROM cqbase
+)
+SELECT *,
+  (word_count BETWEEN {CQ.GOPHER_MIN_WORDS} AND {CQ.GOPHER_MAX_WORDS}
+   AND mean_word_len BETWEEN {CQ.GOPHER_MIN_MEAN_WORD_LEN} AND {CQ.GOPHER_MAX_MEAN_WORD_LEN}
+   AND symbol_word_ratio <= {CQ.GOPHER_MAX_SYMBOL_WORD_RATIO}
+   AND bullet_line_frac <= {CQ.GOPHER_MAX_BULLET_LINE_FRAC}
+   AND ellipsis_line_frac <= {CQ.GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+   AND alpha_word_frac >= {CQ.GOPHER_MIN_ALPHA_WORD_FRAC}
+   AND required_word_hits >= {CQ.GOPHER_MIN_REQUIRED_HITS}) AS passes_gopher
+FROM m"""
+
+
+def sql_repetition_profile() -> str:
+    """Twin of operators/corpus_quality.py:repetition_profile."""
+    from .operators import corpus_quality as CQ
+
+    all_ns = sorted({*CQ.TOP_GRAM_NS, CQ.DUP_GRAM_N})
+    gram_ctes = []
+    for n in all_ns:
+        gram_concat = " || ' ' || ".join(
+            f"words[i + {j}]" for j in range(n)
+        )
+        gram_ctes.append(
+            f"""SELECT doc_id, {n} AS n,
+  unnest([{gram_concat} FOR i IN generate_series(1, len(words) - {n - 1})]) AS gram
+FROM cqbase WHERE len(words) >= {n}"""
+        )
+    grams_union = "\nUNION ALL\n".join(gram_ctes)
+    dup_line_chars = (
+        "COALESCE(list_sum([CASE WHEN len(list_filter(lines, x -> x = d)) > 1 "
+        "THEN len(list_filter(lines, x -> x = d)) * len(d) ELSE 0 END "
+        "FOR d IN list_distinct(lines)]), 0)"
+    )
+    line_chars = "COALESCE(list_sum(list_transform(lines, l -> len(l))), 0)"
+    top_cols = ",\n  ".join(
+        _sql_frac(f"COALESCE(p.top{n}_chars, 0)", "d.total_chars")
+        + f" AS top{n}gram_char_frac"
+        for n in CQ.TOP_GRAM_NS
+    )
+    piv_cols = ",\n  ".join(
+        f"max(CASE WHEN n = {n} THEN top_chars END) AS top{n}_chars"
+        for n in CQ.TOP_GRAM_NS
+    )
+    return f"""
+WITH {_sql_cq_base()},
+per_doc AS (
+  SELECT doc_id, len(norm) AS total_chars,
+    {_sql_frac("len(words) - len(list_distinct(words))", "len(words)")} AS dup_word_frac,
+    {_sql_frac("len(lines) - len(list_distinct(lines))", "len(lines)")} AS dup_line_frac,
+    {_sql_frac(dup_line_chars, line_chars)} AS dup_line_char_frac
+  FROM cqbase
+),
+grams AS (
+{grams_union}
+),
+counted AS (
+  SELECT doc_id, n, gram, count(*) AS cnt, count(*) * len(gram) AS chars
+  FROM grams GROUP BY doc_id, n, gram
+),
+mc AS (
+  SELECT *, max(cnt) OVER (PARTITION BY doc_id, n) AS mcnt FROM counted
+),
+per_n AS (
+  SELECT doc_id, n,
+    max(CASE WHEN cnt = mcnt THEN chars END) AS top_chars,
+    sum(CASE WHEN cnt > 1 THEN chars ELSE 0 END) AS dup_chars
+  FROM mc GROUP BY doc_id, n
+),
+piv AS (
+  SELECT doc_id,
+  {piv_cols},
+  max(CASE WHEN n = {CQ.DUP_GRAM_N} THEN dup_chars END) AS dupn_chars
+  FROM per_n GROUP BY doc_id
+)
+SELECT d.doc_id,
+  d.dup_word_frac, d.dup_line_frac, d.dup_line_char_frac,
+  {top_cols},
+  {_sql_frac("COALESCE(p.dupn_chars, 0)", "d.total_chars")} AS dup{CQ.DUP_GRAM_N}gram_char_frac
+FROM per_doc d LEFT JOIN piv p USING (doc_id)"""
+
+
+def sql_chunk_documents() -> str:
+    """Twin of operators/corpus_quality.py:chunk_documents."""
+    from .operators import corpus_quality as CQ
+
+    chunk, ov = CQ.CHUNK_TOKENS, CQ.CHUNK_OVERLAP
+    step = chunk - ov
+    return f"""
+WITH {_sql_cq_base()},
+st AS (
+  SELECT doc_id, words, len(words) AS wc,
+    unnest(generate_series(1, greatest(1, len(words) - {ov}), {step})) AS s
+  FROM cqbase WHERE len(words) > 0
+)
+SELECT doc_id,
+  CAST((s - 1) // {step} AS INTEGER) AS chunk_idx,
+  CAST(s AS INTEGER) AS start_word,
+  CAST(least({chunk}, wc - s + 1) AS INTEGER) AS n_tokens,
+  array_to_string(list_slice(words, s, least(s + {chunk - 1}, wc)), ' ') AS chunk_text
+FROM st"""
+
+
+# ---------------- Bloom filter ----------------
+
+BLOOM_BUILD_SQL = (
+    "SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer "
+    "WHERE c_mktsegment = 'BUILDING'"
+)
+
+
+def _sql_bloom_word_bit(key: str, salt: int) -> tuple[str, str]:
+    from .operators import sketches as SK
+
+    h = f"md5('{salt}:' || {key})"
+    word = f"(('0x' || substr({h}, 1, 2))::INTEGER % {SK.BLOOM_WORDS})"
+    bit = f"(('0x' || substr({h}, 3, 2))::INTEGER % {SK.BLOOM_BITS_PER_WORD})"
+    return word, f"CAST(pow(2, {bit}) AS BIGINT)"
+
+
+def _sql_bloom_registers_cte() -> str:
+    from .operators import sketches as SK
+
+    arms = []
+    for s in range(SK.BLOOM_K):
+        word, mask = _sql_bloom_word_bit("key", s)
+        arms.append(f"SELECT {word} AS word, {mask} AS mask FROM bkeys")
+    fan = "\nUNION ALL\n".join(arms)
+    return f"""
+bkeys AS ({BLOOM_BUILD_SQL}),
+bfan AS (
+{fan}
+),
+bregs AS (
+  SELECT word, bit_or(mask) AS bits FROM bfan GROUP BY word
+)"""
+
+
+def sql_bloom_registers() -> str:
+    """Twin of operators/sketches.py:bloom_registers over the BUILDING
+    customer keys."""
+    return f"""
+WITH {_sql_bloom_registers_cte()}
+SELECT word, bits FROM bregs"""
+
+
+def sql_bloom_probe() -> str:
+    """Twin of operators/sketches.py:bloom_might_contain: every
+    customer key probed against the BUILDING-segment filter."""
+    from .operators import sketches as SK
+
+    arms = []
+    for s in range(SK.BLOOM_K):
+        word, mask = _sql_bloom_word_bit("p.key", s)
+        arms.append(
+            f"SELECT p.c_custkey, {word} AS word, {mask} AS mask FROM probe p"
+        )
+    fan = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {_sql_bloom_registers_cte()},
+probe AS (
+  SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS key FROM customer
+),
+pfan AS (
+{fan}
+),
+hit AS (
+  SELECT f.c_custkey, (COALESCE(r.bits, 0) & f.mask) <> 0 AS ok
+  FROM pfan f LEFT JOIN bregs r USING (word)
+)
+SELECT c_custkey, bool_and(ok) AS might_contain
+FROM hit GROUP BY c_custkey"""
+
+
+# ---------------- quality-aware cluster survivors ----------------
+
+def sql_dedup_quality_prune(threshold: float = 0.5) -> str:
+    """Twin of __spark_entry__.q_dedup_quality_prune: transitive
+    near-dup clusters (recursive CTE) + highest-quality survivor per
+    cluster (ties: lowest doc_id); unclustered docs survive as their
+    own cluster."""
+    clusters = sql_dedup_clusters(threshold)
+    body = clusters.strip()
+    assert body.startswith("WITH RECURSIVE")
+    chain, final_select = body[len("WITH RECURSIVE"):].rsplit(
+        "\nSELECT", 1
+    )
+    quality = sql_quality_score("text")
+    return f"""
+WITH RECURSIVE {chain},
+clusters AS (SELECT{final_select}),
+scored AS (
+  SELECT doc_id, {quality} AS quality FROM corpus
+),
+labeled AS (
+  SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+         s.quality
+  FROM scored s LEFT JOIN clusters c USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+  ) AS rn
+  FROM labeled
+)
+SELECT doc_id, cluster_id, quality FROM ranked WHERE rn = 1"""
