@@ -1197,8 +1197,8 @@ def _sql_acceptance_summary() -> str:
     return f"""
 WITH {O.gauntlet_cte()}
 SELECT count(*) AS processed,
-  sum(CASE WHEN fatal_stage IS NULL THEN 1 ELSE 0 END) AS accepted,
-  sum(CASE WHEN fatal_stage IS NOT NULL THEN 1 ELSE 0 END) AS rejected,
+  CAST(sum(CASE WHEN fatal_stage IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+  CAST(sum(CASE WHEN fatal_stage IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
   {SR('CAST(sum(CASE WHEN fatal_stage IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 100.0', 6)} AS acceptance_rate_pct
 FROM staged"""
 
@@ -1231,16 +1231,16 @@ SELECT
   date_trunc('hour', date) + INTERVAL 1 HOUR AS window_end,
 {biz_col}
   count(*) AS total_reviews,
-  sum(CASE WHEN is_accepted THEN 1 ELSE 0 END) AS valid_reviews,
-  sum(CASE WHEN is_accepted THEN 0 ELSE 1 END) AS rejected_reviews,
+  CAST(sum(CASE WHEN is_accepted THEN 1 ELSE 0 END) AS BIGINT) AS valid_reviews,
+  CAST(sum(CASE WHEN is_accepted THEN 0 ELSE 1 END) AS BIGINT) AS rejected_reviews,
   {XA('CASE WHEN is_accepted THEN dq END', 6)} AS avg_quality_score,
-  sum(CASE WHEN fatal_stage = 5 THEN 1 ELSE 0 END) AS spam_count,
-  sum(CASE WHEN has_wrong_lang THEN 1 ELSE 0 END) AS wrong_language_count,
-  sum(CASE WHEN is_accepted AND rating >= 1.0 AND rating < 2.0 THEN 1 ELSE 0 END) AS rating_1_count,
-  sum(CASE WHEN is_accepted AND rating >= 2.0 AND rating < 3.0 THEN 1 ELSE 0 END) AS rating_2_count,
-  sum(CASE WHEN is_accepted AND rating >= 3.0 AND rating < 4.0 THEN 1 ELSE 0 END) AS rating_3_count,
-  sum(CASE WHEN is_accepted AND rating >= 4.0 AND rating < 5.0 THEN 1 ELSE 0 END) AS rating_4_count,
-  sum(CASE WHEN is_accepted AND rating >= 5.0 AND rating < 6.0 THEN 1 ELSE 0 END) AS rating_5_count,
+  CAST(sum(CASE WHEN fatal_stage = 5 THEN 1 ELSE 0 END) AS BIGINT) AS spam_count,
+  CAST(sum(CASE WHEN has_wrong_lang THEN 1 ELSE 0 END) AS BIGINT) AS wrong_language_count,
+  CAST(sum(CASE WHEN is_accepted AND rating >= 1.0 AND rating < 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS rating_1_count,
+  CAST(sum(CASE WHEN is_accepted AND rating >= 2.0 AND rating < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS rating_2_count,
+  CAST(sum(CASE WHEN is_accepted AND rating >= 3.0 AND rating < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS rating_3_count,
+  CAST(sum(CASE WHEN is_accepted AND rating >= 4.0 AND rating < 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS rating_4_count,
+  CAST(sum(CASE WHEN is_accepted AND rating >= 5.0 AND rating < 6.0 THEN 1 ELSE 0 END) AS BIGINT) AS rating_5_count,
   {XA('CASE WHEN is_accepted THEN rating END', 6)} AS avg_rating,
   {XA('CASE WHEN is_accepted THEN wc END', 6)} AS avg_word_count,
   {XA('CASE WHEN is_accepted THEN sc END', 6)} AS avg_sentence_count
@@ -1282,7 +1282,7 @@ def _sql_pack_tail(src: str, budget: int, extra_cols: str = "") -> str:
     bucket-local windows + broadcast offsets (operators/corpus.py)."""
     return f"""
 SELECT doc_id, tokens,
-       sum(tokens) OVER w AS cum_tokens,
+       CAST(sum(tokens) OVER w AS BIGINT) AS cum_tokens,
        CAST(floor(CAST(sum(tokens) OVER w - tokens AS DOUBLE) / {float(budget)!r})
             AS BIGINT) AS shard_id{extra_cols}
 FROM {src}
@@ -1399,7 +1399,7 @@ FROM events GROUP BY event_type"""
 def _sql_props_extract() -> str:
     k = "CAST(props->>'k' AS BIGINT)"
     return f"""
-SELECT event_type, count(*) AS n, sum({k}) AS sum_k,
+SELECT event_type, count(*) AS n, CAST(sum({k}) AS BIGINT) AS sum_k,
        {SR(f'CAST(sum({k}) AS DOUBLE) / count({k})', 6)} AS avg_k
 FROM events GROUP BY event_type"""
 
@@ -1660,7 +1660,7 @@ s AS (
             AS session_seq
   FROM e
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
   min(ts) AS session_start, max(ts) AS session_end,
   count(*) AS n_events, {XS('value', 2)} AS session_value
 FROM s GROUP BY user_id, session_seq"""

@@ -407,11 +407,12 @@ def interval_pairs(
     """
     gap_us = int(max_gap_s) * 1_000_000
     # unix_micros rejects TIMESTAMP_NTZ (how Spark 4 reads tz-less
-    # parquet timestamps); cast through session-tz timestamp — the
-    # session is pinned UTC so the instant is unchanged.
+    # parquet timestamps); cast explicitly to timestamp_ltz (immune to
+    # the spark.sql.timestampType session config) — the session is
+    # pinned UTC so the instant is unchanged.
     l = left.select(
         F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__lus"),
+        F.unix_micros(F.col(left_ts).cast("timestamp_ltz")).alias("__lus"),
         *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key_col],
     )
     l = l.withColumn(
@@ -425,7 +426,7 @@ def interval_pairs(
     )
     r = right.select(
         F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__rus"),
+        F.unix_micros(F.col(right_ts).cast("timestamp_ltz")).alias("__rus"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key_col],
     ).withColumn("__bucket", F.floor(F.col("__rus") / gap_us))
     out = (

@@ -16,11 +16,24 @@ from .tables import read_fixture
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """nanos-as-long ``ts`` -> microsecond TimestampType (lossless for
-    every operation here). Integer division — a double round-trip loses
-    1 microsecond on epoch-nanos magnitudes (> 2^53)."""
-    if dict(df.dtypes)["ts"] == "bigint":
+    """Normalize ``ts`` to microsecond TimestampType (LTZ) whatever the
+    reader produced:
+
+    - nanos-as-long (legacy path): integer division — a double
+      round-trip loses 1 microsecond on epoch-nanos magnitudes (> 2^53);
+    - TIMESTAMP_NTZ (how Spark 4 reads tz-less parquet timestamps when
+      the legacy conf isn't picked up, e.g. a stream planned before the
+      conf was set): cast explicitly to ``timestamp_ltz`` — immune to
+      the ``spark.sql.timestampType`` session config, and the instant
+      is unchanged because the session is pinned UTC. Watermarks and
+      ``unix_micros`` both reject NTZ, so this must happen at the
+      source.
+    """
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

@@ -128,7 +128,7 @@ def produce_batch(
         return 0
 
     ts = (
-        F.col(timestamp_col).cast("timestamp")
+        F.col(timestamp_col).cast("timestamp_ltz")
         if timestamp_col
         else F.current_timestamp()  # Kafka LogAppendTime analog
     )
@@ -202,7 +202,7 @@ def write_file_topic_keyed(
             F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias(
                 "value"
             ),
-            F.col(timestamp_col).cast("timestamp").alias("_event_ts"),
+            F.col(timestamp_col).cast("timestamp_ltz").alias("_event_ts"),
         )
     else:
         payload = kafka_payload(df, key_col)
