@@ -892,70 +892,28 @@ def q_dedup_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Ordering policy (round 3): (a) the six NEW round-3 queries
-    (corpus-quality rules, repetition profile, chunking, Bloom
-    filter, quality-aware cluster survivors), (b) the 14 entries the
-    round-1 driver never reached, (c) everything whose values changed
-    in round 2 (order-independent aggregation sweep), (d) streaming /
-    stateful and multi-stage queries worth continuous
-    re-verification. Entries past position 50 are unchanged since
-    their green CORRECTNESS_r01 rows.
+    Ordering policy (round 4 window): (a) the 9 entries repaired this
+    round (7 oracle HUGEINT->BIGINT casts + 2 streaming NTZ fixes) —
+    must be re-verified; (b) the 31 entries the round-2 driver did not
+    reach (green in CORRECTNESS_r01, so no entry goes 2+ rounds
+    unverified); (c) 10 slots for queries whose code paths changed
+    this session (events reader NTZ normalization, filetopic
+    timestamp_ltz cast) or that the round-2 verdict flagged as
+    perf-weak and are being re-benched. Entries past position 50 were
+    green in CORRECTNESS_r02 and are unchanged since.
     """
     return {
-        # (a) NEW in round 3 — must land in the window
-        "gopher_quality": q_gopher_quality,
-        "repetition_profile": q_repetition_profile,
-        "doc_chunks": q_doc_chunks,
-        "bloom_registers": q_bloom_registers,
-        "bloom_probe": q_bloom_probe,
-        "dedup_quality_prune": q_dedup_quality_prune,
-        # (b) driver-unchecked in round 1 — keep in the window
-        "cms_counters": q_cms_counters,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "value_histogram": q_value_histogram,
-        "histogram_median": q_histogram_median,
-        "simhash_signatures": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "neardup_ngram": q_neardup_ngram,
-        "text_analysis": q_text_analysis,
-        "ann_cosine_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "media_features": q_media_features,
-        # (c) values changed in round 2 (rounding-determinism sweep /
-        # HLL correction) — re-verify
+        # (a) repaired this round — re-verify first
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
-        "attributed_purchases_stream": q_attributed_purchases_stream,
-        "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
-        "token_budget_pack": q_token_budget_pack,
-        "decontaminate": q_decontaminate,
-        "training_corpus": q_training_corpus,
-        "lm_score": q_lm_score,
-        "corpus_upsert": q_corpus_upsert,
-        "mixture_sample": q_mixture_sample,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "duplicated_passages": q_duplicated_passages,
         "acceptance_summary": q_acceptance_summary,
         "props_extract": q_props_extract,
         "sessionize_events": q_sessionize_events,
-        "hll_registers": q_hll_registers,
-        "hll_estimate": q_hll_estimate,
-        "events_hourly": q_events_hourly,
-        "sliding_hourly_stats": q_sliding_hourly_stats,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_customers": q_top_customers,
-        "supplier_running_revenue": q_supplier_running_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
-        "customer_quartiles": q_customer_quartiles,
-        "salted_event_counts": q_salted_event_counts,
-        "numeric_profile": q_numeric_profile,
+        "token_budget_pack": q_token_budget_pack,
+        "training_corpus": q_training_corpus,
         "windowed_events_stream": q_windowed_events_stream,
-        # (d) gauntlet family + streaming/stateful + multi-stage
+        "attributed_purchases_stream": q_attributed_purchases_stream,
+        # (b) driver-unchecked in round 2 (green r1) — rotate back in
         "lang_id": q_lang_id,
         "clean_reviews": q_clean_reviews,
         "quality_issues": q_quality_issues,
@@ -972,7 +930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": q_pps_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "click_purchase_5min": q_click_purchase_5min,
-        # ---- position > 50: unchanged since green CORRECTNESS_r01 ----
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "text_features": q_text_features,
@@ -989,6 +946,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
+        # (c) code paths touched this round / perf re-grade targets
+        "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
+        "events_hourly": q_events_hourly,
+        "sliding_hourly_stats": q_sliding_hourly_stats,
+        "salted_event_counts": q_salted_event_counts,
+        "value_histogram": q_value_histogram,
+        "histogram_median": q_histogram_median,
+        "numeric_profile": q_numeric_profile,
+        "simhash_pairs": q_simhash_pairs,
+        "pricing_summary": q_pricing_summary,
+        "cube_revenue": q_cube_revenue,
+        # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
+        "gopher_quality": q_gopher_quality,
+        "repetition_profile": q_repetition_profile,
+        "doc_chunks": q_doc_chunks,
+        "bloom_registers": q_bloom_registers,
+        "bloom_probe": q_bloom_probe,
+        "dedup_quality_prune": q_dedup_quality_prune,
+        "cms_counters": q_cms_counters,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "simhash_signatures": q_simhash,
+        "neardup_ngram": q_neardup_ngram,
+        "text_analysis": q_text_analysis,
+        "ann_cosine_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+        "corpus_upsert": q_corpus_upsert,
+        "mixture_sample": q_mixture_sample,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "duplicated_passages": q_duplicated_passages,
+        "hll_registers": q_hll_registers,
+        "hll_estimate": q_hll_estimate,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "supplier_running_revenue": q_supplier_running_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "customer_quartiles": q_customer_quartiles,
     }
 
 
