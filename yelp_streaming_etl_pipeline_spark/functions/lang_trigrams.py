@@ -111,6 +111,12 @@ def _norm_col(c: Column) -> Column:
 
 
 def _trigram_array(lc: Column) -> Column:
+    """Per-row EXPRESSION form. O(n^2) in document length: each
+    ``substr(lc, i, 3)`` re-scans the UTF8 string from the start to
+    find char position i (variable-width encoding). Acceptable only on
+    short strings / small streams — the scale path is
+    ``trigram_scores_frame``, which binds a chars array once per row
+    and extracts each trigram in O(1)."""
     tris = F.transform(
         F.sequence(F.lit(1), F.length(lc) - 2),
         lambda i: lc.substr(i, F.lit(3)),
@@ -118,6 +124,31 @@ def _trigram_array(lc: Column) -> Column:
     return F.when(F.length(lc) >= 3, tris).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _trigram_array_from_chars(chars: Column, n: Column) -> Column:
+    """O(n) trigram extraction: ``chars`` must be a BOUND column (a
+    real attribute, not an inline expression — inline subexpressions
+    inside a HOF lambda are re-evaluated per element) holding
+    ``split(lc, '')`` and ``n`` its codepoint length. ``element_at``
+    on an array is O(1), so each trigram costs O(1) instead of the
+    O(i) UTF8 forward scan of ``substr``.
+
+    Unicode note: ``split('')`` yields UTF-16 code units, ``substr``
+    counts codepoints — they diverge only on astral-plane characters,
+    and only for the <=3 windows touching one. Those windows can never
+    match a profile trigram (profiles are lowercase Latin letters +
+    space), so classifier scores are bit-identical to the expression
+    form and to the DuckDB oracle."""
+    tris = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat(
+            F.element_at(chars, i),
+            F.element_at(chars, i + 1),
+            F.element_at(chars, i + 2),
+        ),
+    )
+    return F.when(n >= 3, tris).otherwise(F.array().cast("array<string>"))
 
 
 def _profile_map(lang: str) -> Column:
@@ -278,9 +309,22 @@ def trigram_scores_frame(
             ["tri", *[f"_w_{lang}" for lang in LANG_ORDER]],
         )
     )
-    exploded = df.select(
+    norm = _norm_col(F.col(text_col))
+    # bind the chars array as a real attribute FIRST so the transform
+    # lambda's element_at calls hit a materialized array (O(1) each)
+    # instead of re-evaluating split per element or re-scanning the
+    # UTF8 string per trigram (O(n^2) per document — measured 100x+ on
+    # corpora with truncation-repaired 12k-char rows)
+    staged = df.select(
         F.col(id_col),
-        F.explode(_trigram_array(_norm_col(F.col(text_col)))).alias("tri"),
+        F.split(norm, "").alias("_chars"),
+        F.length(norm).alias("_n"),
+    )
+    exploded = staged.select(
+        F.col(id_col),
+        F.explode(
+            _trigram_array_from_chars(F.col("_chars"), F.col("_n"))
+        ).alias("tri"),
     )
     return (
         exploded.join(prof, "tri")
