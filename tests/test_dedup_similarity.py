@@ -99,6 +99,39 @@ def test_dedup_clusters_chain_convergence(spark):
     assert set(out.values()) == {10}
 
 
+def test_dedup_clusters_pathological_chain_log_rounds(spark):
+    # A 200-link path graph has diameter 200 — plain min-label
+    # propagation would need 200 rounds and silently mislabel at the
+    # default max_iter=20. Pointer halving must converge in
+    # O(log2(diameter)) rounds, well inside the default bound, and
+    # label every node with the chain's minimum id.
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    stats: dict = {}
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.dedup_clusters(pairs, stats=stats).collect()
+    }
+    assert set(out) == set(range(n + 1))
+    assert set(out.values()) == {0}
+    # log2(200) ~ 7.6; allow slack for propagation/halving interleave
+    assert stats["iterations"] <= 12, stats
+
+
+def test_dedup_clusters_raises_when_unconverged(spark):
+    # max_iter=1 cannot finish a length-8 chain: the guard must fail
+    # loudly instead of returning partially propagated labels
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.dedup_clusters(pairs, max_iter=1)
+
+
 def test_ngram_jaccard_blocked(spark):
     df = _docs(spark).withColumn("src", F.lit("s1"))
     pairs = DD.ngram_jaccard_pairs(df, "text", "doc_id", "src", 2, 0.3).collect()
