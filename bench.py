@@ -8,6 +8,16 @@ ONE JSON line:
 Execution is forced with the noop datasource writer (full pipeline
 runs, nothing collected to the driver). A small warmup job absorbs
 JVM/codegen startup so per-query times reflect steady state.
+
+Measurement hygiene (round-3): one cold pass (codegen/Janino compile
+included) then STEADY_PASSES full passes; the reported per-query time
+is the MEDIAN across steady passes, so a one-off GC pause or compile
+hiccup can't masquerade as a regression. Between queries the JVM is
+GC'd OUTSIDE the timed region (each query starts from a clean heap);
+between passes every cache — including caches leaked by query-internal
+.persist() calls — is dropped and the shared gauntlet intermediate is
+reset, so each pass recomputes it exactly once (the reference's
+compute-once-route-many topology, faust_app.py:131-170).
 """
 
 from __future__ import annotations
@@ -15,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -24,6 +35,7 @@ import __spark_entry__ as E  # noqa: E402
 from yelp_streaming_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STEADY_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 # Headline set: every operator family, weighted toward the scan/shuffle
 # heavy ones that dominate at scale.
@@ -99,43 +111,69 @@ def sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def main() -> None:
-    spark = get_spark("bench")
-    qs = E.queries()
+def _jvm_gc(spark) -> None:
+    """Force a JVM GC from the driver — run between queries, OUTSIDE
+    the timed region, so one query's garbage can't tax the next."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
-    # warmup: JVM + codegen + parquet footer caches
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
 
-    # The suite runs as two full passes. Pass 1 is cold (codegen/Janino
-    # compile included); pass 2 is steady state — the number that
-    # scales, since per-plan compile is a fixed cost that amortizes to
-    # zero over any real data volume. The shared gauntlet persist
-    # (__spark_entry__._staged) is reset BETWEEN passes, so each pass
-    # recomputes it exactly once and the intra-suite sharing (the
-    # reference's compute-once-route-many topology) is preserved.
+def _reset_caches(spark) -> None:
+    """Pass boundary: drop the shared gauntlet intermediate AND every
+    cache left behind by query-internal .persist() calls (banded
+    simhash tables etc. are cached per-call and the handles discarded
+    — without this they accumulate across 59 queries x N passes and
+    the later passes pay their memory pressure)."""
+    for df in E._STAGED_CACHE.values():
+        df.unpersist()
+    E._STAGED_CACHE.clear()
+    spark.catalog.clearCache()
+    _jvm_gc(spark)
+
+
+def run_suite(spark, qs) -> tuple[dict[str, float], list[dict[str, float]]]:
+    """One cold pass + STEADY_PASSES steady passes. Returns (per-query
+    median of steady passes, all per-pass dicts [cold first])."""
     passes: list[dict[str, float]] = []
-    for _ in range(2):
-        for df in E._STAGED_CACHE.values():
-            df.unpersist()
-        E._STAGED_CACHE.clear()
+    for _ in range(1 + STEADY_PASSES):
+        _reset_caches(spark)
         t: dict[str, float] = {}
         for name in HEADLINE:
+            _jvm_gc(spark)
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             t[name] = round(time.perf_counter() - t0, 3)
         passes.append(t)
-    cold, times = passes
+    steady = passes[1:]
+    med = {
+        name: round(statistics.median(p[name] for p in steady), 3)
+        for name in HEADLINE
+    }
+    return med, passes
 
-    total = round(sum(times.values()), 3)
 
-    # Throughput vs the reference's documented 1,000 rec/s stress rate
-    # (producer.py:242): the full clean->validate->score pass over a
-    # 20x-replicated review corpus, steady state.
-    from pyspark.sql import functions as F  # noqa: E402
+def pipeline_rps(spark) -> dict[str, int | dict[str, int]]:
+    """Throughput vs the reference's documented 1,000 rec/s stress rate
+    (producer.py:242): the full clean->validate->score pass over a
+    20x-replicated review corpus, steady state (best of 2).
 
+    Three L1 (language detection) backends are reported — the cost knob
+    the round-2 bench hid (functions/language.py:93):
+      - trusted:  language comes from the source column (no detection,
+                  the reference's consumer-side cost model);
+      - marker:   native stopword/marker heuristic (pure codegen map);
+      - trigram:  Cavnar-Trenkle trigram classifier as a broadcast-join
+                  plan (the scale-correct default, ~2x the marker cost).
+    """
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.functions.language import (
+        with_lang_id,
+    )
     from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
     from yelp_streaming_etl_pipeline_spark.sources.reviews import (
         synthetic_reviews,
@@ -148,12 +186,40 @@ def main() -> None:
         .drop("_rep")
     )
     n_rows = scaled.count()
-    staged = G.score_reviews(G.validate_reviews(scaled, E._now()), E._now())
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        staged.write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
+    bare = scaled.drop("language", "language_confidence")
+
+    variants = {
+        "trusted": scaled,
+        "marker": with_lang_id(bare, "text", method="marker"),
+        "trigram": with_lang_id(bare, "text", method="trigram",
+                                id_col="review_id"),
+    }
+    out: dict[str, int] = {}
+    for name, src in variants.items():
+        staged = G.score_reviews(G.validate_reviews(src, E._now()), E._now())
+        best = float("inf")
+        for _ in range(2):
+            _jvm_gc(spark)
+            t0 = time.perf_counter()
+            staged.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(n_rows / best)
+    return {"pipeline_rows": n_rows, "pipeline_rps_by_lang_backend": out}
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = E.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    med, passes = run_suite(spark, qs)
+    total = round(sum(med.values()), 3)
+    rps = pipeline_rps(spark)
 
     print(
         json.dumps(
@@ -161,10 +227,20 @@ def main() -> None:
                 "metric": "headline_suite_steady_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "cold_total": round(sum(cold.values()), 3),
-                "pipeline_rows": n_rows,
-                "pipeline_rps": round(n_rows / best),
+                "queries": med,
+                "cold_total": round(sum(passes[0].values()), 3),
+                "steady_pass_totals": [
+                    round(sum(p.values()), 3) for p in passes[1:]
+                ],
+                "pipeline_rows": rps["pipeline_rows"],
+                # headline rps stays the trigram (production-default)
+                # number so rounds compare like-for-like
+                "pipeline_rps": rps["pipeline_rps_by_lang_backend"][
+                    "trigram"
+                ],
+                "pipeline_rps_by_lang_backend": rps[
+                    "pipeline_rps_by_lang_backend"
+                ],
                 "sf": sf_from_dir(SF_DIR),
             }
         )
