@@ -243,7 +243,11 @@ def salted_event_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
         "_salt", (F.col("event_id") % n_salts).cast("int")
     )
     # phase-1 partials carry exact quantized integers so the re-merge in
-    # phase 2 is associative — bit-identical to the plain groupBy oracle
+    # phase 2 is associative — bit-identical to the plain groupBy oracle.
+    # Partials sum as LONG (fast path; safe to ~9e9 rows per (key,salt)
+    # at 1e9/row magnitude); the phase-2 merge is n_salts rows per key,
+    # so widening to decimal there costs nothing and removes any
+    # overflow ceiling on the merged total.
     partial = salted.groupBy("user_id", "_salt").agg(
         F.count("*").alias("pn"),
         F.sum(quantize(F.col("value"))).alias("pv"),
@@ -253,7 +257,9 @@ def salted_event_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
         .agg(
             F.sum("pn").alias("n_events"),
             stable_round(
-                F.sum("pv").cast("double") / F.lit(1e6), 2
+                F.sum(F.col("pv").cast("decimal(38,0)")).cast("double")
+                / F.lit(1e6),
+                2,
             ).alias("total_value"),
         )
     )
@@ -271,8 +277,12 @@ def numeric_profile(lineitem: DataFrame) -> DataFrame:
         n = F.count(x)
         # moments over per-row quantized integers: the sums are exact,
         # so the double arithmetic below is a fixed expression tree over
-        # deterministic inputs — engine- and order-independent
-        q = quantize(x)
+        # deterministic inputs — engine- and order-independent.
+        # quantize() yields LONG; q*q reaches ~1e22 for price columns,
+        # so the square must be computed and summed in decimal — the
+        # decimal aggregate cost here is the price of exact second
+        # moments (the DuckDB twin sums the same integers as HUGEINT)
+        q = quantize(x).cast("decimal(19,0)")
         s = F.sum(q).cast("double")
         ss = F.sum(q * q).cast("double")
         mean = s / n / mm
