@@ -33,6 +33,7 @@ from yelp_streaming_etl_pipeline_spark.operators import (
 )
 from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
 from yelp_streaming_etl_pipeline_spark.operators import gauntlet as G
+from yelp_streaming_etl_pipeline_spark.operators import pii as PII
 from yelp_streaming_etl_pipeline_spark.operators import relational as REL
 from yelp_streaming_etl_pipeline_spark.operators import sampling as SAMP
 from yelp_streaming_etl_pipeline_spark.operators import similarity as SIM
@@ -839,6 +840,18 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CQ.chunk_documents(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PII.pii_profile(
+        PII.pii_corpus(_t_cpu(spark, sf_dir, "documents"))
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PII.pii_redact(
+        PII.pii_corpus(_t_cpu(spark, sf_dir, "documents"))
+    )
+
+
 def _bloom_key(col: str) -> F.Column:
     return F.col(col).cast("string")
 
@@ -946,7 +959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
-        # (c) code paths touched this round / perf re-grade targets
+        # (c) NEW this round — never driver-checked, must be in window
+        "pii_profile": q_pii_profile,
+        "pii_redact": q_pii_redact,
+        # (d) code paths touched this round / perf re-grade targets
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "sliding_hourly_stats": q_sliding_hourly_stats,
@@ -955,9 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
         "simhash_pairs": q_simhash_pairs,
+        # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
         "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
-        # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
         "gopher_quality": q_gopher_quality,
         "repetition_profile": q_repetition_profile,
         "doc_chunks": q_doc_chunks,
@@ -1876,6 +1892,8 @@ SELECT media_id, content_sha, {SR(f0, 6)} AS f0 FROM c"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_profile": O.sql_pii_profile(),
+        "pii_redact": O.sql_pii_redact(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -1352,3 +1352,39 @@ ranked AS (
   FROM labeled
 )
 SELECT doc_id, cluster_id, quality FROM ranked WHERE rn = 1"""
+
+
+# ---------------- PII detection & redaction ----------------
+
+def sql_pii_profile() -> str:
+    """Twin of operators/pii.py:pii_profile over pii_corpus."""
+    from .operators.pii import PII_PATTERNS, SQL_PII_CORPUS
+
+    count_cols = ",\n  ".join(
+        f"{rc('text', pat)} AS n_{name}" for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(rc("text", pat) for _, pat, _ in PII_PATTERNS)
+    return f"""
+WITH corpus AS ({SQL_PII_CORPUS})
+SELECT doc_id,
+  {count_cols},
+  ({total}) AS n_pii,
+  ({total}) > 0 AS has_pii
+FROM corpus"""
+
+
+def sql_pii_redact() -> str:
+    """Twin of operators/pii.py:pii_redact: nested global
+    regexp_replace in the fixed PII_PATTERNS category order (DuckDB
+    needs the explicit 'g' flag; Spark replaces globally by default).
+    """
+    from .operators.pii import PII_PATTERNS, SQL_PII_CORPUS
+
+    expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
+    return f"""
+WITH corpus AS ({SQL_PII_CORPUS})
+SELECT doc_id, {expr} AS text
+FROM corpus"""
