@@ -840,6 +840,40 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CQ.chunk_documents(_t_cpu(spark, sf_dir, "documents"))
 
 
+# z-order layout bounds: approximate per-dimension ranges declared as
+# engine constants (bucketize clamps out-of-range values, so these only
+# set resolution, not correctness); mirrored in the oracle twin.
+ZORDER_VALUE_BOUNDS = (0.0, 400.0)
+ZORDER_USER_BOUNDS = (0.0, 1024.0)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yelp_streaming_etl_pipeline_spark.functions import zorder as Z
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    return Z.zorder_layout(
+        ev,
+        "value",
+        "user_id",
+        *ZORDER_VALUE_BOUNDS,
+        *ZORDER_USER_BOUNDS,
+    ).select("event_id", "bucket_a", "bucket_b", "zkey")
+
+
+def _sql_zorder_layout() -> str:
+    from yelp_streaming_etl_pipeline_spark.functions import zorder as Z
+
+    a, b, key = Z.sql_zorder_layout(
+        "value", "user_id", *ZORDER_VALUE_BOUNDS, *ZORDER_USER_BOUNDS
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT event_id, {a} AS a, {b} AS b FROM events
+)
+SELECT event_id, a AS bucket_a, b AS bucket_b, ({key}) AS zkey
+FROM bucketed"""
+
+
 def q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PII.pii_profile(
         PII.pii_corpus(_t_cpu(spark, sf_dir, "documents"))
@@ -909,11 +943,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round (7 oracle HUGEINT->BIGINT casts + 2 streaming NTZ fixes) —
     must be re-verified; (b) the 31 entries the round-2 driver did not
     reach (green in CORRECTNESS_r01, so no entry goes 2+ rounds
-    unverified); (c) 10 slots for queries whose code paths changed
-    this session (events reader NTZ normalization, filetopic
-    timestamp_ltz cast) or that the round-2 verdict flagged as
-    perf-weak and are being re-benched. Entries past position 50 were
-    green in CORRECTNESS_r02 and are unchanged since.
+    unverified); (c) entries NEW this round — never driver-checked, so
+    they must sit inside the window; (d) remaining slots for queries
+    whose code paths changed this session (events reader NTZ
+    normalization, filetopic timestamp_ltz cast) or that the round-2
+    verdict flagged as perf-weak and are being re-benched. Entries
+    past position 50 were green in CORRECTNESS_r02 and are unchanged
+    since.
     """
     return {
         # (a) repaired this round — re-verify first
@@ -962,16 +998,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
+        "zorder_layout": q_zorder_layout,
         # (d) code paths touched this round / perf re-grade targets
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
-        "histogram_median": q_histogram_median,
-        "numeric_profile": q_numeric_profile,
         "simhash_pairs": q_simhash_pairs,
         # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
+        "histogram_median": q_histogram_median,
+        "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
         "gopher_quality": q_gopher_quality,
@@ -1894,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
+        "zorder_layout": _sql_zorder_layout(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

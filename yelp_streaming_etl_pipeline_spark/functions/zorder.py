@@ -42,3 +42,59 @@ def interleave_bits(a: Column, b: Column, bits: int = 8) -> Column:
             + F.shiftleft(bbit, 2 * i)
         )
     return key
+
+
+def zorder_layout(
+    df,
+    col_a: str,
+    col_b: str,
+    lo_a: float,
+    hi_a: float,
+    lo_b: float,
+    hi_b: float,
+    bits: int = 8,
+):
+    """Per-row z-key projection for a two-dimension layout write:
+    ``df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)``.
+
+    Returns the input plus ``bucket_a``/``bucket_b``/``zkey`` so the
+    layout decision is inspectable (and oracle-checkable) before the
+    write. Pure map — no shuffle until the caller's repartition.
+    """
+    a = bucketize(F.col(col_a), lo_a, hi_a, bits)
+    b = bucketize(F.col(col_b), lo_b, hi_b, bits)
+    return df.select(
+        "*",
+        a.alias("bucket_a"),
+        b.alias("bucket_b"),
+        interleave_bits(a, b, bits).alias("zkey"),
+    )
+
+
+def sql_zorder_layout(
+    col_a: str,
+    col_b: str,
+    lo_a: float,
+    hi_a: float,
+    lo_b: float,
+    hi_b: float,
+    bits: int = 8,
+) -> tuple[str, str, str]:
+    """DuckDB twin of (bucketize, bucketize, interleave_bits) as SQL
+    expression strings. Identical IEEE double arithmetic on both
+    sides, so bucket boundaries agree exactly."""
+
+    def bsql(c: str, lo: float, hi: float) -> str:
+        n = (1 << bits) - 1
+        scaled = f"((CAST({c} AS DOUBLE) - {lo!r}) / {hi - lo!r})"
+        return (
+            f"least({n}, greatest(0, "
+            f"CAST(floor({scaled} * {(1 << bits)}) AS BIGINT)))"
+        )
+
+    a, b = bsql(col_a, lo_a, hi_a), bsql(col_b, lo_b, hi_b)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((a >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((b >> {i}) & 1) << {2 * i})")
+    return a, b, " + ".join(terms)
