@@ -874,6 +874,10 @@ SELECT event_id, a AS bucket_a, b AS bucket_b, ({key}) AS zkey
 FROM bucketed"""
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.project_embeddings(_t_cpu(spark, sf_dir, "embeddings"))
+
+
 def q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PII.pii_profile(
         PII.pii_corpus(_t_cpu(spark, sf_dir, "documents"))
@@ -999,14 +1003,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
         "zorder_layout": q_zorder_layout,
+        "embedding_project": q_embedding_project,
         # (d) code paths touched this round / perf re-grade targets
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
-        "value_histogram": q_value_histogram,
         "simhash_pairs": q_simhash_pairs,
         # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
+        "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
@@ -1932,6 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),
+        "embedding_project": O.sql_project_embeddings(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

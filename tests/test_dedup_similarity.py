@@ -329,3 +329,71 @@ def test_duplicated_passages_edit_locality(spark):
     within = DD.duplicated_passages(disjoint, "text", "doc_id")
     # repeated text WITHIN one doc is also surfaced (n_docs=1, n_occ>1)
     assert within.filter("n_docs > 1").count() == 0
+
+
+def test_random_projection_preserves_inner_products(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(SIM.RP_IN_DIM)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = {
+        (r["vec_id"], r["k"]): r["proj"]
+        for r in SIM.project_embeddings(df).collect()
+    }
+    # shape: every (id, k) present, exploded relational output
+    assert len(proj) == 40 * SIM.RP_OUT_DIM
+    # JL/sign-projection property: scaled projected dot approximates
+    # the original dot well enough to preserve gross geometry
+    import math
+
+    orig = {i: [float(x) for x in v] for i, v in rows}
+
+    def pdot(a, b):
+        pa = [proj[(a, k)] for k in range(SIM.RP_OUT_DIM)]
+        pb = [proj[(b, k)] for k in range(SIM.RP_OUT_DIM)]
+        return sum(x * y for x, y in zip(pa, pb)) / SIM.RP_OUT_DIM
+
+    def odot(a, b):
+        return sum(x * y for x, y in zip(orig[a], orig[b]))
+
+    # self inner products (norms) stay within 2x for most vectors
+    ok = sum(
+        1 for i in range(40) if 0.3 < pdot(i, i) / odot(i, i) < 3.0
+    )
+    assert ok >= 30, ok
+
+
+def test_random_projection_exact_fold_semantics(spark):
+    # one known vector: projection must equal the index-ordered fold
+    vec = [float(j % 5 - 2) for j in range(SIM.RP_IN_DIM)]
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["k"]: r["proj"] for r in SIM.project_embeddings(df).collect()
+    }
+    mat = SIM.rp_matrix()
+    import numpy as np
+
+    for k in range(SIM.RP_OUT_DIM):
+        acc = 0.0
+        for j in range(SIM.RP_IN_DIM):
+            acc += float(np.float32(vec[j])) * mat[k][j]
+        assert got[k] == acc, (k, got[k], acc)
+
+
+def test_random_projection_plan_is_map_only(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * SIM.RP_IN_DIM)], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        SIM.project_embeddings(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

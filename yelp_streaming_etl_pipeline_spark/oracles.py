@@ -1388,3 +1388,23 @@ def sql_pii_redact() -> str:
 WITH corpus AS ({SQL_PII_CORPUS})
 SELECT doc_id, {expr} AS text
 FROM corpus"""
+
+
+# ---------------- random-projection compression ----------------
+
+def sql_project_embeddings() -> str:
+    """Twin of operators/similarity.py:project_embeddings — the same
+    rp_matrix literals, each output dim an unrolled left-associated
+    sum (matches F.aggregate's index-ordered fold bit-for-bit)."""
+    from .operators.similarity import RP_IN_DIM, RP_OUT_DIM, rp_matrix
+
+    mat = rp_matrix()
+    arms = []
+    for k in range(RP_OUT_DIM):
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {mat[k][j]!r}"
+            for j in range(RP_IN_DIM)
+        )
+        arms.append(f"SELECT vec_id, {k} AS k, ({terms}) AS proj\nFROM embeddings")
+    body = "\nUNION ALL\n".join(arms)
+    return f"SELECT vec_id, k, proj FROM (\n{body}\n)"
