@@ -874,6 +874,12 @@ SELECT event_id, a AS bucket_a, b AS bucket_b, ({key}) AS zkey
 FROM bucketed"""
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.semantic_dedup(
+        SIM.with_synthetic_vec_dups(_t_cpu(spark, sf_dir, "embeddings"))
+    )
+
+
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.project_embeddings(_t_cpu(spark, sf_dir, "embeddings"))
 
@@ -1004,13 +1010,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "zorder_layout": q_zorder_layout,
         "embedding_project": q_embedding_project,
+        "semantic_dedup": q_semantic_dedup,
         # (d) code paths touched this round / perf re-grade targets
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "sliding_hourly_stats": q_sliding_hourly_stats,
-        "salted_event_counts": q_salted_event_counts,
         "simhash_pairs": q_simhash_pairs,
         # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
+        "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
@@ -1938,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),
         "embedding_project": O.sql_project_embeddings(),
+        "semantic_dedup": O.sql_semantic_dedup(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -397,3 +397,22 @@ def test_random_projection_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_prunes_planted_dups_only(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)
+    ]
+    # plant an exact copy of vec 0 with a LARGER id: it must be pruned
+    rows = base + [(500, list(base[0][1]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in SIM.semantic_dedup(df, tau=0.99).collect()}
+    assert len(out) == 51  # every input vector present exactly once
+    assert out[0]["kept"]  # the earlier twin survives
+    assert not out[500]["kept"]  # the later twin is pruned
+    # the twins share a cluster; random vectors are untouched
+    assert out[500]["centroid_id"] == out[0]["centroid_id"]
+    assert sum(1 for r in out.values() if not r["kept"]) == 1

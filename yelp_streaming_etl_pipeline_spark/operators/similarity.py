@@ -576,3 +576,79 @@ def project_embeddings(
     return df.select(
         F.col(id_col), F.posexplode(F.array(*projs)).alias("k", "proj")
     )
+
+
+# ---------------- semantic dedup (SemDeDup-style) ----------------
+
+SEMDEDUP_CENTROID_MOD = 25
+SEMDEDUP_TAU = 0.99
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    centroid_mod: int = SEMDEDUP_CENTROID_MOD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication in embedding space (the SemDeDup shape,
+    Abbas et al. 2023): cluster by nearest centroid, then inside each
+    cluster prune any vector that has a near-identical (cosine >=
+    ``tau``) neighbor with a smaller id — greedy first-seen-wins,
+    declared semantics.
+
+    Scale shape: centroid assignment is a BROADCAST of the small
+    centroid set + an argmax partial aggregate (one shuffle keyed by
+    id); the quadratic similarity term runs WITHIN a cluster only, so
+    the 100 TB cost is sum of per-cluster squares, never n^2 — the
+    same blocking argument as cosine_neardup_pairs, with the cluster
+    id as the learned blocking key. Centroids here are a
+    deterministic corpus subsample (id % centroid_mod) to keep the
+    whole operator oracle-checkable; swap an offline k-means fit at
+    production scale without changing the query shape.
+
+    Returns (vec_id, centroid_id, kept) for every input vector.
+    """
+    cent = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+    )
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("c_sim", cosine(F.col("vec"), F.col("cent_vec")))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(
+                    F.col("c_sim"), (-F.col("centroid_id")).alias("nc")
+                ),
+            ).alias("centroid_id"),
+            F.first("vec").alias("vec"),
+        )
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(cosine(F.col("a.vec"), F.col("b.vec")) >= tau)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            pruned.withColumn("is_dup", F.lit(True)), "vid", "left"
+        )
+        .select(
+            F.col("vid").alias("vec_id"),
+            "centroid_id",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -1408,3 +1408,38 @@ def sql_project_embeddings() -> str:
         arms.append(f"SELECT vec_id, {k} AS k, ({terms}) AS proj\nFROM embeddings")
     body = "\nUNION ALL\n".join(arms)
     return f"SELECT vec_id, k, proj FROM (\n{body}\n)"
+
+
+# ---------------- semantic dedup ----------------
+
+def sql_semantic_dedup(
+    tau: float = 0.99, centroid_mod: int = 25, dim: int = 64
+) -> str:
+    """Twin of operators/similarity.py:semantic_dedup over the planted
+    vec-dup corpus: nearest-centroid assignment (row_number with the
+    same tie-break as the Spark argmax struct), then greedy min-id
+    prune within the cluster."""
+    assign_sim = sql_cosine("v.embedding", "c.cent_vec", dim)
+    pair_sim = sql_cosine("a.vec", "b.vec", dim)
+    return f"""
+WITH corpus AS ({VEC_DUP_CORPUS_SQL}),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_vec FROM corpus
+  WHERE vec_id % {centroid_mod} = 0
+),
+assigned AS (
+  SELECT v.vec_id AS vid, v.embedding AS vec, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_sim} DESC, c.centroid_id ASC)
+           AS c_rank
+  FROM corpus v CROSS JOIN cent c
+),
+lists AS (SELECT vid, vec, centroid_id FROM assigned WHERE c_rank = 1),
+pruned AS (
+  SELECT DISTINCT b.vid
+  FROM lists a JOIN lists b
+    ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+  WHERE {pair_sim} >= {tau}
+)
+SELECT s.vid AS vec_id, s.centroid_id, p.vid IS NULL AS kept
+FROM lists s LEFT JOIN pruned p ON s.vid = p.vid"""
