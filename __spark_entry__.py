@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yelp_streaming_etl_pipeline_spark import oracles as O
@@ -634,6 +634,58 @@ def q_windowed_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending detector: sliding 2-h windows advancing
+    hourly, per-event-type counts aggregated BY THE STREAM (append
+    mode, so only watermark-closed windows emit), then the top-3
+    types per window ranked on the emitted result. Ranking is a
+    batch step over the closed-window table because streaming
+    aggregations can't host a row_number — the handoff is the
+    documented pattern for leaderboards over streams.
+
+    Scale shape: the streaming agg is keyed (window, event_type) with
+    partial aggregation per micro-batch and state bounded by the
+    watermark horizon; the rank runs over one row per (window, type)
+    — already tiny."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+
+    agg = (
+        read_events_stream(_ensure_conf(spark), sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = "trending_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_trend_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log compaction: the user's current state is their latest event
     (ties broken by event_id)."""
@@ -1011,12 +1063,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "embedding_project": q_embedding_project,
         "semantic_dedup": q_semantic_dedup,
+        "trending_stream": q_trending_stream,
         # (d) code paths touched this round / perf re-grade targets
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
-        "sliding_hourly_stats": q_sliding_hourly_stats,
         "simhash_pairs": q_simhash_pairs,
         # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
+        "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
@@ -1781,6 +1834,38 @@ GROUP BY 1, 2
 HAVING {we_ms} <= (SELECT wm_ms FROM wm)"""
 
 
+def _sql_trending_stream() -> str:
+    """Sliding 2-h/1-h windows via a 2-way fanout (each event belongs
+    to the two hour-aligned windows covering it), append-mode closure
+    at the final watermark (max event ms - 1 h), then top-3 types per
+    window with the same (count desc, type asc) tie-break."""
+    we_ms = "(epoch_us(window_start + INTERVAL '2 hours') // 1000)"
+    return f"""
+WITH wm AS (
+  SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events
+),
+fanout AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts)
+           - (k * INTERVAL '1 hour') AS window_start,
+         event_type
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+),
+counts AS (
+  SELECT window_start, event_type, count(*) AS n_events
+  FROM fanout GROUP BY 1, 2
+  HAVING {we_ms} <= (SELECT wm_ms FROM wm)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start ORDER BY n_events DESC, event_type ASC
+  ) AS rank
+  FROM counts
+)
+SELECT window_start, window_start + INTERVAL '2 hours' AS window_end,
+       event_type, n_events, rank
+FROM ranked WHERE rank <= 3"""
+
+
 def _sql_value_histogram() -> str:
     return f"""
 WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
@@ -1946,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _sql_zorder_layout(),
         "embedding_project": O.sql_project_embeddings(),
         "semantic_dedup": O.sql_semantic_dedup(),
+        "trending_stream": _sql_trending_stream(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -99,6 +99,12 @@ HEADLINE = [
     "token_budget_pack",
     "decontaminate",
     "training_corpus",
+    # round-3 additions
+    "pii_profile",
+    "pii_redact",
+    "zorder_layout",
+    "embedding_project",
+    "semantic_dedup",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path
