@@ -926,6 +926,14 @@ SELECT event_id, a AS bucket_a, b AS bucket_b, ({key}) AS zkey
 FROM bucketed"""
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yelp_streaming_etl_pipeline_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    return kmeans_lloyd(_t_cpu(spark, sf_dir, "embeddings"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(
         SIM.with_synthetic_vec_dups(_t_cpu(spark, sf_dir, "embeddings"))
@@ -1064,11 +1072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_project": q_embedding_project,
         "semantic_dedup": q_semantic_dedup,
         "trending_stream": q_trending_stream,
+        "kmeans_clusters": q_kmeans_clusters,
         # (d) code paths touched this round / perf re-grade targets
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
-        "events_hourly": q_events_hourly,
         "simhash_pairs": q_simhash_pairs,
         # ---- position > 50: green in CORRECTNESS_r02, unchanged ----
+        "events_hourly": q_events_hourly,
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
@@ -2032,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_project": O.sql_project_embeddings(),
         "semantic_dedup": O.sql_semantic_dedup(),
         "trending_stream": _sql_trending_stream(),
+        "kmeans_clusters": O.sql_kmeans_lloyd(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -1443,3 +1443,65 @@ pruned AS (
 )
 SELECT s.vid AS vec_id, s.centroid_id, p.vid IS NULL AS kept
 FROM lists s LEFT JOIN pruned p ON s.vid = p.vid"""
+
+
+# ---------------- k-means (Lloyd) ----------------
+
+def sql_kmeans_lloyd(
+    k: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    """Twin of operators/clustering.py:kmeans_lloyd, iterations
+    unrolled as CTE stages. All arithmetic is the same exact integer
+    math (quantize + offset, integer round-half-up means), so
+    assignments agree exactly; HUGEINT intermediates are cast back to
+    BIGINT at every output edge."""
+    from .operators.clustering import KMEANS_OFFSET, KMEANS_QS
+
+    m = f"{float(10 ** KMEANS_QS)!r}"
+    qvec = (
+        f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+        f" + {KMEANS_OFFSET} FOR i IN generate_series(1, {dim})]"
+    )
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_reduce([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"FOR i IN generate_series(1, {dim})], (x, y) -> x + y)"
+        )
+
+    d = dist("b.qvec", "c.cvec")
+    parts = [
+        f"""base AS (
+  SELECT vec_id AS vid, {qvec} AS qvec FROM embeddings
+),
+cent0 AS (SELECT vid AS cid, qvec AS cvec FROM base WHERE vid < {k})"""
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+  SELECT b.vid, b.qvec, c.cid, {d} AS dist,
+         row_number() OVER (PARTITION BY b.vid
+                            ORDER BY {d} ASC, c.cid ASC) AS rn
+  FROM base b CROSS JOIN {prev} c
+),
+m{it} AS (SELECT vid, qvec, cid FROM a{it} WHERE rn = 1),
+d{it} AS (
+  SELECT cid, j,
+         CAST((2 * sum(qvec[j]) + count(*)) // (2 * count(*)) AS BIGINT)
+           AS cq
+  FROM m{it} CROSS JOIN generate_series(1, {dim}) AS g(j)
+  GROUP BY cid, j
+),
+cent{it} AS (SELECT cid, list(cq ORDER BY j) AS cvec FROM d{it} GROUP BY cid)""")
+        prev = f"cent{it}"
+    parts.append(f"""fin AS (
+  SELECT b.vid, c.cid, {d} AS dist,
+         row_number() OVER (PARTITION BY b.vid
+                            ORDER BY {d} ASC, c.cid ASC) AS rn
+  FROM base b CROSS JOIN {prev} c
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vid AS vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS sq_dist
+FROM fin WHERE rn = 1"""
