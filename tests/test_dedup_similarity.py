@@ -416,3 +416,30 @@ def test_semantic_dedup_prunes_planted_dups_only(spark):
     # the twins share a cluster; random vectors are untouched
     assert out[500]["centroid_id"] == out[0]["centroid_id"]
     assert sum(1 for r in out.values() if not r["kept"]) == 1
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 3)
+        for i in range(30)
+    ]
+    # plant a same-label near-twin and a diff-label near-twin of vec 0
+    rows.append((100, [v * 1.001 for v in rows[0][1]], 0))  # label 0 == q
+    rows.append((101, [v * 1.002 for v in rows[0][1]], 1))  # label 1 != q
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = SIM.hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_label"] != 0 for r in out)
+    # the diff-label twin is the rank-1 hard negative; the same-label
+    # twin must not appear at all
+    assert out[0]["neighbor_id"] == 101 or any(
+        r["neighbor_id"] == 101 and r["rank"] == 1 for r in out
+    )
+    assert all(r["neighbor_id"] != 100 for r in out)

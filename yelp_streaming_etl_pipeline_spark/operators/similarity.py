@@ -652,3 +652,52 @@ def semantic_dedup(
             F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------- hard-negative mining ----------------
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    highest-loss negatives for a contrastive or retrieval objective.
+
+    Same scale shape as cosine_topk (queries broadcast, corpus
+    streams, per-query window over k rows); swap the brute-force scan
+    for the IVF/LSH candidate generators at production scale without
+    changing the selection semantics."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("n_label").alias("neighbor_label"),
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )

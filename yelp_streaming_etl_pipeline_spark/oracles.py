@@ -1505,3 +1505,31 @@ cent{it} AS (SELECT cid, list(cq ORDER BY j) AS cvec FROM d{it} GROUP BY cid)"""
 WITH {body}
 SELECT vid AS vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS sq_dist
 FROM fin WHERE rn = 1"""
+
+
+# ---------------- hard-negative mining ----------------
+
+def sql_hard_negatives(k: int = 5, dim: int = 64) -> str:
+    """Twin of operators/similarity.py:hard_negatives."""
+    sim = sql_cosine("cv", "qv", dim)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, n_label, {sim} AS sim
+  FROM c CROSS JOIN q WHERE n_label != q_label
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, n_label AS neighbor_label,
+       {sql_stable_round('sim', 6)} AS cosine_sim
+FROM r WHERE rank <= {k}"""
