@@ -880,6 +880,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CQ.quality_classifier(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CQ.gopher_quality(_t_cpu(spark, sf_dir, "documents"))
 
@@ -1081,7 +1085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus_prune": q_dedup_corpus_prune,
         "class_capped_sample": q_class_capped_sample,
-        "pps_sample": q_pps_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "click_purchase_5min": q_click_purchase_5min,
         "stratified_sample": q_stratified_sample,
@@ -1110,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "hard_negatives": q_hard_negatives,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "quality_classifier": q_quality_classifier,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
@@ -1117,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cast); r2 perf re-grade targets are re-benched via bench.py
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
+        "pps_sample": q_pps_sample,
         "simhash_pairs": q_simhash_pairs,
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
@@ -2084,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": O.sql_kmeans_lloyd(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
+        "quality_classifier": O.sql_quality_classifier(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

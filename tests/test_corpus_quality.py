@@ -251,3 +251,26 @@ class TestPlanShapes:
         # the register build is the ONLY keyed shuffle; the probe side
         # itself is a pure map over the scan
         assert A.key_shuffle_exchanges(probed) <= 1
+
+
+class TestQualityClassifier:
+    def test_score_bounds_and_label_sign(self, spark):
+        df = CQ.quality_classifier(_docs(spark, [(1, GOOD)]))
+        r = _row(df, 1)
+        assert -1.0 <= r["qc_score"] <= 1.0
+        assert r["qc_label"] == (r["qc_score"] > 0)
+        # 20 words -> 20 unigrams + 19 bigrams
+        assert r["n_grams"] == 39
+
+    def test_empty_doc_scores_zero(self, spark):
+        for text in (None, "", "   "):
+            r = _row(CQ.quality_classifier(_docs(spark, [(1, text)])), 1)
+            assert r["n_grams"] == 0
+            assert r["qc_score"] == 0.0
+            assert not r["qc_label"]
+
+    def test_deterministic_across_runs(self, spark):
+        df = _docs(spark, [(i, GOOD + f" tail {i}") for i in range(20)])
+        a = sorted(map(tuple, CQ.quality_classifier(df).collect()))
+        b = sorted(map(tuple, CQ.quality_classifier(df).collect()))
+        assert a == b

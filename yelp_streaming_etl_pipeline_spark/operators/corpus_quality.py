@@ -322,3 +322,82 @@ def chunk_documents(
             F.slice(F.col("words"), F.col("start_word"), chunk_tokens), " "
         ).alias("chunk_text"),
     )
+
+
+# ---- hashed-n-gram linear quality classifier ----
+# The CCNet/DCLM-style move: a tiny linear model over hashed bag-of-
+# n-gram features, run as a RELATIONAL MAP (explode -> hash -> weight
+# lookup -> per-doc sum). Weights here are a deterministic function of
+# the feature bucket so the whole operator is oracle-checkable; a
+# trained fastText weight table drops in as a broadcast join without
+# changing the plan shape. Integer weights summed exactly => order-
+# independent scores (no float accumulation anywhere).
+QC_BUCKETS = 4096
+QC_WMOD = 2_000_001  # weights span [-1e6, 1e6] after the offset
+QC_WOFF = 1_000_000
+_QC_MULT = 2654435761
+
+
+def _qc_bucket(gram: Column) -> Column:
+    """md5-derived feature bucket (same kernel as sampling.hash_bucket
+    so the DuckDB twin reproduces it exactly)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % QC_BUCKETS
+    )
+
+
+def _qc_weight(bucket: Column) -> Column:
+    """Deterministic integer weight in [-QC_WOFF, QC_WOFF]."""
+    return (bucket * F.lit(_QC_MULT)) % F.lit(QC_WMOD) - F.lit(QC_WOFF)
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Per-document linear score over hashed word uni+bigrams.
+
+    Returns (doc_id, n_grams, qc_score, qc_label): qc_score is the
+    mean feature weight (stable-rounded double in [-1, 1]), qc_label
+    the sign. Documents with no words score 0.0 / false.
+
+    Scale shape: one explode + one hash aggregate keyed by doc_id
+    (map-side partial combine); the weight "lookup" is arithmetic on
+    the bucket id, so there is no join at all. At 100 TB the cost is
+    the n-gram explode — identical to repetition_profile's bound.
+    """
+    words = norm_words(F.col("text"))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(words, bigrams)
+    exploded = docs.select(
+        "doc_id", F.explode_outer(grams).alias("gram")
+    )
+    scored = exploded.withColumn(
+        "wq",
+        F.when(
+            F.col("gram").isNull(), F.lit(None).cast("long")
+        ).otherwise(_qc_weight(_qc_bucket(F.col("gram")))),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("wq").alias("n_grams"),
+        F.coalesce(F.sum("wq"), F.lit(0)).alias("s"),
+    )
+    score = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        stable_round(
+            F.col("s").cast("double")
+            / (F.col("n_grams").cast("double") * F.lit(float(QC_WOFF))),
+            6,
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        score.alias("qc_score"),
+        (F.col("s") > 0).alias("qc_label"),
+    )

@@ -1533,3 +1533,40 @@ r AS (
 SELECT query_id, rank, neighbor_id, n_label AS neighbor_label,
        {sql_stable_round('sim', 6)} AS cosine_sim
 FROM r WHERE rank <= {k}"""
+
+
+# ---------------- hashed-n-gram quality classifier ----------------
+
+def sql_quality_classifier() -> str:
+    """Twin of operators/corpus_quality.py:quality_classifier."""
+    from .operators import corpus_quality as CQ
+
+    bucket = f"(('0x' || substr(md5(gram), 1, 8))::BIGINT % {CQ.QC_BUCKETS})"
+    wq = f"((({bucket}) * {CQ._QC_MULT}) % {CQ.QC_WMOD}) - {CQ.QC_WOFF}"
+    score = sql_stable_round(
+        f"CAST(s AS DOUBLE) / (CAST(n_grams AS DOUBLE) * {float(CQ.QC_WOFF)!r})",
+        6,
+    )
+    return f"""
+WITH {_sql_cq_base()},
+g AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           words,
+           CASE WHEN len(words) >= 2
+             THEN [words[i] || ' ' || words[i + 1]
+                   FOR i IN generate_series(1, len(words) - 1)]
+             ELSE CAST([] AS VARCHAR[]) END
+         )) AS gram
+  FROM cqbase
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_grams, CAST(sum({wq}) AS BIGINT) AS s
+  FROM g GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0 ELSE {score} END
+         AS qc_score,
+       COALESCE(a.s, 0) > 0 AS qc_label
+FROM cqbase c LEFT JOIN agg a USING (doc_id)"""
