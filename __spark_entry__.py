@@ -686,6 +686,65 @@ def q_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a static
+    user-tier dimension (broadcast — no stream-side shuffle, the
+    standard dimension-enrichment shape), then a watermarked tumbling
+    aggregate per (window, tier) in append mode. The static side is
+    re-read per micro-batch by Spark, which is exactly how a slowly-
+    changing dim behaves under this join.
+
+    The tier dim derives deterministically from the fixture's user
+    ids so the oracle can rebuild it (a real deployment swaps in a
+    JDBC/parquet dim table without changing the plan)."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events, read_events_stream,
+    )
+
+    tiers = (
+        read_events(_ensure_conf(spark), sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.element_at(
+                F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+                (F.col("user_id") % 3 + 1).cast("int"),
+            ),
+        )
+    )
+    enriched = (
+        read_events_stream(_ensure_conf(spark), sf_dir)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(tiers), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "tier",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "enriched_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_enr_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log compaction: the user's current state is their latest event
     (ties broken by event_id)."""
@@ -1083,7 +1142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_corpus_prune": q_dedup_corpus_prune,
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "click_purchase_5min": q_click_purchase_5min,
@@ -1114,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "quality_classifier": q_quality_classifier,
+        "enriched_events_stream": q_enriched_events_stream,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
@@ -1122,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "pps_sample": q_pps_sample,
+        "dedup_corpus_prune": q_dedup_corpus_prune,
         "simhash_pairs": q_simhash_pairs,
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
@@ -1888,6 +1948,30 @@ GROUP BY 1, 2
 HAVING {we_ms} <= (SELECT wm_ms FROM wm)"""
 
 
+def _sql_enriched_events_stream() -> str:
+    """Twin of q_enriched_events_stream: the tier dim is a pure
+    function of user_id (the stream-static join adds no rows because
+    the dim is built from the stream's own distinct users), so the
+    oracle is the windowed agg with the tier expression inline, under
+    the same append-mode watermark closure."""
+    we_ms = (
+        "(epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')"
+        " // 1000)"
+    )
+    return f"""
+WITH wm AS (
+  SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       CASE user_id % 3 WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+            ELSE 'gold' END AS tier,
+       count(*) AS n_events,
+       {XS('value', 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING {we_ms} <= (SELECT wm_ms FROM wm)"""
+
+
 def _sql_trending_stream() -> str:
     """Sliding 2-h/1-h windows via a 2-way fanout (each event belongs
     to the two hour-aligned windows covering it), append-mode closure
@@ -2090,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),
+        "enriched_events_stream": _sql_enriched_events_stream(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),
