@@ -1032,6 +1032,62 @@ SELECT vec_id, cluster_id FROM (
 ) WHERE rn <= {cap}"""
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.semantic_decontaminate(
+        emb, emb.filter(F.col("vec_id") % 100 == 0)
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.event_funnel(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REL.user_cohorts(read_events(_ensure_conf(spark), sf_dir))
+
+
+def _sql_event_funnel() -> str:
+    s1, s2, s3 = REL.FUNNEL_STEPS
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts > s1.ts1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{s3}' AND e.ts > s2.ts2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, '{s1}' AS event_type, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, '{s2}', count(*) FROM s2
+UNION ALL
+SELECT 3, '{s3}', count(*) FROM s3"""
+
+
+def _sql_user_cohorts() -> str:
+    return """
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) AS week FROM events
+),
+fs AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_active
+FROM active JOIN fs USING (user_id)
+GROUP BY 1, 2"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(
         SIM.with_synthetic_vec_dups(_t_cpu(spark, sf_dir, "embeddings"))
@@ -1145,14 +1201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "click_purchase_5min": q_click_purchase_5min,
-        "stratified_sample": q_stratified_sample,
-        "train_test_split": q_train_test_split,
         "text_features": q_text_features,
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
         "returning_users": q_returning_users,
-        "lapsed_users": q_lapsed_users,
         "top_bigrams": q_top_bigrams,
         "tfidf_keywords": q_tfidf_keywords,
         "customers_without_orders": q_customers_without_orders,
@@ -1173,6 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "quality_classifier": q_quality_classifier,
         "enriched_events_stream": q_enriched_events_stream,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "event_funnel": q_event_funnel,
+        "user_cohorts": q_user_cohorts,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
@@ -1181,6 +1237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "pps_sample": q_pps_sample,
+        "lapsed_users": q_lapsed_users,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
         "dedup_corpus_prune": q_dedup_corpus_prune,
         "simhash_pairs": q_simhash_pairs,
         "sliding_hourly_stats": q_sliding_hourly_stats,
@@ -2175,6 +2234,9 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),
         "enriched_events_stream": _sql_enriched_events_stream(),
+        "semantic_decontaminate": O.sql_semantic_decontaminate(),
+        "event_funnel": _sql_event_funnel(),
+        "user_cohorts": _sql_user_cohorts(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -443,3 +443,18 @@ def test_hard_negatives_excludes_same_label(spark):
         r["neighbor_id"] == 101 and r["rank"] == 1 for r in out
     )
     assert all(r["neighbor_id"] != 100 for r in out)
+
+
+def test_semantic_decontaminate_flags_planted_twin(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(20)]
+    rows.append((300, [v * 1.0001 for v in rows[0][1]]))  # twin of bench vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bench = df.filter(F.col("vec_id") == 0)
+    out = {r["vec_id"]: r for r in SIM.semantic_decontaminate(df, bench).collect()}
+    assert out[300]["contaminated"]
+    assert out[300]["max_benchmark_sim"] > 0.999
+    assert sum(1 for r in out.values() if r["contaminated"]) == 1
+    assert 0 not in out  # the benchmark vector itself is excluded

@@ -102,3 +102,55 @@ def test_interval_pairs_no_dupes_same_bucket(spark):
     )
     out = REL.interval_pairs(clicks, purchases, "user_id", 300).collect()
     assert len(out) == 1 and out[0]["gap_us"] == 10_000_000
+
+
+class TestFunnelAndCohorts:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+
+    def test_funnel_strict_order(self, spark):
+        from datetime import datetime as dt
+
+        from yelp_streaming_etl_pipeline_spark.operators.relational import (
+            event_funnel,
+        )
+
+        t = lambda h: dt(2024, 1, 1, h)
+        rows = [
+            # user 1 completes the funnel in order
+            (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "purchase"),
+            # user 2 purchases BEFORE clicking: reaches step 2 only
+            (4, t(1), 2, "view"), (5, t(3), 2, "click"), (6, t(2), 2, "purchase"),
+            # user 3 never views: reaches nothing
+            (7, t(1), 3, "click"), (8, t(2), 3, "purchase"),
+        ]
+        out = {r["step"]: r for r in event_funnel(self._events(spark, rows)).collect()}
+        assert out[1]["n_users"] == 2  # users 1 and 2 viewed
+        assert out[2]["n_users"] == 2  # both clicked after viewing
+        assert out[3]["n_users"] == 1  # only user 1 purchased after click
+        assert out[3]["event_type"] == "purchase"
+
+    def test_cohorts_offsets(self, spark):
+        from datetime import datetime as dt
+
+        from yelp_streaming_etl_pipeline_spark.operators.relational import (
+            user_cohorts,
+        )
+
+        rows = [
+            # user 1 first seen week of Jan 1 (Mon), active again 2 weeks on
+            (1, dt(2024, 1, 2), 1, "view"),
+            (2, dt(2024, 1, 16), 1, "view"),
+            # user 2 same cohort, active only that week (twice — distinct)
+            (3, dt(2024, 1, 3), 2, "view"),
+            (4, dt(2024, 1, 4), 2, "click"),
+        ]
+        out = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_active"]
+            for r in user_cohorts(self._events(spark, rows)).collect()
+        }
+        assert out[("2024-01-01", 0)] == 2
+        assert out[("2024-01-01", 2)] == 1
+        assert len(out) == 2

@@ -450,3 +450,77 @@ def interval_pairs(
         .drop("__bucket", "__lus", "__rus")
     )
     return out
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Strict-order funnel: a user reaches step i+1 only with an
+    event of that type STRICTLY AFTER their step-i completion time
+    (earliest-completion semantics at every step, the standard
+    product-analytics definition).
+
+    Scale shape: one filtered scan per step, each reduced to one row
+    per user BEFORE the next equi-join on user_id (the per-step
+    aggregate is the map-side shrink; the join chain reuses the
+    user_id partitioning). No windows over the full event stream, no
+    cross products. Returns (step, event_type, n_users)."""
+    reached = None
+    counts = []
+    for i, step in enumerate(steps):
+        stage = events.filter(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("step_ts")
+        )
+        if reached is not None:
+            stage = stage.join(reached, "user_id").filter(
+                F.col("step_ts") > F.col("prev_ts")
+            )
+        reached = stage.groupBy("user_id").agg(
+            F.min("step_ts").alias("prev_ts")
+        )
+        counts.append(
+            reached.agg(F.count("*").alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def user_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted as active in each subsequent week they appear.
+
+    Scale shape: first-seen week is ONE aggregate keyed by user_id;
+    the activity table is the distinct (user, week) projection of the
+    same scan; their equi-join reuses the user_id partitioning, and
+    the final (cohort, offset) aggregate is tiny. Returns
+    (cohort_week, week_offset, n_active) with week_offset 0 being the
+    cohort's own week."""
+    # to_date: Spark's date_trunc returns TIMESTAMP while DuckDB's
+    # returns DATE — compare (and store) the week as a DATE on both
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    first_seen = (
+        events.select("user_id", wk.alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = events.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -701,3 +701,45 @@ def hard_negatives(
             stable_round(F.col("sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------- semantic decontamination ----------------
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: a corpus item is
+    contaminated if its max cosine against ANY benchmark vector is
+    >= tau — the semantic complement to n-gram `decontaminate`
+    (paraphrased eval items that share no 8-gram still get caught).
+
+    Returns every corpus row with (max_benchmark_sim, contaminated)
+    so the caller can filter or audit. Scale shape: benchmark sets
+    are small by nature -> broadcast; the corpus streams through one
+    codegen'd projection and a per-id argmax partial aggregate. No
+    corpus shuffle at all (the aggregate keys on the corpus id the
+    scan already carries)."""
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        )
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("vid") != F.col("bench_id"))
+        .withColumn("sim", cosine(F.col("vec"), F.col("b_vec")))
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(F.max("sim").alias("max_sim"))
+        .select(
+            F.col("vid").alias("vec_id"),
+            stable_round(F.col("max_sim"), 6).alias("max_benchmark_sim"),
+            (F.col("max_sim") >= tau).alias("contaminated"),
+        )
+    )

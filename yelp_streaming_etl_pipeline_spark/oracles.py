@@ -1570,3 +1570,26 @@ SELECT c.doc_id,
          AS qc_score,
        COALESCE(a.s, 0) > 0 AS qc_label
 FROM cqbase c LEFT JOIN agg a USING (doc_id)"""
+
+
+# ---------------- semantic decontamination ----------------
+
+def sql_semantic_decontaminate(tau: float = 0.95, dim: int = 64) -> str:
+    """Twin of operators/similarity.py:semantic_decontaminate with the
+    benchmark set = vec_id % 100 = 0 (same harness split as ANN)."""
+    sim = sql_cosine("c.embedding", "b.b_vec", dim)
+    return f"""
+WITH b AS (
+  SELECT vec_id AS bench_id, embedding AS b_vec FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT c.vec_id AS vid, max({sim}) AS max_sim
+  FROM embeddings c CROSS JOIN b
+  WHERE c.vec_id != b.bench_id
+  GROUP BY c.vec_id
+)
+SELECT vid AS vec_id,
+       {sql_stable_round('max_sim', 6)} AS max_benchmark_sim,
+       max_sim >= {tau} AS contaminated
+FROM scored"""
