@@ -105,6 +105,13 @@ HEADLINE = [
     "zorder_layout",
     "embedding_project",
     "semantic_dedup",
+    "kmeans_clusters",
+    "hard_negatives",
+    "cluster_balanced_sample",
+    "quality_classifier",
+    "semantic_decontaminate",
+    "event_funnel",
+    "user_cohorts",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -338,3 +338,39 @@ def test_token_budget_pack_single_partition_is_offsets_only(spark):
     ]
     assert len(single) == 1, plan[:3000]  # offsets table only
     assert "BroadcastHashJoin" in plan  # offsets re-enter via broadcast
+
+
+def test_pii_operators_are_pure_maps(spark):
+    for q in (E.q_pii_profile, E.q_pii_redact):
+        df = q(spark, SF)
+        assert A.key_shuffle_exchanges(df) == 0
+        assert not A.has_python_udf(df)
+
+
+def test_zorder_layout_is_pure_map(spark):
+    df = E.q_zorder_layout(spark, SF)
+    assert A.key_shuffle_exchanges(df) == 0
+    assert not A.has_python_udf(df)
+
+
+def test_embedding_project_is_pure_map(spark):
+    df = E.q_embedding_project(spark, SF)
+    assert A.key_shuffle_exchanges(df) == 0
+    assert not A.has_python_udf(df)
+
+
+def test_quality_classifier_single_doc_shuffle(spark):
+    # explode + one hash aggregate keyed by doc_id; the weight lookup
+    # is arithmetic, so there must be no join and exactly one key
+    # shuffle (partial agg upstream of it)
+    df = E.q_quality_classifier(spark, SF)
+    assert A.key_shuffle_exchanges(df) == 1
+    assert not A.has_python_udf(df)
+
+
+def test_semantic_ops_broadcast_the_small_side(spark):
+    for q in (E.q_semantic_dedup, E.q_semantic_decontaminate,
+              E.q_hard_negatives):
+        df = q(spark, SF)
+        assert A.has_broadcast_side(df), q.__name__
+        assert not A.has_python_udf(df)

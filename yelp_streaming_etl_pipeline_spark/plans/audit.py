@@ -53,6 +53,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
 
 
+def has_broadcast_side(df: DataFrame) -> bool:
+    """True when SOME join in the plan builds from a broadcast —
+    covers the equi (BroadcastHashJoin) and the explicit
+    crossJoin(broadcast(...)) scoring shape (BroadcastNestedLoopJoin),
+    which is the intended plan for small-side similarity sweeps."""
+    plan = physical_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def has_sort_merge_or_shuffled_hash_join(df: DataFrame) -> bool:
     plan = physical_plan(df)
     return "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
