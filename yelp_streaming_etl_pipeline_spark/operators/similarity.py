@@ -630,6 +630,12 @@ def semantic_dedup(
             F.first("vec").alias("vec"),
         )
     )
+    # the assignment feeds three consumers (both self-join sides and
+    # the final labeling) — persist it once instead of recomputing the
+    # n x centroids argmax sweep three times; it is one slim row per
+    # input vector, the same justified-persist shape as
+    # corpus.training_corpus
+    assigned = assigned.persist()
     a = assigned.alias("a")
     b = assigned.alias("b")
     pruned = (
