@@ -1032,6 +1032,52 @@ SELECT vec_id, cluster_id FROM (
 ) WHERE rn <= {cap}"""
 
 
+def q_io_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: the documents table written to ORC
+    and CSV (header + explicit schema, the lenient-read discipline of
+    the JSON-lines source) and read back, each reduced to the same
+    audit row. Both legs run real write->read paths through temp dirs;
+    the oracle reduces the original table, so any loss or mangling in
+    either format's round trip shows up as a value mismatch."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = []
+    for fmt in ("orc", "csv"):
+        path = tempfile.mkdtemp(prefix=f"io_{fmt}_")
+        w = docs.write.mode("overwrite")
+        r = spark.read
+        if fmt == "csv":
+            w = w.option("header", "true")
+            r = r.option("header", "true").schema(
+                "doc_id long, lang string, n_chars long"
+            )
+        getattr(w, fmt)(path)
+        back = getattr(r, fmt)(path)
+        out.append(
+            back.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(F.lit(fmt).alias("format"), "lang", "n_rows", "sum_chars")
+        )
+    return out[0].unionByName(out[1])
+
+
+def _sql_io_roundtrip_formats() -> str:
+    arms = []
+    for fmt in ("orc", "csv"):
+        arms.append(
+            f"SELECT '{fmt}' AS format, lang, count(*) AS n_rows,\n"
+            f"       CAST(sum(n_chars) AS BIGINT) AS sum_chars\n"
+            f"FROM documents GROUP BY lang"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_cpu(spark, sf_dir, "embeddings")
     return SIM.semantic_decontaminate(
@@ -1194,7 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream": q_sessionize_stream,
         "dedup_stream": q_dedup_stream,
         "dedup_reviews": q_dedup_reviews,
-        "duplicate_issues": q_duplicate_issues,
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1229,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "event_funnel": q_event_funnel,
         "user_cohorts": q_user_cohorts,
+        "io_roundtrip_formats": q_io_roundtrip_formats,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
@@ -1237,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "pps_sample": q_pps_sample,
+        "duplicate_issues": q_duplicate_issues,
         "lapsed_users": q_lapsed_users,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
@@ -2237,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate": O.sql_semantic_decontaminate(),
         "event_funnel": _sql_event_funnel(),
         "user_cohorts": _sql_user_cohorts(),
+        "io_roundtrip_formats": _sql_io_roundtrip_formats(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),
