@@ -1,0 +1,143 @@
+"""Distributed PageRank over an edge DataFrame.
+
+The reference pipeline has no graph operators; this extends the
+engine with the canonical iterative-graph shape a training-data
+pipeline needs (influence weighting of linked documents, seed-node
+expansion for crawl frontier scoring). Like
+``operators/clustering.py:kmeans_lloyd``, the loop composes lazily —
+each iteration is (1) one equi-join of the rank table onto the edge
+list keyed by source and (2) one hash aggregate keyed by
+destination. No driver-side collect anywhere; ``iters`` chained
+join/agg stages form a single plan.
+
+EXACTNESS ACROSS ENGINES — float PageRank is order-dependent
+(partial sums in partition-scheduling order), so ranks are fixed-
+point BIGINTs at ``SCALE = 10^12``:
+
+- ``r0 = SCALE div N`` for every node in the edge list;
+- per-edge contribution ``r_u div deg_u`` (both non-negative, so
+  Spark's truncating ``div`` and DuckDB's flooring ``//`` agree);
+- update ``r'_v = tele + (85 * incoming_v) div 100`` with
+  ``tele = (15 * (SCALE div N)) div 100`` — the damping factor 0.85
+  expressed as an exact integer ratio.
+
+Integer sums are associative/commutative, so every engine and every
+partitioning produces the identical BIGINT ranks. Truncation drops a
+sub-unit of mass per node per iteration (≤ N * iters * 1e-12 of
+total) — declared semantics, shared with the oracle twin
+(`oracles.sql_pagerank_bipartite`).
+
+DANGLING NODES: the caller symmetrizes (or otherwise guarantees
+out-degree ≥ 1 for every node appearing as a source); nodes outside
+the edge list are excluded — ranks are over the active subgraph.
+
+100 TB shape: |E| dominates |V|. Each iteration shuffles the
+|V|-sized rank table onto edges (hash join on ``src``) and reduces
+by ``dst`` — the edge list itself is scanned, never re-shuffled, if
+persisted pre-partitioned by ``src`` (do that at production scale;
+AQE picks the strategy here). Iteration count is a fixed small
+constant, not data-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_ITERS = 3
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank over directed ``(src, dst)`` edges.
+
+    Every node must appear as a source (symmetrize undirected graphs
+    before calling). Returns ``(node, rank_fp)`` with ``rank_fp`` the
+    exact BIGINT fixed-point rank at ``PR_SCALE``.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_df = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("src").alias("node"),
+            "deg",
+            F.expr(f"{PR_SCALE} div n_nodes").alias("r"),
+            F.expr(
+                f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} div n_nodes))"
+                f" div {PR_DAMP_DEN}"
+            ).alias("tele"),
+        )
+    )
+    for _ in range(iters):
+        incoming = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    F.expr("r div deg").alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(incoming, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.col("tele")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inc, 0))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+                "tele",
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def bipartite_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Customer–supplier interaction graph from the fact tables:
+    distinct (o_custkey, l_suppkey) pairs via the orderkey join,
+    node-encoded ``customer = 2k`` / ``supplier = 2k+1`` and
+    symmetrized, so the random walk alternates sides and every node
+    has out-degree ≥ 1."""
+    pairs = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def pagerank_bipartite(
+    orders: DataFrame, lineitem: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """End-to-end: edge build + PageRank + node decode. Returns
+    ``(node_type, node_key, rank_fp)`` for every active node."""
+    pr = pagerank(bipartite_edges(orders, lineitem), iters=iters)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        "rank_fp",
+    )

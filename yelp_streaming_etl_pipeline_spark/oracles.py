@@ -1593,3 +1593,54 @@ SELECT vid AS vec_id,
        {sql_stable_round('max_sim', 6)} AS max_benchmark_sim,
        max_sim >= {tau} AS contaminated
 FROM scored"""
+
+
+# ---------------- PageRank (fixed-point, bipartite) ----------------
+
+def sql_pagerank_bipartite(iters: int = 3) -> str:
+    """Twin of operators/graph.py:pagerank_bipartite — iterations
+    unrolled as CTE stages. Identical integer arithmetic (SCALE
+    10^12, truncating division on non-negative operands, 85/100
+    damping), so ranks are BIGINT-exact across engines."""
+    scale = 10**12
+    parts = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT node, deg,
+         CAST({scale} // n_nodes AS BIGINT) AS r,
+         CAST((15 * ({scale} // n_nodes)) // 100 AS BIGINT) AS tele
+  FROM deg CROSS JOIN nn
+)"""
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        parts.append(f"""inc{it} AS (
+  SELECT e.dst AS node, CAST(sum(p.r // p.deg) AS BIGINT) AS inc
+  FROM edges e JOIN {prev} p ON e.src = p.node
+  GROUP BY e.dst
+),
+r{it} AS (
+  SELECT p.node, p.deg,
+         CAST(p.tele + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r,
+         p.tele
+  FROM {prev} p LEFT JOIN inc{it} i ON p.node = i.node
+)""")
+        prev = f"r{it}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       r AS rank_fp
+FROM {prev}"""
