@@ -994,6 +994,32 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on HLL sketches: click-user vs purchase-user
+    cardinalities, register-max union, inclusion-exclusion
+    intersection — all from the 256-row register tables alone."""
+    ev = _t_cpu(spark, sf_dir, "events")
+    return SK.hll_set_ops(
+        ev.filter(F.col("event_type") == "click"),
+        F.col("user_id"),
+        ev.filter(F.col("event_type") == "purchase"),
+        F.col("user_id"),
+    )
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketches: per-salt inner
+    product of the clicks/purchases user_id counter tables; min over
+    salts never undercounts |clicks JOIN purchases|."""
+    ev = _t_cpu(spark, sf_dir, "events")
+    return SK.cms_join_size(
+        ev.filter(F.col("event_type") == "click"),
+        F.col("user_id").cast("string"),
+        ev.filter(F.col("event_type") == "purchase"),
+        F.col("user_id").cast("string"),
+    )
+
+
 def q_pagerank_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the customer–supplier bipartite
     interaction graph (operators/graph.py) — the iterative-graph
@@ -1233,10 +1259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except user_event_intervals, displaced by the
-    later-landing pagerank_nodes (rule (c) outranks (b)); it stays
-    green in the local full gate and rotates back in first next
-    round.
+    since — except order_priority_counts / latest_event_per_user /
+    user_event_intervals, displaced by the later-landing
+    pagerank_nodes + hll_set_ops + cms_join_size (rule (c) outranks
+    (b)); they stay green in the local full gate and rotate back in
+    first next round.
     """
     return {
         # (a) repaired this round — re-verify first
@@ -1273,8 +1300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "parts_with_shipments": q_parts_with_shipments,
         "top_orders_per_segment": q_top_orders_per_segment,
-        "order_priority_counts": q_order_priority_counts,
-        "latest_event_per_user": q_latest_event_per_user,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1292,11 +1317,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_cohorts": q_user_cohorts,
         "io_roundtrip_formats": q_io_roundtrip_formats,
         "pagerank_nodes": q_pagerank_nodes,
+        "hll_set_ops": q_hll_set_ops,
+        "cms_join_size": q_cms_join_size,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "order_priority_counts": q_order_priority_counts,
+        "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
@@ -2304,6 +2333,8 @@ def oracle_sql() -> dict[str, str]:
         "user_cohorts": _sql_user_cohorts(),
         "io_roundtrip_formats": _sql_io_roundtrip_formats(),
         "pagerank_nodes": O.sql_pagerank_bipartite(),
+        "hll_set_ops": O.sql_hll_set_ops(),
+        "cms_join_size": O.sql_cms_join_size(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

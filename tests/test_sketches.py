@@ -133,3 +133,58 @@ def test_hll_small_range_correction_accuracy(spark):
     regs = SK.hll_registers(df, F.col("k"))
     est = SK.hll_estimate(regs).collect()[0]["hll_estimate"]
     assert abs(est - n) / n < 0.15, est
+
+
+def test_cms_join_size_never_undercounts(spark):
+    # true join size = sum_k |L_k|*|R_k|; each salt's dot product adds
+    # only non-negative collision mass, so min over salts >= truth
+    left = spark.range(2000).select(
+        (F.col("id") % 150).cast("string").alias("k")
+    )
+    right = spark.range(1000).select(
+        (F.col("id") % 100).cast("string").alias("k")
+    )
+    exact = left.join(right, "k").count()
+    rows = SK.cms_join_size(
+        left, F.col("k"), right, F.col("k")
+    ).collect()
+    assert len(rows) == SK.CMS_DEPTH
+    est = rows[0]["est_join_size"]
+    assert all(r["est_join_size"] == est for r in rows)
+    assert est == min(r["dot_product"] for r in rows)
+    assert est >= exact
+    # buckets (4096) >> keys (150): collisions are rare, estimate tight
+    assert est <= exact * 1.2
+
+
+def test_hll_set_ops_disjoint_and_identical(spark):
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 6000).select(F.col("id").alias("k"))
+    row = SK.hll_set_ops(a, F.col("k"), b, F.col("k")).collect()[0]
+    # disjoint: union ~ |a|+|b|, intersection ~ 0 (within HLL error)
+    assert abs(row["est_union"] - 6000) / 6000 < 0.20
+    assert row["est_intersection"] < 0.25 * 3000
+    same = SK.hll_set_ops(a, F.col("k"), a, F.col("k")).collect()[0]
+    # identical inputs: union registers == input registers, so the
+    # estimates agree exactly and intersection == est_a exactly
+    assert same["est_union"] == same["est_a"] == same["est_b"]
+    assert abs(same["est_intersection"] - same["est_a"]) < 1e-9
+
+
+def test_hll_merge_equals_union_build(spark):
+    a = spark.range(0, 2500).select(F.col("id").alias("k"))
+    b = spark.range(1500, 4000).select(F.col("id").alias("k"))
+    merged = {
+        (r["bucket"], r["max_rho"])
+        for r in SK.hll_merge(
+            SK.hll_registers(a, F.col("k")),
+            SK.hll_registers(b, F.col("k")),
+        ).collect()
+    }
+    direct = {
+        (r["bucket"], r["max_rho"])
+        for r in SK.hll_registers(
+            a.unionAll(b), F.col("k")
+        ).collect()
+    }
+    assert merged == direct

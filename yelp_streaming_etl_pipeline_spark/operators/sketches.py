@@ -344,3 +344,86 @@ def bloom_might_contain(
         )
         ok = ok & hit
     return probed.withColumn("might_contain", ok).drop("regmap")
+
+
+# ---------------- sketch compositions ----------------
+#
+# Two classic compositions an optimizer/planner uses at 100 TB, both
+# pure arithmetic over the already-mergeable register tables:
+#
+# - JOIN-SIZE ESTIMATION from count-min sketches: for equi-join keys,
+#   |L JOIN R| = sum_k |L_k|*|R_k|, and each CMS row's inner product
+#   sum_b cntL[b]*cntR[b] equals that plus non-negative collision
+#   mass — so min over the depth rows NEVER undercounts the true
+#   join size (AMS/CM inner-product estimate). Cost: one 4x4096-row
+#   join, no touch of the data itself.
+#
+# - SET OPERATIONS on HyperLogLog: union is bucket-wise max of the
+#   registers (exact — the union sketch IS what building over
+#   concatenated inputs would produce), intersection is
+#   inclusion-exclusion over the three estimates (no better primitive
+#   exists for plain HLL; error grows as the true overlap shrinks —
+#   declared semantics).
+
+
+def cms_join_size(
+    left: DataFrame, lkey: Column, right: DataFrame, rkey: Column
+) -> DataFrame:
+    """Estimate |left JOIN right| on an equi-key from the two CMS
+    counter tables alone: per-salt inner product + min across salts.
+    Returns (salt, dot_product, est_join_size) — depth rows, the
+    estimate repeated for self-containment."""
+    from pyspark.sql import Window
+
+    cl = cms_counters(left, lkey).withColumnRenamed("cnt", "cnt_l")
+    cr = cms_counters(right, rkey).withColumnRenamed("cnt", "cnt_r")
+    dots = (
+        cl.join(cr, ["salt", "bucket"])
+        .groupBy("salt")
+        .agg(F.sum(F.col("cnt_l") * F.col("cnt_r")).alias("dot_product"))
+    )
+    est = F.min("dot_product").over(Window.partitionBy())
+    return dots.select("salt", "dot_product", est.alias("est_join_size"))
+
+
+def hll_merge(ra: DataFrame, rb: DataFrame) -> DataFrame:
+    """Union of two HLL sketches: bucket-wise max over the full outer
+    join of the register tables (<= 256 rows each side)."""
+    a = ra.select("bucket", F.col("max_rho").alias("ra"))
+    b = rb.select("bucket", F.col("max_rho").alias("rb"))
+    return a.join(b, "bucket", "full").select(
+        "bucket",
+        F.greatest(
+            F.coalesce(F.col("ra"), F.lit(0)),
+            F.coalesce(F.col("rb"), F.lit(0)),
+        ).cast("int").alias("max_rho"),
+    )
+
+
+def hll_set_ops(
+    a: DataFrame, akey: Column, b: DataFrame, bkey: Column
+) -> DataFrame:
+    """One-row summary (est_a, est_b, est_union, est_intersection):
+    the HLL estimates of both inputs, their register-max union, and
+    the inclusion-exclusion intersection clamped at 0. All arithmetic
+    happens on the 2-decimal rounded estimates so the composition is
+    engine-exact."""
+    ra, rb = hll_registers(a, akey), hll_registers(b, bkey)
+    ea = hll_estimate(ra).withColumnRenamed("hll_estimate", "est_a")
+    eb = hll_estimate(rb).withColumnRenamed("hll_estimate", "est_b")
+    eu = hll_estimate(hll_merge(ra, rb)).withColumnRenamed(
+        "hll_estimate", "est_union"
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            stable_round(inter, 2).alias("est_intersection"),
+        )
+    )

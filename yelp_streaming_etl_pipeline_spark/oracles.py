@@ -1644,3 +1644,103 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
        CAST(node // 2 AS BIGINT) AS node_key,
        r AS rank_fp
 FROM {prev}"""
+
+
+# ---------------- sketch compositions ----------------
+
+def _hll_regs_cte_named(name: str, src: str, key: str) -> str:
+    """Parameterized HLL register CTE chain ending in table ``name``
+    (same derivation as _HLL_REGISTERS_CTE)."""
+    return f"""{name}_h AS (
+  SELECT md5(CAST({key} AS VARCHAR)) AS h FROM {src}
+),
+{name}_p AS (
+  SELECT ('0x' || substr(h, 1, 2))::INTEGER AS bucket,
+         regexp_replace(substr(h, 3, 6), '^0+', '') AS stripped
+  FROM {name}_h
+),
+{name} AS (
+  SELECT bucket, max(CAST({_HLL_RHO_CASE} AS INTEGER)) AS max_rho
+  FROM {name}_p GROUP BY bucket
+)"""
+
+
+def _hll_est_select(regs: str) -> str:
+    """Scalar HLL estimate (2-decimal stable round) over register
+    table ``regs`` — same constants as sql_hll_estimate."""
+    from .operators.sketches import HLL_BUCKETS, _linear_counting_lut
+
+    m = HLL_BUCKETS
+    scale = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    raw = (
+        f"(CAST({scale!r} AS DOUBLE) / "
+        f"(sum(pow(2.0, -max_rho)) + ({m} - count(*))))"
+    )
+    v = f"CAST({m} - count(*) AS INTEGER)"
+    lut = "[" + ", ".join(f"{x!r}" for x in _linear_counting_lut()) + "]"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN ({lut})[{v}] ELSE {raw} END"
+    )
+    return f"SELECT {sql_stable_round(est, 2)} AS e FROM {regs}"
+
+
+def sql_hll_set_ops() -> str:
+    """Twin of operators/sketches.py:hll_set_ops over click vs
+    purchase user sets."""
+    a = _hll_regs_cte_named(
+        "areg",
+        "(SELECT user_id FROM events WHERE event_type = 'click')",
+        "user_id",
+    )
+    b = _hll_regs_cte_named(
+        "breg",
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "user_id",
+    )
+    inter = "greatest(0.0, ea.e + eb.e - eu.e)"
+    return f"""
+WITH {a},
+{b},
+ureg AS (
+  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         CAST(greatest(COALESCE(a.max_rho, 0), COALESCE(b.max_rho, 0))
+              AS INTEGER) AS max_rho
+  FROM areg a FULL OUTER JOIN breg b ON a.bucket = b.bucket
+),
+ea AS ({_hll_est_select('areg')}),
+eb AS ({_hll_est_select('breg')}),
+eu AS ({_hll_est_select('ureg')})
+SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+       {sql_stable_round(inter, 2)} AS est_intersection
+FROM ea CROSS JOIN eb CROSS JOIN eu"""
+
+
+def sql_cms_join_size() -> str:
+    """Twin of operators/sketches.py:cms_join_size — per-salt CMS
+    inner product estimating |clicks JOIN purchases| on user_id."""
+    bucket = (
+        "('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || term), 1, 3))"
+        "::INTEGER"
+    )
+    return f"""
+WITH salts AS (SELECT unnest([0, 1, 2, 3]) AS salt),
+l AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events
+      WHERE event_type = 'click'),
+r AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events
+      WHERE event_type = 'purchase'),
+lc AS (
+  SELECT salt, {bucket} AS bucket, count(*) AS cnt
+  FROM l CROSS JOIN salts GROUP BY 1, 2
+),
+rc AS (
+  SELECT salt, {bucket} AS bucket, count(*) AS cnt
+  FROM r CROSS JOIN salts GROUP BY 1, 2
+),
+dots AS (
+  SELECT salt, CAST(sum(lc.cnt * rc.cnt) AS BIGINT) AS dot_product
+  FROM lc JOIN rc USING (salt, bucket) GROUP BY salt
+)
+SELECT salt, dot_product,
+       min(dot_product) OVER () AS est_join_size
+FROM dots"""
