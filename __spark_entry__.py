@@ -483,6 +483,53 @@ def q_click_purchase_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attributed_purchases_outer_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join run to completion with
+    trigger(availableNow): matches emit in-batch; null-click rows
+    emit in the final no-data micro-batch for every unmatched
+    purchase whose event time fell below the global watermark
+    (min over both inputs of ms-floored max event time, minus 1 h).
+    Purchases younger than the watermark stay in state unemitted —
+    correct streaming semantics, mirrored exactly by the oracle."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases_outer,
+    )
+
+    def side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        ev = read_events_stream(_ensure_conf(spark), sf_dir)
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id", *[F.col(src).alias(dst) for src, dst in cols.items()]
+        )
+
+    clicks = side("click", {"ts": "click_ts", "event_id": "click_id"})
+    purchases = side(
+        "purchase",
+        {"ts": "purchase_ts", "event_id": "purchase_id", "value": "amount"},
+    )
+    name = "attributed_outer_" + uuid.uuid4().hex[:8]
+    q = (
+        attribute_purchases_outer(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_attro_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState) run
     to completion over the events fixture with trigger(availableNow).
@@ -1259,11 +1306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except order_priority_counts / latest_event_per_user /
-    user_event_intervals, displaced by the later-landing
-    pagerank_nodes + hll_set_ops + cms_join_size (rule (c) outranks
-    (b)); they stay green in the local full gate and rotate back in
-    first next round.
+    since — except top_orders_per_segment / order_priority_counts /
+    latest_event_per_user / user_event_intervals, displaced by the
+    later-landing pagerank_nodes + hll_set_ops + cms_join_size +
+    attributed_purchases_outer_stream (rule (c) outranks (b)); they
+    stay green in the local full gate and rotate back in first next
+    round.
     """
     return {
         # (a) repaired this round — re-verify first
@@ -1299,7 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_shipments": q_parts_with_shipments,
-        "top_orders_per_segment": q_top_orders_per_segment,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1319,11 +1366,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_nodes": q_pagerank_nodes,
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
+        "attributed_purchases_outer_stream": (
+            q_attributed_purchases_outer_stream
+        ),
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "top_orders_per_segment": q_top_orders_per_segment,
         "order_priority_counts": q_order_priority_counts,
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
@@ -1644,6 +1695,51 @@ FROM events p JOIN events c
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND epoch_us(c.ts) <= epoch_us(p.ts)
  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000"""
+
+
+def _sql_attributed_purchases_outer_stream() -> str:
+    """Twin of q_attributed_purchases_outer_stream: the inner matches
+    plus a null-click row per unmatched purchase evicted by the
+    global watermark. Watermark arithmetic mirrors Spark exactly:
+    event-time stats track max in ms (epoch_us // 1000), the global
+    value is the min over both withWatermark nodes, and eviction is
+    strict-less-than after the 1 h delay."""
+    return """
+WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+         value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+matches AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, p.amount,
+         c.click_id, c.click_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+   AND epoch_us(c.click_ts) >= epoch_us(p.purchase_ts) - 1800000000
+),
+wm AS (
+  SELECT least((SELECT epoch_us(max(click_ts)) // 1000 FROM c),
+               (SELECT epoch_us(max(purchase_ts)) // 1000 FROM p))
+         - 3600000 AS w_ms
+),
+nulls AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, p.amount,
+         CAST(NULL AS BIGINT) AS click_id,
+         CAST(NULL AS TIMESTAMP) AS click_ts
+  FROM p CROSS JOIN wm
+  WHERE epoch_us(p.purchase_ts) // 1000 < wm.w_ms
+    AND NOT EXISTS (
+      SELECT 1 FROM matches m WHERE m.purchase_id = p.purchase_id
+    )
+)
+SELECT * FROM matches
+UNION ALL
+SELECT * FROM nulls"""
 
 
 def _sql_topic_roundtrip_reviews() -> str:
@@ -2335,6 +2431,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_nodes": O.sql_pagerank_bipartite(),
         "hll_set_ops": O.sql_hll_set_ops(),
         "cms_join_size": O.sql_cms_join_size(),
+        "attributed_purchases_outer_stream": (
+            _sql_attributed_purchases_outer_stream()
+        ),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

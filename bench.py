@@ -112,6 +112,9 @@ HEADLINE = [
     "semantic_decontaminate",
     "event_funnel",
     "user_cohorts",
+    "pagerank_nodes",
+    "hll_set_ops",
+    "cms_join_size",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

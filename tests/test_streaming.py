@@ -493,3 +493,53 @@ def test_sqlite_upsert_crash_recovery(spark, tmp_path):
         ).fetchall()
     assert len(rows) == 12  # every id landed exactly once
     assert all(n == 1 for _, n in rows)
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT OUTER attribution: unmatched purchases below the global
+    watermark emit a null-click row in the final no-data batch;
+    younger unmatched purchases stay in state (not emitted)."""
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases_outer,
+    )
+
+    t0 = datetime(2026, 8, 1, 0, 0, 0)
+    # max click_ts = t0+10h, max purchase_ts = t0+9h ->
+    # global watermark = t0+9h - 1h = t0+8h
+    clicks = [
+        ("u1", t0, "c1"),
+        ("u9", t0 + timedelta(hours=10), "c9"),
+    ]
+    purchases = [
+        ("u1", t0 + timedelta(minutes=10), "p1", 10.0),  # matches c1
+        ("u2", t0 + timedelta(hours=2), "p2", 5.0),      # unmatched, < wm
+        ("u3", t0 + timedelta(hours=9), "p3", 7.0),      # unmatched, >= wm
+    ]
+    cs = "user_id string, click_ts timestamp, click_id string"
+    ps = (
+        "user_id string, purchase_ts timestamp, "
+        "purchase_id string, amount double"
+    )
+    spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(
+        str(tmp_path / "clicks")
+    )
+    spark.createDataFrame(purchases, ps).coalesce(1).write.parquet(
+        str(tmp_path / "purchases")
+    )
+    out = attribute_purchases_outer(
+        spark.readStream.schema(cs).parquet(str(tmp_path / "clicks")),
+        spark.readStream.schema(ps).parquet(str(tmp_path / "purchases")),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_outer_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attro"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM attr_outer_out").collect()
+    got = {(r["purchase_id"], r["click_id"]) for r in rows}
+    assert got == {("p1", "c1"), ("p2", None)}
+

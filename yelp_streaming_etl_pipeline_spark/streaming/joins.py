@@ -49,3 +49,47 @@ def attribute_purchases(
         F.col("c.click_id").alias("click_id"),
         F.col("c.click_ts").alias("click_ts"),
     )
+
+
+def attribute_purchases_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = JOIN_WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER variant: every purchase emits — joined rows as they
+    match in-batch, and a null-click row once the watermark proves no
+    matching click can still arrive.
+
+    Null-emission semantics (what the oracle twin mirrors): a
+    purchase's state is evicted — and its null row emitted, in the
+    final no-data micro-batch (`noDataMicroBatches` on by default) —
+    when its event time falls below the GLOBAL watermark, which is
+    the min over both inputs of (max observed event time, floored to
+    milliseconds by Spark's event-time stats) minus the delay. A
+    purchase younger than that stays in state unemitted at stream
+    end: correct streaming behavior, deliberately preserved rather
+    than flushed.
+
+    Scale shape identical to the inner variant: one shuffle per side
+    keyed by user_id, state bounded by the watermark horizon."""
+    c = clicks.withWatermark("click_ts", watermark).alias("c")
+    p = purchases.withWatermark("purchase_ts", watermark).alias("p")
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            c.click_ts <= p.purchase_ts AND
+            c.click_ts >= p.purchase_ts - INTERVAL {window}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.purchase_id").alias("purchase_id"),
+        F.col("p.purchase_ts").alias("purchase_ts"),
+        F.col("p.amount").alias("amount"),
+        F.col("c.click_id").alias("click_id"),
+        F.col("c.click_ts").alias("click_ts"),
+    )
