@@ -1067,6 +1067,61 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: events > 3 sigma from their
+    type's mean, with engine-exact moments (integer sums of the
+    quantized value; see operators/timeseries.py)."""
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        zscore_anomalies,
+    )
+
+    return zscore_anomalies(read_events(_ensure_conf(spark), sf_dir))
+
+
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values with a totally pinned fold order
+    (sorted by ts, event_id; seed = first value; alpha = 1/8)."""
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+
+    return ewma_by_key(read_events(_ensure_conf(spark), sf_dir))
+
+
+def _sql_event_zscores(cut: float = 3.0) -> str:
+    z = "(CAST(q AS DOUBLE) - mean_q) / std_q"
+    return f"""
+WITH qv AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(value * 1000.0 + 0.5) AS HUGEINT) AS q
+  FROM events
+),
+stats AS (
+  SELECT event_type AS g,
+         CAST(sum(q) AS DOUBLE) / count(*) AS mean_q,
+         CAST(sum(q * q) AS DOUBLE) / count(*) AS m2_q
+  FROM qv GROUP BY event_type
+),
+s2 AS (
+  SELECT g, mean_q, sqrt(m2_q - mean_q * mean_q) AS std_q FROM stats
+)
+SELECT event_id, event_type, value,
+       {SR(z, 6)} AS zscore
+FROM qv JOIN s2 ON qv.event_type = s2.g
+WHERE std_q > 0 AND abs({z}) > {cut!r}"""
+
+
+def _sql_user_value_ewma() -> str:
+    fold = (
+        "list_reduce(list(value ORDER BY ts, event_id), "
+        "(acc, x) -> 0.125 * x + 0.875 * acc)"
+    )
+    return f"""
+SELECT user_id AS key, count(*) AS n_events,
+       {SR(fold, 6)} AS ewma
+FROM events GROUP BY user_id"""
+
+
 def q_pagerank_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the customer–supplier bipartite
     interaction graph (operators/graph.py) — the iterative-graph
@@ -1306,11 +1361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except top_orders_per_segment / order_priority_counts /
-    latest_event_per_user / user_event_intervals, displaced by the
-    later-landing pagerank_nodes + hll_set_ops + cms_join_size +
-    attributed_purchases_outer_stream (rule (c) outranks (b)); they
-    stay green in the local full gate and rotate back in first next
+    since — except six r1-green relational entries
+    (customers_without_orders, parts_with_shipments,
+    top_orders_per_segment, order_priority_counts,
+    latest_event_per_user, user_event_intervals), displaced by the
+    six operators NEW this round (rule (c) outranks (b)); they stay
+    green in the local full gate and rotate back in first next
     round.
     """
     return {
@@ -1345,8 +1401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returning_users": q_returning_users,
         "top_bigrams": q_top_bigrams,
         "tfidf_keywords": q_tfidf_keywords,
-        "customers_without_orders": q_customers_without_orders,
-        "parts_with_shipments": q_parts_with_shipments,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1369,11 +1423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributed_purchases_outer_stream": (
             q_attributed_purchases_outer_stream
         ),
+        "event_zscores": q_event_zscores,
+        "user_value_ewma": q_user_value_ewma,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_shipments": q_parts_with_shipments,
         "top_orders_per_segment": q_top_orders_per_segment,
         "order_priority_counts": q_order_priority_counts,
         "latest_event_per_user": q_latest_event_per_user,
@@ -2434,6 +2492,8 @@ def oracle_sql() -> dict[str, str]:
         "attributed_purchases_outer_stream": (
             _sql_attributed_purchases_outer_stream()
         ),
+        "event_zscores": _sql_event_zscores(),
+        "user_value_ewma": _sql_user_value_ewma(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

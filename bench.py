@@ -115,6 +115,8 @@ HEADLINE = [
     "pagerank_nodes",
     "hll_set_ops",
     "cms_join_size",
+    "event_zscores",
+    "user_value_ewma",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

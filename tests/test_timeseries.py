@@ -1,0 +1,87 @@
+"""z-score anomalies and per-key EWMA (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+    EWMA_ALPHA,
+    ewma_by_key,
+    zscore_anomalies,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+
+def test_zscore_flags_planted_outlier(spark):
+    t0 = datetime(2026, 8, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "click", 10.0 + (i % 5) * 0.1)
+        for i in range(100)
+    ]
+    rows.append((999, t0, 1, "click", 500.0))  # planted outlier
+    out = zscore_anomalies(_events(spark, rows)).collect()
+    assert [r["event_id"] for r in out] == [999]
+    assert out[0]["zscore"] > 3.0
+
+
+def test_zscore_zero_variance_group_silent(spark):
+    t0 = datetime(2026, 8, 1)
+    rows = [(i, t0, 1, "view", 7.0) for i in range(50)]
+    assert zscore_anomalies(_events(spark, rows)).count() == 0
+
+
+def test_zscore_matches_population_moments(spark):
+    t0 = datetime(2026, 8, 1)
+    vals = [float(v) for v in [1, 2, 2, 3, 3, 3, 4, 4, 100]]
+    rows = [(i, t0, 1, "err", v) for i, v in enumerate(vals)]
+    out = {r["event_id"]: r["zscore"] for r in
+           zscore_anomalies(_events(spark, rows)).collect()}
+    n = len(vals)
+    mean = sum(vals) / n
+    std = math.sqrt(sum(v * v for v in vals) / n - mean * mean)
+    expect = {i: (v - mean) / std for i, v in enumerate(vals)
+              if abs((v - mean) / std) > 3.0}
+    assert set(out) == set(expect)
+    for i in expect:
+        assert abs(out[i] - expect[i]) < 1e-4
+
+
+def test_ewma_matches_sequential_fold(spark):
+    t0 = datetime(2026, 8, 1)
+    vals = [3.0, 7.0, 1.0, 9.0, 4.0]
+    rows = [(i, t0 + timedelta(seconds=i), 5, "click", v)
+            for i, v in enumerate(vals)]
+    got = ewma_by_key(_events(spark, rows)).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 5
+    r = vals[0]
+    for x in vals[1:]:
+        r = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * r
+    assert abs(got[0]["ewma"] - r) < 1e-6
+
+
+def test_ewma_partition_order_independent(spark):
+    t0 = datetime(2026, 8, 1)
+    rows = [(i, t0 + timedelta(seconds=i % 37), i % 3, "click",
+             float((i * 7) % 23)) for i in range(200)]
+    df = _events(spark, rows)
+    a = {r["key"]: r["ewma"] for r in ewma_by_key(df).collect()}
+    b = {r["key"]: r["ewma"]
+         for r in ewma_by_key(df.repartition(13)).collect()}
+    assert a == b
+
+
+def test_ewma_single_event_is_identity(spark):
+    t0 = datetime(2026, 8, 1)
+    got = ewma_by_key(
+        _events(spark, [(1, t0, 9, "click", 42.5)])
+    ).collect()[0]
+    assert got["ewma"] == 42.5 and got["n_events"] == 1
