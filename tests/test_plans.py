@@ -374,3 +374,38 @@ def test_semantic_ops_broadcast_the_small_side(spark):
         df = q(spark, SF)
         assert A.has_broadcast_side(df), q.__name__
         assert not A.has_python_udf(df)
+
+
+def test_pagerank_no_udf_and_joins_by_key(spark):
+    # iterations are equi-joins + hash aggregates; nothing Python,
+    # no cartesian product anywhere in the chained plan
+    df = E.q_pagerank_nodes(spark, SF)
+    assert not A.has_python_udf(df)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_compositions_stay_register_sized(spark):
+    # hll_set_ops: every post-sketch stage operates on <= 256-row
+    # register tables; the estimate combination must not re-shuffle
+    # the raw events beyond the two sketch aggregates
+    df = E.q_hll_set_ops(spark, SF)
+    assert not A.has_python_udf(df)
+    df2 = E.q_cms_join_size(spark, SF)
+    assert not A.has_python_udf(df2)
+
+
+def test_zscore_broadcasts_group_stats(spark):
+    # the per-group moment table is tiny -> must broadcast back onto
+    # the events scan, never sort-merge
+    df = E.q_event_zscores(spark, SF)
+    assert A.has_broadcast_join(df)
+    assert not A.has_python_udf(df)
+
+
+def test_ewma_single_key_shuffle(spark):
+    # one hash aggregate keyed by user_id (collect + fold inside the
+    # aggregate); no window, no join
+    df = E.q_user_value_ewma(spark, SF)
+    assert A.key_shuffle_exchanges(df) == 1
+    assert not A.has_python_udf(df)
