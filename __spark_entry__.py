@@ -1067,6 +1067,37 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance in Structured Streaming: the
+    explicit HLL register table kept by a streaming
+    groupBy(bucket).agg(max(rho)) in COMPLETE output mode — max is
+    associative/commutative, so the streaming state IS the sketch and
+    the final table equals the batch build bit-for-bit (same oracle
+    as hll_registers). State is bounded at 256 rows forever."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(_ensure_conf(spark), sf_dir)
+    regs = SK.hll_registers(ev, F.col("event_id"))
+    name = "hll_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hlls_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical outlier detection: events > 3 sigma from their
     type's mean, with engine-exact moments (integer sums of the
@@ -1361,12 +1392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except six r1-green relational entries
-    (customers_without_orders, parts_with_shipments,
+    since — except seven r1-green entries (tfidf_keywords,
+    customers_without_orders, parts_with_shipments,
     top_orders_per_segment, order_priority_counts,
     latest_event_per_user, user_event_intervals), displaced by the
-    six operators NEW this round (rule (c) outranks (b)); they stay
-    green in the local full gate and rotate back in first next
+    seven operators NEW this round (rule (c) outranks (b)); they
+    stay green in the local full gate and rotate back in first next
     round.
     """
     return {
@@ -1400,7 +1431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "returning_users": q_returning_users,
         "top_bigrams": q_top_bigrams,
-        "tfidf_keywords": q_tfidf_keywords,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1425,11 +1455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "event_zscores": q_event_zscores,
         "user_value_ewma": q_user_value_ewma,
+        "hll_registers_stream": q_hll_registers_stream,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "tfidf_keywords": q_tfidf_keywords,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_shipments": q_parts_with_shipments,
         "top_orders_per_segment": q_top_orders_per_segment,
@@ -2494,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_zscores": _sql_event_zscores(),
         "user_value_ewma": _sql_user_value_ewma(),
+        "hll_registers_stream": O.sql_hll_registers(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),
