@@ -56,8 +56,17 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     Every node must appear as a source (symmetrize undirected graphs
     before calling). Returns ``(node, rank_fp)`` with ``rank_fp`` the
     exact BIGINT fixed-point rank at ``PR_SCALE``.
+
+    The edge list is persisted (it feeds the degree build plus every
+    iteration — without materialization the lazy lineage recomputes
+    the upstream edge derivation once per consumer), and each
+    iteration's rank table is persisted while the next is built (it
+    is consumed twice per iteration; unpersisted, the lineage doubles
+    per round). At production scale the persisted edge list is the
+    thing you'd write once pre-partitioned by ``src``.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     n_df = deg.agg(F.count("*").alias("n_nodes"))
     ranks = (
         deg.crossJoin(F.broadcast(n_df))
@@ -72,6 +81,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         )
     )
     for _ in range(iters):
+        ranks = ranks.persist()
         incoming = (
             edges.join(
                 ranks.select(
