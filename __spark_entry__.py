@@ -1098,6 +1098,32 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: target (media_id, frame_ts_ms)
+    pairs exploded from duration METADATA only — the shuffle carries
+    no payload bytes; decode happens downstream per pair."""
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    plan = MM.frame_sample_plan(MM.synthetic_media(_ensure_conf(spark), 256))
+    return plan.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+def _sql_frame_sample_plan(n: int = 256, every_ms: int = 1000) -> str:
+    """Twin: rebuild the synthetic video rows (i % 3 = 2, duration =
+    1000 * (i % 30)) and explode the same inclusive sequence."""
+    return f"""
+WITH m AS (
+  SELECT i AS media_id, 1000 * (i % 30) AS duration_ms
+  FROM generate_series(0, {n - 1}) g(i) WHERE i % 3 = 2
+)
+SELECT media_id,
+       unnest(generate_series(0, greatest(duration_ms - 1, 0),
+                              {every_ms})) AS frame_ts_ms
+FROM m"""
+
+
 def q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical outlier detection: events > 3 sigma from their
     type's mean, with engine-exact moments (integer sums of the
@@ -1392,11 +1418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except seven r1-green entries (tfidf_keywords,
-    customers_without_orders, parts_with_shipments,
+    since — except eight r1-green entries (top_bigrams,
+    tfidf_keywords, customers_without_orders, parts_with_shipments,
     top_orders_per_segment, order_priority_counts,
     latest_event_per_user, user_event_intervals), displaced by the
-    seven operators NEW this round (rule (c) outranks (b)); they
+    eight operators NEW this round (rule (c) outranks (b)); they
     stay green in the local full gate and rotate back in first next
     round.
     """
@@ -1430,7 +1456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
         "returning_users": q_returning_users,
-        "top_bigrams": q_top_bigrams,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1456,11 +1481,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_zscores": q_event_zscores,
         "user_value_ewma": q_user_value_ewma,
         "hll_registers_stream": q_hll_registers_stream,
+        "frame_sample_plan": q_frame_sample_plan,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "top_bigrams": q_top_bigrams,
         "tfidf_keywords": q_tfidf_keywords,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_shipments": q_parts_with_shipments,
@@ -2527,6 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         "event_zscores": _sql_event_zscores(),
         "user_value_ewma": _sql_user_value_ewma(),
         "hll_registers_stream": O.sql_hll_registers(),
+        "frame_sample_plan": _sql_frame_sample_plan(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),
