@@ -1124,6 +1124,18 @@ SELECT media_id,
 FROM m"""
 
 
+def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct-count sketches: distinct users per event
+    type from per-type HLL register tables — <= 256 exact-integer
+    rows per group shuffled at any input scale."""
+    ev = _t_cpu(spark, sf_dir, "events")
+    return SK.hll_estimate_by_group(
+        SK.hll_registers_by_group(
+            ev, F.col("event_type"), F.col("user_id")
+        )
+    )
+
+
 def q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical outlier detection: events > 3 sigma from their
     type's mean, with engine-exact moments (integer sums of the
@@ -1418,13 +1430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except eight r1-green entries (top_bigrams,
-    tfidf_keywords, customers_without_orders, parts_with_shipments,
-    top_orders_per_segment, order_priority_counts,
-    latest_event_per_user, user_event_intervals), displaced by the
-    eight operators NEW this round (rule (c) outranks (b)); they
-    stay green in the local full gate and rotate back in first next
-    round.
+    since — except nine r1-green entries (returning_users,
+    top_bigrams, tfidf_keywords, customers_without_orders,
+    parts_with_shipments, top_orders_per_segment,
+    order_priority_counts, latest_event_per_user,
+    user_event_intervals), displaced by the nine operators NEW this
+    round (rule (c) outranks (b)); they stay green in the local full
+    gate and rotate back in first next round.
     """
     return {
         # (a) repaired this round — re-verify first
@@ -1455,7 +1467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
-        "returning_users": q_returning_users,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1482,11 +1493,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_ewma": q_user_value_ewma,
         "hll_registers_stream": q_hll_registers_stream,
         "frame_sample_plan": q_frame_sample_plan,
+        "hll_by_type": q_hll_by_type,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "returning_users": q_returning_users,
         "top_bigrams": q_top_bigrams,
         "tfidf_keywords": q_tfidf_keywords,
         "customers_without_orders": q_customers_without_orders,
@@ -2555,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ewma": _sql_user_value_ewma(),
         "hll_registers_stream": O.sql_hll_registers(),
         "frame_sample_plan": _sql_frame_sample_plan(),
+        "hll_by_type": O.sql_hll_by_group(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

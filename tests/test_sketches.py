@@ -188,3 +188,37 @@ def test_hll_merge_equals_union_build(spark):
         ).collect()
     }
     assert merged == direct
+
+
+def test_grouped_hll_matches_global_per_group(spark):
+    # building per-group sketches == building a global sketch over
+    # each group's rows in isolation (registers identical), and the
+    # estimate tracks the true per-group distinct count
+    df = spark.range(9000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id")).alias("k"),
+    )
+    grouped = SK.hll_estimate_by_group(
+        SK.hll_registers_by_group(df, F.col("g"), F.col("k"))
+    ).collect()
+    assert len(grouped) == 3
+    for r in grouped:
+        n = 3000  # each residue class has 3000 distinct ids
+        assert abs(r["hll_estimate"] - n) / n < 0.20, r
+    # register-level equivalence vs isolated global builds
+    for g in ("0", "1", "2"):
+        iso = {
+            (x["bucket"], x["max_rho"])
+            for x in SK.hll_registers(
+                df.filter(F.col("g") == g), F.col("k")
+            ).collect()
+        }
+        per = {
+            (x["bucket"], x["max_rho"])
+            for x in SK.hll_registers_by_group(
+                df, F.col("g"), F.col("k")
+            )
+            .filter(F.col("g") == g)
+            .collect()
+        }
+        assert iso == per

@@ -427,3 +427,44 @@ def hll_set_ops(
             stable_round(inter, 2).alias("est_intersection"),
         )
     )
+
+
+def hll_registers_by_group(
+    df: DataFrame, group: Column, key: Column
+) -> DataFrame:
+    """Per-group HLL register tables: (g, bucket, max_rho) — at most
+    256 rows per group, the per-domain distinct-count shape (distinct
+    users per event type, distinct documents per source, ...). Same
+    map-side-combinable aggregate as the global sketch, keyed by
+    (group, bucket)."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tail = F.substring(h, 3, HLL_TAIL_HEX)
+    return (
+        df.select(
+            group.alias("g"),
+            bucket.alias("bucket"),
+            _rho(tail).alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_by_group(registers: DataFrame) -> DataFrame:
+    """(g, hll_estimate) from per-group register tables — identical
+    constants and small-range correction as the global estimate."""
+    m = HLL_BUCKETS
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
+        F.count("*").alias("present_buckets"),
+    )
+    harm = F.col("present_sum") + (F.lit(m) - F.col("present_buckets"))
+    raw = F.lit(alpha) * m * m / harm
+    v = (F.lit(m) - F.col("present_buckets")).cast("int")
+    lut = F.array(*[F.lit(x) for x in _linear_counting_lut()])
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(lut, v)
+    ).otherwise(raw)
+    return agg.select("g", stable_round(est, 2).alias("hll_estimate"))

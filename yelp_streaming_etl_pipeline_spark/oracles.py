@@ -1744,3 +1744,39 @@ dots AS (
 SELECT salt, dot_product,
        min(dot_product) OVER () AS est_join_size
 FROM dots"""
+
+
+def sql_hll_by_group() -> str:
+    """Twin of sketches.hll_registers_by_group + hll_estimate_by_group
+    over (event_type, user_id). The 2^-rho sums are dyadic rationals
+    with <= 25 fractional bits over <= 256 terms — exact in double,
+    hence order-independent on both engines."""
+    from .operators.sketches import HLL_BUCKETS, _linear_counting_lut
+
+    m = HLL_BUCKETS
+    scale = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    raw = (
+        f"(CAST({scale!r} AS DOUBLE) / "
+        f"(sum(pow(2.0, -max_rho)) + ({m} - count(*))))"
+    )
+    v = f"CAST({m} - count(*) AS INTEGER)"
+    lut = "[" + ", ".join(f"{x!r}" for x in _linear_counting_lut()) + "]"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN ({lut})[{v}] ELSE {raw} END"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+parts AS (
+  SELECT g, ('0x' || substr(h, 1, 2))::INTEGER AS bucket,
+         regexp_replace(substr(h, 3, 6), '^0+', '') AS stripped
+  FROM h
+),
+regs AS (
+  SELECT g, bucket, max(CAST({_HLL_RHO_CASE} AS INTEGER)) AS max_rho
+  FROM parts GROUP BY g, bucket
+)
+SELECT g, {sql_stable_round(est, 2)} AS hll_estimate
+FROM regs GROUP BY g"""
