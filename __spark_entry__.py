@@ -1124,6 +1124,21 @@ SELECT media_id,
 FROM m"""
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport restricted to every 50th
+    customer — importance-from-seeds over the shared-supplier
+    structure (crawl-frontier / seed-expansion form)."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        personalized_pagerank_bipartite,
+    )
+
+    return personalized_pagerank_bipartite(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group distinct-count sketches: distinct users per event
     type from per-type HLL register tables — <= 256 exact-integer
@@ -1430,13 +1445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except nine r1-green entries (returning_users,
-    top_bigrams, tfidf_keywords, customers_without_orders,
-    parts_with_shipments, top_orders_per_segment,
-    order_priority_counts, latest_event_per_user,
-    user_event_intervals), displaced by the nine operators NEW this
-    round (rule (c) outranks (b)); they stay green in the local full
-    gate and rotate back in first next round.
+    since — except ten r1-green entries (click_purchase_5min,
+    returning_users, top_bigrams, tfidf_keywords,
+    customers_without_orders, parts_with_shipments,
+    top_orders_per_segment, order_priority_counts,
+    latest_event_per_user, user_event_intervals), displaced by the
+    ten operators NEW this round (rule (c) outranks (b)); they stay
+    green in the local full gate and rotate back in first next
+    round.
     """
     return {
         # (a) repaired this round — re-verify first
@@ -1462,7 +1478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
-        "click_purchase_5min": q_click_purchase_5min,
         "text_features": q_text_features,
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
@@ -1494,11 +1509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers_stream": q_hll_registers_stream,
         "frame_sample_plan": q_frame_sample_plan,
         "hll_by_type": q_hll_by_type,
+        "personalized_pagerank": q_personalized_pagerank,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "click_purchase_5min": q_click_purchase_5min,
         "returning_users": q_returning_users,
         "top_bigrams": q_top_bigrams,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2569,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers_stream": O.sql_hll_registers(),
         "frame_sample_plan": _sql_frame_sample_plan(),
         "hll_by_type": O.sql_hll_by_group(),
+        "personalized_pagerank": O.sql_personalized_pagerank_bipartite(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -86,3 +86,31 @@ def test_bipartite_edges_symmetric(spark):
         for r in pagerank(edges.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    # star: hub 0 connected to leaves 2..20 (even nodes), seed = {2}
+    und = [(0, k) for k in range(2, 21, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(2,)], "node long")
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank(edges, seeds=seeds).collect()}
+    # all mass originates at the seed: seed outranks the other leaves
+    others = [got[k] for k in range(4, 21, 2)]
+    assert got[2] > max(others)
+    # non-seed leaves are symmetric -> identical ranks
+    assert len(set(others)) == 1
+    # global variant == personalized with all nodes seeded
+    all_nodes = edges.select(F.col("src").alias("node")).distinct()
+    g = {r["node"]: r["rank_fp"] for r in pagerank(edges).collect()}
+    p = {r["node"]: r["rank_fp"]
+         for r in pagerank(edges, seeds=all_nodes).collect()}
+    assert g == p
+    assert sum(got.values()) <= PR_SCALE

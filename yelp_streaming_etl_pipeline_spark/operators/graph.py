@@ -50,12 +50,23 @@ PR_DAMP_DEN = 100
 PR_ITERS = 3
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
     """Fixed-point PageRank over directed ``(src, dst)`` edges.
 
     Every node must appear as a source (symmetrize undirected graphs
     before calling). Returns ``(node, rank_fp)`` with ``rank_fp`` the
     exact BIGINT fixed-point rank at ``PR_SCALE``.
+
+    ``seeds`` (a ``node`` column) switches to PERSONALIZED PageRank:
+    initial mass and teleport go only to seed nodes present in the
+    graph (the crawl-frontier / importance-from-seeds form); the seed
+    set must intersect the graph's nodes. ``seeds=None`` is the
+    global uniform case — identical arithmetic with every node a
+    seed.
 
     The edge list is persisted (it feeds the degree build plus every
     iteration — without materialization the lazy lineage recomputes
@@ -67,17 +78,33 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
-    n_df = deg.agg(F.count("*").alias("n_nodes"))
+    if seeds is None:
+        base = deg.withColumn("is_seed", F.lit(True))
+    else:
+        seed_flag = seeds.select(
+            F.col("node").alias("src"), F.lit(True).alias("is_seed")
+        ).distinct()
+        base = deg.join(seed_flag, "src", "left").withColumn(
+            "is_seed", F.coalesce(F.col("is_seed"), F.lit(False))
+        )
+    n_df = base.agg(
+        F.sum(F.col("is_seed").cast("long")).alias("n_base")
+    )
+    share = F.expr(f"{PR_SCALE} div n_base")
+    tele_share = F.expr(
+        f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} div n_base))"
+        f" div {PR_DAMP_DEN}"
+    )
+    zero = F.lit(0).cast("long")
     ranks = (
-        deg.crossJoin(F.broadcast(n_df))
+        base.crossJoin(F.broadcast(n_df))
         .select(
             F.col("src").alias("node"),
             "deg",
-            F.expr(f"{PR_SCALE} div n_nodes").alias("r"),
-            F.expr(
-                f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} div n_nodes))"
-                f" div {PR_DAMP_DEN}"
-            ).alias("tele"),
+            F.when(F.col("is_seed"), share).otherwise(zero).alias("r"),
+            F.when(F.col("is_seed"), tele_share)
+            .otherwise(zero)
+            .alias("tele"),
         )
     )
     for _ in range(iters):
@@ -144,6 +171,32 @@ def pagerank_bipartite(
     """End-to-end: edge build + PageRank + node decode. Returns
     ``(node_type, node_key, rank_fp)`` for every active node."""
     pr = pagerank(bipartite_edges(orders, lineitem), iters=iters)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        "rank_fp",
+    )
+
+
+def personalized_pagerank_bipartite(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    seed_mod: int = 50,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """Personalized PageRank seeded at every ``seed_mod``-th customer:
+    rank mass flows outward from the seed set through the shared-
+    supplier structure — the importance-from-seeds form used for
+    crawl-frontier scoring and seed-set expansion."""
+    seeds = customer.filter(
+        F.col("c_custkey") % seed_mod == 0
+    ).select((F.col("c_custkey") * 2).alias("node"))
+    pr = pagerank(
+        bipartite_edges(orders, lineitem), iters=iters, seeds=seeds
+    )
     return pr.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

@@ -1780,3 +1780,62 @@ regs AS (
 )
 SELECT g, {sql_stable_round(est, 2)} AS hll_estimate
 FROM regs GROUP BY g"""
+
+
+def sql_personalized_pagerank_bipartite(
+    seed_mod: int = 50, iters: int = 3
+) -> str:
+    """Twin of graph.personalized_pagerank_bipartite: same unrolled
+    iterations as sql_pagerank_bipartite, but initial mass and
+    teleport restricted to seed customers (c_custkey % seed_mod = 0)
+    present in the graph — the arithmetic seed condition on the node
+    encoding equals Spark's customer-table join because every graph
+    customer node comes from o_custkey, which references customer."""
+    scale = 10**12
+    seed = f"(node % 2 = 0 AND (node // 2) % {seed_mod} = 0)"
+    parts = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (
+  SELECT count(*) FILTER (WHERE {seed}) AS n_base FROM deg
+),
+r0 AS (
+  SELECT node, deg,
+         CAST(CASE WHEN {seed} THEN {scale} // n_base
+              ELSE 0 END AS BIGINT) AS r,
+         CAST(CASE WHEN {seed}
+              THEN (15 * ({scale} // n_base)) // 100
+              ELSE 0 END AS BIGINT) AS tele
+  FROM deg CROSS JOIN nn
+)"""
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        parts.append(f"""inc{it} AS (
+  SELECT e.dst AS node, CAST(sum(p.r // p.deg) AS BIGINT) AS inc
+  FROM edges e JOIN {prev} p ON e.src = p.node
+  GROUP BY e.dst
+),
+r{it} AS (
+  SELECT p.node, p.deg,
+         CAST(p.tele + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r,
+         p.tele
+  FROM {prev} p LEFT JOIN inc{it} i ON p.node = i.node
+)""")
+        prev = f"r{it}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       r AS rank_fp
+FROM {prev}"""
