@@ -117,6 +117,9 @@ HEADLINE = [
     "cms_join_size",
     "event_zscores",
     "user_value_ewma",
+    "frame_sample_plan",
+    "hll_by_type",
+    "personalized_pagerank",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -1,0 +1,76 @@
+"""Distributed BPE training (operators/tokenizer.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+    bpe_train,
+)
+
+
+def _py_bpe(word_freq: dict[str, int], n_merges: int):
+    """Sequential reference: classic BPE with the same pinned argmax
+    tie order and greedy left-to-right application."""
+    vocab = {w: list(w) for w in word_freq}
+    merges = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += word_freq[w]
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((rank, a, b, c))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def _run(spark, texts, n_merges=3):
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = bpe_train(docs, n_merges=n_merges).collect()
+    return sorted(
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in rows
+    )
+
+
+def test_bpe_matches_sequential_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+        "low newer low",
+    ]
+    wf: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            wf[w] += 1
+    got = _run(spark, texts, n_merges=4)
+    want = sorted(_py_bpe(dict(wf), 4))
+    assert got == want
+
+
+def test_bpe_overlapping_run_is_greedy(spark):
+    # 'aaaa' x3 + 'aaa' x2: merge 0 must be (a,a); greedy application
+    # turns aaaa -> [aa][aa] and aaa -> [aa][a], so merge 1 counts
+    # (aa,aa)=3 and (aa,a)=2 -> merge 1 is (aa,aa)
+    texts = ["aaaa aaaa aaaa aaa aaa"]
+    got = _run(spark, texts, n_merges=2)
+    assert got[0][1:] == ("a", "a", 3 * 3 + 2 * 2)
+    assert got[1][1:3] == ("aa", "aa")
+
+
+def test_bpe_ignores_non_alpha_words(spark):
+    got = _run(spark, ["ab ab 123 ab!x C3PO AB"], n_merges=1)
+    # only "ab", "ab", and lowercased "ab" survive the ^[a-z]+$ gate
+    assert got == [(0, "a", "b", 3)]

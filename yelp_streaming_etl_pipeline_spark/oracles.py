@@ -1839,3 +1839,78 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
        CAST(node // 2 AS BIGINT) AS node_key,
        r AS rank_fp
 FROM {prev}"""
+
+
+def sql_bpe_train(n_merges: int = 4) -> str:
+    """Twin of operators/tokenizer.py:bpe_train — merge iterations
+    unrolled as CTE stages. Same pinned argmax order
+    (count DESC, left, right) and the same even-offset-in-run greedy
+    application via gaps-and-islands windows."""
+    parts = [
+        """wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split_regex(
+      regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+                                    '^\\s+', ''), '\\s+$', ''),
+      '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+vocab0 AS (SELECT w, f, string_split(w, '') AS toks FROM wf)"""
+    ]
+    for k in range(n_merges):
+        parts.append(f"""pc{k} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r,
+         CAST(sum(f) AS BIGINT) AS pair_count
+  FROM (SELECT f, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM vocab{k} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT {k} AS merge_rank, l, r, pair_count
+  FROM pc{k} ORDER BY pair_count DESC, l, r LIMIT 1
+),
+pos{k} AS (
+  SELECT w, f, i, toks[i] AS tok,
+         CASE WHEN i < len(toks) THEN toks[i + 1] END AS nxt
+  FROM (SELECT w, f, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM vocab{k})
+),
+mt{k} AS (
+  SELECT p.w, p.f, p.i, p.tok, p.nxt,
+         (p.tok = b.l AND p.nxt = b.r) AS mt
+  FROM pos{k} p CROSS JOIN best{k} b
+),
+isl{k} AS (
+  SELECT *, CASE WHEN mt THEN i - row_number() OVER
+      (PARTITION BY w, mt ORDER BY i) END AS island
+  FROM mt{k}
+),
+val{k} AS (
+  SELECT *, mt AND ((i - min(i) OVER (PARTITION BY w, island)) % 2 = 0)
+      AS vld
+  FROM isl{k}
+),
+em{k} AS (
+  SELECT w, f, i,
+         CASE WHEN vld THEN tok || nxt ELSE tok END AS tok,
+         COALESCE(lag(vld) OVER (PARTITION BY w ORDER BY i), false)
+             AS cons
+  FROM val{k}
+),
+vocab{k + 1} AS (
+  SELECT w, f, list(tok ORDER BY i) AS toks
+  FROM em{k} WHERE NOT cons GROUP BY w, f
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT merge_rank, l AS "left", r AS "right", pair_count '
+        f"FROM best{k}"
+        for k in range(n_merges)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+{union}"""
