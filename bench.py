@@ -120,6 +120,7 @@ HEADLINE = [
     "frame_sample_plan",
     "hll_by_type",
     "personalized_pagerank",
+    "bpe_merges",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path
