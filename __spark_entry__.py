@@ -1136,6 +1136,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize under the learned BPE merges: per-doc alpha-word and
+    BPE token counts — one explode + one vocabulary-table join."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        bpe_token_counts,
+    )
+
+    return bpe_token_counts(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank: teleport restricted to every 50th
     customer — importance-from-seeds over the shared-supplier
@@ -1457,14 +1467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except eleven r1-green entries (value_percentiles,
-    click_purchase_5min, returning_users, top_bigrams,
-    tfidf_keywords, customers_without_orders, parts_with_shipments,
-    top_orders_per_segment, order_priority_counts,
-    latest_event_per_user, user_event_intervals), displaced by the
-    eleven operators NEW this round (rule (c) outranks (b)); they
-    stay green in the local full gate and rotate back in first next
-    round.
+    since — except twelve r1-green entries (event_type_pivot,
+    value_percentiles, click_purchase_5min, returning_users,
+    top_bigrams, tfidf_keywords, customers_without_orders,
+    parts_with_shipments, top_orders_per_segment,
+    order_priority_counts, latest_event_per_user,
+    user_event_intervals), displaced by the twelve operators NEW
+    this round (rule (c) outranks (b)); they stay green in the local
+    full gate and rotate back in first next round.
     """
     return {
         # (a) repaired this round — re-verify first
@@ -1492,7 +1502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_prior_click": q_purchase_prior_click,
         "text_features": q_text_features,
         "distinct_daily_users": q_distinct_daily_users,
-        "event_type_pivot": q_event_type_pivot,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1522,11 +1531,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_type": q_hll_by_type,
         "personalized_pagerank": q_personalized_pagerank,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
         "click_purchase_5min": q_click_purchase_5min,
         "returning_users": q_returning_users,
@@ -2601,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_by_type": O.sql_hll_by_group(),
         "personalized_pagerank": O.sql_personalized_pagerank_bipartite(),
         "bpe_merges": O.sql_bpe_train(),
+        "bpe_token_counts": O.sql_bpe_token_counts(),
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

@@ -121,6 +121,7 @@ HEADLINE = [
     "hll_by_type",
     "personalized_pagerank",
     "bpe_merges",
+    "bpe_token_counts",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -74,3 +74,23 @@ def test_bpe_ignores_non_alpha_words(spark):
     got = _run(spark, ["ab ab 123 ab!x C3PO AB"], n_merges=1)
     # only "ab", "ab", and lowercased "ab" survive the ^[a-z]+$ gate
     assert got == [(0, "a", "b", 3)]
+
+
+def test_bpe_token_counts_compress(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest newest"), (3, "123 !!")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            bpe_token_counts(docs, n_merges=3).collect()}
+    # doc 3 has no alpha words -> absent entirely
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_words"] == 3 and rows[2]["n_words"] == 2
+    # merges compress: token count strictly below character count,
+    # and at least one token per word
+    assert rows[1]["n_words"] <= rows[1]["n_bpe_tokens"] < len("lowlowlower")
+    assert rows[2]["n_words"] <= rows[2]["n_bpe_tokens"] < len("newestnewest")

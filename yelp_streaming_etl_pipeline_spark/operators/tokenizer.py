@@ -113,12 +113,14 @@ def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(
+def bpe_learn(
     docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Learn the top ``n_merges`` BPE merge rules. Returns
-    (merge_rank, left, right, pair_count) — one row per learned rule,
-    in learning order."""
+    (merges, final_vocab): merges = (merge_rank, left, right,
+    pair_count) in learning order; final_vocab = (w, f, toks) with
+    every word segmented under the learned rules — the table a
+    tokenize pass joins against."""
     vocab = word_freq_table(docs, text_col).select(
         "w", "f", F.split("w", "").alias("toks")
     )
@@ -137,4 +139,45 @@ def bpe_train(
         merges = best if merges is None else merges.unionAll(best)
         vocab = _apply_merge(vocab, best)
     assert merges is not None
-    return merges.select("merge_rank", "left", "right", "pair_count")
+    return (
+        merges.select("merge_rank", "left", "right", "pair_count"),
+        vocab,
+    )
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn the top ``n_merges`` BPE merge rules. Returns
+    (merge_rank, left, right, pair_count) — one row per learned rule,
+    in learning order."""
+    return bpe_learn(docs, text_col, n_merges)[0]
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Tokenize the corpus under the learned merges: per document,
+    the alpha-word count and total BPE token count. The apply pass is
+    one explode + one broadcast-shaped join against the segmented
+    word table (vocabulary-sized) + one hash aggregate — the corpus
+    is never re-segmented row by row."""
+    _, vocab = bpe_learn(docs, text_col, n_merges)
+    sizes = vocab.select("w", F.size("toks").alias("nt"))
+    doc_words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        doc_words.join(sizes, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("nt").alias("n_bpe_tokens"),
+        )
+    )

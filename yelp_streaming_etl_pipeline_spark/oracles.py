@@ -1841,11 +1841,9 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
 FROM {prev}"""
 
 
-def sql_bpe_train(n_merges: int = 4) -> str:
-    """Twin of operators/tokenizer.py:bpe_train — merge iterations
-    unrolled as CTE stages. Same pinned argmax order
-    (count DESC, left, right) and the same even-offset-in-run greedy
-    application via gaps-and-islands windows."""
+def _sql_bpe_cte(n_merges: int = 4) -> str:
+    """Shared CTE chain for the BPE twins: wf -> vocab0 ->
+    (pc{k}, best{k}, ... vocab{k+1}) x n_merges."""
     parts = [
         """wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
@@ -1905,12 +1903,42 @@ vocab{k + 1} AS (
   SELECT w, f, list(tok ORDER BY i) AS toks
   FROM em{k} WHERE NOT cons GROUP BY w, f
 )""")
+    return ",\n".join(parts)
+
+
+def sql_bpe_train(n_merges: int = 4) -> str:
+    """Twin of operators/tokenizer.py:bpe_train — merge iterations
+    unrolled as CTE stages. Same pinned argmax order
+    (count DESC, left, right) and the same even-offset-in-run greedy
+    application via gaps-and-islands windows."""
     union = "\nUNION ALL\n".join(
         f'SELECT merge_rank, l AS "left", r AS "right", pair_count '
         f"FROM best{k}"
         for k in range(n_merges)
     )
-    body = ",\n".join(parts)
     return f"""
-WITH {body}
+WITH {_sql_bpe_cte(n_merges)}
 {union}"""
+
+
+def sql_bpe_token_counts(n_merges: int = 4) -> str:
+    """Twin of tokenizer.bpe_token_counts: per-doc alpha-word count
+    and total token count under the learned segmentation."""
+    return f"""
+WITH {_sql_bpe_cte(n_merges)},
+sizes AS (
+  SELECT w, len(toks) AS nt FROM vocab{n_merges}
+),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(
+      regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+                                    '^\\s+', ''), '\\s+$', ''),
+      '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN sizes USING (w)
+GROUP BY doc_id"""
