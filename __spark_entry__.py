@@ -1136,6 +1136,29 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t_cpu(spark, sf_dir, "documents"))
 
 
+SQL_SURFACE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority"""
+
+
+def q_sql_surface_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI SQL surface: this TPC-H-Q4-shaped query text runs
+    UNMODIFIED on both engines — spark.sql() here, DuckDB verbatim as
+    its own oracle. Exercises correlated-EXISTS decorrelation:
+    Catalyst rewrites the subquery to a left-semi join with the
+    mixed equi + non-equi condition (plan-audited)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_Q4)
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize under the learned BPE merges: per-doc alpha-word and
     BPE token counts — one explode + one vocabulary-table join."""
@@ -1467,14 +1490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, filetopic timestamp_ltz cast) or that the round-2
     verdict flagged as perf-weak and are being re-benched. Entries
     past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except twelve r1-green entries (event_type_pivot,
-    value_percentiles, click_purchase_5min, returning_users,
-    top_bigrams, tfidf_keywords, customers_without_orders,
-    parts_with_shipments, top_orders_per_segment,
-    order_priority_counts, latest_event_per_user,
-    user_event_intervals), displaced by the twelve operators NEW
-    this round (rule (c) outranks (b)); they stay green in the local
-    full gate and rotate back in first next round.
+    since — except thirteen r1-green entries (distinct_daily_users,
+    event_type_pivot, value_percentiles, click_purchase_5min,
+    returning_users, top_bigrams, tfidf_keywords,
+    customers_without_orders, parts_with_shipments,
+    top_orders_per_segment, order_priority_counts,
+    latest_event_per_user, user_event_intervals), displaced by the
+    thirteen operators NEW this round (rule (c) outranks (b)); they
+    stay green in the local full gate and rotate back in first next
+    round.
     """
     return {
         # (a) repaired this round — re-verify first
@@ -1501,7 +1525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "text_features": q_text_features,
-        "distinct_daily_users": q_distinct_daily_users,
         # (c) NEW this round — never driver-checked, must be in window
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
@@ -1532,11 +1555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "sql_surface_q4": q_sql_surface_q4,
         # ---- position > 50: verified green by the local sf0.01 gate
         # this session; first in line for the round-4 window rotation.
         # topic_roundtrip/events_hourly carry this round's code-path
         # changes (events NTZ normalization, filetopic timestamp_ltz
         # cast); r2 perf re-grade targets are re-benched via bench.py
+        "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
         "click_purchase_5min": q_click_purchase_5min,
@@ -2613,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": O.sql_personalized_pagerank_bipartite(),
         "bpe_merges": O.sql_bpe_train(),
         "bpe_token_counts": O.sql_bpe_token_counts(),
+        "sql_surface_q4": SQL_SURFACE_Q4,
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),
         "doc_chunks": O.sql_chunk_documents(),

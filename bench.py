@@ -122,6 +122,7 @@ HEADLINE = [
     "personalized_pagerank",
     "bpe_merges",
     "bpe_token_counts",
+    "sql_surface_q4",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

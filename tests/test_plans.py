@@ -409,3 +409,14 @@ def test_ewma_single_key_shuffle(spark):
     df = E.q_user_value_ewma(spark, SF)
     assert A.key_shuffle_exchanges(df) == 1
     assert not A.has_python_udf(df)
+
+
+def test_sql_surface_exists_decorrelates_to_semi_join(spark):
+    # the identical ANSI text runs on both engines; Catalyst must
+    # rewrite the correlated EXISTS into a (left) semi join — never
+    # a per-row subquery or cartesian product
+    df = E.q_sql_surface_q4(spark, SF)
+    plan = A.physical_plan(df)
+    assert "LeftSemi" in plan or "Semi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
