@@ -114,3 +114,24 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
          for r in pagerank(edges, seeds=all_nodes).collect()}
     assert g == p
     assert sum(got.values()) <= PR_SCALE
+
+
+def test_empty_inputs_yield_empty_outputs(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        ewma_by_key,
+        zscore_anomalies,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges).count() == 0
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    assert zscore_anomalies(ev).count() == 0
+    assert ewma_by_key(ev).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(docs).count() == 0
