@@ -543,3 +543,68 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     got = {(r["purchase_id"], r["click_id"]) for r in rows}
     assert got == {("p1", "c1"), ("p2", None)}
 
+
+
+def test_stream_left_outer_watermark_is_min_over_inputs(spark, tmp_path):
+    """The null-emission cutoff is min(max_click_ts, max_purchase_ts)
+    - delay: whichever side lags, its max caps the global watermark."""
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases_outer,
+    )
+
+    t0 = datetime(2026, 8, 1, 0, 0, 0)
+    cs = "user_id string, click_ts timestamp, click_id string"
+    ps = (
+        "user_id string, purchase_ts timestamp, "
+        "purchase_id string, amount double"
+    )
+
+    def run(clicks, purchases, tag):
+        spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(
+            str(tmp_path / f"c{tag}")
+        )
+        spark.createDataFrame(purchases, ps).coalesce(1).write.parquet(
+            str(tmp_path / f"p{tag}")
+        )
+        out = attribute_purchases_outer(
+            spark.readStream.schema(cs).parquet(str(tmp_path / f"c{tag}")),
+            spark.readStream.schema(ps).parquet(str(tmp_path / f"p{tag}")),
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"lo_wm_{tag}")
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql(f"SELECT * FROM lo_wm_{tag}").collect()
+        }
+
+    # case A: CLICK side lags (max click = t0+2h) -> watermark t0+1h;
+    # unmatched purchase at t0+30m emits, t0+90m is held
+    got = run(
+        [("u9", t0 + timedelta(hours=2), "c9")],
+        [
+            ("u1", t0 + timedelta(minutes=30), "pA", 1.0),
+            ("u2", t0 + timedelta(minutes=90), "pB", 1.0),
+            ("u3", t0 + timedelta(hours=5), "pC", 1.0),
+        ],
+        "a",
+    )
+    assert got == {("pA", None)}
+
+    # case B: PURCHASE side lags (max purchase = t0+2h) -> watermark
+    # t0+1h even though clicks reach t0+9h
+    got = run(
+        [("u9", t0 + timedelta(hours=9), "c9")],
+        [
+            ("u1", t0 + timedelta(minutes=30), "pA", 1.0),
+            ("u2", t0 + timedelta(hours=2), "pB", 1.0),
+        ],
+        "b",
+    )
+    assert got == {("pA", None)}
