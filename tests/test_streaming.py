@@ -608,3 +608,56 @@ def test_stream_left_outer_watermark_is_min_over_inputs(spark, tmp_path):
         "b",
     )
     assert got == {("pA", None)}
+
+
+def test_streaming_hll_incremental_across_restarts(spark, tmp_path):
+    """The 256-row streaming state IS the sketch: run availableNow
+    over epoch 1, add more files, restart from the SAME checkpoint —
+    the recovered state merges the new epoch and the final register
+    table equals the batch build over everything."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators import (
+        sketches as SK,
+    )
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    ck = str(tmp_path / "hll_ck")
+    e1 = spark.range(0, 4000).select(F.col("id").alias("k"))
+    e2 = spark.range(3000, 9000).select(F.col("id").alias("k"))
+    e1.coalesce(1).write.parquet(str(src / "epoch1"))
+
+    def run_once():
+        stream = spark.readStream.schema("k long").option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        regs = SK.hll_registers(stream, F.col("k"))
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hll_restart")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["bucket"], r["max_rho"])
+            for r in spark.sql("SELECT * FROM hll_restart").collect()
+        }
+
+    first = run_once()
+    batch1 = {
+        (r["bucket"], r["max_rho"])
+        for r in SK.hll_registers(e1, F.col("k")).collect()
+    }
+    assert first == batch1
+
+    e2.coalesce(1).write.parquet(str(src / "epoch2"))
+    second = run_once()
+    batch_all = {
+        (r["bucket"], r["max_rho"])
+        for r in SK.hll_registers(e1.unionAll(e2), F.col("k")).collect()
+    }
+    assert second == batch_all
