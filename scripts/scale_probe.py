@@ -1,0 +1,125 @@
+"""Scaling probe: do the operators behave linearly when the data
+grows 10x?
+
+Replicates the sf0.1 events/documents/embeddings fixtures 10x (4x
+for embeddings) into a temp dir with shifted ids, then times a
+representative operator per family at 1x and at the blown-up scale
+on the same session. A linear operator should show time ratio <=
+replication factor (usually well under — fixed overhead amortizes);
+a superlinear ratio flags an accidental quadratic (all-pairs,
+unpartitioned window, lineage blowup).
+
+Usage: python scripts/scale_probe.py   (prints one JSON line)
+Writes only under /tmp; read-only on /root/testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.session import get_spark
+
+SF = "/root/testdata/sf0.1"
+REP_EVENTS = 10
+REP_DOCS = 10
+REP_EMB = 4
+
+
+def replicate(spark, out: str) -> None:
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    reps = spark.range(REP_EVENTS).select(F.col("id").alias("_r"))
+    (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("_r") * n_ev)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_d = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dreps = spark.range(REP_DOCS).select(F.col("id").alias("_r"))
+    (
+        docs.crossJoin(dreps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * n_d)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_e = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    ereps = spark.range(REP_EMB).select(F.col("id").alias("_r"))
+    (
+        emb.crossJoin(ereps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * n_e)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+# (name, query key, replication factor its input grew by)
+PROBES = [
+    ("hll_registers", "hll_registers", REP_EVENTS),
+    ("cms_counters", "cms_counters", REP_DOCS),
+    ("event_zscores", "event_zscores", REP_EVENTS),
+    ("user_value_ewma", "user_value_ewma", REP_EVENTS),
+    ("sessionize_events", "sessionize_events", REP_EVENTS),
+    ("dedup_exact", "dedup_exact", REP_DOCS),
+    ("simhash_signatures", "simhash_signatures", REP_DOCS),
+    ("gopher_quality", "gopher_quality", REP_DOCS),
+    ("lang_id", "lang_id", REP_DOCS),
+    ("bpe_merges", "bpe_merges", REP_DOCS),
+    ("ann_lsh_topk", "ann_lsh_topk", REP_EMB),
+    ("embedding_project", "embedding_project", REP_EMB),
+    ("kmeans_clusters", "kmeans_clusters", REP_EMB),
+]
+
+
+def main() -> None:
+    import __spark_entry__ as E
+
+    spark = get_spark("scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out = tempfile.mkdtemp(prefix="scale10_")
+    replicate(spark, out)
+    qs = E.queries()
+    results = {}
+    for name, key, factor in PROBES:
+        fn = qs[key]
+        times = {}
+        for label, d in (("base", SF), ("big", out)):
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = best
+        ratio = times["big"] / times["base"]
+        results[name] = {
+            "base_s": round(times["base"], 3),
+            "big_s": round(times["big"], 3),
+            "factor": factor,
+            "ratio": round(ratio, 2),
+            "linear_ok": ratio <= factor * 1.5,
+        }
+    shutil.rmtree(out, ignore_errors=True)
+    print(json.dumps({"metric": "scale_probe", "probes": results}))
+
+
+if __name__ == "__main__":
+    main()
