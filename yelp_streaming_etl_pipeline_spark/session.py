@@ -32,8 +32,18 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
+    # local mode runs executors inside the driver JVM, whose DEFAULT
+    # heap is 1g — at 32 threads that starves shuffle spill buffers
+    # long before the machine's RAM does (observed: heap OOM inside
+    # UnsafeExternalSorter.spill on a 10x fixture blow-up while the
+    # box had >100 GiB free). Only effective if set before the JVM
+    # starts, i.e. on the process's first getOrCreate — exactly how
+    # bench/scripts/tests use this factory. On a real cluster
+    # executor memory is the cluster manager's knob, not this one.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
