@@ -36,11 +36,14 @@ def get_spark(
     # heap is 1g — at 32 threads that starves shuffle spill buffers
     # long before the machine's RAM does (observed: heap OOM inside
     # UnsafeExternalSorter.spill on a 10x fixture blow-up while the
-    # box had >100 GiB free). Only effective if set before the JVM
-    # starts, i.e. on the process's first getOrCreate — exactly how
-    # bench/scripts/tests use this factory. On a real cluster
-    # executor memory is the cluster manager's knob, not this one.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # box had >100 GiB free). 4g measured best: the full bench suite
+    # matches the 1g time while pipeline rps improves ~15%, and the
+    # 10x blow-up stops OOMing; 16g was ~15% SLOWER across the suite
+    # (longer G1 pauses with 32 task threads). Only effective if set
+    # before the JVM starts, i.e. on the process's first getOrCreate
+    # — exactly how bench/scripts/tests use this factory. On a real
+    # cluster executor memory is the cluster manager's knob.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", driver_mem)
