@@ -1480,25 +1480,22 @@ def q_dedup_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Ordering policy (round 4 window): (a) the 9 entries repaired this
+    Round-3 window (priority order): (a) the 9 entries REPAIRED this
     round (7 oracle HUGEINT->BIGINT casts + 2 streaming NTZ fixes) —
-    must be re-verified; (b) the 31 entries the round-2 driver did not
-    reach (green in CORRECTNESS_r01, so no entry goes 2+ rounds
-    unverified); (c) entries NEW this round — never driver-checked, so
-    they must sit inside the window; (d) remaining slots for queries
-    whose code paths changed this session (events reader NTZ
-    normalization, filetopic timestamp_ltz cast) or that the round-2
-    verdict flagged as perf-weak and are being re-benched. Entries
-    past position 50 were green in CORRECTNESS_r02 and are unchanged
-    since — except thirteen r1-green entries (distinct_daily_users,
+    must re-verify; (b) 13 entries the round-2 driver did not reach
+    (green in CORRECTNESS_r01), headed by the core gauntlet + dedup
+    family; (c) the 28 entries NEW this round — never driver-checked,
+    so rule (c) outranks re-covering more of (b). Entries past
+    position 50 were green in CORRECTNESS_r02 and unchanged since —
+    except 13 r1-green entries (distinct_daily_users,
     event_type_pivot, value_percentiles, click_purchase_5min,
     returning_users, top_bigrams, tfidf_keywords,
     customers_without_orders, parts_with_shipments,
     top_orders_per_segment, order_priority_counts,
-    latest_event_per_user, user_event_intervals), displaced by the
-    thirteen operators NEW this round (rule (c) outranks (b)); they
-    stay green in the local full gate and rotate back in first next
-    round.
+    latest_event_per_user, user_event_intervals) displaced by the new
+    operators; every displaced entry is green in the local full gate
+    (tuned AND vanilla session, same comparator) and rotates back in
+    FIRST next round (SURVEY.md §9 item 1).
     """
     return {
         # (a) repaired this round — re-verify first
