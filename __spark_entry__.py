@@ -1231,13 +1231,19 @@ stats AS (
          CAST(sum(q * q) AS DOUBLE) / count(*) AS m2_q
   FROM qv GROUP BY event_type
 ),
+sv AS (
+  -- variance first, positivity BEFORE sqrt (near-constant groups can
+  -- produce a tiny negative double; DuckDB's sqrt errors on it, Spark
+  -- yields NaN) — mirrors operators/timeseries.py:zscore_anomalies
+  SELECT g, mean_q, m2_q - mean_q * mean_q AS var_q FROM stats
+),
 s2 AS (
-  SELECT g, mean_q, sqrt(m2_q - mean_q * mean_q) AS std_q FROM stats
+  SELECT g, mean_q, sqrt(var_q) AS std_q FROM sv WHERE var_q > 0
 )
 SELECT event_id, event_type, value,
        {SR(z, 6)} AS zscore
 FROM qv JOIN s2 ON qv.event_type = s2.g
-WHERE std_q > 0 AND abs({z}) > {cut!r}"""
+WHERE abs({z}) > {cut!r}"""
 
 
 def _sql_user_value_ewma() -> str:

@@ -232,7 +232,12 @@ def pipeline_rps(spark) -> dict[str, int | dict[str, int]]:
 
 
 def main() -> None:
-    spark = get_spark("bench")
+    # progress bars share stdout with the JSON line; if the caller
+    # retains only a stdout tail, bar spam can push per-query rows out
+    # of the record (observed: BENCH_r03 lost 13 queries' timings)
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     qs = E.queries()
 
     # warmup: JVM + codegen + parquet footer caches
@@ -245,30 +250,33 @@ def main() -> None:
     total = round(sum(med.values()), 3)
     rps = pipeline_rps(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_steady_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": med,
-                "cold_total": round(sum(passes[0].values()), 3),
-                "steady_pass_totals": [
-                    round(sum(p.values()), 3) for p in passes[1:]
-                ],
-                "pipeline_rows": rps["pipeline_rows"],
-                # headline rps stays the trigram (production-default)
-                # number so rounds compare like-for-like
-                "pipeline_rps": rps["pipeline_rps_by_lang_backend"][
-                    "trigram"
-                ],
-                "pipeline_rps_by_lang_backend": rps[
-                    "pipeline_rps_by_lang_backend"
-                ],
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
+    payload = {
+        "metric": "headline_suite_steady_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": med,
+        "cold_total": round(sum(passes[0].values()), 3),
+        "steady_pass_totals": [
+            round(sum(p.values()), 3) for p in passes[1:]
+        ],
+        "pipeline_rows": rps["pipeline_rows"],
+        # headline rps stays the trigram (production-default)
+        # number so rounds compare like-for-like
+        "pipeline_rps": rps["pipeline_rps_by_lang_backend"]["trigram"],
+        "pipeline_rps_by_lang_backend": rps[
+            "pipeline_rps_by_lang_backend"
+        ],
+        "sf": sf_from_dir(SF_DIR),
+    }
+    line = json.dumps(payload)
+    # durable copy: a stdout-tail capture can truncate the one-line
+    # record; the file is the authoritative artifact
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

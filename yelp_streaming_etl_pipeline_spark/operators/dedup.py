@@ -585,6 +585,7 @@ def dedup_clusters(
     b_col: str = "doc_b",
     max_iter: int = 20,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document
     in a transitive duplicate cluster gets the cluster's minimum doc id
@@ -610,22 +611,38 @@ def dedup_clusters(
 
     ``stats``: pass a dict to receive {"iterations": n} for
     convergence tests.
+
+    ``checkpoint_dir``: by default per-round lineage truncation uses
+    ``localCheckpoint`` — blocks live on EXECUTORS, so on a real
+    multi-node cluster one executor loss kills the query mid-
+    iteration. For cluster deployments pass a reliable location
+    (HDFS/object store); the rounds then truncate through
+    ``checkpoint()`` and survive executor loss at the cost of one
+    round-trip to stable storage per round. Local mode (this repo's
+    test/bench target) keeps the fast default.
     """
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     # materialize the detected pairs ONCE, before anything scans them
     # twice: the union below reads edges in both directions, and the
     # per-round joins re-scan sym — without the checkpoints the full
     # pair-detection pipeline (minhash + LSH + verify) re-runs per scan
-    edges = pairs.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint()
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint()
-    labels = (
+    edges = _ckpt(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    )
+    sym = _ckpt(
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+    )
+    labels = _ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     converged = False
     iterations = 0
@@ -657,14 +674,13 @@ def dedup_clusters(
         lab = merged.select(
             F.col("node").alias("_ln"), F.col("label").alias("_ll")
         )
-        jumped = (
+        jumped = _ckpt(
             merged.join(lab, merged["label"] == lab["_ln"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("_ll"), F.col("label")).alias("label"),
                 "old",
             )
-            .localCheckpoint()
         )
         changed = jumped.filter(F.col("label") != F.col("old")).limit(1).count()
         labels = jumped.select("node", "label")

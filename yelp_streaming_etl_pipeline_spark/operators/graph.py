@@ -3,20 +3,21 @@
 The reference pipeline has no graph operators; this extends the
 engine with the canonical iterative-graph shape a training-data
 pipeline needs (influence weighting of linked documents, seed-node
-expansion for crawl frontier scoring). Like
-``operators/clustering.py:kmeans_lloyd``, the loop composes lazily —
-each iteration is (1) one equi-join of the rank table onto the edge
-list keyed by source and (2) one hash aggregate keyed by
-destination. No driver-side collect anywhere; ``iters`` chained
-join/agg stages form a single plan.
+expansion for crawl frontier scoring). Each iteration is (1) one
+equi-join of the rank table onto the edge list keyed by source and
+(2) one hash aggregate keyed by destination. No driver-side collect
+anywhere.
 
 EXACTNESS ACROSS ENGINES — float PageRank is order-dependent
 (partial sums in partition-scheduling order), so ranks are fixed-
 point BIGINTs at ``SCALE = 10^12``:
 
 - ``r0 = SCALE div N`` for every node in the edge list;
-- per-edge contribution ``r_u div deg_u`` (both non-negative, so
-  Spark's truncating ``div`` and DuckDB's flooring ``//`` agree);
+- per-edge contribution ``(r_u * w_e) div W_u`` where ``W_u`` is the
+  source's total outgoing weight (both non-negative, so Spark's
+  truncating ``div`` and DuckDB's flooring ``//`` agree); the
+  unweighted case is ``w_e = 1, W_u = deg_u`` — identical terms to
+  the classic ``r_u div deg_u``;
 - update ``r'_v = tele + (85 * incoming_v) div 100`` with
   ``tele = (15 * (SCALE div N)) div 100`` — the damping factor 0.85
   expressed as an exact integer ratio.
@@ -24,12 +25,24 @@ point BIGINTs at ``SCALE = 10^12``:
 Integer sums are associative/commutative, so every engine and every
 partitioning produces the identical BIGINT ranks. Truncation drops a
 sub-unit of mass per node per iteration (≤ N * iters * 1e-12 of
-total) — declared semantics, shared with the oracle twin
-(`oracles.sql_pagerank_bipartite`).
+total) — declared semantics, shared with the oracle twins
+(`oracles.sql_pagerank_bipartite`, `sql_pagerank_weighted_bipartite`).
+Overflow bound: ``max_rank * max_weight`` must stay under 2^63; at
+``SCALE = 10^12`` that allows edge weights up to ~9e6.
 
 DANGLING NODES: the caller symmetrizes (or otherwise guarantees
 out-degree ≥ 1 for every node appearing as a source); nodes outside
 the edge list are excluded — ranks are over the active subgraph.
+
+PERSIST HYGIENE: the edge list and degree table are persisted for
+the loop's lifetime and released before returning; each iteration's
+rank table is persisted, MATERIALIZED (one count of a |V|-row
+table), and the superseded one unpersisted — at production iteration
+counts nothing accumulates in storage memory. The returned frame is
+localCheckpoint'ed (executor-local blocks — on a multi-node cluster
+point ``setCheckpointDir`` at reliable storage and swap in
+``checkpoint()`` for executor-loss tolerance) so it survives with no
+lineage into the released caches.
 
 100 TB shape: |E| dominates |V|. Each iteration shuffles the
 |V|-sized rank table onto edges (hash join on ``src``) and reduces
@@ -54,8 +67,9 @@ def pagerank(
     edges: DataFrame,
     iters: int = PR_ITERS,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Fixed-point PageRank over directed ``(src, dst)`` edges.
+    """Fixed-point PageRank over directed ``(src, dst[, w])`` edges.
 
     Every node must appear as a source (symmetrize undirected graphs
     before calling). Returns ``(node, rank_fp)`` with ``rank_fp`` the
@@ -68,16 +82,19 @@ def pagerank(
     global uniform case — identical arithmetic with every node a
     seed.
 
-    The edge list is persisted (it feeds the degree build plus every
-    iteration — without materialization the lazy lineage recomputes
-    the upstream edge derivation once per consumer), and each
-    iteration's rank table is persisted while the next is built (it
-    is consumed twice per iteration; unpersisted, the lineage doubles
-    per round). At production scale the persisted edge list is the
-    thing you'd write once pre-partitioned by ``src``.
+    ``weight_col`` names a positive integer edge-weight column: a
+    source's rank is split proportionally, contribution
+    ``(r * w) div W_src``. ``None`` (unweighted) is the ``w = 1``
+    case and produces the exact integers of classic
+    ``r div deg``-style PageRank.
     """
-    edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    edges = edges.select("src", "dst", w.alias("w")).persist()
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg")).persist()
     if seeds is None:
         base = deg.withColumn("is_seed", F.lit(True))
     else:
@@ -106,21 +123,20 @@ def pagerank(
             .otherwise(zero)
             .alias("tele"),
         )
+        .persist()
     )
     for _ in range(iters):
-        ranks = ranks.persist()
         incoming = (
             edges.join(
                 ranks.select(
-                    F.col("node").alias("src"),
-                    F.expr("r div deg").alias("contrib"),
+                    F.col("node").alias("src"), F.col("r"), F.col("deg")
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("contrib").alias("inc"))
+            .agg(F.sum(F.expr("(r * w) div deg")).alias("inc"))
         )
-        ranks = (
+        new_ranks = (
             ranks.drop("r")
             .join(incoming, "node", "left")
             .select(
@@ -135,8 +151,18 @@ def pagerank(
                 ).alias("r"),
                 "tele",
             )
+            .persist()
         )
-    return ranks.select("node", F.col("r").alias("rank_fp"))
+        # materialize the successor (|V| rows) before releasing the
+        # table it was built from — the superseded cache never piles up
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select("node", F.col("r").alias("rank_fp")).localCheckpoint()
+    ranks.unpersist()
+    deg.unpersist()
+    edges.unpersist()
+    return out
 
 
 def bipartite_edges(
@@ -165,18 +191,66 @@ def bipartite_edges(
     )
 
 
-def pagerank_bipartite(
-    orders: DataFrame, lineitem: DataFrame, iters: int = PR_ITERS
+def bipartite_weighted_edges(
+    orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
-    """End-to-end: edge build + PageRank + node decode. Returns
-    ``(node_type, node_key, rank_fp)`` for every active node."""
-    pr = pagerank(bipartite_edges(orders, lineitem), iters=iters)
+    """Weighted customer–supplier graph: (o_custkey, l_suppkey) pair
+    MULTIPLICITY becomes the integer edge weight — interaction
+    strength, not mere existence. Same aggregate cost as the
+    ``distinct`` in :func:`bipartite_edges` (one shuffle on the pair
+    key) but the signal survives."""
+    pairs = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+        )
+    )
+
+
+def _decode_nodes(pr: DataFrame) -> DataFrame:
     return pr.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
         F.expr("node div 2").alias("node_key"),
         "rank_fp",
+    )
+
+
+def pagerank_bipartite(
+    orders: DataFrame, lineitem: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """End-to-end: edge build + PageRank + node decode. Returns
+    ``(node_type, node_key, rank_fp)`` for every active node."""
+    return _decode_nodes(
+        pagerank(bipartite_edges(orders, lineitem), iters=iters)
+    )
+
+
+def pagerank_weighted_bipartite(
+    orders: DataFrame, lineitem: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """Weighted PageRank over the interaction graph: rank mass splits
+    proportionally to pair multiplicity — ``(r * w) div W_src`` per
+    edge, same fixed-point discipline as the unweighted operator."""
+    return _decode_nodes(
+        pagerank(
+            bipartite_weighted_edges(orders, lineitem),
+            iters=iters,
+            weight_col="w",
+        )
     )
 
 
@@ -194,13 +268,8 @@ def personalized_pagerank_bipartite(
     seeds = customer.filter(
         F.col("c_custkey") % seed_mod == 0
     ).select((F.col("c_custkey") * 2).alias("node"))
-    pr = pagerank(
-        bipartite_edges(orders, lineitem), iters=iters, seeds=seeds
-    )
-    return pr.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_type"),
-        F.expr("node div 2").alias("node_key"),
-        "rank_fp",
+    return _decode_nodes(
+        pagerank(
+            bipartite_edges(orders, lineitem), iters=iters, seeds=seeds
+        )
     )

@@ -75,20 +75,28 @@ def zscore_anomalies(
             ).alias("mean_q"),
             (F.col("s_q2").cast("double") / F.col("n")).alias("m2_q"),
         )
+        # variance FIRST, positivity filter BEFORE sqrt: the exact
+        # integer moments still cast to double before the subtraction,
+        # so a near-constant group can yield a tiny NEGATIVE variance.
+        # sqrt of that is NaN in Spark (and NaN > 0 under Spark's NaN
+        # ordering, so NaN z-scores would leak through a std_q filter)
+        # and an ERROR in DuckDB — filtering on var_q > 0 keeps both
+        # engines on defined arithmetic.
         .select(
             "g",
             "mean_q",
-            F.sqrt(F.col("m2_q") - F.col("mean_q") * F.col("mean_q")).alias(
-                "std_q"
+            (F.col("m2_q") - F.col("mean_q") * F.col("mean_q")).alias(
+                "var_q"
             ),
         )
+        .filter(F.col("var_q") > 0)
+        .select("g", "mean_q", F.sqrt(F.col("var_q")).alias("std_q"))
     )
     z = (q.cast("double") - F.col("mean_q")) / F.col("std_q")
     return (
         events.join(
             F.broadcast(stats), events[group_col] == stats["g"]
         )
-        .filter(F.col("std_q") > 0)
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > cut)
         .select(

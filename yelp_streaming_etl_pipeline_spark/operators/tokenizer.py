@@ -13,7 +13,11 @@ Per merge iteration:
 1. adjacent-pair counts: one index explode over the token arrays +
    one hash aggregate weighted by word frequency;
 2. argmax pair with a pinned total tie order
-   (count DESC, left ASC, right ASC) — a 1-row broadcast;
+   (count DESC, left ASC, right ASC) — collected as ONE row to the
+   driver (metadata-sized, like a broadcast threshold; it also lets
+   the loop SHORT-CIRCUIT when pair counts run dry instead of
+   cross-joining an empty argmax into the vocab, which would wipe
+   every token array);
 3. greedy merge application WITHOUT sequential folding: a matching
    position is VALID (merges) iff it is an even offset within its
    run of consecutive matching positions — for left != right runs
@@ -23,10 +27,27 @@ Per merge iteration:
    over match positions), so the whole application is windows +
    aggregates — engine-exact, no UDF, no recursion.
 
-Words are restricted to lowercase ASCII (``^[a-z]+$``): character
-splitting of multi-byte text differs subtly between engines, and the
-demo's declared semantics is alphabetic BPE (real deployments
-byte-encode first, which sidesteps the issue the same way).
+ALPHABETS — two initial segmentations, both engine-exact:
+
+- ``char`` (demo default): words restricted to lowercase ASCII
+  (``^[a-z]+$``), tokens = single characters. Character splitting of
+  multi-byte text differs subtly between engines, hence the gate.
+- ``bytes`` (production shape): words = any whitespace-separated
+  token of the RAW text (no case folding — byte-level BPE operates
+  on raw bytes, as GPT-2-style tokenizers do), tokens = UTF-8 bytes
+  rendered as fixed-width uppercase hex pairs. The hex pair IS the
+  pinned byte<->int map: ``hex(encode(w))`` produces the identical
+  string in Spark and DuckDB for identical input, so no per-engine
+  byte table is needed and merged tokens concatenate losslessly.
+
+PERSIST HYGIENE — each iteration persists the vocab it scans twice
+(pair counts + merge application) and unpersists the superseded one
+as soon as the argmax job has materialized its successor's input;
+lineage is truncated every ``CHECKPOINT_EVERY`` merges
+(localCheckpoint — executor-local blocks; at cluster scale pass a
+reliable checkpoint dir to ``spark.sparkContext.setCheckpointDir``
+and flip ``reliable=True``) so a production-size merge table (10k+)
+neither leaks cache nor grows an unbounded plan.
 
 100 TB shape: the corpus is touched ONCE (word-frequency aggregate);
 every iteration runs over the distinct-word table (bounded by
@@ -39,18 +60,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BPE_MERGES = 4
+CHECKPOINT_EVERY = 16  # lineage-truncation cadence for big merge runs
+
+MERGES_SCHEMA = (
+    "merge_rank INT, left STRING, right STRING, pair_count BIGINT"
+)
 
 
-def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(w, f): lowercase ASCII-alpha word frequencies — the one
-    corpus-wide aggregate."""
-    words = docs.select(
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("w")
+def _doc_words(
+    docs: DataFrame, text_col: str, alphabet: str, id_cols: list[str]
+) -> DataFrame:
+    """``id_cols + (w,)``: whitespace words under the alphabet's rules
+    (char: lowercased, ASCII-alpha gate; bytes: raw text, any
+    non-empty token)."""
+    if alphabet == "char":
+        return docs.select(
+            *id_cols,
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        ).filter(F.col("w").rlike("^[a-z]+$"))
+    if alphabet == "bytes":
+        return docs.select(
+            *id_cols,
+            F.explode(
+                F.split(
+                    F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+                )
+            ).alias("w"),
+        ).filter(F.col("w") != "")
+    raise ValueError(f"unknown alphabet: {alphabet!r}")
+
+
+def _segment(w: F.Column, alphabet: str) -> F.Column:
+    """Initial token array for a word column."""
+    if alphabet == "char":
+        return F.split(w, "")
+    # fixed-width hex pairs of the UTF-8 bytes — the pinned byte map
+    return F.regexp_extract_all(
+        F.hex(F.encode(w, "UTF-8")), F.lit(".."), 0
     )
+
+
+def word_freq_table(
+    docs: DataFrame, text_col: str = "text", alphabet: str = "char"
+) -> DataFrame:
+    """(w, f): word frequencies — the one corpus-wide aggregate."""
     return (
-        words.filter(F.col("w").rlike("^[a-z]+$"))
+        _doc_words(docs, text_col, alphabet, [])
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
@@ -72,16 +129,16 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
-    """Greedily merge the broadcast (left, right) pair in every token
-    array via the even-offset-in-run rule (see module docstring)."""
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedily merge the (left, right) pair in every token array via
+    the even-offset-in-run rule (see module docstring)."""
     pos = vocab.select(
         "w", "f", F.posexplode("toks").alias("i", "tok")
-    ).crossJoin(F.broadcast(best.select("left", "right")))
+    )
     by_w = Window.partitionBy("w").orderBy("i")
     pos = pos.withColumn("nxt", F.lead("tok").over(by_w)).withColumn(
         "match",
-        (F.col("tok") == F.col("left")) & (F.col("nxt") == F.col("right")),
+        (F.col("tok") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
     )
     match_rn = F.row_number().over(
         Window.partitionBy("w", "match").orderBy("i")
@@ -114,44 +171,121 @@ def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
 
 
 def bpe_learn(
-    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    alphabet: str = "char",
 ) -> tuple[DataFrame, DataFrame]:
     """Learn the top ``n_merges`` BPE merge rules. Returns
     (merges, final_vocab): merges = (merge_rank, left, right,
     pair_count) in learning order; final_vocab = (w, f, toks) with
     every word segmented under the learned rules — the table a
-    tokenize pass joins against."""
-    vocab = word_freq_table(docs, text_col).select(
-        "w", "f", F.split("w", "").alias("toks")
+    tokenize pass joins against.
+
+    The per-iteration argmax is collected as ONE row (metadata, not
+    data — the same category as a broadcast threshold): it feeds the
+    merge application as two literals, lets the loop stop early when
+    pair counts run dry (keeping the current segmentation as final,
+    instead of wiping the vocab through a crossJoin with an empty
+    table), and makes the returned merge table a local literal with
+    no lineage to the iteration chain.
+    """
+    spark = docs.sparkSession
+    vocab = word_freq_table(docs, text_col, alphabet).select(
+        "w", "f", _segment(F.col("w"), alphabet).alias("toks")
     )
-    merges: DataFrame | None = None
+    merge_rows: list[tuple] = []
+    prev: DataFrame | None = None
     for rank in range(n_merges):
         vocab = vocab.persist()
-        best = (
+        best_rows = (
             _pair_counts(vocab)
-            .orderBy(
-                F.desc("pair_count"), F.asc("left"), F.asc("right")
-            )
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
             .limit(1)
-            .withColumn("merge_rank", F.lit(rank))
-            .persist()
+            .collect()
         )
-        merges = best if merges is None else merges.unionAll(best)
-        vocab = _apply_merge(vocab, best)
-    assert merges is not None
-    return (
-        merges.select("merge_rank", "left", "right", "pair_count"),
-        vocab,
-    )
+        # the argmax job materialized `vocab`'s cache; the table it
+        # superseded is now safe to release
+        if prev is not None:
+            prev.unpersist()
+        prev = vocab
+        if not best_rows:
+            break  # pair counts ran dry: current segmentation is final
+        b = best_rows[0]
+        merge_rows.append(
+            (rank, b["left"], b["right"], int(b["pair_count"]))
+        )
+        vocab = _apply_merge(vocab, b["left"], b["right"])
+        if (rank + 1) % CHECKPOINT_EVERY == 0:
+            # truncate lineage on long merge runs; eager so the cache
+            # chain behind it can be dropped immediately
+            vocab = vocab.localCheckpoint()
+            prev.unpersist()
+            prev = None
+    # non-eager: callers that only want `merges` (bpe_train) never pay
+    # for materializing the final segmentation; the first consumer of
+    # final_vocab both computes it once and truncates its lineage
+    final_vocab = vocab.localCheckpoint(eager=False)
+    if prev is not None:
+        prev.unpersist()
+    merges = spark.createDataFrame(merge_rows, schema=MERGES_SCHEMA)
+    return merges, final_vocab
 
 
 def bpe_train(
-    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merge rules. Returns
     (merge_rank, left, right, pair_count) — one row per learned rule,
     in learning order."""
-    return bpe_learn(docs, text_col, n_merges)[0]
+    return bpe_learn(docs, text_col, n_merges, alphabet)[0]
+
+
+def export_bpe(
+    merges: DataFrame, vocab: DataFrame, path: str
+) -> tuple[str, str]:
+    """Persist the learned artifacts — ``{path}/merges`` (the rule
+    table) and ``{path}/vocab`` (the segmented word table) — as
+    parquet, the real deployment shape: train once, ship the
+    artifact, tokenize anywhere. Returns the two paths."""
+    merges_path = f"{path}/merges"
+    vocab_path = f"{path}/vocab"
+    merges.write.mode("overwrite").parquet(merges_path)
+    vocab.select("w", "f", "toks").write.mode("overwrite").parquet(
+        vocab_path
+    )
+    return merges_path, vocab_path
+
+
+def tokenize_with_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alphabet: str = "char",
+) -> DataFrame:
+    """Tokenize a corpus against a (possibly re-read) segmented-word
+    table: one explode + one vocabulary-sized join + one hash
+    aggregate — the corpus is never re-segmented row by row. Returns
+    (doc_id, n_words, n_bpe_tokens)."""
+    sizes = vocab.select("w", F.size("toks").alias("nt"))
+    doc_w = _doc_words(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        alphabet,
+        ["doc_id"],
+    )
+    return (
+        doc_w.join(sizes, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("nt").alias("n_bpe_tokens"),
+        )
+    )
 
 
 def bpe_token_counts(
@@ -159,25 +293,15 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = BPE_MERGES,
+    alphabet: str = "char",
+    export_path: str | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under the learned merges: per document,
-    the alpha-word count and total BPE token count. The apply pass is
-    one explode + one broadcast-shaped join against the segmented
-    word table (vocabulary-sized) + one hash aggregate — the corpus
-    is never re-segmented row by row."""
-    _, vocab = bpe_learn(docs, text_col, n_merges)
-    sizes = vocab.select("w", F.size("toks").alias("nt"))
-    doc_words = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("w"),
-    ).filter(F.col("w").rlike("^[a-z]+$"))
-    return (
-        doc_words.join(sizes, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_words"),
-            F.sum("nt").alias("n_bpe_tokens"),
-        )
-    )
+    the word count and total BPE token count. With ``export_path``
+    the learned artifacts are round-tripped through parquet first
+    (write + re-read) — the train-once / tokenize-anywhere path."""
+    merges, vocab = bpe_learn(docs, text_col, n_merges, alphabet)
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = docs.sparkSession.read.parquet(vocab_path)
+    return tokenize_with_vocab(docs, vocab, text_col, id_col, alphabet)

@@ -1646,6 +1646,60 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
 FROM {prev}"""
 
 
+def sql_pagerank_weighted_bipartite(iters: int = 3) -> str:
+    """Twin of operators/graph.py:pagerank_weighted_bipartite — pair
+    MULTIPLICITY as the integer edge weight; per-edge contribution
+    (r * w) // W_src with W_src = sum of outgoing weights. Identical
+    fixed-point discipline as sql_pagerank_bipartite."""
+    scale = 10**12
+    parts = [
+        f"""pairs AS (
+  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+deg AS (
+  SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+),
+nn AS (SELECT count(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT node, deg,
+         CAST({scale} // n_nodes AS BIGINT) AS r,
+         CAST((15 * ({scale} // n_nodes)) // 100 AS BIGINT) AS tele
+  FROM deg CROSS JOIN nn
+)"""
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        parts.append(f"""inc{it} AS (
+  SELECT e.dst AS node, CAST(sum((p.r * e.w) // p.deg) AS BIGINT) AS inc
+  FROM edges e JOIN {prev} p ON e.src = p.node
+  GROUP BY e.dst
+),
+r{it} AS (
+  SELECT p.node, p.deg,
+         CAST(p.tele + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r,
+         p.tele
+  FROM {prev} p LEFT JOIN inc{it} i ON p.node = i.node
+)""")
+        prev = f"r{it}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       r AS rank_fp
+FROM {prev}"""
+
+
 # ---------------- sketch compositions ----------------
 
 def _hll_regs_cte_named(name: str, src: str, key: str) -> str:
@@ -1788,11 +1842,16 @@ def sql_personalized_pagerank_bipartite(
     """Twin of graph.personalized_pagerank_bipartite: same unrolled
     iterations as sql_pagerank_bipartite, but initial mass and
     teleport restricted to seed customers (c_custkey % seed_mod = 0)
-    present in the graph — the arithmetic seed condition on the node
-    encoding equals Spark's customer-table join because every graph
-    customer node comes from o_custkey, which references customer."""
+    present in the graph. The seed test is anchored to the customer
+    table via EXISTS — structurally matching Spark's seed derivation
+    (a customer-table filter joined onto the graph's nodes) rather
+    than assuming referential integrity of o_custkey."""
     scale = 10**12
-    seed = f"(node % 2 = 0 AND (node // 2) % {seed_mod} = 0)"
+    seed = (
+        f"(node % 2 = 0 AND (node // 2) % {seed_mod} = 0"
+        f" AND EXISTS (SELECT 1 FROM customer c"
+        f" WHERE c.c_custkey = node // 2))"
+    )
     parts = [
         f"""pairs AS (
   SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
@@ -1841,21 +1900,44 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
 FROM {prev}"""
 
 
-def _sql_bpe_cte(n_merges: int = 4) -> str:
-    """Shared CTE chain for the BPE twins: wf -> vocab0 ->
-    (pc{k}, best{k}, ... vocab{k+1}) x n_merges."""
-    parts = [
-        """wf AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
-    SELECT unnest(string_split_regex(
+def _sql_bpe_words(alphabet: str) -> str:
+    """Word extraction under the alphabet's rules (twin of
+    tokenizer._doc_words): char = lowercased ASCII-alpha gate;
+    bytes = raw whitespace tokens, no case folding."""
+    if alphabet == "char":
+        return """
+    SELECT {ids} unnest(string_split_regex(
       regexp_replace(regexp_replace(lower(COALESCE(text, '')),
                                     '^\\s+', ''), '\\s+$', ''),
       '\\s+')) AS w
     FROM documents
-  ) WHERE regexp_matches(w, '^[a-z]+$')
+  ) WHERE regexp_matches(w, '^[a-z]+$')"""
+    return """
+    SELECT {ids} unnest(string_split_regex(
+      regexp_replace(regexp_replace(COALESCE(text, ''),
+                                    '^\\s+', ''), '\\s+$', ''),
+      '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''"""
+
+
+def _sql_bpe_cte(n_merges: int = 4, alphabet: str = "char") -> str:
+    """Shared CTE chain for the BPE twins: wf -> vocab0 ->
+    (pc{k}, best{k}, ... vocab{k+1}) x n_merges. ``bytes`` segments
+    words into uppercase hex pairs of the UTF-8 bytes (hex(encode(w))
+    is identical across engines — the pinned byte<->int map)."""
+    seg = (
+        "string_split(w, '')"
+        if alphabet == "char"
+        else "regexp_extract_all(hex(encode(w)), '..')"
+    )
+    words = _sql_bpe_words(alphabet).format(ids="")
+    parts = [
+        f"""wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM ({words}
   GROUP BY w
 ),
-vocab0 AS (SELECT w, f, string_split(w, '') AS toks FROM wf)"""
+vocab0 AS (SELECT w, f, {seg} AS toks FROM wf)"""
     ]
     for k in range(n_merges):
         parts.append(f"""pc{k} AS (
@@ -1906,37 +1988,37 @@ vocab{k + 1} AS (
     return ",\n".join(parts)
 
 
-def sql_bpe_train(n_merges: int = 4) -> str:
+def sql_bpe_train(n_merges: int = 4, alphabet: str = "char") -> str:
     """Twin of operators/tokenizer.py:bpe_train — merge iterations
     unrolled as CTE stages. Same pinned argmax order
     (count DESC, left, right) and the same even-offset-in-run greedy
-    application via gaps-and-islands windows."""
+    application via gaps-and-islands windows. NOTE: the engine side
+    short-circuits when pair counts run dry (tokenizer.bpe_learn);
+    the unrolled twin assumes n_merges productive iterations, which
+    holds on any corpus whose pair table survives n_merges rounds
+    (trivially true at fixture scale — the engine's short-circuit is
+    covered by pytest on a degenerate corpus instead)."""
     union = "\nUNION ALL\n".join(
         f'SELECT merge_rank, l AS "left", r AS "right", pair_count '
         f"FROM best{k}"
         for k in range(n_merges)
     )
     return f"""
-WITH {_sql_bpe_cte(n_merges)}
+WITH {_sql_bpe_cte(n_merges, alphabet)}
 {union}"""
 
 
-def sql_bpe_token_counts(n_merges: int = 4) -> str:
-    """Twin of tokenizer.bpe_token_counts: per-doc alpha-word count
-    and total token count under the learned segmentation."""
+def sql_bpe_token_counts(n_merges: int = 4, alphabet: str = "char") -> str:
+    """Twin of tokenizer.bpe_token_counts: per-doc word count and
+    total token count under the learned segmentation."""
+    dw = _sql_bpe_words(alphabet).format(ids="doc_id,")
     return f"""
-WITH {_sql_bpe_cte(n_merges)},
+WITH {_sql_bpe_cte(n_merges, alphabet)},
 sizes AS (
   SELECT w, len(toks) AS nt FROM vocab{n_merges}
 ),
 dw AS (
-  SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split_regex(
-      regexp_replace(regexp_replace(lower(COALESCE(text, '')),
-                                    '^\\s+', ''), '\\s+$', ''),
-      '\\s+')) AS w
-    FROM documents
-  ) WHERE regexp_matches(w, '^[a-z]+$')
+  SELECT doc_id, w FROM ({dw}
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
