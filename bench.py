@@ -123,6 +123,13 @@ HEADLINE = [
     "bpe_merges",
     "bpe_token_counts",
     "sql_surface_q4",
+    # round-4 additions
+    "lang_id_prefix",
+    "pagerank_weighted",
+    "quantile_sketch",
+    "quantile_estimate",
+    "bpe_merges_bytes",
+    "bpe_bytes_token_counts",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

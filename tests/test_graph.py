@@ -135,3 +135,65 @@ def test_empty_inputs_yield_empty_outputs(spark):
     assert ewma_by_key(ev).count() == 0
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_train(docs).count() == 0
+
+
+def test_pagerank_weighted_unit_weights_equal_unweighted(spark):
+    # w = 1 everywhere must reproduce the classic integers exactly:
+    # (r * 1) div deg == r div deg term by term
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    wdf = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges], ["src", "dst", "w"]
+    )
+    plain = {
+        r["node"]: r["rank_fp"] for r in pagerank(df).collect()
+    }
+    weighted = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(wdf, weight_col="w").collect()
+    }
+    assert plain == weighted
+
+
+def test_pagerank_weighted_shifts_mass_to_heavy_edge(spark):
+    # node 1 sends 3/4 of its rank to 2 and 1/4 to 3 under weights
+    # (3, 1); under unit weights the split is even — 2 must outrank 3
+    edges = [
+        (1, 2, 3), (1, 3, 1),
+        (2, 1, 1), (3, 1, 1),
+    ]
+    wdf = spark.createDataFrame(edges, ["src", "dst", "w"])
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(wdf, weight_col="w").collect()
+    }
+    assert ranks[2] > ranks[3]
+    # integer model: contribution of node 1 splits (r*3) div 4, (r*1) div 4
+    r0 = PR_SCALE // 3
+    tele = (15 * r0) // 100
+    r = {1: r0, 2: r0, 3: r0}
+    for _ in range(3):
+        inc = {
+            1: r[2] + r[3],
+            2: (r[1] * 3) // 4,
+            3: r[1] // 4,
+        }
+        r = {v: tele + (85 * inc[v]) // 100 for v in r}
+    assert ranks == r
+
+
+def test_pagerank_releases_all_caches(spark):
+    # persist hygiene: cached tables must not scale with the
+    # iteration count (superseded rank tables are unpersisted), and
+    # everything the call persisted is released on return
+    edges = [(i, (i + 1) % 20) for i in range(20)] + [
+        ((i + 1) % 20, i) for i in range(20)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def run(iters):
+        out = pagerank(df, iters=iters)
+        out.collect()
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    assert run(6) <= run(2) + 1  # bounded, not O(iters)

@@ -222,3 +222,70 @@ def test_grouped_hll_matches_global_per_group(spark):
             .collect()
         }
         assert iso == per
+
+
+# ---------------- HDR quantile sketch ----------------
+
+def test_quantile_sketch_registers_mergeable(spark):
+    # registers(A ∪ B) == per-bucket sum of registers(A), registers(B)
+    # — the additivity that makes the sketch a 100 TB quantile answer
+    a = spark.range(1, 4000).selectExpr("id * 0.37 AS v")
+    b = spark.range(4000, 9000).selectExpr("id * 0.37 AS v")
+    direct = {
+        (r["bucket"], r["lb_q"], r["width_q"], r["n"])
+        for r in SK.quantile_sketch_registers(
+            a.union(b), F.col("v")
+        ).collect()
+    }
+    merged = {
+        (r["bucket"], r["lb_q"], r["width_q"], r["n"])
+        for r in (
+            SK.quantile_sketch_registers(a, F.col("v"))
+            .unionByName(SK.quantile_sketch_registers(b, F.col("v")))
+            .groupBy("bucket")
+            .agg(
+                F.min("lb_q").alias("lb_q"),
+                F.min("width_q").alias("width_q"),
+                F.sum("n").alias("n"),
+            )
+        ).collect()
+    }
+    assert direct == merged
+
+
+def test_quantile_sketch_relative_error_bound(spark):
+    # guaranteed relative value error 2^-QSK_SUB_BITS per quantile
+    # (bucket width / bucket lower bound <= 2^-B; midpoint halves it)
+    df = spark.range(1, 20001).selectExpr("id * 0.11 AS v")
+    regs = SK.quantile_sketch_registers(df, F.col("v"))
+    got = {
+        r["p"]: r["est"]
+        for r in SK.quantile_sketch_estimate(regs).collect()
+    }
+    import math
+
+    n = 20000
+    for p in SK.QSK_PS:
+        exact = math.ceil(p * n) * 0.11
+        rel = abs(got[p] - exact) / exact
+        assert rel <= 2.0 ** -SK.QSK_SUB_BITS, (p, got[p], exact, rel)
+
+
+def test_quantile_sketch_buckets_data_range_independent(spark):
+    # unlike equi-width histograms, a value's bucket never depends on
+    # what else is in the dataset — an outlier can't stretch the bins
+    base = spark.range(1, 1000).selectExpr("id * 1.0 AS v")
+    spiked = base.union(spark.range(1).selectExpr("1.0e9 AS v"))
+    f = F.col("v")
+    b1 = {
+        r["bucket"]: r["n"]
+        for r in SK.quantile_sketch_registers(base, f).collect()
+    }
+    b2 = {
+        r["bucket"]: r["n"]
+        for r in SK.quantile_sketch_registers(spiked, f).collect()
+    }
+    # every base bucket unchanged; the outlier adds exactly one bucket
+    for k, v in b1.items():
+        assert b2[k] == v
+    assert len(b2) == len(b1) + 1

@@ -661,3 +661,85 @@ def test_streaming_hll_incremental_across_restarts(spark, tmp_path):
         for r in SK.hll_registers(e1.unionAll(e2), F.col("k")).collect()
     }
     assert second == batch_all
+
+
+def test_ewma_stream_bounded_state_matches_batch(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState, 2 scalars of state per
+    key) reproduces the batch fold bit-for-bit when delivery is
+    per-key ordered — including a skewed hot key whose history spans
+    two micro-batches, the case the batch operator's collect_list
+    ceiling is about."""
+    import glob
+    import os
+    import shutil
+
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+    from yelp_streaming_etl_pipeline_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):  # hot key
+        rows.append(
+            (7, base + timedelta(seconds=i), i, float((i * 37) % 100) + 0.5)
+        )
+    for i in range(10):
+        rows.append((8, base + timedelta(seconds=i), 1000 + i, float(i)))
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, value DOUBLE"
+    )
+    cutoff = base + timedelta(seconds=100)
+    d1 = df.filter(F.col("ts") < F.lit(cutoff))
+    d2 = df.filter(F.col("ts") >= F.lit(cutoff))
+    d1.coalesce(1).write.parquet(str(tmp_path / "p1"))
+    d2.coalesce(1).write.parquet(str(tmp_path / "p2"))
+    src = tmp_path / "src"
+    src.mkdir()
+    f1 = glob.glob(str(tmp_path / "p1" / "part-*.parquet"))[0]
+    f2 = glob.glob(str(tmp_path / "p2" / "part-*.parquet"))[0]
+    shutil.copy(f1, src / "a.parquet")
+    shutil.copy(f2, src / "b.parquet")
+    # file source picks oldest mod-time first: pin batch order = time order
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (1_000_100, 1_000_100))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        ewma_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda d, e: d.withColumn("_epoch", F.lit(e))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    # the hot key emitted a running value in BOTH batches — the fold
+    # crossed the batch boundary through state, not a buffered history
+    assert res.filter("key = 7").count() == 2
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(F.desc("_epoch"))
+    final = {
+        r["key"]: (r["n_events"], r["ewma"])
+        for r in res.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    batch = {
+        r["key"]: (r["n_events"], r["ewma"])
+        for r in ewma_by_key(df).collect()
+    }
+    assert final == batch

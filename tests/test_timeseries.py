@@ -85,3 +85,22 @@ def test_ewma_single_event_is_identity(spark):
         _events(spark, [(1, t0, 9, "click", 42.5)])
     ).collect()[0]
     assert got["ewma"] == 42.5 and got["n_events"] == 1
+
+
+def test_zscore_negative_float_variance_group_is_guarded(spark):
+    # exact integer moments still cast to double before the variance
+    # subtraction: for a near-constant group at large magnitude the
+    # double rounding can make m2 - mean^2 NEGATIVE (true variance
+    # here is 2/9). sqrt of that is NaN, and Spark orders NaN > cut,
+    # so without the var > 0 guard the whole group leaks out with NaN
+    # z-scores (and the DuckDB twin ERRORS on sqrt of a negative).
+    qs = [364416948422, 364416948422, 364416948421]  # var_double < 0
+    rows = [(i, "flat", q / 1000.0) for i, q in enumerate(qs)]
+    # plus a live group that must still emit its outlier
+    rows += [(100 + i, "live", 1.0) for i in range(30)]
+    rows += [(999, "live", 1000.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = zscore_anomalies(df).collect()
+    assert all(r["event_type"] == "live" for r in got)
+    assert all(not math.isnan(r["zscore"]) for r in got)
+    assert {r["event_id"] for r in got} == {999}

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
 from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
     bpe_train,
 )
@@ -94,3 +95,84 @@ def test_bpe_token_counts_compress(spark):
     # and at least one token per word
     assert rows[1]["n_words"] <= rows[1]["n_bpe_tokens"] < len("lowlowlower")
     assert rows[2]["n_words"] <= rows[2]["n_bpe_tokens"] < len("newestnewest")
+
+
+def test_bpe_short_circuits_when_pairs_run_dry(spark):
+    # "ab ab c": one productive merge (a+b), then no adjacent pairs
+    # remain — the loop must stop and KEEP the segmentation (the old
+    # crossJoin against an empty argmax wiped the whole vocab)
+    docs = spark.createDataFrame([(1, "ab ab c")], ["doc_id", "text"])
+    merges, vocab = TK.bpe_learn(docs, n_merges=4)
+    mrows = merges.collect()
+    assert len(mrows) == 1
+    assert (mrows[0]["left"], mrows[0]["right"]) == ("a", "b")
+    segs = {r["w"]: list(r["toks"]) for r in vocab.collect()}
+    assert segs == {"ab": ["ab"], "c": ["c"]}
+    counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in TK.bpe_token_counts(docs, n_merges=4).collect()
+    }
+    assert counts == {1: (3, 3)}
+
+
+def test_bpe_learn_releases_iteration_caches(spark):
+    # persist hygiene: cached tables must not accumulate with the
+    # merge count — superseded vocabs are unpersisted each iteration
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        ["doc_id", "text"],
+    )
+
+    def run(n):
+        m, v = TK.bpe_learn(docs, n_merges=n)
+        m.collect()
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    base = run(2)
+    assert run(6) <= base + 1  # bounded, not O(n_merges)
+
+
+def test_bpe_bytes_alphabet_hex_segmentation(spark):
+    # byte-level: no ASCII gate, tokens are UTF-8 hex pairs — a
+    # 2-byte é segments into two byte tokens
+    docs = spark.createDataFrame(
+        [(1, "héllo héllo UP")], ["doc_id", "text"]
+    )
+    merges, vocab = TK.bpe_learn(docs, n_merges=1, alphabet="bytes")
+    segs = {r["w"]: list(r["toks"]) for r in vocab.collect()}
+    assert "UP" in segs  # no lowercase-alpha gate
+    m = merges.collect()[0]
+    # most frequent adjacent pair comes from the doubled word
+    assert m["pair_count"] == 2
+    # hex-pair tokens only
+    for toks in segs.values():
+        for t in toks:
+            assert len(t) % 2 == 0 and all(
+                c in "0123456789ABCDEF" for c in t
+            )
+
+
+def test_bpe_bytes_artifact_roundtrip(spark, tmp_path):
+    # export -> parquet -> re-read tokenize == in-memory tokenize
+    docs = spark.createDataFrame(
+        [(i, f"pack my box with five dozen jugs {i % 3}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    direct = {
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in TK.bpe_token_counts(docs, alphabet="bytes").collect()
+    }
+    via_artifact = {
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in TK.bpe_token_counts(
+            docs, alphabet="bytes", export_path=str(tmp_path / "bpe")
+        ).collect()
+    }
+    assert direct == via_artifact
+    # the merges artifact itself round-trips
+    merges, vocab = TK.bpe_learn(docs, alphabet="bytes")
+    mp, _ = TK.export_bpe(merges, vocab, str(tmp_path / "bpe2"))
+    reread = spark.read.parquet(mp)
+    assert {tuple(r) for r in reread.collect()} == {
+        tuple(r) for r in merges.collect()
+    }

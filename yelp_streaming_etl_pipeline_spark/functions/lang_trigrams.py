@@ -375,17 +375,34 @@ def with_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def with_trigram_lang_id(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_chars: int | None = None,
 ) -> DataFrame:
     """df + ``language``/``language_confidence`` — the broadcast-join
     execution of the trigram classifier (bit-identical decisions to
     ``lang_id_trigram_struct``; requires a unique ``id_col`` to join
-    the scores back)."""
+    the scores back).
+
+    ``max_chars`` caps classification at the text's first N
+    characters — the production cost knob: language is decided in the
+    first few hundred chars of natural text, and the cap bounds
+    per-row work on long documents (trigram volume, zh scan, marker
+    fallback all run on the prefix). Full text stays the default;
+    opt in per call. Engine note: Spark ``substring`` counts
+    codepoints and DuckDB ``substr`` counts characters — identical on
+    BMP text, which is all the profiles can score anyway."""
     from .language import lang_id_struct
 
-    scores = trigram_scores_frame(df, text_col, id_col)
+    t = F.col(text_col)
+    if max_chars is not None:
+        t = F.substring(t, 1, max_chars)
+    scores = trigram_scores_frame(
+        df.select(F.col(id_col), t.alias(text_col)), text_col, id_col
+    )
     joined = df.join(scores, id_col, "left")
-    c = F.col(text_col)
+    c = t
     zh = F.regexp_count(
         F.lower(F.coalesce(c, F.lit(""))), F.lit(LANG_ZH_CLASS)
     )

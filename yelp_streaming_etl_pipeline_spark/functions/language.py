@@ -91,7 +91,8 @@ def lang_id_struct(c: Column) -> Column:
 
 
 def with_lang_id(df, text_col: str = "text", method: str = "trigram",
-                 id_col: str | None = None):
+                 id_col: str | None = None,
+                 max_chars: int | None = None):
     """Add ``language`` / ``language_confidence``. Default L1 is the
     Cavnar-Trenkle-style trigram classifier (lang_trigrams.py) with
     this module's marker heuristic as the zero-score fallback; pass
@@ -100,7 +101,14 @@ def with_lang_id(df, text_col: str = "text", method: str = "trigram",
     With ``id_col`` (a unique key) the trigram scores run as a
     broadcast-join plan (codegen'd, the fast/scale path); without one
     they run as a per-row expression (interpreted HOF — fine for small
-    streams, slow on large tables)."""
+    streams, slow on large tables).
+
+    ``max_chars`` (opt-in) classifies on the text's first N chars —
+    bounds per-row cost on long documents; full text is the default
+    (see lang_trigrams.with_trigram_lang_id)."""
+    t = F.col(text_col)
+    if max_chars is not None:
+        t = F.substring(t, 1, max_chars)
     if method == "trigram":
         from .lang_trigrams import (
             lang_id_trigram_struct,
@@ -108,10 +116,12 @@ def with_lang_id(df, text_col: str = "text", method: str = "trigram",
         )
 
         if id_col is not None:
-            return with_trigram_lang_id(df, text_col, id_col)
-        s = lang_id_trigram_struct(F.col(text_col))
+            return with_trigram_lang_id(
+                df, text_col, id_col, max_chars=max_chars
+            )
+        s = lang_id_trigram_struct(t)
     else:
-        s = lang_id_struct(F.col(text_col))
+        s = lang_id_struct(t)
     return df.withColumn("_lid", s).select(
         "*",
         F.col("_lid.language").alias("language"),

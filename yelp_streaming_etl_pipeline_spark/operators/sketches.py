@@ -468,3 +468,114 @@ def hll_estimate_by_group(registers: DataFrame) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(lut, v)
     ).otherwise(raw)
     return agg.select("g", stable_round(est, 2).alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable rank-based quantile sketch (HDR-histogram-style).
+#
+# value_histogram's equi-width bins are DATA-RANGE DEPENDENT (min/max
+# must be known first, and one outlier stretches every bin); the robust
+# 100 TB quantile answer is a sketch whose bucket boundaries are fixed
+# a priori and whose registers merge by addition. KLL and t-digest are
+# the textbook choices, but both are RANDOMIZED (KLL's coin-flip
+# compaction) or order-dependent (t-digest's centroid accretion) — a
+# register table built by either differs across engines and
+# partitionings, so neither can be value-hash-checked against DuckDB.
+# The deterministic sketch with the same mergeable-rank contract is the
+# HDR histogram: base-2 exponent buckets subdivided linearly into
+# 2^QSK_SUB_BITS sub-buckets, giving a GUARANTEED relative value error
+# of 2^-QSK_SUB_BITS per quantile while the register table stays
+# O(sub_buckets * log(max/min)) rows — ~64 rows per octave, fixed
+# forever, whatever the data range turns out to be.
+#
+# Everything up to the final descale is integer arithmetic on the
+# scale-QSK_QS-quantized value (floor(v * 10^qs + 0.5), the same
+# kernel as rounding.py), and the exponent comes from the LENGTH OF
+# THE BINARY STRING (bin(q) has no padding and no prefix in either
+# engine) — no log2, no float, so registers are bit-identical across
+# engines and partitionings:
+#
+#   q      = floor(value * 10^qs + 0.5)          non-negative declared
+#   s      = max(0, (len(bin(q)) - 1) - B)       shift for this octave
+#   bucket = s * 2^B + (q >> s)                  monotone in q
+#   lb     = (q >> s) << s                       bucket's lowest q
+#   width  = 1 << s                              bucket's q span
+#
+# Merge = sum of n by bucket (lb/width are functionally determined).
+# Quantile: first bucket whose cumulative count reaches ceil(p * N),
+# reported at the bucket midpoint lb + (width-1) div 2, descaled.
+# ---------------------------------------------------------------------------
+
+QSK_QS = 3  # 1e-3 value resolution before bucketing
+QSK_SUB_BITS = 6  # 64 sub-buckets per octave -> rel. error <= 1/64
+
+
+def quantile_sketch_registers(df: DataFrame, value: Column) -> DataFrame:
+    """Register table (bucket, lb_q, width_q, n) of the HDR quantile
+    sketch over a NON-NEGATIVE value column. One shuffle of at most
+    ~64 * 64 rows per input partition at any input size; two sketches
+    merge by summing ``n`` per bucket."""
+    from ..functions.rounding import quantize
+
+    b = QSK_SUB_BITS
+    staged = df.select(quantize(value, QSK_QS).alias("q")).select(
+        "q",
+        F.greatest(
+            (F.length(F.bin(F.col("q"))) - 1) - F.lit(b), F.lit(0)
+        ).cast("int").alias("s"),
+    )
+    return (
+        staged.select(
+            (
+                F.col("s").cast("long") * (1 << b)
+                + F.expr("shiftright(q, s)")
+            ).alias("bucket"),
+            F.expr("shiftleft(shiftright(q, s), s)").alias("lb"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), s)").alias("width"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("lb").alias("lb_q"),
+            F.min("width").alias("width_q"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+QSK_PS = (0.5, 0.9, 0.99)
+
+
+def quantile_sketch_estimate(
+    registers: DataFrame, ps: tuple[float, ...] = QSK_PS
+) -> DataFrame:
+    """(p, est): the sketch's quantile estimates — first bucket whose
+    cumulative count reaches rank ceil(p * N), valued at the bucket
+    midpoint. Pure arithmetic over the register table (a few hundred
+    rows), exact-integer until the final descale."""
+    from pyspark.sql import Window
+
+    total = registers.agg(F.sum("n").alias("N"))
+    cum = registers.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    p_df = registers.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p DOUBLE"
+    )
+    targets = p_df.crossJoin(F.broadcast(total)).select(
+        "p", F.ceil(F.col("p") * F.col("N").cast("double")).alias("rank")
+    )
+    hit = (
+        targets.join(cum, F.col("cum") >= F.col("rank"))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("bucket"))
+        .join(cum.select("bucket", "lb_q", "width_q"), "bucket")
+    )
+    est = (
+        F.col("lb_q") + F.expr("(width_q - 1) div 2")
+    ).cast("double") / F.lit(float(10**QSK_QS))
+    return hit.select("p", est.alias("est"))

@@ -264,6 +264,86 @@ def dedup_reviews_stream_tws(reviews: DataFrame) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.125  # exact binary fraction — matches the batch operator
+
+# running fold: acc = EWMA of everything seen, n = events folded
+# (n = 0 marks the unseeded state; the first value ever seeds acc)
+EWMA_STATE = StructType(
+    [StructField("acc", DoubleType()), StructField("n", LongType())]
+)
+
+
+def ewma_output_schema(key_type) -> StructType:
+    return StructType(
+        [
+            StructField("key", key_type),
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+
+
+def _ewma_fn(
+    key: Tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import math
+
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    vals = rows["value"].astype("float64").tolist()
+    if state.exists:
+        acc, n = state.get
+    else:
+        acc, n = 0.0, 0
+    for x in vals:
+        # same IEEE op sequence as the batch fold (timeseries.py) and
+        # the DuckDB list_reduce: a*x + b*acc in doubles
+        acc = x if n == 0 else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * acc
+        n += 1
+    state.update((acc, n))
+    if vals:
+        # emit the running value, rounded like the batch operator
+        # (stable_round: floor(x*1e6+0.5)/1e6); state keeps the
+        # UNROUNDED acc so later batches continue the exact fold
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_events": n,
+                    "ewma": math.floor(acc * 1e6 + 0.5) / 1e6,
+                }
+            ]
+        )
+
+
+def ewma_stream(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming twin of operators/timeseries.py:ewma_by_key — the
+    bounded-state sequential fold. The batch operator collects one
+    key's FULL history into an array (exact, but a hot key with 1e9
+    events is an executor OOM); here state is two scalars per key
+    forever, so the hot-key ceiling disappears — the trade is that the
+    fold order is arrival order across micro-batches (each batch is
+    sorted by (ts, event_id) before folding). With per-key-ordered
+    delivery — keyed Kafka partitions (the reference keys by
+    business_id, producer.py:114) or key-partitioned staging files —
+    the stream fold reproduces the batch fold bit-for-bit; the oracle
+    gate runs it that way.
+
+    Emits the running (key, n_events, ewma) per key per batch in
+    UPDATE mode; a real sink upserts, so the latest row per key is
+    the table."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=ewma_output_schema(
+            events.schema[key_col].dataType
+        ),
+        stateStructType=EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """events(user_id, ts, value, ...) stream -> closed-session stream.
 
