@@ -1412,6 +1412,40 @@ def q_user_value_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketches: p50/p90/p99 of value per event
+    type off (group, bucket)-keyed HDR registers — the per-domain
+    latency-quantile shape, <= a few hundred exact-integer rows per
+    group at any input size."""
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    regs = SK.quantile_sketch_registers_by_group(
+        ev, F.col("event_type"), F.col("value")
+    )
+    return SK.quantile_sketch_estimate_by_group(regs)
+
+
+SQL_SURFACE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count"""
+
+
+def q_sql_surface_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second identical-text two-engine SQL query (TPC-H-Q13 shape,
+    adapted to the fixture's columns): customer order-count
+    distribution through an OUTER join with a mixed equi + filter ON
+    condition — exercises Catalyst's outer-join + two-level aggregate
+    planning on the same text DuckDB runs verbatim."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_SURFACE_Q13)
+
+
 _QSK_CTE = """qv AS (
   SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q FROM events
 ),
@@ -1463,6 +1497,51 @@ hit AS (
 )
 SELECT p, CAST(lb_q + (width_q - 1) // 2 AS DOUBLE) / 1000.0 AS est
 FROM hit JOIN cum USING (bucket)"""
+
+
+def _sql_quantile_by_type() -> str:
+    """Twin of sketches.quantile_sketch_*_by_group over
+    (event_type, value)."""
+    return """
+WITH qv AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q
+  FROM events
+),
+st AS (
+  SELECT g, q, greatest(length(bin(q)) - 1 - 6, 0) AS s FROM qv
+),
+bk AS (
+  SELECT g, CAST(s * 64 + (q >> s) AS BIGINT) AS bucket,
+         CAST((q >> s) << s AS BIGINT) AS lb,
+         CAST(1::BIGINT << s AS BIGINT) AS width
+  FROM st
+),
+regs AS (
+  SELECT g, bucket, CAST(min(lb) AS BIGINT) AS lb_q,
+         CAST(min(width) AS BIGINT) AS width_q, count(*) AS n
+  FROM bk GROUP BY g, bucket
+),
+tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS total FROM regs GROUP BY g),
+cum AS (
+  SELECT g, bucket, lb_q, width_q,
+         CAST(sum(n) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT)
+           AS cum_n
+  FROM regs
+),
+ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+tgt AS (
+  SELECT g, p, CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) AS rnk
+  FROM tot CROSS JOIN ps
+),
+hit AS (
+  SELECT t.g, t.p, min(c.bucket) AS bucket
+  FROM tgt t JOIN cum c ON t.g = c.g AND c.cum_n >= t.rnk
+  GROUP BY t.g, t.p
+)
+SELECT h.g, h.p,
+       CAST(c.lb_q + (c.width_q - 1) // 2 AS DOUBLE) / 1000.0 AS est
+FROM hit h JOIN cum c ON h.g = c.g AND h.bucket = c.bucket"""
 
 
 def _sql_event_zscores(cut: float = 3.0) -> str:
@@ -1736,14 +1815,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) the 28 entries round 3
-    added (driver-green in CORRECTNESS_r03, re-verified because
-    several carry THIS round's code changes: pagerank persist
+    a driver check, rotate back in FIRST; (b) 26 of the 28 entries
+    round 3 added (driver-green in CORRECTNESS_r03, re-verified
+    because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
-    z-score variance guard, personalized-pagerank EXISTS seed);
-    (c) the 8 entries NEW this round — never driver-checked;
-    (d) dedup_clusters, which carries this round's checkpoint-knob
-    refactor. 13 + 28 + 8 + 1 = 50.
+    z-score variance guard, personalized-pagerank EXISTS seed) —
+    trending_stream and io_roundtrip_formats, r3-green and untouched
+    this round, yield their slots to rule (c) and move to the tail's
+    r3-checked block; (c) the 10 entries NEW this round — never
+    driver-checked, which outranks re-coverage; (d) dedup_clusters,
+    which carries this round's checkpoint-knob refactor.
+    13 + 26 + 10 + 1 = 50.
 
     CYCLE PLAN (117 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
@@ -1775,7 +1857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "embedding_project": q_embedding_project,
         "semantic_dedup": q_semantic_dedup,
-        "trending_stream": q_trending_stream,
         "kmeans_clusters": q_kmeans_clusters,
         "hard_negatives": q_hard_negatives,
         "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -1784,7 +1865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "event_funnel": q_event_funnel,
         "user_cohorts": q_user_cohorts,
-        "io_roundtrip_formats": q_io_roundtrip_formats,
         "pagerank_nodes": q_pagerank_nodes,
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
@@ -1809,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytes_token_counts": q_bpe_bytes_token_counts,
         "events_hourly_update_stream": q_events_hourly_update_stream,
         "user_value_ewma_stream": q_user_value_ewma_stream,
+        "quantile_by_type": q_quantile_by_type,
+        "sql_surface_q13": q_sql_surface_q13,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -1862,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_quartiles": q_customer_quartiles,
         # ---- r3-checked block (freshest aside from this window):
         # round 6's rotation
+        "trending_stream": q_trending_stream,
+        "io_roundtrip_formats": q_io_roundtrip_formats,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -2888,6 +2972,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_update_stream": _sql_events_hourly(),
         # key-ordered delivery => stream fold == batch fold (same twin)
         "user_value_ewma_stream": _sql_user_value_ewma(),
+        "quantile_by_type": _sql_quantile_by_type(),
+        "sql_surface_q13": SQL_SURFACE_Q13,
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

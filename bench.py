@@ -130,6 +130,8 @@ HEADLINE = [
     "quantile_estimate",
     "bpe_merges_bytes",
     "bpe_bytes_token_counts",
+    "quantile_by_type",
+    "sql_surface_q13",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path
@@ -198,7 +200,10 @@ def pipeline_rps(spark) -> dict[str, int | dict[str, int]]:
                   the reference's consumer-side cost model);
       - marker:   native stopword/marker heuristic (pure codegen map);
       - trigram:  Cavnar-Trenkle trigram classifier as a broadcast-join
-                  plan (the scale-correct default, ~2x the marker cost).
+                  plan (the scale-correct default, ~2x the marker cost);
+      - trigram_prefix: the trigram classifier capped at the first 256
+                  chars (the opt-in production knob, lang_id_prefix) —
+                  quantifies what the cap buys on long documents.
     """
     from pyspark.sql import functions as F
 
@@ -224,6 +229,9 @@ def pipeline_rps(spark) -> dict[str, int | dict[str, int]]:
         "marker": with_lang_id(bare, "text", method="marker"),
         "trigram": with_lang_id(bare, "text", method="trigram",
                                 id_col="review_id"),
+        "trigram_prefix": with_lang_id(bare, "text", method="trigram",
+                                       id_col="review_id",
+                                       max_chars=256),
     }
     out: dict[str, int] = {}
     for name, src in variants.items():

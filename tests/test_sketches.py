@@ -289,3 +289,46 @@ def test_quantile_sketch_buckets_data_range_independent(spark):
     for k, v in b1.items():
         assert b2[k] == v
     assert len(b2) == len(b1) + 1
+
+
+def test_quantile_sketch_by_group_matches_isolated_builds(spark):
+    # the grouped registers equal per-group isolated global builds —
+    # grouping is pure key-space partitioning, no cross-group effects
+    df = spark.range(1, 5000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g",
+        "id * 0.21 AS v",
+    )
+    grouped = {
+        (r["g"], r["bucket"], r["lb_q"], r["width_q"], r["n"])
+        for r in SK.quantile_sketch_registers_by_group(
+            df, F.col("g"), F.col("v")
+        ).collect()
+    }
+    isolated = set()
+    for g in ("a", "b"):
+        for r in SK.quantile_sketch_registers(
+            df.filter(F.col("g") == g), F.col("v")
+        ).collect():
+            isolated.add((g, r["bucket"], r["lb_q"], r["width_q"], r["n"]))
+    assert grouped == isolated
+    # and the per-group estimates match the global estimator applied
+    # to each group's registers
+    got = {
+        (r["g"], r["p"]): r["est"]
+        for r in SK.quantile_sketch_estimate_by_group(
+            SK.quantile_sketch_registers_by_group(
+                df, F.col("g"), F.col("v")
+            )
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            r["p"]: r["est"]
+            for r in SK.quantile_sketch_estimate(
+                SK.quantile_sketch_registers(
+                    df.filter(F.col("g") == g), F.col("v")
+                )
+            ).collect()
+        }
+        for p, est in solo.items():
+            assert got[(g, p)] == est

@@ -579,3 +579,92 @@ def quantile_sketch_estimate(
         F.col("lb_q") + F.expr("(width_q - 1) div 2")
     ).cast("double") / F.lit(float(10**QSK_QS))
     return hit.select("p", est.alias("est"))
+
+
+def quantile_sketch_registers_by_group(
+    df: DataFrame, group: Column, value: Column
+) -> DataFrame:
+    """Per-group HDR quantile registers — (g, bucket, lb_q, width_q,
+    n), the per-event-type latency-quantile shape: state is <= a few
+    hundred exact-integer rows PER GROUP at any input size, and
+    groups merge independently by summing n."""
+    from ..functions.rounding import quantize
+
+    b = QSK_SUB_BITS
+    staged = df.select(
+        group.alias("g"), quantize(value, QSK_QS).alias("q")
+    ).select(
+        "g",
+        "q",
+        F.greatest(
+            (F.length(F.bin(F.col("q"))) - 1) - F.lit(b), F.lit(0)
+        ).cast("int").alias("s"),
+    )
+    return (
+        staged.select(
+            "g",
+            (
+                F.col("s").cast("long") * (1 << b)
+                + F.expr("shiftright(q, s)")
+            ).alias("bucket"),
+            F.expr("shiftleft(shiftright(q, s), s)").alias("lb"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), s)").alias("width"),
+        )
+        .groupBy("g", "bucket")
+        .agg(
+            F.min("lb").alias("lb_q"),
+            F.min("width").alias("width_q"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def quantile_sketch_estimate_by_group(
+    registers: DataFrame, ps: tuple[float, ...] = QSK_PS
+) -> DataFrame:
+    """(g, p, est): per-group quantile estimates off the grouped
+    register table — same rank/midpoint arithmetic as the global
+    estimate, windows partitioned by group. Register-table-sized
+    work only."""
+    from pyspark.sql import Window
+
+    totals = registers.groupBy("g").agg(F.sum("n").alias("N"))
+    cum = registers.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.partitionBy("g")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    p_df = registers.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p DOUBLE"
+    )
+    targets = totals.crossJoin(F.broadcast(p_df)).select(
+        "g",
+        "p",
+        F.ceil(F.col("p") * F.col("N").cast("double")).alias("rank"),
+    )
+    hit = (
+        targets.alias("t")
+        .join(
+            cum.alias("c"),
+            (F.col("t.g") == F.col("c.g"))
+            & (F.col("c.cum") >= F.col("t.rank")),
+        )
+        .groupBy(F.col("t.g").alias("g"), "p")
+        .agg(F.min("c.bucket").alias("bucket"))
+    )
+    decode = cum.select(
+        F.col("g").alias("_dg"),
+        F.col("bucket").alias("_db"),
+        "lb_q",
+        "width_q",
+    )
+    est = (
+        F.col("lb_q") + F.expr("(width_q - 1) div 2")
+    ).cast("double") / F.lit(float(10**QSK_QS))
+    return hit.join(
+        decode,
+        (F.col("g") == F.col("_dg")) & (F.col("bucket") == F.col("_db")),
+    ).select("g", "p", est.alias("est"))
