@@ -1446,6 +1446,102 @@ def q_sql_surface_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SURFACE_Q13)
 
 
+SQL_SURFACE_Q2 = """
+SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+       l.l_extendedprice AS min_price
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 15
+  AND l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)"""
+
+
+def q_sql_surface_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q2 shape, adapted to the
+    fixture's columns): cheapest line per part via a CORRELATED SCALAR
+    subquery — Catalyst decorrelates it into an aggregate + join;
+    DuckDB runs the same text through its own unnesting. Widens the
+    decorrelation coverage sql_surface_q4's correlated EXISTS
+    started."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_Q2)
+
+
+SQL_SURFACE_Q21 = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R'
+  AND o.o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name"""
+
+
+def q_sql_surface_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q21 shape, adapted:
+    l_returnflag = 'R' is the problem marker in place of the missing
+    receipt/commit dates): suppliers who were the SOLE flagged
+    supplier on a finished multi-supplier order — a correlated EXISTS
+    and NOT EXISTS against the same fact table in one query, the
+    decorrelation double-whammy Q21 is famous for."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_SURFACE_Q21)
+
+
+def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the Jaccard-thresholded
+    co-supply similarity graph (operators/graph.py) — wedge-join
+    triangle enumeration, the clustering-coefficient numerator."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        cosupply_triangles,
+    )
+
+    return cosupply_triangles(_t(spark, sf_dir, "lineitem"))
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from every 100th customer through
+    the customer–supplier graph (operators/graph.py) — frontier-loop
+    iteration checked against a recursive-CTE oracle."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        bipartite_bfs_levels,
+    )
+
+    return bipartite_bfs_levels(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints with engine-exact
+    packed-argmin selection (operators/dedup.py) — per-doc fingerprint
+    count + order-independent checksum."""
+    return DD.winnowing_fingerprints(_t_cpu(spark, sf_dir, "documents"))
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact-to-dim join (operators/relational.py) —
+    row-identical to the plain join the oracle runs; the salt only
+    changes the partitioning."""
+    return REL.salted_skew_join(read_events(_ensure_conf(spark), sf_dir))
+
+
 _QSK_CTE = """qv AS (
   SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q FROM events
 ),
@@ -1815,19 +1911,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 26 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 20 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
     z-score variance guard, personalized-pagerank EXISTS seed) —
-    trending_stream and io_roundtrip_formats, r3-green and untouched
-    this round, yield their slots to rule (c) and move to the tail's
-    r3-checked block; (c) the 10 entries NEW this round — never
-    driver-checked, which outranks re-coverage; (d) dedup_clusters,
-    which carries this round's checkpoint-knob refactor.
-    13 + 26 + 10 + 1 = 50.
+    the 8 that are r3-green AND untouched this round
+    (trending_stream, io_roundtrip_formats, pii_profile, pii_redact,
+    zorder_layout, frame_sample_plan, hll_set_ops, cms_join_size)
+    yield their slots to rule (c) and move to the tail's r3-checked
+    block; (c) the 16 entries NEW this round — never driver-checked,
+    which outranks re-coverage; (d) dedup_clusters, which carries
+    this round's checkpoint-knob refactor. 13 + 20 + 16 + 1 = 50.
 
-    CYCLE PLAN (117 entries, 50-entry window): entries past position
+    CYCLE PLAN (125 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -1852,9 +1949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "pii_profile": q_pii_profile,
-        "pii_redact": q_pii_redact,
-        "zorder_layout": q_zorder_layout,
         "embedding_project": q_embedding_project,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1866,15 +1960,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "user_cohorts": q_user_cohorts,
         "pagerank_nodes": q_pagerank_nodes,
-        "hll_set_ops": q_hll_set_ops,
-        "cms_join_size": q_cms_join_size,
         "attributed_purchases_outer_stream": (
             q_attributed_purchases_outer_stream
         ),
         "event_zscores": q_event_zscores,
         "user_value_ewma": q_user_value_ewma,
         "hll_registers_stream": q_hll_registers_stream,
-        "frame_sample_plan": q_frame_sample_plan,
         "hll_by_type": q_hll_by_type,
         "personalized_pagerank": q_personalized_pagerank,
         "bpe_merges": q_bpe_merges,
@@ -1891,6 +1982,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_ewma_stream": q_user_value_ewma_stream,
         "quantile_by_type": q_quantile_by_type,
         "sql_surface_q13": q_sql_surface_q13,
+        "sql_surface_q2": q_sql_surface_q2,
+        "sql_surface_q21": q_sql_surface_q21,
+        "cosupply_triangles": q_cosupply_triangles,
+        "bfs_levels": q_bfs_levels,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "salted_skew_join": q_salted_skew_join,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -1946,6 +2043,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6's rotation
         "trending_stream": q_trending_stream,
         "io_roundtrip_formats": q_io_roundtrip_formats,
+        "pii_profile": q_pii_profile,
+        "pii_redact": q_pii_redact,
+        "zorder_layout": q_zorder_layout,
+        "frame_sample_plan": q_frame_sample_plan,
+        "hll_set_ops": q_hll_set_ops,
+        "cms_join_size": q_cms_join_size,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -2974,6 +3077,12 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ewma_stream": _sql_user_value_ewma(),
         "quantile_by_type": _sql_quantile_by_type(),
         "sql_surface_q13": SQL_SURFACE_Q13,
+        "sql_surface_q2": SQL_SURFACE_Q2,
+        "sql_surface_q21": SQL_SURFACE_Q21,
+        "cosupply_triangles": O.sql_cosupply_triangles(),
+        "bfs_levels": O.sql_bipartite_bfs_levels(),
+        "winnowing_fingerprints": O.sql_winnowing_fingerprints(),
+        "salted_skew_join": O.sql_salted_skew_join(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

@@ -458,3 +458,72 @@ def test_semantic_decontaminate_flags_planted_twin(spark):
     assert out[300]["max_benchmark_sim"] > 0.999
     assert sum(1 for r in out.values() if r["contaminated"]) == 1
     assert 0 not in out  # the benchmark vector itself is excluded
+
+
+# ------------------------- winnowing fingerprints -------------------------
+
+import hashlib
+
+from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+    winnowing_fingerprints,
+)
+
+
+def _py_winnow(text, k=8, w=4):
+    """Sequential model of the declared packed-argmin semantics."""
+    n = len(text)
+    if n < k + w - 1:
+        return None
+    radix = 1 << 20
+    hs = [
+        int(
+            hashlib.md5(text[p : p + k].encode("utf-8")).hexdigest()[:8],
+            16,
+        )
+        for p in range(n - k + 1)
+    ]
+    sel = set()
+    for q in range(len(hs) - w + 1):
+        packed = [
+            hs[q + j] * radix + (radix - (q + j + 1)) for j in range(w)
+        ]
+        sel.add(min(packed) // radix)
+    return sorted(sel)
+
+
+def test_winnowing_matches_sequential_model(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abcabcabcabcabcabcabc"),  # heavy repetition -> few fps
+        (3, "héllo wörld — unicode grams stay character-aligned!!"),
+        (4, "short"),  # below k+w-1: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_fp"], r["fp_checksum"], r["fp_min"], r["fp_max"])
+        for r in winnowing_fingerprints(df).collect()
+    }
+    assert 4 not in got
+    for doc_id, text in docs[:3]:
+        fps = _py_winnow(text)
+        assert got[doc_id] == (
+            len(fps),
+            sum(fps),
+            min(fps),
+            max(fps),
+        ), doc_id
+
+
+def test_winnowing_guarantee_shared_fingerprint(spark):
+    # any shared substring of length >= w + k - 1 = 11 must yield at
+    # least one common fingerprint (the winnowing guarantee)
+    shared = "COMMONSEGMENT_XYZ"
+    a = "prefix-one " + shared + " tail-a"
+    b = "another lead " + shared + " end-b"
+    fa, fb = set(_py_winnow(a)), set(_py_winnow(b))
+    assert fa & fb, "winnowing guarantee violated in the model"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in winnowing_fingerprints(df).collect()}
+    assert rows[1]["n_fp"] == len(fa) and rows[2]["n_fp"] == len(fb)

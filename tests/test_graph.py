@@ -197,3 +197,107 @@ def test_pagerank_releases_all_caches(spark):
         return len(spark.sparkContext._jsc.getPersistentRDDs())
 
     assert run(6) <= run(2) + 1  # bounded, not O(iters)
+
+
+# ------------------------- triangle counts -------------------------
+
+from yelp_streaming_etl_pipeline_spark.operators.graph import (  # noqa: E402
+    bfs_levels,
+    triangle_counts,
+)
+
+
+def _py_triangles(edges):
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({v for e in es for v in e})
+    count = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (a, c) in es and (b, c) in es:
+                    for v in (a, b, c):
+                        count[v] = count.get(v, 0) + 1
+    return count
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    # K4 plus a pendant edge and a disconnected edge
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (8, 9)]
+    df = spark.createDataFrame(
+        [tuple(sorted(e)) for e in und], "u long, v long"
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _py_triangles(und)
+    # K4: every member is in C(3,2) = 3 triangles; pendant absent
+    assert got[1] == 3 and 5 not in got
+
+
+def test_triangle_counts_triangle_free(spark):
+    # a path and a star have no triangles
+    und = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)]
+    df = spark.createDataFrame(und, "u long, v long")
+    assert triangle_counts(df).count() == 0
+
+
+# ------------------------- BFS levels -------------------------
+
+
+def _py_bfs(edges, seeds, max_level):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    level = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, max_level + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in level:
+                    level[v] = lvl
+                    nxt.add(v)
+        frontier = nxt
+    return level
+
+
+def test_bfs_levels_matches_sequential(spark):
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 6), (7, 8)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(df, seeds, max_level=3).collect()
+    }
+    assert got == _py_bfs(edges, [1], 3)
+    # node 4 is 3 hops away (1-2-3-4); 7/8 unreachable
+    assert got[4] == 3 and 7 not in got
+
+
+def test_bfs_seed_outside_graph_stays_level_zero(spark):
+    edges = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(df, seeds, max_level=2).collect()
+    }
+    # isolated seed is reported at level 0 and expands nowhere
+    assert got == {1: 0, 99: 0, 2: 1}
+
+
+def test_bfs_min_level_wins_on_multiple_paths(spark):
+    # two routes to node 4: 1-2-4 (2 hops) and 1-3-5-4 (3 hops)
+    und = [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(df, seeds, max_level=4).collect()
+    }
+    assert got[4] == 2

@@ -420,3 +420,52 @@ def test_sql_surface_exists_decorrelates_to_semi_join(spark):
     assert "LeftSemi" in plan or "Semi" in plan, plan
     assert "CartesianProduct" not in plan
     assert not A.has_python_udf(df)
+
+
+def test_salted_skew_join_partitions_on_composite_key(spark):
+    # the whole point of the salt: the join's exchange must hash on
+    # (user_id, _salt) so a hot user spreads over n_salts reducers,
+    # and the plan must stay free of Python UDFs and cartesians
+    df = E.q_salted_skew_join(spark, SF)
+    plan = A.physical_plan(df)
+    import re
+
+    assert re.search(r"hashpartitioning\(user_id[^)]*_salt", plan), plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q2_decorrelates_scalar_subquery(spark):
+    # the correlated scalar min() must become an aggregate + join —
+    # no per-row subquery execution node in the physical plan
+    df = E.q_sql_surface_q2(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan, plan[:3000]
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q21_decorrelates_both_exists(spark):
+    # EXISTS -> semi join, NOT EXISTS -> anti join, in one query
+    df = E.q_sql_surface_q21(spark, SF)
+    plan = A.physical_plan(df)
+    assert "Semi" in plan, plan[:3000]
+    assert "Anti" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_triangle_counts_no_cartesian(spark):
+    # wedge build + closing-edge probe must both be equi-joins
+    df = E.q_cosupply_triangles(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_winnowing_single_doc_shuffle(spark):
+    # one per-doc window (hash exchange on doc_id) + the final
+    # per-doc aggregate reusing that partitioning; distinct adds one
+    df = E.q_winnowing_fingerprints(spark, SF)
+    assert A.key_shuffle_exchanges(df) <= 2, A.physical_plan(df)[:2000]
+    assert not A.has_python_udf(df)

@@ -154,3 +154,41 @@ class TestFunnelAndCohorts:
         assert out[("2024-01-01", 0)] == 2
         assert out[("2024-01-01", 2)] == 1
         assert len(out) == 2
+
+
+class TestSaltedSkewJoin:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        ).withColumn("value", F.lit(1.0))
+
+    def test_salted_join_equals_plain_join(self, spark):
+        from datetime import datetime as dt
+
+        from yelp_streaming_etl_pipeline_spark.operators.relational import (
+            salted_skew_join,
+        )
+
+        # hot key: user 1 owns most rows (the skew case the salt spreads)
+        rows = [(i, dt(2024, 1, 1, i % 24), 1, "view") for i in range(40)]
+        rows += [(100, dt(2024, 1, 2), 2, "click"), (101, dt(2024, 1, 3), 2, "view")]
+        ev = self._events(spark, rows)
+        got = {
+            (r["user_id"], r["event_type"]): (
+                r["n_events"], r["first_seen"], r["lifetime_events"],
+            )
+            for r in salted_skew_join(ev, n_salts=4).collect()
+        }
+        # plain (unsalted) reference computed with straight DataFrame ops
+        dim = ev.groupBy("user_id").agg(
+            F.min("ts").alias("fs"), F.count("*").alias("le")
+        )
+        want = {
+            (r["user_id"], r["event_type"]): (r["n"], r["fs"], r["le"])
+            for r in ev.join(dim, "user_id")
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"), F.min("fs").alias("fs"), F.min("le").alias("le"))
+            .collect()
+        }
+        assert got == want
+        assert got[(1, "view")][0] == 40 and got[(1, "view")][2] == 40

@@ -809,3 +809,85 @@ def duplicated_passages(
         )
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+# ------------------------- winnowing fingerprints -------------------------
+
+WINNOW_K = 8  # k-gram length in characters
+WINNOW_W = 4  # window size in k-grams
+_WINNOW_POS = 1 << 20  # position-encoding radix for the packed argmin
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram,
+    slide a window of ``w`` consecutive k-gram hashes, and keep the
+    minimum hash per window (ties -> rightmost occurrence). Guarantees
+    at least one shared fingerprint for any match of length
+    ``w + k - 1``, while storing ~``2/(w+1)`` of all gram hashes —
+    the robust local fingerprinting scheme behind plagiarism / near-dup
+    detection at corpus scale.
+
+    Selection is made engine-exact with a packed argmin: each gram row
+    carries ``c = h * 2^20 + (2^20 - pos)`` so ``min(c)`` over the
+    window frame simultaneously takes the smallest hash and, on ties,
+    the RIGHTMOST position — one window pass, no argmax join. ``h`` is
+    the usual 32-bit md5 prefix (< 2^32), so ``c < 2^52`` stays exact
+    in a BIGINT/double anywhere. Document positions must be < 2^20;
+    chunk longer inputs first (operators/corpus_quality.chunk_documents).
+
+    Returns one row per document: fingerprint count plus an
+    order-independent checksum (sum), min and max of the selected
+    fingerprint hashes — sensitive to every selected fingerprint
+    without shipping the full (doc, pos, hash) set. The selection
+    itself is a map + one per-doc window (single shuffle keyed by
+    doc_id); nothing global. Documents shorter than ``w + k - 1``
+    chars have no full window and are excluded — declared semantics,
+    mirrored by the oracle twin.
+    """
+    d = documents.filter(F.length("text") >= k + w - 1).select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    grams = d.select(
+        "doc_id",
+        "n",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - (k - 1))
+        ).alias("pos"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.expr(f"substring(text, pos, {k})")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    packed = grams.select(
+        "doc_id",
+        "n",
+        "pos",
+        (h * F.lit(_WINNOW_POS) + (F.lit(_WINNOW_POS) - F.col("pos"))).alias(
+            "ck"
+        ),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        packed.withColumn("mck", F.min("ck").over(win))
+        .filter(F.col("pos") <= F.col("n") - (k - 1) - (w - 1))
+        .select(
+            "doc_id",
+            F.expr(f"mck div {_WINNOW_POS}").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.sum("fp_hash").alias("fp_checksum"),
+        F.min("fp_hash").alias("fp_min"),
+        F.max("fp_hash").alias("fp_max"),
+    )

@@ -273,3 +273,184 @@ def personalized_pagerank_bipartite(
             bipartite_edges(orders, lineitem), iters=iters, seeds=seeds
         )
     )
+
+
+def cosupply_edges(lineitem: DataFrame) -> DataFrame:
+    """Unipartite supplier similarity graph: an undirected edge
+    ``(u, v)`` (canonical ``u < v``) between suppliers whose distinct
+    supplied-part sets have Jaccard similarity >= 1/7, tested with the
+    integer cross-multiplication ``8 * shared >= deg_u + deg_v``
+    (Jaccard = shared / (deg_u + deg_v - shared) >= 1/7  <=>
+    8*shared >= deg_u + deg_v) so the threshold is scale-free and
+    BIGINT-exact in every engine — no float similarity anywhere.
+
+    100 TB shape: the pair generation is the classic co-occurrence
+    self-join keyed by part — cost is sum over parts of
+    (suppliers_per_part choose 2), bounded by the per-part supplier
+    fan-out, never |S|^2 over the whole supplier table. A part
+    supplied by a pathological number of suppliers is the hot key; at
+    production scale cap or sample per-part supplier lists before the
+    self-join (same discipline as the LSH hot-bucket sub-banding in
+    operators/dedup.py).
+    """
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    deg = ps.groupBy("l_suppkey").agg(F.count("*").alias("deg"))
+    a = ps.alias("a")
+    b = ps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    du = deg.select(
+        F.col("l_suppkey").alias("u"), F.col("deg").alias("deg_u")
+    )
+    dv = deg.select(
+        F.col("l_suppkey").alias("v"), F.col("deg").alias("deg_v")
+    )
+    return (
+        shared.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .filter(8 * F.col("shared") >= F.col("deg_u") + F.col("deg_v"))
+        .select("u", "v")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over canonical ``(u < v)`` undirected
+    edges: two equi-joins (wedge build + closing-edge probe), never an
+    all-pairs product. Returns ``(node, n_triangles)`` for every node
+    in at least one triangle.
+
+    Each triangle (a < b < c) is matched exactly once — as wedge
+    (a,b) + (a,c) closed by (b,c) — and contributes one count to each
+    of its three corners. Counting is exact integer aggregation, so
+    partition order is irrelevant and any engine agrees.
+
+    100 TB shape: wedge volume is sum over nodes of (out-deg choose
+    2) under the canonical orientation; production graphs cut it
+    further by orienting low-degree -> high-degree (degree ordering)
+    before the wedge join — the counts are identical under any
+    orientation, so the oracle twin keeps the simple key order. Both
+    joins are equi-joins that AQE can plan; no driver-side state.
+    """
+    e = edges.select("u", "v").persist()
+    wedges = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.u") == F.col("e2.u"),
+        )
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+    )
+    counts = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = counts.localCheckpoint()
+    e.unpersist()
+    return out
+
+
+def cosupply_triangles(lineitem: DataFrame) -> DataFrame:
+    """End-to-end: co-supply similarity graph + per-supplier triangle
+    counts — the clustering-coefficient numerator used to find tightly
+    coupled supplier communities."""
+    return triangle_counts(cosupply_edges(lineitem)).select(
+        F.col("node").alias("s_suppkey"), "n_triangles"
+    )
+
+
+def bfs_levels(
+    edges: DataFrame, seeds: DataFrame, max_level: int = 4
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node,
+    capped at ``max_level`` hops. Returns ``(node, level)`` for every
+    reached node (seeds at level 0).
+
+    Frontier-expansion loop: each round joins the CURRENT frontier
+    (not the full visited set) onto the edge list and anti-joins the
+    visited set — per-round cost is frontier-adjacent edges only, the
+    textbook distributed-BFS shape. Levels are exact small integers;
+    the oracle twin is a recursive CTE taking min(level) per node, and
+    both engines agree because min over the bounded walk set is
+    order-independent.
+
+    PERSIST HYGIENE: visited/frontier persisted per round,
+    materialized, superseded tables released — same discipline as
+    :func:`pagerank`. ``max_level`` bounds the iteration count; for
+    unbounded reachability use ``dedup_clusters``-style convergence
+    detection instead.
+    """
+    edges = edges.select("src", "dst").persist()
+    frontier = (
+        seeds.select("node").distinct().localCheckpoint()
+    )
+    visited = frontier.withColumn("level", F.lit(0)).persist()
+    visited.count()
+    for lvl in range(1, max_level + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+        )
+        new_visited = visited.unionAll(nxt).persist()
+        new_visited.count()
+        frontier = new_visited.filter(F.col("level") == lvl).select(
+            "node"
+        )
+        visited.unpersist()
+        visited = new_visited
+    out = visited.localCheckpoint()
+    visited.unpersist()
+    edges.unpersist()
+    return out
+
+
+def bipartite_bfs_levels(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    seed_mod: int = 100,
+    max_level: int = 4,
+) -> DataFrame:
+    """BFS hop distance from every ``seed_mod``-th customer through
+    the customer–supplier interaction graph — seed-set expansion
+    radius, the breadth-first complement of
+    :func:`personalized_pagerank_bipartite`'s importance flow."""
+    seeds = customer.filter(
+        F.col("c_custkey") % seed_mod == 0
+    ).select((F.col("c_custkey") * 2).alias("node"))
+    lv = bfs_levels(
+        bipartite_edges(orders, lineitem), seeds, max_level=max_level
+    )
+    return lv.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        "level",
+    )

@@ -524,3 +524,59 @@ def user_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def salted_skew_join(
+    events: DataFrame, n_salts: int = 8
+) -> DataFrame:
+    """Skew-safe fact-to-dimension equi-join with an explicit salt.
+
+    The demo dimension is the per-user profile derived from the fact
+    table itself (first-seen timestamp + lifetime event count); the
+    fact side is re-joined to it to tag every event with its user's
+    profile, then re-aggregated per (user, event_type). A hot user
+    key — the classic skew case — would melt the single reducer that
+    owns it in a plain shuffle join; here the FACT side salts its key
+    with ``event_id % n_salts`` (deterministic, not rand(), so plans
+    replay identically) and the DIMENSION side explodes each row
+    n_salts times, so the hot key's rows spread over ``n_salts``
+    reducers. Join output is row-identical to the unsalted join (the
+    oracle proves it on the plain SQL); only the partitioning differs.
+
+    This is the hand-built mitigation for engines/paths where AQE's
+    runtime skew-join splitting is unavailable (streaming joins,
+    disabled AQE) — with AQE on, prefer the optimizer's split: it
+    salts only the skewed partitions and only when needed. The
+    explode multiplies the DIM side by n_salts, so keep n_salts near
+    the reducer-parallelism deficit, not in the hundreds.
+    """
+    dim = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.count("*").alias("lifetime_events"),
+    )
+    dim_salted = dim.select(
+        "user_id",
+        "first_seen",
+        "lifetime_events",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salts - 1))
+        ).alias("_salt"),
+    )
+    fact_salted = events.withColumn(
+        "_salt", (F.col("event_id") % n_salts).cast("int")
+    )
+    # shuffle_hash hint models the production case (dim too big to
+    # broadcast): with a broadcastable dim Spark would rightly skip
+    # the exchange — and the salt — entirely, which is the better
+    # plan when it applies but not the case this operator mitigates.
+    joined = fact_salted.join(
+        dim_salted.hint("shuffle_hash"), ["user_id", "_salt"]
+    )
+    return (
+        joined.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("first_seen").alias("first_seen"),
+            F.min("lifetime_events").alias("lifetime_events"),
+        )
+    )

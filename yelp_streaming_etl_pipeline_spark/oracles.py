@@ -2024,3 +2024,132 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
 FROM dw JOIN sizes USING (w)
 GROUP BY doc_id"""
+
+
+def sql_cosupply_triangles() -> str:
+    """Twin of operators/graph.py:cosupply_triangles — the Jaccard
+    threshold is the same integer cross-multiplication
+    (8*shared >= deg_u + deg_v), the triangle enumeration the same
+    canonical a < b < c wedge-close, so per-node counts are exact
+    integers in both engines."""
+    return """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+deg AS (SELECT l_suppkey, count(*) AS deg FROM ps GROUP BY l_suppkey),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT p.u, p.v FROM pairs p
+  JOIN deg du ON du.l_suppkey = p.u
+  JOIN deg dv ON dv.l_suppkey = p.v
+  WHERE 8 * p.shared >= du.deg + dv.deg),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node"""
+
+
+def sql_bipartite_bfs_levels(
+    seed_mod: int = 100, max_level: int = 4
+) -> str:
+    """Twin of operators/graph.py:bipartite_bfs_levels — the bounded
+    walk as a recursive CTE, min(level) per node = BFS hop distance.
+    UNION dedups (node, level) pairs and the level bound terminates
+    the recursion; min over the walk set is order-independent, so the
+    engines agree exactly."""
+    return f"""
+WITH RECURSIVE prs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM prs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM prs
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer
+  WHERE c_custkey % {seed_mod} = 0
+),
+walk(node, level) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.level + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.level < {max_level}
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       CAST(min(level) AS INTEGER) AS level
+FROM walk GROUP BY node"""
+
+
+def sql_winnowing_fingerprints(k: int = 8, w: int = 4) -> str:
+    """Twin of operators/dedup.py:winnowing_fingerprints — identical
+    packed argmin (h * 2^20 + (2^20 - pos)) and window frame, so the
+    selected fingerprint sets are byte-identical across engines."""
+    radix = 1 << 20
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {k + w - 1}
+),
+g AS (
+  SELECT doc_id, n, text,
+         unnest(generate_series(1, n - {k - 1})) AS pos
+  FROM d
+),
+packed AS (
+  SELECT doc_id, n, pos,
+         ('0x' || substr(md5(substr(text, pos, {k})), 1, 8))::BIGINT
+           * {radix} + ({radix} - pos) AS ck
+  FROM g
+),
+mw AS (
+  SELECT doc_id, n, pos,
+         min(ck) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+         ) AS mck
+  FROM packed
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(mck // {radix} AS BIGINT) AS fp_hash
+  FROM mw WHERE pos <= n - {k - 1} - {w - 1}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(fp_hash) AS BIGINT) AS fp_checksum,
+       min(fp_hash) AS fp_min,
+       max(fp_hash) AS fp_max
+FROM sel GROUP BY doc_id"""
+
+
+def sql_salted_skew_join() -> str:
+    """Twin of operators/relational.py:salted_skew_join —
+    deliberately the PLAIN fact-to-dim join: the salted two-phase
+    plan must be row-identical to the unsalted join, differing only
+    in partitioning."""
+    return """
+WITH dim AS (
+  SELECT user_id, min(ts) AS first_seen,
+         CAST(count(*) AS BIGINT) AS lifetime_events
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(d.first_seen) AS first_seen,
+       CAST(min(d.lifetime_events) AS BIGINT) AS lifetime_events
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.user_id, e.event_type"""
