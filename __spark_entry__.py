@@ -1542,6 +1542,54 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.salted_skew_join(read_events(_ensure_conf(spark), sf_dir))
 
 
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (operators/dedup.py):
+    df-capped fingerprint equi-join + integer overlap-coefficient
+    threshold — the local-fingerprint complement of the MinHash and
+    SimHash near-dup families."""
+    return DD.winnow_neardup_pairs(_t_cpu(spark, sf_dir, "documents"))
+
+
+def q_dedup_watermark_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup via the NATIVE dropDuplicatesWithinWatermark
+    operator (state-store backed, watermark-bounded TTL) over the
+    replayed-duplicate corpus — the built-in complement of the
+    applyInPandasWithState dedup in q_dedup_stream. The projected
+    columns exclude the replica-varying source/ingestion_timestamp
+    fields, so whichever physical replica survives inside the batch,
+    the emitted row is value-identical and matches the batch DISTINCT
+    oracle."""
+    import tempfile
+    import uuid
+
+    corpus = _dup_review_corpus(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dup_wm_corpus_")
+    corpus.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    deduped = (
+        stream.withWatermark("date", "2 hours")
+        .dropDuplicatesWithinWatermark(["review_id", "date"])
+        .select("review_id", "date", "business_id", "user_id", "rating")
+    )
+    name = "dedup_wm_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dwm_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _QSK_CTE = """qv AS (
   SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q FROM events
 ),
@@ -1911,20 +1959,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 20 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 18 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
     z-score variance guard, personalized-pagerank EXISTS seed) —
-    the 8 that are r3-green AND untouched this round
+    the 10 that are r3-green AND untouched this round
     (trending_stream, io_roundtrip_formats, pii_profile, pii_redact,
-    zorder_layout, frame_sample_plan, hll_set_ops, cms_join_size)
-    yield their slots to rule (c) and move to the tail's r3-checked
-    block; (c) the 16 entries NEW this round — never driver-checked,
-    which outranks re-coverage; (d) dedup_clusters, which carries
-    this round's checkpoint-knob refactor. 13 + 20 + 16 + 1 = 50.
+    zorder_layout, frame_sample_plan, hll_set_ops, cms_join_size,
+    embedding_project, semantic_dedup) yield their slots to rule (c)
+    and move to the tail's r3-checked block; (c) the 18 entries NEW
+    this round — never driver-checked, which outranks re-coverage;
+    (d) dedup_clusters, which carries this round's checkpoint-knob
+    refactor. 13 + 18 + 18 + 1 = 50.
 
-    CYCLE PLAN (125 entries, 50-entry window): entries past position
+    CYCLE PLAN (127 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -1949,8 +1998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "embedding_project": q_embedding_project,
-        "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
         "hard_negatives": q_hard_negatives,
         "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -1988,6 +2035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "salted_skew_join": q_salted_skew_join,
+        "winnow_neardup": q_winnow_neardup,
+        "dedup_watermark_stream": q_dedup_watermark_stream,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2049,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_plan": q_frame_sample_plan,
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
+        "embedding_project": q_embedding_project,
+        "semantic_dedup": q_semantic_dedup,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3025,6 +3076,19 @@ def _sql_dedup_stream() -> str:
     )
 
 
+def _sql_dedup_watermark_stream() -> str:
+    """DISTINCT over the replica-invariant projection: the replayed
+    rows differ from their originals only in source (and share
+    ingestion_timestamp), so native watermark dedup on
+    (review_id, date) projects to exactly this set whichever replica
+    the state store keeps."""
+    return (
+        f"WITH reviews AS ({O.SYNTH_REVIEWS_SQL}), {_DUP_RANKED_CTE.lstrip()} "
+        f"SELECT DISTINCT review_id, date, business_id, user_id, rating "
+        f"FROM dup"
+    )
+
+
 def _sql_duplicate_issues() -> str:
     now = f"TIMESTAMP '{NOW_LITERAL}'"
     return f"""
@@ -3083,6 +3147,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels": O.sql_bipartite_bfs_levels(),
         "winnowing_fingerprints": O.sql_winnowing_fingerprints(),
         "salted_skew_join": O.sql_salted_skew_join(),
+        "winnow_neardup": O.sql_winnow_neardup_pairs(),
+        "dedup_watermark_stream": _sql_dedup_watermark_stream(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

@@ -132,6 +132,12 @@ HEADLINE = [
     "bpe_bytes_token_counts",
     "quantile_by_type",
     "sql_surface_q13",
+    "sql_surface_q2",
+    "sql_surface_q21",
+    "cosupply_triangles",
+    "bfs_levels",
+    "winnowing_fingerprints",
+    "salted_skew_join",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -527,3 +527,46 @@ def test_winnowing_guarantee_shared_fingerprint(spark):
     )
     rows = {r["doc_id"]: r for r in winnowing_fingerprints(df).collect()}
     assert rows[1]["n_fp"] == len(fa) and rows[2]["n_fp"] == len(fb)
+
+
+def test_winnow_neardup_pairs_finds_planted_neardup(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        winnow_neardup_pairs,
+    )
+
+    base = (
+        "the training corpus needs robust local fingerprints to find "
+        "copied passages even when a few words change in the middle"
+    )
+    docs = [
+        (1, base),
+        (2, base.replace("few words", "couple of tokens")),  # near-dup
+        (3, "completely unrelated text about distributed query engines "
+            "and shuffle partitioning strategies at scale"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fp"]
+        for r in winnow_neardup_pairs(df).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_neardup_df_cap_drops_boilerplate(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        winnow_neardup_pairs,
+    )
+
+    # every doc shares the same boilerplate header; with max_df below
+    # the corpus size the header fingerprints are dropped and no pair
+    # clears the threshold on unique content alone
+    header = "STANDARD LICENSE HEADER do not remove this notice "
+    docs = [
+        (i, header + f"unique content body number {i} with distinct text")
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with_cap = winnow_neardup_pairs(df, max_df=2).collect()
+    without_cap = winnow_neardup_pairs(df, max_df=1000).collect()
+    assert len(with_cap) < len(without_cap)

@@ -743,3 +743,46 @@ def test_ewma_stream_bounded_state_matches_batch(spark, tmp_path):
         for r in ewma_by_key(df).collect()
     }
     assert final == batch
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Native watermark dedup: planted duplicate keys collapse to one
+    row; keys differing in event time survive separately."""
+    from datetime import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("r1", dt(2024, 1, 1, 10, 0), "b1", 5),
+        ("r1", dt(2024, 1, 1, 10, 0), "b1", 5),   # exact replica
+        ("r1", dt(2024, 1, 1, 13, 0), "b1", 4),   # same id, new ts: kept
+        ("r2", dt(2024, 1, 1, 10, 30), "b2", 3),
+    ]
+    src = spark.createDataFrame(
+        rows, "review_id string, date timestamp, business_id string, rating int"
+    )
+    d = str(tmp_path / "wm_src")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    out = (
+        stream.withWatermark("date", "2 hours")
+        .dropDuplicatesWithinWatermark(["review_id", "date"])
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["review_id"], str(r["date"]), r["rating"])
+        for r in spark.table("wm_dedup_test").collect()
+    )
+    assert got == [
+        ("r1", "2024-01-01 10:00:00", 5),
+        ("r1", "2024-01-01 13:00:00", 4),
+        ("r2", "2024-01-01 10:30:00", 3),
+    ]

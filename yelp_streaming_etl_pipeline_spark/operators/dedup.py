@@ -818,7 +818,7 @@ WINNOW_W = 4  # window size in k-grams
 _WINNOW_POS = 1 << 20  # position-encoding radix for the packed argmin
 
 
-def winnowing_fingerprints(
+def winnowing_fp_set(
     documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
@@ -838,11 +838,8 @@ def winnowing_fingerprints(
     in a BIGINT/double anywhere. Document positions must be < 2^20;
     chunk longer inputs first (operators/corpus_quality.chunk_documents).
 
-    Returns one row per document: fingerprint count plus an
-    order-independent checksum (sum), min and max of the selected
-    fingerprint hashes — sensitive to every selected fingerprint
-    without shipping the full (doc, pos, hash) set. The selection
-    itself is a map + one per-doc window (single shuffle keyed by
+    Returns the DISTINCT ``(doc_id, fp_hash)`` selection. The
+    selection is a map + one per-doc window (single shuffle keyed by
     doc_id); nothing global. Documents shorter than ``w + k - 1``
     chars have no full window and are excluded — declared semantics,
     mirrored by the oracle twin.
@@ -876,7 +873,7 @@ def winnowing_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    sel = (
+    return (
         packed.withColumn("mck", F.min("ck").over(win))
         .filter(F.col("pos") <= F.col("n") - (k - 1) - (w - 1))
         .select(
@@ -885,9 +882,82 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
-    return sel.groupBy("doc_id").agg(
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Per-document summary of the winnowing selection: fingerprint
+    count plus an order-independent checksum (sum), min and max of
+    the selected hashes — sensitive to every fingerprint without
+    shipping the full (doc, hash) set."""
+    return winnowing_fp_set(documents, k=k, w=w).groupBy("doc_id").agg(
         F.count("*").alias("n_fp"),
         F.sum("fp_hash").alias("fp_checksum"),
         F.min("fp_hash").alias("fp_min"),
         F.max("fp_hash").alias("fp_max"),
     )
+
+
+WINNOW_MAX_DF = 64  # drop fingerprints shared by more docs than this
+
+
+def winnow_neardup_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+) -> DataFrame:
+    """Fingerprint-overlap near-duplicate pairs: candidate pairs are
+    documents sharing at least one winnowing fingerprint (equi-join on
+    the fingerprint hash — never all-pairs), kept when the shared
+    count clears an overlap-coefficient threshold of 1/4, tested with
+    the integer cross-multiplication ``4 * shared >= least(n_a, n_b)``.
+
+    Fingerprints appearing in more than ``max_df`` documents are
+    dropped before the join (boilerplate/stop-gram removal) — the
+    same hot-bucket discipline as LSH sub-banding: it bounds the
+    per-fingerprint join fan-out, so bucket cost is ``max_df^2`` at
+    worst, independent of corpus size. Returns
+    ``(doc_a, doc_b, shared_fp, n_fp_a, n_fp_b)`` with
+    ``doc_a < doc_b`` canonical.
+    """
+    fps = winnowing_fp_set(documents, k=k, w=w).persist()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp_hash")
+    )
+    kept = fps.join(rare, "fp_hash")
+    a = kept.select(
+        F.col("fp_hash"), F.col("doc_id").alias("doc_a")
+    )
+    b = kept.select(
+        F.col("fp_hash"), F.col("doc_id").alias("doc_b")
+    )
+    shared = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fp"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    out = (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            4 * F.col("shared_fp")
+            >= F.least(F.col("n_fp_a"), F.col("n_fp_b"))
+        )
+        .select("doc_a", "doc_b", "shared_fp", "n_fp_a", "n_fp_b")
+    )
+    res = out.localCheckpoint()
+    fps.unpersist()
+    return res

@@ -2094,13 +2094,13 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
 FROM walk GROUP BY node"""
 
 
-def sql_winnowing_fingerprints(k: int = 8, w: int = 4) -> str:
-    """Twin of operators/dedup.py:winnowing_fingerprints — identical
-    packed argmin (h * 2^20 + (2^20 - pos)) and window frame, so the
-    selected fingerprint sets are byte-identical across engines."""
+def _winnow_sel_cte(k: int, w: int) -> str:
+    """Shared CTE chain ending in ``sel`` — the DISTINCT
+    (doc_id, fp_hash) winnowing selection, identical packed argmin
+    (h * 2^20 + (2^20 - pos)) and window frame as
+    operators/dedup.py:winnowing_fp_set."""
     radix = 1 << 20
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id, text, length(text) AS n FROM documents
   WHERE length(text) >= {k + w - 1}
 ),
@@ -2127,13 +2127,52 @@ sel AS (
   SELECT DISTINCT doc_id,
          CAST(mck // {radix} AS BIGINT) AS fp_hash
   FROM mw WHERE pos <= n - {k - 1} - {w - 1}
-)
+)"""
+
+
+def sql_winnowing_fingerprints(k: int = 8, w: int = 4) -> str:
+    """Twin of operators/dedup.py:winnowing_fingerprints — per-doc
+    summary over the shared winnowing selection CTE."""
+    return f"""
+WITH {_winnow_sel_cte(k, w)}
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_fp,
        CAST(sum(fp_hash) AS BIGINT) AS fp_checksum,
        min(fp_hash) AS fp_min,
        max(fp_hash) AS fp_max
 FROM sel GROUP BY doc_id"""
+
+
+def sql_winnow_neardup_pairs(
+    k: int = 8, w: int = 4, max_df: int = 64
+) -> str:
+    """Twin of operators/dedup.py:winnow_neardup_pairs — same
+    document-frequency cap and integer overlap-coefficient threshold
+    (4 * shared >= least(n_a, n_b))."""
+    return f"""
+WITH {_winnow_sel_cte(k, w)},
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+  FROM sel GROUP BY doc_id
+),
+rare AS (
+  SELECT fp_hash FROM sel GROUP BY fp_hash
+  HAVING count(*) <= {max_df}
+),
+kept AS (SELECT s.* FROM sel s JOIN rare USING (fp_hash)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fp
+  FROM kept a JOIN kept b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.shared_fp,
+       na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b
+FROM shared s
+JOIN sizes na ON na.doc_id = s.doc_a
+JOIN sizes nb ON nb.doc_id = s.doc_b
+WHERE 4 * s.shared_fp >= least(na.n_fp, nb.n_fp)"""
 
 
 def sql_salted_skew_join() -> str:
