@@ -1098,6 +1098,45 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cms_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the CMS counter table maintained by a
+    streaming groupBy(salt, bucket).count() in COMPLETE output mode —
+    counts sum associatively, so the streaming state IS the sketch
+    (bounded at depth*width rows forever) and equals the batch build
+    bit-for-bit. The top-k readout then probes the streamed state
+    with the candidate list (here the distinct user ids, batch-read —
+    the external-candidate point-query shape). Trending-terms at
+    production: same plan, term = token or entity."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(_ensure_conf(spark), sf_dir)
+    regs = SK.cms_counters(ev, F.col("user_id").cast("string"))
+    name = "cms_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cmss_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counters = spark.table(name)
+    terms = (
+        read_events(_ensure_conf(spark), sf_dir)
+        .select(F.col("user_id").cast("string").alias("term"))
+        .distinct()
+    )
+    return SK.cms_topk_from_counters(counters, terms, k=10)
+
+
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plan: target (media_id, frame_ts_ms)
     pairs exploded from duration METADATA only — the shuffle carries
@@ -1964,16 +2003,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
     z-score variance guard, personalized-pagerank EXISTS seed) —
-    the 10 that are r3-green AND untouched this round
+    the 11 that are r3-green AND untouched this round
     (trending_stream, io_roundtrip_formats, pii_profile, pii_redact,
     zorder_layout, frame_sample_plan, hll_set_ops, cms_join_size,
-    embedding_project, semantic_dedup) yield their slots to rule (c)
-    and move to the tail's r3-checked block; (c) the 18 entries NEW
-    this round — never driver-checked, which outranks re-coverage;
-    (d) dedup_clusters, which carries this round's checkpoint-knob
-    refactor. 13 + 18 + 18 + 1 = 50.
+    embedding_project, semantic_dedup, kmeans_clusters) yield their
+    slots to rule (c) and move to the tail's r3-checked block;
+    (c) the 19 entries NEW this round — never driver-checked, which
+    outranks re-coverage; (d) dedup_clusters, which carries this
+    round's checkpoint-knob refactor. 13 + 17 + 19 + 1 = 50.
 
-    CYCLE PLAN (127 entries, 50-entry window): entries past position
+    CYCLE PLAN (128 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -1998,7 +2037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "kmeans_clusters": q_kmeans_clusters,
         "hard_negatives": q_hard_negatives,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "quality_classifier": q_quality_classifier,
@@ -2037,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "winnow_neardup": q_winnow_neardup,
         "dedup_watermark_stream": q_dedup_watermark_stream,
+        "cms_topk_stream": q_cms_topk_stream,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2100,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size": q_cms_join_size,
         "embedding_project": q_embedding_project,
         "semantic_dedup": q_semantic_dedup,
+        "kmeans_clusters": q_kmeans_clusters,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3149,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_skew_join": O.sql_salted_skew_join(),
         "winnow_neardup": O.sql_winnow_neardup_pairs(),
         "dedup_watermark_stream": _sql_dedup_watermark_stream(),
+        "cms_topk_stream": O.sql_cms_topk_stream(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

@@ -138,6 +138,7 @@ HEADLINE = [
     "bfs_levels",
     "winnowing_fingerprints",
     "salted_skew_join",
+    "winnow_neardup",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -332,3 +332,26 @@ def test_quantile_sketch_by_group_matches_isolated_builds(spark):
         }
         for p, est in solo.items():
             assert got[(g, p)] == est
+
+
+def test_cms_topk_from_counters_matches_inline_build(spark):
+    """Decoupled readout over a prebuilt counter table equals the
+    one-shot cms_heavy_hitters on the same data."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators import sketches as SK
+
+    rows = [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "term string")
+    counters = SK.cms_counters(df, F.col("term"))
+    terms = df.select("term").distinct()
+    got = [
+        (r["term"], r["est_count"])
+        for r in SK.cms_topk_from_counters(counters, terms, k=3).collect()
+    ]
+    want = [
+        (r["term"], r["est_count"])
+        for r in SK.cms_heavy_hitters(df, F.col("term"), k=3).collect()
+    ]
+    assert got == want
+    assert got[0][0] == "a" and got[0][1] >= 30  # CMS never undercounts

@@ -158,6 +158,19 @@ def cms_heavy_hitters(
     EXTERNAL candidate list without storing the term universe — the
     join shape below is unchanged, only the left side shrinks."""
     terms = df.select(term.alias("term")).distinct()
+    counters = cms_counters(df, term)
+    return cms_topk_from_counters(counters, terms, k)
+
+
+def cms_topk_from_counters(
+    counters: DataFrame, terms: DataFrame, k: int = 20
+) -> DataFrame:
+    """Top-k readout against an ALREADY-BUILT counter table (batch or
+    the complete-mode streaming state): probe each candidate term's
+    depth buckets, estimate = min over the depth rows. Decouples the
+    sketch build from the readout — the shape that answers point
+    queries for an external candidate list without re-scanning the
+    stream."""
     probes = terms.select(
         "term",
         F.explode(
@@ -172,15 +185,13 @@ def cms_heavy_hitters(
             )
         ).alias("sb"),
     ).select("term", "sb.salt", "sb.bucket")
-    counters = cms_counters(df, term)
     est = (
         probes.join(counters, ["salt", "bucket"])
         .groupBy("term")
         .agg(F.min("cnt").alias("est_count"))
     )
-    w = F.desc("est_count")
     return (
-        est.orderBy(w, F.asc("term"))
+        est.orderBy(F.desc("est_count"), F.asc("term"))
         .limit(k)
         .select("term", "est_count")
     )

@@ -2192,3 +2192,36 @@ SELECT e.user_id, e.event_type,
        CAST(min(d.lifetime_events) AS BIGINT) AS lifetime_events
 FROM events e JOIN dim d ON e.user_id = d.user_id
 GROUP BY e.user_id, e.event_type"""
+
+
+def sql_cms_topk_stream(k: int = 10) -> str:
+    """Twin of __spark_entry__.q_cms_topk_stream — the same CMS build
+    (depth 4, 3-hex-char buckets) over stringified event user ids,
+    batch-equivalent because counter sums are associative, then the
+    min-over-depth top-k readout."""
+    return f"""
+WITH salts AS (SELECT unnest(generate_series(0, 3)) AS salt),
+t AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events),
+f AS (
+  SELECT salt,
+         ('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || term), 1, 3))::INTEGER AS bucket
+  FROM t CROSS JOIN salts
+),
+counters AS (
+  SELECT salt, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM f GROUP BY salt, bucket
+),
+terms AS (SELECT DISTINCT term FROM t),
+probes AS (
+  SELECT term, salt,
+         ('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || term), 1, 3))::INTEGER AS bucket
+  FROM terms CROSS JOIN salts
+),
+est AS (
+  SELECT term, CAST(min(cnt) AS BIGINT) AS est_count
+  FROM probes JOIN counters USING (salt, bucket)
+  GROUP BY term
+)
+SELECT term, est_count FROM est
+ORDER BY est_count DESC, term
+LIMIT {k}"""
