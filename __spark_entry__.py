@@ -1137,6 +1137,14 @@ def q_cms_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_topk_from_counters(counters, terms, k=10)
 
 
+def q_ann_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-index exact retrieval (operators/similarity.py):
+    per-label-shard top-k + global candidate merge — provably equal
+    to the unsharded scan, which is what the oracle runs."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.sharded_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plan: target (media_id, frame_ts_ms)
     pairs exploded from duration METADATA only — the shuffle carries
@@ -1537,6 +1545,49 @@ def q_sql_surface_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(SQL_SURFACE_Q21)
+
+
+SQL_SURFACE_Q16 = """
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type"""
+
+
+def q_sql_surface_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q16 shape): supplier
+    diversity per (brand, type) with a NOT IN exclusion subquery —
+    Catalyst plans it as a null-aware anti join; count(DISTINCT) adds
+    the two-phase distinct-aggregate expansion."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(SQL_SURFACE_Q16)
+
+
+SQL_SURFACE_Q18 = """
+SELECT c.c_custkey, o.o_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+GROUP BY c.c_custkey, o.o_orderkey"""
+
+
+def q_sql_surface_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q18 large-volume-customer
+    shape): IN over an aggregated-HAVING subquery on the same fact
+    table — a semi join against a grouped derivation. Quantities are
+    integral doubles in the fixture, so the BIGINT cast sums exactly
+    in both engines and no float aggregation reaches the output."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_Q18)
 
 
 def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2003,16 +2054,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
     z-score variance guard, personalized-pagerank EXISTS seed) —
-    the 11 that are r3-green AND untouched this round
+    the 14 that are r3-green AND untouched this round
     (trending_stream, io_roundtrip_formats, pii_profile, pii_redact,
     zorder_layout, frame_sample_plan, hll_set_ops, cms_join_size,
-    embedding_project, semantic_dedup, kmeans_clusters) yield their
-    slots to rule (c) and move to the tail's r3-checked block;
-    (c) the 19 entries NEW this round — never driver-checked, which
-    outranks re-coverage; (d) dedup_clusters, which carries this
-    round's checkpoint-knob refactor. 13 + 17 + 19 + 1 = 50.
+    embedding_project, semantic_dedup, kmeans_clusters,
+    hard_negatives, cluster_balanced_sample, quality_classifier)
+    yield their slots to rule (c) and move to the tail's r3-checked
+    block; (c) the 22 entries NEW this round — never driver-checked,
+    which outranks re-coverage; (d) dedup_clusters, which carries
+    this round's checkpoint-knob refactor. 13 + 14 + 22 + 1 = 50.
 
-    CYCLE PLAN (128 entries, 50-entry window): entries past position
+    CYCLE PLAN (131 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -2037,9 +2089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "hard_negatives": q_hard_negatives,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "quality_classifier": q_quality_classifier,
         "enriched_events_stream": q_enriched_events_stream,
         "semantic_decontaminate": q_semantic_decontaminate,
         "event_funnel": q_event_funnel,
@@ -2076,6 +2125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup": q_winnow_neardup,
         "dedup_watermark_stream": q_dedup_watermark_stream,
         "cms_topk_stream": q_cms_topk_stream,
+        "ann_sharded_topk": q_ann_sharded_topk,
+        "sql_surface_q16": q_sql_surface_q16,
+        "sql_surface_q18": q_sql_surface_q18,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2140,6 +2192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_project": q_embedding_project,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
+        "hard_negatives": q_hard_negatives,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "quality_classifier": q_quality_classifier,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3190,6 +3245,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_neardup": O.sql_winnow_neardup_pairs(),
         "dedup_watermark_stream": _sql_dedup_watermark_stream(),
         "cms_topk_stream": O.sql_cms_topk_stream(),
+        "ann_sharded_topk": O.sql_ann_topk(),
+        "sql_surface_q16": SQL_SURFACE_Q16,
+        "sql_surface_q18": SQL_SURFACE_Q18,
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

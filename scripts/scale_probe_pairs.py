@@ -87,13 +87,60 @@ def replicate(spark, out: str) -> None:
         shutil.copy(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
 
 
+def replicate_graph(spark, out: str) -> None:
+    """Graph probe dir: REP_FACT DISJOINT copies of the interaction
+    graph (every key space shifted per replica — orderkeys alone
+    would leave the distinct (cust,supp)/(part,supp) pair sets
+    unchanged and the probe would measure nothing). Linear structure:
+    big graph = factor x disjoint copies of the base graph."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    n_o = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    n_c = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    n_s = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
+    n_p = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    reps = spark.range(REP_FACT).select(F.col("id").alias("_r"))
+    (
+        cust.crossJoin(reps)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("_r") * n_c)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/customer.parquet")
+    )
+    (
+        orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * n_o)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("_r") * n_c)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    (
+        li.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * n_o)
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("_r") * n_s)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("_r") * n_p)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    for t in ("region", "nation", "supplier", "part", "events",
+              "embeddings", "documents"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
+
+
 PROBES = [
-    ("simhash_pairs", REP_DOCS),
-    ("neardup_minhash", REP_DOCS),
-    ("dedup_clusters", REP_DOCS),
-    ("repetition_profile", REP_DOCS),
-    ("duplicated_passages", REP_DOCS),
-    ("pagerank_nodes", REP_FACT),
+    ("simhash_pairs", REP_DOCS, "docs"),
+    ("neardup_minhash", REP_DOCS, "docs"),
+    ("dedup_clusters", REP_DOCS, "docs"),
+    ("repetition_profile", REP_DOCS, "docs"),
+    ("duplicated_passages", REP_DOCS, "docs"),
+    ("pagerank_nodes", REP_FACT, "docs"),
+    ("winnowing_fingerprints", REP_DOCS, "docs"),
+    ("winnow_neardup", REP_DOCS, "docs"),
+    ("cosupply_triangles", REP_FACT, "graph"),
+    ("bfs_levels", REP_FACT, "graph"),
 ]
 
 
@@ -104,12 +151,15 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out = tempfile.mkdtemp(prefix="scalepairs_")
     replicate(spark, out)
+    out_g = tempfile.mkdtemp(prefix="scalegraph_")
+    replicate_graph(spark, out_g)
     qs = E.queries()
     results = {}
-    for name, factor in PROBES:
+    for name, factor, dir_key in PROBES:
         fn = qs[name]
+        big_dir = out if dir_key == "docs" else out_g
         times, rows = {}, {}
-        for label, d in (("base", SF), ("big", out)):
+        for label, d in (("base", SF), ("big", big_dir)):
             best = float("inf")
             for _ in range(2):
                 spark.catalog.clearCache()
@@ -131,6 +181,7 @@ def main() -> None:
             "linear_ok": ratio <= factor * 1.5,
         }
     shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out_g, ignore_errors=True)
     print(json.dumps({"metric": "scale_probe_pairs", "probes": results}))
 
 

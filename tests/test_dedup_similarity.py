@@ -570,3 +570,35 @@ def test_winnow_neardup_df_cap_drops_boilerplate(spark):
     with_cap = winnow_neardup_pairs(df, max_df=2).collect()
     without_cap = winnow_neardup_pairs(df, max_df=1000).collect()
     assert len(with_cap) < len(without_cap)
+
+
+def test_sharded_topk_equals_unsharded(spark):
+    """Per-shard top-k + merge must reproduce the global exact top-k,
+    including across shard boundaries and with duplicate vectors."""
+    import random
+
+    from yelp_streaming_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        sharded_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        vec = [rng.uniform(-1, 1) for _ in range(8)]
+        if i % 10 == 0 and i > 0:
+            vec = rows[i - 1][1]  # duplicate vector -> cosine ties
+        rows.append((i, vec, i % 4))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = df.filter("vec_id % 20 = 0")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in sharded_topk(df, queries, k=3).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in cosine_topk(df, queries, k=3).collect()
+    )
+    assert got == want and len(got) == 9

@@ -469,3 +469,21 @@ def test_winnowing_single_doc_shuffle(spark):
     df = E.q_winnowing_fingerprints(spark, SF)
     assert A.key_shuffle_exchanges(df) <= 2, A.physical_plan(df)[:2000]
     assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q16_null_aware_anti_join(spark):
+    # NOT IN must become a null-aware anti join, not a per-row subquery
+    df = E.q_sql_surface_q16(spark, SF)
+    plan = A.physical_plan(df)
+    assert "Anti" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q18_semi_join_over_aggregate(spark):
+    # IN over a grouped HAVING subquery -> semi join against the agg
+    df = E.q_sql_surface_q18(spark, SF)
+    plan = A.physical_plan(df)
+    assert "Semi" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)

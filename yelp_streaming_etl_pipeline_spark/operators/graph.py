@@ -435,18 +435,26 @@ def bfs_levels(
     both engines agree because min over the bounded walk set is
     order-independent.
 
-    PERSIST HYGIENE: visited/frontier persisted per round,
-    materialized, superseded tables released — same discipline as
-    :func:`pagerank`. ``max_level`` bounds the iteration count; for
-    unbounded reachability use ``dedup_clusters``-style convergence
-    detection instead.
+    ITERATION HYGIENE: each round's visited table is an EAGER
+    ``localCheckpoint`` — materialized with lineage truncated, so the
+    anti-join chain never re-executes upstream rounds; superseded
+    round tables are block-managed by the context cleaner once
+    unreferenced. The loop SHORT-CIRCUITS when a round discovers no
+    new node (the visited count stops growing) — the remaining
+    ``max_level`` rounds would each pay full multi-stage cost to
+    process an empty frontier. ``max_level`` bounds the iteration
+    count; for unbounded reachability use ``dedup_clusters``-style
+    convergence detection instead.
     """
     edges = edges.select("src", "dst").persist()
-    frontier = (
-        seeds.select("node").distinct().localCheckpoint()
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("level", F.lit(0))
+        .localCheckpoint()
     )
-    visited = frontier.withColumn("level", F.lit(0)).persist()
-    visited.count()
+    n_visited = visited.count()
+    frontier = visited.select("node")
     for lvl in range(1, max_level + 1):
         nxt = (
             edges.join(
@@ -457,17 +465,14 @@ def bfs_levels(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(lvl))
         )
-        new_visited = visited.unionAll(nxt).persist()
-        new_visited.count()
-        frontier = new_visited.filter(F.col("level") == lvl).select(
-            "node"
-        )
-        visited.unpersist()
-        visited = new_visited
-    out = visited.localCheckpoint()
-    visited.unpersist()
+        visited = visited.unionAll(nxt).localCheckpoint()
+        n_now = visited.count()
+        if n_now == n_visited:
+            break
+        n_visited = n_now
+        frontier = visited.filter(F.col("level") == lvl).select("node")
     edges.unpersist()
-    return out
+    return visited
 
 
 def bipartite_bfs_levels(

@@ -749,3 +749,62 @@ def semantic_decontaminate(
             (F.col("max_sim") >= tau).alias("contaminated"),
         )
     )
+
+
+def sharded_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shard_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sharded-index exact retrieval: per-shard top-k, then a global
+    merge of the shard candidates — the distributed serving shape
+    where the corpus lives as independent index shards.
+
+    Correctness: under the total order (sim DESC, neighbor_id ASC)
+    every global top-k neighbor is necessarily inside its own shard's
+    top-k, so merging the per-shard candidate lists (k rows per
+    (query, shard)) and re-ranking yields EXACTLY the global top-k —
+    the oracle twin is the plain unsharded scan.
+
+    100 TB shape: each shard is scanned independently (maps cleanly
+    onto partition-local ranking — no cross-shard shuffle in phase 1
+    when the corpus is stored partitioned by shard); the merge input
+    is only ``k * n_shards`` rows per query. Phase 1's window is
+    keyed (query_id, shard), phase 2's by query_id over the tiny
+    candidate set.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(shard_col).alias("_shard"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w_shard = Window.partitionBy("query_id", "_shard").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    cands = scored.withColumn(
+        "_srank", F.row_number().over(w_shard)
+    ).filter(F.col("_srank") <= k)
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )
