@@ -301,3 +301,22 @@ def test_bfs_min_level_wins_on_multiple_paths(spark):
         for r in bfs_levels(df, seeds, max_level=4).collect()
     }
     assert got[4] == 2
+
+
+def test_clustering_coefficients(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # K4 (cc = 1.0 each) + a path node bridging to it
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(und, "u long, v long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], round(r["_cc"], 6))
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    # node 4: degree 4, triangles 3 -> 2*3/(4*3) = 0.5
+    assert got[4] == (4, 3, 0.5)
+    # pendant node 5: degree 1 -> declared cc 0.0
+    assert got[5] == (1, 0, 0.0)

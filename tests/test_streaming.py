@@ -786,3 +786,51 @@ def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
         ("r1", "2024-01-01 13:00:00", 4),
         ("r2", "2024-01-01 10:30:00", 3),
     ]
+
+
+def test_native_session_window_gap_boundary(spark, tmp_path):
+    """Native session_window MERGES touching windows: an event landing
+    exactly gap after the previous one extends the session (a new
+    session needs a strictly-greater-than-gap silence) — pinning the
+    boundary rule the oracle twin mirrors."""
+    from datetime import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0), 7, "view", 1.0),
+        (2, dt(2024, 1, 1, 10, 29, 59), 7, "view", 1.0),  # same session
+        (3, dt(2024, 1, 1, 10, 59, 59), 7, "view", 1.0),  # chains (29:59+30)
+        (4, dt(2024, 1, 1, 11, 29, 59), 7, "view", 1.0),  # exactly +30m: merges
+        (5, dt(2024, 1, 1, 23, 0), 7, "view", 1.0),       # watermark driver
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    d = str(tmp_path / "nsw_src")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    sess = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("s"), "n_events")
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nsw_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (str(r["s"]), r["n_events"])
+        for r in spark.table("nsw_test").collect()
+    )
+    # one merged session [10:00..11:29:59] (4 events, the exact-gap
+    # event chained); the 23:00 session is still open at the final
+    # watermark and unemitted
+    assert got == [("2024-01-01 10:00:00", 4)]

@@ -54,7 +54,7 @@ constant, not data-dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12
@@ -275,33 +275,38 @@ def personalized_pagerank_bipartite(
     )
 
 
-def cosupply_edges(lineitem: DataFrame) -> DataFrame:
-    """Unipartite supplier similarity graph: an undirected edge
-    ``(u, v)`` (canonical ``u < v``) between suppliers whose distinct
-    supplied-part sets have Jaccard similarity >= 1/7, tested with the
-    integer cross-multiplication ``8 * shared >= deg_u + deg_v``
-    (Jaccard = shared / (deg_u + deg_v - shared) >= 1/7  <=>
-    8*shared >= deg_u + deg_v) so the threshold is scale-free and
-    BIGINT-exact in every engine — no float similarity anywhere.
+def cosupply_edges(lineitem: DataFrame, k: int = 8) -> DataFrame:
+    """Unipartite supplier similarity graph via MUTUAL k-nearest
+    neighbors: rank each supplier's co-suppliers by shared distinct
+    supplied parts (ties by id), keep the top ``k`` per supplier, and
+    emit an undirected edge ``(u < v)`` only when BOTH endpoints rank
+    each other — the standard similarity-graph construction that
+    stays non-trivial at every data scale (an absolute or relative
+    similarity threshold empties or saturates as density shifts;
+    mutual-kNN adapts and caps degree at ``k`` by construction, which
+    also bounds downstream wedge volume at ``|V| * k^2``).
 
-    100 TB shape: the pair generation is the classic co-occurrence
+    Deterministic everywhere: ranking is an integer sort with id
+    tie-break; no floats anywhere.
+
+    100 TB shape: pair generation is the classic co-occurrence
     self-join keyed by part — cost is sum over parts of
-    (suppliers_per_part choose 2), bounded by the per-part supplier
-    fan-out, never |S|^2 over the whole supplier table. A part
-    supplied by a pathological number of suppliers is the hot key; at
-    production scale cap or sample per-part supplier lists before the
-    self-join (same discipline as the LSH hot-bucket sub-banding in
-    operators/dedup.py).
+    suppliers_per_part^2, bounded by per-part fan-out, never |S|^2.
+    A part supplied by a pathological number of suppliers is the hot
+    key; cap or sample per-part supplier lists before the self-join
+    at production scale (same discipline as LSH hot-bucket
+    sub-banding in operators/dedup.py). The kNN rank is one shuffle
+    keyed by source supplier; the mutual check is an equi-join of
+    the k-bounded kNN table against its own transpose.
     """
     ps = lineitem.select("l_partkey", "l_suppkey").distinct()
-    deg = ps.groupBy("l_suppkey").agg(F.count("*").alias("deg"))
     a = ps.alias("a")
     b = ps.alias("b")
-    shared = (
+    pairs = (
         a.join(
             b,
             (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
         )
         .groupBy(
             F.col("a.l_suppkey").alias("u"),
@@ -309,17 +314,23 @@ def cosupply_edges(lineitem: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("shared"))
     )
-    du = deg.select(
-        F.col("l_suppkey").alias("u"), F.col("deg").alias("deg_u")
+    w = Window.partitionBy("u").orderBy(
+        F.desc("shared"), F.asc("v")
     )
-    dv = deg.select(
-        F.col("l_suppkey").alias("v"), F.col("deg").alias("deg_v")
+    knn = (
+        pairs.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .select("u", "v")
     )
     return (
-        shared.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .filter(8 * F.col("shared") >= F.col("deg_u") + F.col("deg_v"))
-        .select("u", "v")
+        knn.alias("x")
+        .join(
+            knn.alias("y"),
+            (F.col("x.u") == F.col("y.v"))
+            & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
     )
 
 
@@ -498,4 +509,56 @@ def bipartite_bfs_levels(
         .alias("node_type"),
         F.expr("node div 2").alias("node_key"),
         "level",
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node over canonical
+    ``(u < v)`` undirected edges: ``2 * T(v) / (deg(v) * (deg(v)-1))``
+    with T from :func:`triangle_counts`. Nodes of degree < 2 have an
+    undefined coefficient and are reported with cc = 0.0 (declared).
+
+    The division is one IEEE double op over exact integers, so both
+    engines produce the identical double; the reported value is
+    stable-rounded anyway. Cost = triangle counting + one broadcast-
+    sized degree join.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                (2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_cc"),
+        )
+    )
+
+
+def cosupply_clustering(lineitem: DataFrame) -> DataFrame:
+    """End-to-end: co-supply graph + per-supplier local clustering
+    coefficient — how tightly each supplier's co-supply neighborhood
+    is interconnected (community cohesion signal)."""
+    from ..functions.rounding import stable_round
+
+    cc = clustering_coefficients(cosupply_edges(lineitem))
+    return cc.select(
+        F.col("node").alias("s_suppkey"),
+        "degree",
+        "n_triangles",
+        stable_round(F.col("_cc"), 6).alias("clustering_coef"),
     )

@@ -2026,26 +2026,29 @@ FROM dw JOIN sizes USING (w)
 GROUP BY doc_id"""
 
 
-def sql_cosupply_triangles() -> str:
-    """Twin of operators/graph.py:cosupply_triangles — the Jaccard
-    threshold is the same integer cross-multiplication
-    (8*shared >= deg_u + deg_v), the triangle enumeration the same
-    canonical a < b < c wedge-close, so per-node counts are exact
-    integers in both engines."""
-    return """
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-deg AS (SELECT l_suppkey, count(*) AS deg FROM ps GROUP BY l_suppkey),
+def _cosupply_edges_cte(k: int = 8) -> str:
+    """Shared CTE chain ending in ``edges`` — the mutual-kNN
+    co-supply graph, mirroring operators/graph.py:cosupply_edges
+    (integer shared-part ranking with id tie-break, top-k per
+    supplier, mutual check, canonical u < v)."""
+    return f"""ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 pairs AS (
   SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
   FROM ps a JOIN ps b
-    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
   GROUP BY 1, 2),
+ranked AS (
+  SELECT u, v, row_number() OVER
+    (PARTITION BY u ORDER BY shared DESC, v ASC) AS rnk
+  FROM pairs),
+knn AS (SELECT u, v FROM ranked WHERE rnk <= {k}),
 edges AS (
-  SELECT p.u, p.v FROM pairs p
-  JOIN deg du ON du.l_suppkey = p.u
-  JOIN deg dv ON dv.l_suppkey = p.v
-  WHERE 8 * p.shared >= du.deg + dv.deg),
-tri AS (
+  SELECT x.u, x.v FROM knn x JOIN knn y
+    ON x.u = y.v AND x.v = y.u
+  WHERE x.u < x.v)"""
+
+
+_COSUPPLY_TRI_CTES = """tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM edges e1
   JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
@@ -2053,7 +2056,16 @@ tri AS (
 corners AS (
   SELECT a AS node FROM tri
   UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri)
+  UNION ALL SELECT c FROM tri)"""
+
+
+def sql_cosupply_triangles() -> str:
+    """Twin of operators/graph.py:cosupply_triangles — mutual-kNN
+    edges (shared CTE) + the canonical a < b < c wedge-close, so
+    per-node counts are exact integers in both engines."""
+    return f"""
+WITH {_cosupply_edges_cte()},
+{_COSUPPLY_TRI_CTES}
 SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node"""
 
@@ -2225,3 +2237,77 @@ est AS (
 SELECT term, est_count FROM est
 ORDER BY est_count DESC, term
 LIMIT {k}"""
+
+
+def sql_cosupply_clustering() -> str:
+    """Twin of operators/graph.py:cosupply_clustering — mutual-kNN
+    edge + triangle CTEs shared with sql_cosupply_triangles, plus
+    node degree and the 2T/(d(d-1)) coefficient (one IEEE division
+    over exact integers, stable-rounded on both sides)."""
+    cc = sql_stable_round(
+        "CASE WHEN nd.degree >= 2 THEN"
+        " (2.0 * COALESCE(tc.n_triangles, 0))"
+        " / (nd.degree * (nd.degree - 1)) ELSE 0.0 END",
+        6,
+    )
+    return f"""
+WITH {_cosupply_edges_cte()},
+{_COSUPPLY_TRI_CTES},
+tcounts AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM corners GROUP BY node),
+ndeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM edges
+    UNION ALL SELECT v FROM edges
+  ) GROUP BY node)
+SELECT nd.node AS s_suppkey, nd.degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       {cc} AS clustering_coef
+FROM ndeg nd LEFT JOIN tcounts tc ON nd.node = tc.node"""
+
+
+def sql_session_window_stream(
+    gap_min: int = 30, wm_min: int = 10, strict: bool = True
+) -> str:
+    """Twin of __spark_entry__.q_session_window_stream — native
+    session_window semantics: windows merge while the next event
+    starts AT OR BEFORE the current end (touching windows merge —
+    verified by test_native_session_window_gap_boundary — so a new
+    session starts iff the inter-event gap is STRICTLY > 30 min,
+    same boundary rule as the custom sessionizer), session end is
+    last event + gap, and append mode emits sessions whose end (ms)
+    fell below the final watermark (max event time ms - delay)."""
+    gap_us = gap_min * 60 * 1_000_000
+    cmp = "<" if strict else "<="
+    return f"""
+WITH e AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL
+                      OR date_diff('microsecond', prev_ts, ts)
+                         > {gap_us}
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_seq
+  FROM e
+),
+wm AS (
+  SELECT (max(epoch_us(ts)) // 1000) - {wm_min * 60 * 1000} AS wm_ms
+  FROM events
+),
+sess AS (
+  SELECT user_id, session_seq,
+    min(ts) AS session_start,
+    max(ts) + INTERVAL {gap_min} MINUTE AS session_end,
+    CAST(count(*) AS BIGINT) AS n_events,
+    {sql_stable_round('sum(value)', 2)} AS session_value
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, session_end, n_events, session_value
+FROM sess
+WHERE (epoch_us(session_end) // 1000) {cmp} (SELECT wm_ms FROM wm)"""
