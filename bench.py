@@ -139,6 +139,10 @@ HEADLINE = [
     "winnowing_fingerprints",
     "salted_skew_join",
     "winnow_neardup",
+    "cosupply_clustering",
+    "ann_sharded_topk",
+    "sql_surface_q16",
+    "sql_surface_q18",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path
