@@ -1098,6 +1098,54 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by lift (operators/text_analysis.py) — PMI
+    without the log, one IEEE division over exact BIGINT products."""
+    return TA.bigram_lift(_t_cpu(spark, sf_dir, "documents"))
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL source format round-tripped: synthetic
+    reviews written back out in the raw Yelp JSON-lines shape
+    (rating -> stars, formatted date string) and re-read through the
+    S1/S2 lenient reader (sources/reviews.py:read_yelp_jsonlines —
+    PERMISSIVE mode, stars -> rating, defaults). Reduced to one audit
+    row over the roundtrip-stable columns (date is excluded: rows
+    with missing dates take the reader's fallback-to-now, correctly
+    nondeterministic). Sums of integral doubles are exact at any
+    partition order, so the hash compare is safe."""
+    import tempfile
+
+    from yelp_streaming_etl_pipeline_spark.sources.reviews import (
+        read_yelp_jsonlines,
+        synthetic_reviews,
+    )
+
+    raw = synthetic_reviews(_ensure_conf(spark), sf_dir).select(
+        "review_id",
+        "business_id",
+        "user_id",
+        F.col("rating").alias("stars"),
+        "text",
+        F.date_format("date", "yyyy-MM-dd HH:mm:ss").alias("date"),
+        "useful",
+        "funny",
+        "cool",
+    )
+    path = tempfile.mkdtemp(prefix="io_jsonl_")
+    raw.write.mode("overwrite").json(path)
+    back = read_yelp_jsonlines(spark, path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.col("text")).alias("n_texts"),
+        F.sum("rating").alias("sum_stars"),
+        F.sum("useful").cast("long").alias("sum_useful"),
+        F.sum("funny").cast("long").alias("sum_funny"),
+        F.sum("cool").cast("long").alias("sum_cool"),
+        F.count_distinct("business_id").alias("n_businesses"),
+    )
+
+
 def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via Spark's NATIVE session_window aggregate
     (dynamic merging session windows in the state store) — the
@@ -2109,23 +2157,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 12 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 10 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
     z-score variance guard, personalized-pagerank EXISTS seed) —
-    the 16 that are r3-green AND untouched this round
+    the 18 that are r3-green AND untouched this round
     (trending_stream, io_roundtrip_formats, pii_profile, pii_redact,
     zorder_layout, frame_sample_plan, hll_set_ops, cms_join_size,
     embedding_project, semantic_dedup, kmeans_clusters,
     hard_negatives, cluster_balanced_sample, quality_classifier,
-    semantic_decontaminate, event_funnel) yield their slots to rule
-    (c) and move to the tail's r3-checked block; (c) the 24 entries
-    NEW this round — never driver-checked, which outranks
-    re-coverage; (d) dedup_clusters, which carries this round's
-    checkpoint-knob refactor. 13 + 12 + 24 + 1 = 50.
+    semantic_decontaminate, event_funnel, enriched_events_stream,
+    user_cohorts) yield their slots to rule (c) and move to the
+    tail's r3-checked block; (c) the 26 entries NEW this round —
+    never driver-checked, which outranks re-coverage;
+    (d) dedup_clusters, which carries this round's checkpoint-knob
+    refactor. 13 + 10 + 26 + 1 = 50.
 
-    CYCLE PLAN (133 entries, 50-entry window): entries past position
+    CYCLE PLAN (135 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -2150,8 +2199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "enriched_events_stream": q_enriched_events_stream,
-        "user_cohorts": q_user_cohorts,
         "pagerank_nodes": q_pagerank_nodes,
         "attributed_purchases_outer_stream": (
             q_attributed_purchases_outer_stream
@@ -2189,6 +2236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q18": q_sql_surface_q18,
         "cosupply_clustering": q_cosupply_clustering,
         "session_window_stream": q_session_window_stream,
+        "bigram_lift": q_bigram_lift,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2258,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "semantic_decontaminate": q_semantic_decontaminate,
         "event_funnel": q_event_funnel,
+        "enriched_events_stream": q_enriched_events_stream,
+        "user_cohorts": q_user_cohorts,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3234,6 +3285,22 @@ def _sql_dedup_stream() -> str:
     )
 
 
+def _sql_jsonl_roundtrip() -> str:
+    """Reduction of the synthetic reviews over the roundtrip-stable
+    columns (the JSONL write->lenient-read legs are lossless for
+    them; sums of integral/half-integral doubles are exact)."""
+    return f"""
+WITH reviews AS ({O.SYNTH_REVIEWS_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(text) AS BIGINT) AS n_texts,
+       sum(rating) AS sum_stars,
+       CAST(sum(useful) AS BIGINT) AS sum_useful,
+       CAST(sum(funny) AS BIGINT) AS sum_funny,
+       CAST(sum(cool) AS BIGINT) AS sum_cool,
+       CAST(count(DISTINCT business_id) AS BIGINT) AS n_businesses
+FROM reviews"""
+
+
 def _sql_dedup_watermark_stream() -> str:
     """DISTINCT over the replica-invariant projection: the replayed
     rows differ from their originals only in source (and share
@@ -3313,6 +3380,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q18": SQL_SURFACE_Q18,
         "cosupply_clustering": O.sql_cosupply_clustering(),
         "session_window_stream": O.sql_session_window_stream(),
+        "bigram_lift": O.sql_bigram_lift(),
+        "jsonl_roundtrip": _sql_jsonl_roundtrip(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

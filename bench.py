@@ -143,6 +143,8 @@ HEADLINE = [
     "ann_sharded_topk",
     "sql_surface_q16",
     "sql_surface_q18",
+    "bigram_lift",
+    "jsonl_roundtrip",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -92,3 +92,30 @@ def test_null_text(spark):
     ).collect()[0]
     assert row["wc"] == 0 and row["cc"] == 0
     assert row["awl"] == 0.0 and row["pr"] == 0.0
+
+
+def test_bigram_lift_exact_values(spark):
+    """Lift is the exact integer-product ratio N*c(xy)/(c(x)c(y)) —
+    hand-computed on a fixed corpus, with min_count filtering."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bigram_lift,
+    )
+
+    # 6x "p q" + 6x "p r q s": N = 36 tokens;
+    # c(p)=c(q)=12, c(r)=c(s)=6; pairs (count 6 each): pq, pr, rq, qs
+    docs = [(i, "p q") for i in range(6)]
+    docs += [(100 + i, "p r q s") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bigram_lift(df, min_count=3, k=10).collect()
+    got = [(r["bigram"], r["pair_count"], r["lift"]) for r in rows]
+    # lifts: pq = 36*6/144 = 1.5; pr = rq = qs = 36*6/72 = 3.0;
+    # ordered by (lift desc, bigram asc)
+    assert got == [
+        ("p r", 6, 3.0),
+        ("q s", 6, 3.0),
+        ("r q", 6, 3.0),
+        ("p q", 6, 1.5),
+    ]
+    # min_count filters everything in a sparser corpus
+    sparse = spark.createDataFrame([(1, "u v")], "doc_id long, text string")
+    assert bigram_lift(sparse, min_count=3).count() == 0

@@ -521,16 +521,20 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     The division is one IEEE double op over exact integers, so both
     engines produce the identical double; the reported value is
     stable-rounded anyway. Cost = triangle counting + one broadcast-
-    sized degree join.
+    sized degree join. The edge table is persisted across the two
+    consumers (degree build + triangle build) — without it the whole
+    upstream edge construction executes twice — and the result is
+    materialized before release.
     """
+    e = edges.persist()
+    tri = triangle_counts(e)  # materializes e via its checkpoint
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    tri = triangle_counts(edges)
-    return (
+    out = (
         deg.join(tri, "node", "left")
         .select(
             "node",
@@ -546,7 +550,10 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("_cc"),
         )
+        .localCheckpoint()
     )
+    e.unpersist()
+    return out
 
 
 def cosupply_clustering(lineitem: DataFrame) -> DataFrame:

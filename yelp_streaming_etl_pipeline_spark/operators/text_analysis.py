@@ -191,3 +191,77 @@ def tfidf_keywords(
             "doc_id", "rank", "term", stable_round(F.col("score"), 6).alias("score")
         )
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining by LIFT: ``(N * c(xy)) / (c(x) * c(y))`` —
+    how much more often the bigram occurs than independence predicts.
+    This is PMI without the logarithm: ln() is not correctly-rounded
+    and differs across libm implementations in the last ulp (same
+    reasoning as tfidf_keywords' linear idf), while lift is ONE IEEE
+    division of exact BIGINT products — bit-identical in every
+    engine, and order-equivalent to PMI for ranking.
+
+    Occurrence counts (not document frequencies): bigrams with
+    multiplicity via shifted-slice zip (evaluated once per row — see
+    dedup.word_shingles for why not element_at-in-lambda), unigrams
+    via one explode. ``min_count`` suppresses noise pairs; top-k by
+    (lift desc, bigram asc) compiles to TakeOrderedAndProject.
+
+    Scale shape: two hash aggregates (unigram, bigram counts), one
+    broadcast of the 1-row total, two broadcast-able joins of bigram
+    counts onto unigram counts keyed by word. Nothing quadratic.
+    """
+    from ..functions.rounding import stable_round
+    from ..functions.text_features import ws_trim
+
+    words = F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
+    staged = df.select(words.alias("ws"))
+    uni = (
+        staged.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    m = F.size("ws") - 1
+    pairs = (
+        staged.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, m),
+                    F.slice("ws", 2, m),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cxy").alias("pair_count"),
+            stable_round(
+                (F.col("n") * F.col("cxy")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(k)
+    )

@@ -2311,3 +2311,40 @@ sess AS (
 SELECT user_id, session_start, session_end, n_events, session_value
 FROM sess
 WHERE (epoch_us(session_end) // 1000) {cmp} (SELECT wm_ms FROM wm)"""
+
+
+def sql_bigram_lift(min_count: int = 5, k: int = 20) -> str:
+    """Twin of operators/text_analysis.py:bigram_lift — identical
+    tokenization, occurrence (not document) counts, and the same
+    single BIGINT-product division."""
+    wst = sql_ws_trim("lower(text)")
+    lift = sql_stable_round(
+        "CAST(t.n * b.cxy AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)", 6
+    )
+    return f"""
+WITH base AS (
+  SELECT string_split_regex({wst}, '\\s+') AS words FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS w FROM base) GROUP BY w
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(words) - 1)) AS g(i)
+  WHERE len(words) >= 2
+),
+bcnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+  FROM bg GROUP BY w1, w2 HAVING count(*) >= {min_count}
+)
+SELECT b.w1 || ' ' || b.w2 AS bigram,
+       b.cxy AS pair_count,
+       {lift} AS lift
+FROM bcnt b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot t
+ORDER BY lift DESC, bigram ASC
+LIMIT {k}"""
