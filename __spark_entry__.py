@@ -21,6 +21,7 @@ from yelp_streaming_etl_pipeline_spark.functions import language as LANG
 from yelp_streaming_etl_pipeline_spark.functions import text_features as TF
 from yelp_streaming_etl_pipeline_spark.functions.rounding import (
     exact_sum,
+    quantize,
     sql_exact_avg as XA,
     sql_exact_sum as XS,
     sql_exact_sum_over as XSO,
@@ -1098,6 +1099,116 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent replication-audit fingerprints
+    (operators/integrity.py) for three tables in one result: per-row
+    md5 over null-tagged, type-normalized encodings (epoch micros for
+    timestamps, quantized integers for doubles — never raw float
+    formatting), summed mod 2^61. Equal checksums across engines /
+    clusters / rewrites certify equal row multisets without sorting
+    or shipping either side."""
+    from yelp_streaming_etl_pipeline_spark.operators import (
+        integrity as IG,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    fps = [
+        IG.table_fingerprint(
+            li,
+            [
+                F.col("l_orderkey"),
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_linenumber"),
+                quantize(F.col("l_quantity")),
+                quantize(F.col("l_extendedprice")),
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+                F.unix_micros(
+                    F.col("l_shipdate").cast("timestamp_ltz")
+                ),
+            ],
+            "lineitem",
+        ),
+        IG.table_fingerprint(
+            od,
+            [
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                quantize(F.col("o_totalprice")),
+                F.unix_micros(
+                    F.col("o_orderdate").cast("timestamp_ltz")
+                ),
+                F.col("o_orderpriority"),
+            ],
+            "orders",
+        ),
+        IG.table_fingerprint(
+            ev,
+            [
+                F.col("event_id"),
+                F.unix_micros(F.col("ts")),
+                F.col("user_id"),
+                F.col("event_type"),
+                quantize(F.col("value")),
+                F.col("props"),
+            ],
+            "events",
+        ),
+    ]
+    out = fps[0]
+    for f in fps[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+SQL_SURFACE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
+
+
+def q_sql_surface_groupingsets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Identical-text two-engine SQL: explicit GROUPING SETS with
+    grouping() indicator columns — the generalization rollup_revenue
+    and cube_revenue exercise through the DataFrame API, here through
+    the shared ANSI text (one aggregate pass expanded over the three
+    grouping sets in both engines)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_GROUPING_SETS)
+
+
+SQL_SURFACE_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+WHERE c.c_custkey % 50 = 0"""
+
+
+def q_sql_surface_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL: correlated LATERAL subquery
+    with per-outer-row ORDER BY + LIMIT (top-2 orders per sampled
+    customer) — Catalyst decorrelates the lateral top-k into a
+    window-ranked join; DuckDB runs the same text via its lateral
+    join machinery. Deterministic: the inner order is a total order
+    (totalprice desc, orderkey asc)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_SURFACE_LATERAL)
+
+
 def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (operators/text_analysis.py) — PMI
     without the log, one IEEE division over exact BIGINT products."""
@@ -2157,7 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 10 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 7 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
@@ -2168,13 +2279,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding_project, semantic_dedup, kmeans_clusters,
     hard_negatives, cluster_balanced_sample, quality_classifier,
     semantic_decontaminate, event_funnel, enriched_events_stream,
-    user_cohorts) yield their slots to rule (c) and move to the
-    tail's r3-checked block; (c) the 26 entries NEW this round —
-    never driver-checked, which outranks re-coverage;
+    user_cohorts, hll_registers_stream, hll_by_type,
+    attributed_purchases_outer_stream) yield their slots to rule (c)
+    and move to the tail's r3-checked block; (c) the 29 entries NEW
+    this round — never driver-checked, which outranks re-coverage;
     (d) dedup_clusters, which carries this round's checkpoint-knob
-    refactor. 13 + 10 + 26 + 1 = 50.
+    refactor. 13 + 7 + 29 + 1 = 50.
 
-    CYCLE PLAN (135 entries, 50-entry window): entries past position
+    CYCLE PLAN (138 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -2200,13 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
         "pagerank_nodes": q_pagerank_nodes,
-        "attributed_purchases_outer_stream": (
-            q_attributed_purchases_outer_stream
-        ),
         "event_zscores": q_event_zscores,
         "user_value_ewma": q_user_value_ewma,
-        "hll_registers_stream": q_hll_registers_stream,
-        "hll_by_type": q_hll_by_type,
         "personalized_pagerank": q_personalized_pagerank,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
@@ -2238,6 +2345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stream": q_session_window_stream,
         "bigram_lift": q_bigram_lift,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "sql_surface_groupingsets": q_sql_surface_groupingsets,
+        "sql_surface_lateral": q_sql_surface_lateral,
+        "table_fingerprints": q_table_fingerprints,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2309,6 +2419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "enriched_events_stream": q_enriched_events_stream,
         "user_cohorts": q_user_cohorts,
+        "hll_registers_stream": q_hll_registers_stream,
+        "hll_by_type": q_hll_by_type,
+        "attributed_purchases_outer_stream": (
+            q_attributed_purchases_outer_stream
+        ),
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3382,6 +3497,9 @@ def oracle_sql() -> dict[str, str]:
         "session_window_stream": O.sql_session_window_stream(),
         "bigram_lift": O.sql_bigram_lift(),
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
+        "sql_surface_groupingsets": SQL_SURFACE_GROUPING_SETS,
+        "sql_surface_lateral": SQL_SURFACE_LATERAL,
+        "table_fingerprints": O.sql_table_fingerprints(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

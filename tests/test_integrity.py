@@ -1,0 +1,58 @@
+"""Order-independent table fingerprints (operators/integrity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_streaming_etl_pipeline_spark.operators.integrity import (
+    table_fingerprint,
+)
+
+
+def _fp(spark, rows):
+    df = spark.createDataFrame(rows, "a long, b string")
+    row = table_fingerprint(
+        df, [F.col("a"), F.col("b")], "t"
+    ).collect()[0]
+    return row["n_rows"], row["checksum"]
+
+
+def test_fingerprint_is_order_and_partition_independent(spark):
+    rows = [(i, f"v{i % 7}") for i in range(200)]
+    base = _fp(spark, rows)
+    shuffled = _fp(spark, list(reversed(rows)))
+    assert base == shuffled
+    df = spark.createDataFrame(rows, "a long, b string").repartition(13)
+    row = table_fingerprint(df, [F.col("a"), F.col("b")], "t").collect()[0]
+    assert (row["n_rows"], row["checksum"]) == base
+
+
+def test_fingerprint_detects_single_cell_change(spark):
+    rows = [(i, "x") for i in range(50)]
+    changed = list(rows)
+    changed[17] = (17, "y")
+    assert _fp(spark, rows) != _fp(spark, changed)
+
+
+def test_fingerprint_null_tagging_disambiguates(spark):
+    # ("a", NULL) vs (NULL, "a") must not collide — concat_ws alone
+    # would encode both as "a"
+    r1 = [( None, "a")]
+    r2 = [(97, None)]  # "97"|NULL vs NULL|"a" -> distinct encodings
+    df1 = spark.createDataFrame(r1, "a long, b string")
+    df2 = spark.createDataFrame(r2, "a long, b string")
+    c1 = table_fingerprint(df1, [F.col("a"), F.col("b")], "t").collect()[0]["checksum"]
+    c2 = table_fingerprint(df2, [F.col("a"), F.col("b")], "t").collect()[0]["checksum"]
+    assert c1 != c2
+
+
+def test_fingerprint_incremental_delta(spark):
+    # fingerprint(base + delta) == (fingerprint(base) + fingerprint(delta)) mod 2^61
+    from yelp_streaming_etl_pipeline_spark.operators.integrity import FP_MOD
+
+    base = [(i, "r") for i in range(30)]
+    delta = [(100 + i, "s") for i in range(5)]
+    _, cb = _fp(spark, base)
+    _, cd = _fp(spark, delta)
+    _, call = _fp(spark, base + delta)
+    assert call == (cb + cd) % FP_MOD

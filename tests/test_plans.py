@@ -487,3 +487,25 @@ def test_sql_surface_q18_semi_join_over_aggregate(spark):
     assert "Semi" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
     assert not A.has_python_udf(df)
+
+
+def test_sql_surface_lateral_decorrelates(spark):
+    # the correlated LATERAL top-k must plan as a join (window or
+    # aggregated), never a per-outer-row subquery or cartesian
+    df = E.q_sql_surface_lateral(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_groupingsets_single_expand(spark):
+    # grouping sets compile to one Expand + aggregate, not a union of
+    # three scans
+    import re
+
+    df = E.q_sql_surface_groupingsets(spark, SF)
+    plan = A.physical_plan(df)
+    assert "Expand" in plan, plan[:2000]
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)
+    assert len(scans) == 1, plan[:2000]
+    assert not A.has_python_udf(df)

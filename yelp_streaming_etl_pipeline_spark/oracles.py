@@ -2348,3 +2348,65 @@ JOIN uni u2 ON u2.w = b.w2
 CROSS JOIN tot t
 ORDER BY lift DESC, bigram ASC
 LIMIT {k}"""
+
+
+def _fp_arm(table: str, exprs: list[str]) -> str:
+    enc = ",\n      ".join(
+        f"COALESCE(CAST({e} AS VARCHAR), chr(0))" for e in exprs
+    )
+    return f"""SELECT '{table}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(('0x' || substr(md5(concat_ws('|',
+      {enc})), 1, 8))::BIGINT) % {1 << 61} AS BIGINT) AS checksum
+FROM {table}"""
+
+
+def sql_table_fingerprints() -> str:
+    """Twin of __spark_entry__.q_table_fingerprints — identical
+    null-tagged encodings (epoch micros, quantized doubles) and the
+    same mod-2^61 hash sum (HUGEINT-exact here, DECIMAL(38,0)-exact
+    on the Spark side)."""
+    def qz(e: str) -> str:
+        # scalar quantize (rounding.quantize twin) — NOT the module's
+        # sql_quantize, which is the int8 VECTOR quantizer
+        return f"CAST(floor(({e}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    arms = [
+        _fp_arm(
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_linenumber",
+                qz("l_quantity"),
+                qz("l_extendedprice"),
+                "l_returnflag",
+                "l_linestatus",
+                "epoch_us(l_shipdate)",
+            ],
+        ),
+        _fp_arm(
+            "orders",
+            [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                qz("o_totalprice"),
+                "epoch_us(o_orderdate)",
+                "o_orderpriority",
+            ],
+        ),
+        _fp_arm(
+            "events",
+            [
+                "event_id",
+                "epoch_us(ts)",
+                "user_id",
+                "event_type",
+                qz("value"),
+                "props",
+            ],
+        ),
+    ]
+    return "\nUNION ALL\n".join(arms)
