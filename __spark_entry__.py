@@ -1099,6 +1099,72 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_schema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet schema evolution: two writer generations (the second
+    adds a column) land in one dataset; a mergeSchema read unifies
+    them with nulls backfilling the old generation — the lake-table
+    reality every long-lived 100 TB dataset hits. Reduced per lang
+    over both generations; the oracle reconstructs the same union
+    with NULL n_chars for generation 1."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="io_evo_")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang"
+    ).write.mode("overwrite").parquet(f"{d}/gen=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(f"{d}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketBy(8,
+    custkey) + sortBy and read back as tables, so the join needs NO
+    shuffle exchange on either side (asserted by the plan test) —
+    the storage-layout answer to repeated big-to-big joins at 100 TB,
+    where pre-bucketing amortizes one shuffle across every future
+    join on the key. Result is the plain join aggregate the oracle
+    runs."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    od_t, cu_t = f"orders_b_{tag}", f"customer_b_{tag}"
+    d = tempfile.mkdtemp(prefix="bucketed_")
+    (
+        _t(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("path", f"{d}/orders")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(od_t)
+    )
+    (
+        _t(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .option("path", f"{d}/customer")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(cu_t)
+    )
+    od = spark.table(od_t)
+    cu = spark.table(cu_t)
+    joined = od.join(cu, od["o_custkey"] == cu["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("total_revenue"),
+    )
+
+
 def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent replication-audit fingerprints
     (operators/integrity.py) for three tables in one result: per-row
@@ -2268,7 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 7 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 5 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
@@ -2280,13 +2346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard_negatives, cluster_balanced_sample, quality_classifier,
     semantic_decontaminate, event_funnel, enriched_events_stream,
     user_cohorts, hll_registers_stream, hll_by_type,
-    attributed_purchases_outer_stream) yield their slots to rule (c)
-    and move to the tail's r3-checked block; (c) the 29 entries NEW
-    this round — never driver-checked, which outranks re-coverage;
+    attributed_purchases_outer_stream, sql_surface_q4,
+    user_value_ewma) yield their slots to rule (c) and move to the
+    tail's r3-checked block; (c) the 31 entries NEW this round —
+    never driver-checked, which outranks re-coverage;
     (d) dedup_clusters, which carries this round's checkpoint-knob
-    refactor. 13 + 7 + 29 + 1 = 50.
+    refactor. 13 + 5 + 31 + 1 = 50.
 
-    CYCLE PLAN (138 entries, 50-entry window): entries past position
+    CYCLE PLAN (140 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -2313,11 +2380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) round-3 additions — re-verify (several carry r4 changes)
         "pagerank_nodes": q_pagerank_nodes,
         "event_zscores": q_event_zscores,
-        "user_value_ewma": q_user_value_ewma,
         "personalized_pagerank": q_personalized_pagerank,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
-        "sql_surface_q4": q_sql_surface_q4,
         # (c) NEW this round — never driver-checked, must be in window
         "lang_id_prefix": q_lang_id_prefix,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2348,6 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_groupingsets": q_sql_surface_groupingsets,
         "sql_surface_lateral": q_sql_surface_lateral,
         "table_fingerprints": q_table_fingerprints,
+        "schema_evolution_read": q_schema_evolution_read,
+        "bucketed_join": q_bucketed_join,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2424,6 +2491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributed_purchases_outer_stream": (
             q_attributed_purchases_outer_stream
         ),
+        "sql_surface_q4": q_sql_surface_q4,
+        "user_value_ewma": q_user_value_ewma,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3400,6 +3469,32 @@ def _sql_dedup_stream() -> str:
     )
 
 
+def _sql_schema_evolution_read() -> str:
+    """Union of the two writer generations with NULL n_chars
+    backfilling generation 1 (doc_id even), reduced per lang."""
+    return """
+WITH merged AS (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM merged GROUP BY lang"""
+
+
+def _sql_bucketed_join() -> str:
+    """The plain join aggregate — bucketing changes only the physical
+    layout, never the result."""
+    return f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       {XS('o_totalprice')} AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment"""
+
+
 def _sql_jsonl_roundtrip() -> str:
     """Reduction of the synthetic reviews over the roundtrip-stable
     columns (the JSONL write->lenient-read legs are lossless for
@@ -3500,6 +3595,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_groupingsets": SQL_SURFACE_GROUPING_SETS,
         "sql_surface_lateral": SQL_SURFACE_LATERAL,
         "table_fingerprints": O.sql_table_fingerprints(),
+        "schema_evolution_read": _sql_schema_evolution_read(),
+        "bucketed_join": _sql_bucketed_join(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

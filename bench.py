@@ -145,6 +145,11 @@ HEADLINE = [
     "sql_surface_q18",
     "bigram_lift",
     "jsonl_roundtrip",
+    "sql_surface_groupingsets",
+    "sql_surface_lateral",
+    "table_fingerprints",
+    "schema_evolution_read",
+    "bucketed_join",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

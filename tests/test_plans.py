@@ -509,3 +509,24 @@ def test_sql_surface_groupingsets_single_expand(spark):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)
     assert len(scans) == 1, plan[:2000]
     assert not A.has_python_udf(df)
+
+
+def test_bucketed_join_entry_no_shuffle(spark):
+    # the oracle-checked entry variant of the bucketing story: with
+    # broadcast disabled (so bucketing, not dim size, removes the
+    # shuffle), the join adds zero exchanges — only the final groupBy
+    # aggregate shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = E.q_bucketed_join(spark, SF)
+        plan = A.physical_plan(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+            plan[:2000]
+        )
+        assert A.key_shuffle_exchanges(df) <= 1, plan[:3000]
+        assert "Bucketed: true" in plan, plan[:3000]
+        assert not A.has_python_udf(df)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
