@@ -1099,6 +1099,114 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_partition_overwrite_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idempotent single-partition backfill: events written
+    partitioned by day, then ONE day rewritten through DYNAMIC
+    partition overwrite (only partitions present in the incoming
+    frame are replaced; every other day's files are untouched) — the
+    reprocess-one-bad-day operation every partitioned 100 TB table
+    needs. The backfill doubles that day's values; the read-back
+    aggregate proves exactly one partition changed."""
+    import tempfile
+
+    ev = read_events(_ensure_conf(spark), sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = tempfile.mkdtemp(prefix="events_by_day_")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+    target_day = "2024-01-02"
+    fixed = (
+        ev.filter(F.col("day") == target_day)
+        .withColumn("value", F.col("value") * 2)
+    )
+    (
+        fixed.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    # partition-directory values come back type-inferred as DATE;
+    # normalize to the string key the oracle groups by
+    return back.groupBy(
+        F.col("day").cast("string").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        exact_sum(F.col("value"), 2).alias("day_value"),
+    )
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit in one pass per table: key
+    uniqueness (exact distinct vs count), referential integrity
+    (orphan counts via anti-join semantics), and null rates — the
+    contract checks a warehouse load runs before publishing. Each
+    check is one aggregate or one broadcast-able anti-join; output is
+    a fixed handful of (check, n_violations) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    checks = []
+
+    def _row(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks.append(
+        _row(
+            "orders_pk_duplicates",
+            od.groupBy("o_orderkey")
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.count("*").alias("n")),
+        )
+    )
+    checks.append(
+        _row(
+            "lineitem_orphan_orderkeys",
+            li.join(
+                od.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        )
+    )
+    checks.append(
+        _row(
+            "orders_orphan_custkeys",
+            od.join(
+                cu.select("c_custkey"),
+                od["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        )
+    )
+    checks.append(
+        _row(
+            "lineitem_null_quantity",
+            li.filter(F.col("l_quantity").isNull()).agg(
+                F.count("*").alias("n")
+            ),
+        )
+    )
+    checks.append(
+        _row(
+            "orders_negative_totalprice",
+            od.filter(F.col("o_totalprice") < 0).agg(
+                F.count("*").alias("n")
+            ),
+        )
+    )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def q_schema_evolution_read(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2334,7 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 5 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 3 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
@@ -2348,12 +2456,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     user_cohorts, hll_registers_stream, hll_by_type,
     attributed_purchases_outer_stream, sql_surface_q4,
     user_value_ewma) yield their slots to rule (c) and move to the
-    tail's r3-checked block; (c) the 31 entries NEW this round —
-    never driver-checked, which outranks re-coverage;
-    (d) dedup_clusters, which carries this round's checkpoint-knob
-    refactor. 13 + 5 + 31 + 1 = 50.
+    tail's r3-checked block, as do pagerank_nodes and
+    bpe_token_counts (their r4 code changes stay witnessed in-window
+    by pagerank_weighted/personalized_pagerank and bpe_merges);
+    (c) the 33 entries NEW this round — never driver-checked, which
+    outranks re-coverage; (d) dedup_clusters, which carries this
+    round's checkpoint-knob refactor. 13 + 3 + 33 + 1 = 50.
 
-    CYCLE PLAN (140 entries, 50-entry window): entries past position
+    CYCLE PLAN (142 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -2378,11 +2488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "pagerank_nodes": q_pagerank_nodes,
         "event_zscores": q_event_zscores,
         "personalized_pagerank": q_personalized_pagerank,
         "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
         # (c) NEW this round — never driver-checked, must be in window
         "lang_id_prefix": q_lang_id_prefix,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2415,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprints": q_table_fingerprints,
         "schema_evolution_read": q_schema_evolution_read,
         "bucketed_join": q_bucketed_join,
+        "partition_overwrite_backfill": q_partition_overwrite_backfill,
+        "constraint_audit": q_constraint_audit,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2493,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sql_surface_q4": q_sql_surface_q4,
         "user_value_ewma": q_user_value_ewma,
+        "pagerank_nodes": q_pagerank_nodes,
+        "bpe_token_counts": q_bpe_token_counts,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3469,6 +3581,43 @@ def _sql_dedup_stream() -> str:
     )
 
 
+def _sql_partition_overwrite_backfill() -> str:
+    """Events with exactly the target day's values doubled, reduced
+    per day — what the dynamic overwrite must leave on disk."""
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {XS("CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-02'"
+           " THEN value * 2 ELSE value END")} AS day_value
+FROM events GROUP BY 1"""
+
+
+def _sql_constraint_audit() -> str:
+    return """
+SELECT 'orders_pk_duplicates' AS check,
+       CAST((SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'lineitem_orphan_orderkeys',
+       CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          AS BIGINT)
+UNION ALL
+SELECT 'orders_orphan_custkeys',
+       CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          AS BIGINT)
+UNION ALL
+SELECT 'lineitem_null_quantity',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+          AS BIGINT)
+UNION ALL
+SELECT 'orders_negative_totalprice',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0)
+          AS BIGINT)"""
+
+
 def _sql_schema_evolution_read() -> str:
     """Union of the two writer generations with NULL n_chars
     backfilling generation 1 (doc_id even), reduced per lang."""
@@ -3597,6 +3746,10 @@ def oracle_sql() -> dict[str, str]:
         "table_fingerprints": O.sql_table_fingerprints(),
         "schema_evolution_read": _sql_schema_evolution_read(),
         "bucketed_join": _sql_bucketed_join(),
+        "partition_overwrite_backfill": (
+            _sql_partition_overwrite_backfill()
+        ),
+        "constraint_audit": _sql_constraint_audit(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

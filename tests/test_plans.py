@@ -530,3 +530,45 @@ def test_bucketed_join_entry_no_shuffle(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
+
+
+def test_partition_overwrite_touches_one_partition(spark, tmp_path):
+    """Dynamic partition overwrite must leave other partitions' files
+    untouched on disk (same file set before and after the backfill),
+    replacing only the target day's directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import read_events
+
+    ev = read_events(spark, SF).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    def files_by_day():
+        m = {}
+        for d in os.listdir(out):
+            if d.startswith("day="):
+                m[d] = sorted(os.listdir(os.path.join(out, d)))
+        return m
+
+    before = files_by_day()
+    target = sorted(before)[1]
+    day_val = target.split("=", 1)[1]
+    (
+        ev.filter(F.col("day") == day_val)
+        .withColumn("value", F.col("value") * 2)
+        .write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    after = files_by_day()
+    assert set(before) == set(after)  # no partition added/removed
+    unchanged = [d for d in before if d != target]
+    for d in unchanged:
+        assert before[d] == after[d], d  # untouched files
+    assert before[target] != after[target]  # target rewritten
