@@ -150,6 +150,9 @@ HEADLINE = [
     "table_fingerprints",
     "schema_evolution_read",
     "bucketed_join",
+    "partition_overwrite_backfill",
+    "constraint_audit",
+    "bloom_pruned_join",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -572,3 +572,14 @@ def test_partition_overwrite_touches_one_partition(spark, tmp_path):
     for d in unchanged:
         assert before[d] == after[d], d  # untouched files
     assert before[target] != after[target]  # target rewritten
+
+
+def test_bloom_pruned_join_is_map_side(spark):
+    # the bloom probe must not add any exchange: register table
+    # broadcasts, probe is a pure map before the join's own shuffle
+    df = E.q_bloom_pruned_join(spark, SF)
+    plan = A.physical_plan(df)
+    assert "BroadcastExchange" in plan, plan[:2000]
+    # allowed keyed exchanges: the join (<=2 sides) + final agg
+    assert A.key_shuffle_exchanges(df) <= 3, plan[:3000]
+    assert not A.has_python_udf(df)
