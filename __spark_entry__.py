@@ -1099,6 +1099,19 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cosupply_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier communities by synchronous label propagation over the
+    mutual-kNN co-supply graph (operators/graph.py) — deterministic
+    via simultaneous rounds + min-label tie-break."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        cosupply_communities,
+    )
+
+    return cosupply_communities(_t(spark, sf_dir, "lineitem"))
+
+
 def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned join: the build side is the FILTERED orders subset
     ('F' status); its 128-row bloom register table broadcasts and
@@ -2474,7 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 2 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 1 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
@@ -2488,14 +2501,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     user_cohorts, hll_registers_stream, hll_by_type,
     attributed_purchases_outer_stream, sql_surface_q4,
     user_value_ewma) yield their slots to rule (c) and move to the
-    tail's r3-checked block, as do pagerank_nodes, bpe_token_counts
-    and personalized_pagerank (their r4 code changes stay witnessed
-    in-window by pagerank_weighted and bpe_merges); (c) the 34
-    entries NEW this round — never driver-checked, which outranks
-    re-coverage; (d) dedup_clusters, which carries this round's
-    checkpoint-knob refactor. 13 + 2 + 34 + 1 = 50.
+    tail's r3-checked block, as do pagerank_nodes, bpe_token_counts,
+    personalized_pagerank and event_zscores (their r4 code changes
+    stay witnessed in-window by pagerank_weighted and bpe_merges,
+    and by pytest fixtures); (c) the 35 entries NEW this round —
+    never driver-checked, which outranks re-coverage;
+    (d) dedup_clusters, which carries this round's checkpoint-knob
+    refactor. 13 + 1 + 35 + 1 = 50.
 
-    CYCLE PLAN (143 entries, 50-entry window): entries past position
+    CYCLE PLAN (144 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -2520,7 +2534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "event_zscores": q_event_zscores,
         "bpe_merges": q_bpe_merges,
         # (c) NEW this round — never driver-checked, must be in window
         "lang_id_prefix": q_lang_id_prefix,
@@ -2557,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_overwrite_backfill": q_partition_overwrite_backfill,
         "constraint_audit": q_constraint_audit,
         "bloom_pruned_join": q_bloom_pruned_join,
+        "cosupply_communities": q_cosupply_communities,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2638,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_nodes": q_pagerank_nodes,
         "bpe_token_counts": q_bpe_token_counts,
         "personalized_pagerank": q_personalized_pagerank,
+        "event_zscores": q_event_zscores,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3795,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "constraint_audit": _sql_constraint_audit(),
         "bloom_pruned_join": _sql_bloom_pruned_join(),
+        "cosupply_communities": O.sql_cosupply_communities(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

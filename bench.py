@@ -153,6 +153,7 @@ HEADLINE = [
     "partition_overwrite_backfill",
     "constraint_audit",
     "bloom_pruned_join",
+    "cosupply_communities",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path

@@ -320,3 +320,38 @@ def test_clustering_coefficients(spark):
     assert got[4] == (4, 3, 0.5)
     # pendant node 5: degree 1 -> declared cc 0.0
     assert got[5] == (1, 0, 0.0)
+
+
+def test_label_propagation_two_communities(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two triangles joined by one bridge edge: LPA should keep each
+    # triangle in its own community (labels 1 and 4 win by min rule)
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(und, "u long, v long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_label_propagation_is_deterministic(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(i, j) for i in range(1, 8) for j in range(i + 1, 8) if (i + j) % 3]
+    df = spark.createDataFrame(und, "u long, v long")
+    a = sorted(map(tuple, label_propagation(df, rounds=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(df.repartition(7), rounds=4).collect(),
+        )
+    )
+    assert a == b

@@ -569,3 +569,79 @@ def cosupply_clustering(lineitem: DataFrame) -> DataFrame:
         "n_triangles",
         stable_round(F.col("_cc"), 6).alias("clustering_coef"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """SYNCHRONOUS label propagation over canonical ``(u < v)``
+    undirected edges: every node starts as its own label; each round
+    every node simultaneously adopts the most frequent label among
+    its neighbors, ties broken by SMALLEST label — fully
+    deterministic (classic asynchronous LPA is update-order
+    dependent; synchronous rounds + the min tie-break make every
+    engine and partitioning agree). A fixed round count bounds the
+    iteration (communities stabilize quickly on similarity graphs;
+    synchronous LPA can 2-cycle on bipartite-ish structure, which a
+    fixed even/odd round count snapshots deterministically).
+
+    Per round: one equi-join of the |V| label table onto the
+    symmetrized edges + one (node, label) count + one per-node
+    window over its distinct neighbor labels (bounded by degree —
+    ≤ k on a mutual-kNN graph). Same join/agg iteration shape as
+    :func:`pagerank`; labels are exact integers.
+
+    ITERATION HYGIENE: per-round eager localCheckpoint truncates
+    lineage; superseded blocks are cleaner-managed.
+    """
+    sym = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(
+            edges.select(
+                F.col("v").alias("node"), F.col("u").alias("nbr")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        sym.select("node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(rounds):
+        freq = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return labels
+
+
+def cosupply_communities(
+    lineitem: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """End-to-end: mutual-kNN co-supply graph + synchronous label
+    propagation — supplier community assignments
+    ``(s_suppkey, community)``."""
+    return label_propagation(
+        cosupply_edges(lineitem), rounds=rounds
+    ).select(
+        F.col("node").alias("s_suppkey"),
+        F.col("label").alias("community"),
+    )

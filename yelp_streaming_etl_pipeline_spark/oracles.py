@@ -2410,3 +2410,39 @@ def sql_table_fingerprints() -> str:
         ),
     ]
     return "\nUNION ALL\n".join(arms)
+
+
+def sql_cosupply_communities(rounds: int = 4) -> str:
+    """Twin of operators/graph.py:cosupply_communities — mutual-kNN
+    edges (shared CTE) + synchronous label-propagation rounds
+    unrolled as CTE stages; the most-frequent-neighbor-label argmax
+    with min-label tie-break is a row_number window, identical in
+    both engines."""
+    parts = [
+        f"""{_cosupply_edges_cte()},
+sym AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM sym)"""
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""f{r} AS (
+  SELECT s.node, l.label, count(*) AS cnt
+  FROM sym s JOIN {prev} l ON s.nbr = l.node
+  GROUP BY s.node, l.label
+),
+l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM f{r}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{r}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT node AS s_suppkey, label AS community FROM {prev}"""
