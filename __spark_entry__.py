@@ -1099,6 +1099,59 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_fingerprint_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental fingerprint maintenance, distributed end to end:
+    checksum(base) + checksum(delta) == checksum(base + delta)
+    (mod 2^61) because the reduce is a plain hash sum — the property
+    that lets a 100 TB replica audit update in O(delta) instead of
+    re-scanning. The entry computes all three checksums over an
+    event split (base = even ids, delta = odd ids) plus the modular
+    identity's residual, which must be 0."""
+    from yelp_streaming_etl_pipeline_spark.operators import (
+        integrity as IG,
+    )
+
+    ev = read_events(_ensure_conf(spark), sf_dir)
+
+    def cols() -> list:
+        return [
+            F.col("event_id"),
+            F.unix_micros(F.col("ts")),
+            F.col("user_id"),
+            F.col("event_type"),
+            quantize(F.col("value")),
+            F.col("props"),
+        ]
+
+    base = IG.table_fingerprint(
+        ev.filter(F.col("event_id") % 2 == 0), cols(), "base"
+    )
+    delta = IG.table_fingerprint(
+        ev.filter(F.col("event_id") % 2 == 1), cols(), "delta"
+    )
+    full = IG.table_fingerprint(ev, cols(), "full")
+    u = base.unionByName(delta).unionByName(full)
+    wide = u.groupBy().pivot(
+        "table_name", ["base", "delta", "full"]
+    ).agg(
+        F.first("checksum").alias("checksum"),
+        F.first("n_rows").alias("n_rows"),
+    )
+    return wide.select(
+        F.col("base_checksum"),
+        F.col("delta_checksum"),
+        F.col("full_checksum"),
+        (F.col("base_n_rows") + F.col("delta_n_rows")).alias("n_rows"),
+        (
+            (F.col("base_checksum") + F.col("delta_checksum"))
+            % F.lit(IG.FP_MOD)
+            - F.col("full_checksum")
+        ).alias("residual"),
+    )
+
+
 def q_cosupply_communities(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2487,7 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window (priority order, per VERDICT r3 directive #1):
     (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 1 of the 28 entries
+    a driver check, rotate back in FIRST; (b) 0 of the 28 entries
     round 3 added (driver-green in CORRECTNESS_r03, re-verified
     because several carry THIS round's code changes: pagerank persist
     hygiene + per-edge weights, BPE argmax collect + short-circuit,
@@ -2501,15 +2554,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     user_cohorts, hll_registers_stream, hll_by_type,
     attributed_purchases_outer_stream, sql_surface_q4,
     user_value_ewma) yield their slots to rule (c) and move to the
-    tail's r3-checked block, as do pagerank_nodes, bpe_token_counts,
-    personalized_pagerank and event_zscores (their r4 code changes
-    stay witnessed in-window by pagerank_weighted and bpe_merges,
-    and by pytest fixtures); (c) the 35 entries NEW this round —
-    never driver-checked, which outranks re-coverage;
-    (d) dedup_clusters, which carries this round's checkpoint-knob
-    refactor. 13 + 1 + 35 + 1 = 50.
+    tail's r3-checked block, as do ALL the round-3 additions with r4
+    code changes (pagerank_nodes, bpe_merges, bpe_token_counts,
+    personalized_pagerank, event_zscores) — the changed code paths
+    stay witnessed in-window by pagerank_weighted and
+    bpe_merges_bytes, which exercise them, plus pytest fixtures;
+    (c) the 36 entries NEW this round — never driver-checked, which
+    outranks re-coverage; (d) dedup_clusters, which carries this
+    round's checkpoint-knob refactor. 13 + 36 + 1 = 50.
 
-    CYCLE PLAN (144 entries, 50-entry window): entries past position
+    CYCLE PLAN (145 entries, 50-entry window): entries past position
     50 are ordered by staleness — the ~45 r2-checked entries first
     (headed by topic_roundtrip_reviews / events_hourly), then the
     r3-checked gauntlet/streaming group. Round 5's window takes the
@@ -2534,7 +2588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_event_intervals": q_user_event_intervals,
         # (b) round-3 additions — re-verify (several carry r4 changes)
-        "bpe_merges": q_bpe_merges,
         # (c) NEW this round — never driver-checked, must be in window
         "lang_id_prefix": q_lang_id_prefix,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2571,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_audit": q_constraint_audit,
         "bloom_pruned_join": q_bloom_pruned_join,
         "cosupply_communities": q_cosupply_communities,
+        "fingerprint_incremental": q_fingerprint_incremental,
         # (d) carries this round's checkpoint-knob refactor
         "dedup_clusters": q_dedup_clusters,
         # ---- position > 50: all green in this round's local full
@@ -2653,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "personalized_pagerank": q_personalized_pagerank,
         "event_zscores": q_event_zscores,
+        "bpe_merges": q_bpe_merges,
         "review_stats": q_review_stats,
         "review_stats_overall": q_review_stats_overall,
         "acceptance_summary": q_acceptance_summary,
@@ -3629,6 +3684,36 @@ def _sql_dedup_stream() -> str:
     )
 
 
+def _sql_fingerprint_incremental() -> str:
+    """The same three checksums + the modular-identity residual (0)
+    computed in one pass each."""
+    enc = (
+        "('0x' || substr(md5(concat_ws('|',"
+        " COALESCE(CAST(event_id AS VARCHAR), chr(0)),"
+        " COALESCE(CAST(epoch_us(ts) AS VARCHAR), chr(0)),"
+        " COALESCE(CAST(user_id AS VARCHAR), chr(0)),"
+        " COALESCE(CAST(event_type AS VARCHAR), chr(0)),"
+        " COALESCE(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+        " AS VARCHAR), chr(0)),"
+        " COALESCE(CAST(props AS VARCHAR), chr(0)))), 1, 8))::BIGINT"
+    )
+    m = 1 << 61
+    return f"""
+WITH h AS (SELECT event_id, {enc} AS hv FROM events),
+b AS (SELECT CAST(sum(hv) % {m} AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM h WHERE event_id % 2 = 0),
+d AS (SELECT CAST(sum(hv) % {m} AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM h WHERE event_id % 2 = 1),
+f AS (SELECT CAST(sum(hv) % {m} AS BIGINT) AS c FROM h)
+SELECT b.c AS base_checksum, d.c AS delta_checksum,
+       f.c AS full_checksum,
+       CAST(b.n + d.n AS BIGINT) AS n_rows,
+       CAST((b.c + d.c) % {m} - f.c AS BIGINT) AS residual
+FROM b, d, f"""
+
+
 def _sql_bloom_pruned_join() -> str:
     """The plain filtered join — bloom pruning only removes rows the
     join would drop anyway."""
@@ -3811,6 +3896,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_audit": _sql_constraint_audit(),
         "bloom_pruned_join": _sql_bloom_pruned_join(),
         "cosupply_communities": O.sql_cosupply_communities(),
+        "fingerprint_incremental": _sql_fingerprint_incremental(),
         "pii_profile": O.sql_pii_profile(),
         "pii_redact": O.sql_pii_redact(),
         "zorder_layout": _sql_zorder_layout(),

@@ -154,6 +154,7 @@ HEADLINE = [
     "constraint_audit",
     "bloom_pruned_join",
     "cosupply_communities",
+    "fingerprint_incremental",
     # sessionize_stream (applyInPandasWithState) is correctness-gated in
     # queries() but excluded here: its cost is streaming-machinery fixed
     # overhead (state store init, per-batch planning), not data-path
