@@ -34,11 +34,20 @@ DANGLING NODES: the caller symmetrizes (or otherwise guarantees
 out-degree ≥ 1 for every node appearing as a source); nodes outside
 the edge list are excluded — ranks are over the active subgraph.
 
-PERSIST HYGIENE: the edge list and degree table are persisted for
-the loop's lifetime and released before returning; each iteration's
-rank table is persisted, MATERIALIZED (one count of a |V|-row
-table), and the superseded one unpersisted — at production iteration
-counts nothing accumulates in storage memory. The returned frame is
+PERSIST HYGIENE & PLAN SHAPE: the edge list, degree table, and the
+iteration-invariant node table (node, deg, tele, r0) are persisted
+for the loop's lifetime and released before returning. The evolving
+rank table is NOT persisted and needs no per-iteration
+materialization job: the carry-forward join reads the persisted
+INVARIANT table (tele/deg never change), so each iteration
+references the previous ranks exactly once and the unrolled plan
+grows linearly with ``iters`` — one final job evaluates every
+iteration exactly once. For long runs, every ``PR_CKPT_EVERY``
+iterations one ``localCheckpoint(eager=True)`` materializes the
+segment and truncates lineage in a single job (plan size and
+recompute depth stay bounded), after which the previous checkpoint
+is released — storage is ≤ 1 checkpoint + 3 loop-lifetime caches
+regardless of ``iters``. The returned frame is
 localCheckpoint'ed (executor-local blocks — on a multi-node cluster
 point ``setCheckpointDir`` at reliable storage and swap in
 ``checkpoint()`` for executor-loss tolerance) so it survives with no
@@ -61,6 +70,7 @@ PR_SCALE = 10**12
 PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
 PR_ITERS = 3
+PR_CKPT_EVERY = 4  # iterations per materialize+lineage-truncate job
 
 
 def pagerank(
@@ -93,7 +103,16 @@ def pagerank(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
-    edges = edges.select("src", "dst", w.alias("w")).persist()
+    # Persist the edge list PRE-PARTITIONED by src: the cached
+    # relation's hash partitioning feeds every iteration's
+    # contribution join (and the degree aggregate) without
+    # re-exchanging the |E|-sized side — only the |V|-sized rank
+    # table moves per iteration.
+    edges = (
+        edges.select("src", "dst", w.alias("w"))
+        .repartition("src")
+        .persist()
+    )
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg")).persist()
     if seeds is None:
         base = deg.withColumn("is_seed", F.lit(True))
@@ -113,19 +132,27 @@ def pagerank(
         f" div {PR_DAMP_DEN}"
     )
     zero = F.lit(0).cast("long")
-    ranks = (
+    # Iteration-INVARIANT node table (node, deg, tele, r0): persisted
+    # once, it is what every iteration's carry-forward join reads —
+    # so the evolving rank table is referenced exactly ONCE per
+    # iteration (in the contribution join) and the unrolled plan
+    # grows LINEARLY with `iters`, not exponentially. No
+    # per-iteration materialization job is needed at all.
+    inv = (
         base.crossJoin(F.broadcast(n_df))
         .select(
             F.col("src").alias("node"),
             "deg",
-            F.when(F.col("is_seed"), share).otherwise(zero).alias("r"),
+            F.when(F.col("is_seed"), share).otherwise(zero).alias("r0"),
             F.when(F.col("is_seed"), tele_share)
             .otherwise(zero)
             .alias("tele"),
         )
         .persist()
     )
-    for _ in range(iters):
+    ranks = inv.select("node", "deg", F.col("r0").alias("r"))
+    prev_ckpt: DataFrame | None = None
+    for i in range(1, iters + 1):
         incoming = (
             edges.join(
                 ranks.select(
@@ -136,9 +163,8 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("(r * w) div deg")).alias("inc"))
         )
-        new_ranks = (
-            ranks.drop("r")
-            .join(incoming, "node", "left")
+        ranks = (
+            inv.join(incoming, "node", "left")
             .select(
                 "node",
                 "deg",
@@ -149,17 +175,20 @@ def pagerank(
                         f" div {PR_DAMP_DEN}"
                     )
                 ).alias("r"),
-                "tele",
             )
-            .persist()
         )
-        # materialize the successor (|V| rows) before releasing the
-        # table it was built from — the superseded cache never piles up
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        if i % PR_CKPT_EVERY == 0 and i < iters:
+            # Long runs: materialize AND truncate lineage together in
+            # one job per segment, so the plan tree stays bounded.
+            # Only the latest checkpoint's blocks are retained.
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
     out = ranks.select("node", F.col("r").alias("rank_fp")).localCheckpoint()
-    ranks.unpersist()
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    inv.unpersist()
     deg.unpersist()
     edges.unpersist()
     return out
