@@ -980,6 +980,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dims_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal transform (operators/multimodal.py): payloads
+    carry genuine PNG signature+IHDR and JPEG SOI/APP0/SOF0 header
+    bytes; dimensions are parsed back out with NATIVE column
+    expressions only (binary substring -> hex -> conv; the JPEG
+    marker walk is an unrolled F.aggregate fold) and audited against
+    the typed metadata struct. The DuckDB twin recomputes the
+    expected per-format agreement counts from the generator's id
+    arithmetic — Spark only reproduces them by correctly parsing the
+    actual bytes, including planted corrupt payloads and planted
+    metadata drift."""
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    return MM.media_dims_audit(
+        MM.synthetic_image_media(_ensure_conf(spark), 512)
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(
         SIM.with_synthetic_vec_dups(_t_cpu(spark, sf_dir, "embeddings")),
@@ -2082,9 +2100,10 @@ def q_cosupply_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier triangle counts over the Jaccard-thresholded
-    co-supply similarity graph (operators/graph.py) — wedge-join
-    triangle enumeration, the clustering-coefficient numerator."""
+    """Per-supplier triangle counts over the mutual-kNN co-supply
+    graph (operators/graph.py cosupply_edges: top-k co-suppliers by
+    shared-part count, kept only when mutual) — wedge-join triangle
+    enumeration, the clustering-coefficient numerator."""
     from yelp_streaming_etl_pipeline_spark.operators.graph import (
         cosupply_triangles,
     )
@@ -2887,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "media_dims_audit": q_media_dims_audit,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "corpus_upsert": q_corpus_upsert,
@@ -3952,13 +3972,13 @@ def _sql_fingerprint_incremental() -> str:
     m = 1 << 61
     return f"""
 WITH h AS (SELECT event_id, {enc} AS hv FROM events),
-b AS (SELECT CAST(sum(hv) % {m} AS BIGINT) AS c,
+b AS (SELECT CAST(COALESCE(sum(hv), 0) % {m} AS BIGINT) AS c,
              CAST(count(*) AS BIGINT) AS n
       FROM h WHERE event_id % 2 = 0),
-d AS (SELECT CAST(sum(hv) % {m} AS BIGINT) AS c,
+d AS (SELECT CAST(COALESCE(sum(hv), 0) % {m} AS BIGINT) AS c,
              CAST(count(*) AS BIGINT) AS n
       FROM h WHERE event_id % 2 = 1),
-f AS (SELECT CAST(sum(hv) % {m} AS BIGINT) AS c FROM h)
+f AS (SELECT CAST(COALESCE(sum(hv), 0) % {m} AS BIGINT) AS c FROM h)
 SELECT b.c AS base_checksum, d.c AS delta_checksum,
        f.c AS full_checksum,
        CAST(b.n + d.n AS BIGINT) AS n_rows,
@@ -4079,6 +4099,32 @@ SELECT review_id, 'duplicate' AS issue_type, 'review_id' AS field_name,
        7 AS severity, {now} AS detected_at,
        'deduplication' AS detection_range
 FROM ranked WHERE rn > 1"""
+
+
+def _sql_media_dims_audit(n: int = 512) -> str:
+    """Twin of q_media_dims_audit: the generator plants corrupt
+    payloads at i % 13 == 0 and one-pixel metadata drift at
+    i % 11 == 0 (format alternates png/jpeg by parity); the audit
+    counts follow from that arithmetic alone. Spark arrives at the
+    same numbers only via the byte-level header parse."""
+    return f"""
+WITH m AS (
+  SELECT i,
+         CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         (i % 13 = 0) AS corrupt,
+         (i % 11 = 0) AS drift
+  FROM generate_series(0, {n - 1}) t(i))
+SELECT format,
+  CAST(count(*) AS BIGINT) AS n_media,
+  CAST(sum(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_parsed,
+  CAST(sum(CASE WHEN NOT corrupt AND NOT drift THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_match,
+  CAST(sum(CASE WHEN NOT corrupt AND drift THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_meta_mismatch,
+  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unparseable
+FROM m GROUP BY format"""
 
 
 def _sql_media_features(n: int = 256) -> str:
@@ -4265,4 +4311,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": O.sql_ann_ivf_topk(),
         "embedding_neardup": O.sql_embedding_neardup(0.99),
         "media_features": _sql_media_features(),
+        "media_dims_audit": _sql_media_dims_audit(),
     }

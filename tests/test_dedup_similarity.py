@@ -602,3 +602,19 @@ def test_sharded_topk_equals_unsharded(spark):
         for r in cosine_topk(df, queries, k=3).collect()
     )
     assert got == want and len(got) == 9
+
+
+def test_winnowing_rejects_overlong_document(spark):
+    import pytest
+
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        winnowing_fp_set,
+    )
+
+    # a document at the packed-argmin radix would silently corrupt
+    # the min selection in BOTH engines -> must raise, not drop
+    df = spark.createDataFrame(
+        [(1, "x" * (1 << 20))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="2\\^20|winnowing|assert"):
+        winnowing_fp_set(df).collect()

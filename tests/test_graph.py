@@ -355,3 +355,69 @@ def test_label_propagation_is_deterministic(spark):
         )
     )
     assert a == b
+
+
+# ------------------------- co-supply hot-part cap -------------------------
+
+
+def test_cosupply_part_cap_bounds_hot_part(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        cosupply_edges,
+    )
+
+    # one pathological part supplied by 100 suppliers + a few normal
+    # parts: with part_cap=8 the hot part contributes at most 8*7
+    # ordered pairs instead of 100*99 — the self-join is no longer
+    # quadratic in the hot part's fan-out
+    rows = [(1, s) for s in range(100)] + [
+        (p, s) for p in (2, 3) for s in (0, 1, 2)
+    ]
+    li = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    capped = cosupply_edges(li, k=4, part_cap=8)
+    # every edge endpoint that co-occurs ONLY via the hot part must
+    # come from the deterministic md5-ranked selection of 8
+    import hashlib
+
+    keep = sorted(
+        range(100),
+        key=lambda s: (hashlib.md5(f"1|{s}".encode()).hexdigest(), s),
+    )[:8]
+    hot_only = set(range(100)) - {0, 1, 2}
+    for r in capped.collect():
+        for node in (r["u"], r["v"]):
+            if node in hot_only:
+                assert node in keep
+
+
+def test_cosupply_part_cap_noop_below_cap(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        cosupply_edges,
+    )
+
+    # no part exceeds the cap -> identical edges with cap on or off
+    rows = [(p, s) for p in range(1, 6) for s in range(p, p + 4)]
+    li = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    with_cap = sorted(
+        map(tuple, cosupply_edges(li, k=3, part_cap=8).collect())
+    )
+    no_cap = sorted(
+        map(tuple, cosupply_edges(li, k=3, part_cap=None).collect())
+    )
+    assert with_cap == no_cap
+
+
+def test_triangle_counts_rejects_wide_node_ids(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    wide = 1 << 33
+    df = spark.createDataFrame(
+        [(wide, wide + 1), (wide, wide + 2), (wide + 1, wide + 2)],
+        "u long, v long",
+    )
+    with pytest.raises(Exception, match="2\\^32|assert"):
+        triangle_counts(df).collect()

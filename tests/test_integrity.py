@@ -56,3 +56,12 @@ def test_fingerprint_incremental_delta(spark):
     _, cd = _fp(spark, delta)
     _, call = _fp(spark, base + delta)
     assert call == (cb + cd) % FP_MOD
+
+
+def test_fingerprint_empty_table_is_zero_not_null(spark):
+    # SUM over zero rows is NULL; the operator must coalesce so an
+    # empty replica fingerprints to (0 rows, checksum 0) and audits
+    # never compare NULL = NULL
+    n, c = _fp(spark, [])
+    assert n == 0
+    assert c == 0

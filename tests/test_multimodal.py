@@ -60,3 +60,109 @@ def test_frame_sample_plan(spark):
 def test_decode_stub_is_explicit(spark):
     with pytest.raises(NotImplementedError):
         MM.decode_image(MM.synthetic_media(spark, n=1))
+
+
+# ---------------- real header parsing ----------------
+
+
+def _png_bytes(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _jpeg_bytes(w, h, extra_segments=1):
+    import struct
+
+    out = b"\xff\xd8"
+    for k in range(extra_segments):
+        body = bytes(10 + k)
+        out += b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([1, 0x11, 0x00])
+    )
+    return out
+
+
+def test_parse_image_dims_png_and_jpeg(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        parse_image_dims,
+    )
+
+    rows = [
+        (1, bytearray(_png_bytes(640, 480)), ("image", "png", 640, 480, None, 33)),
+        # SOF0 several marker hops in: the walk must skip segments
+        (2, bytearray(_jpeg_bytes(1920, 1080, extra_segments=4)),
+         ("image", "jpeg", 1920, 1080, None, 99)),
+        # corrupt: wrong magic
+        (3, bytearray(b"\x00" * 16), ("image", "png", 10, 10, None, 16)),
+        # truncated JPEG: SOI only, no SOF reachable
+        (4, bytearray(b"\xff\xd8\xff\xe0"), ("image", "jpeg", 5, 5, None, 4)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["parsed_width"], r["parsed_height"])
+        for r in parse_image_dims(df).collect()
+    }
+    assert got[1] == (640, 480)
+    assert got[2] == (1920, 1080)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
+def test_parse_image_dims_is_native_no_python(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.multimodal import (
+        parse_image_dims,
+        synthetic_image_media,
+    )
+
+    plan = parse_image_dims(
+        synthetic_image_media(spark, 8)
+    )._jdf.queryExecution().executedPlan().toString()
+    # the parse must stay JVM-side: no Python/Arrow eval nodes
+    assert "Python" not in plan
+    assert "ArrowEval" not in plan
+
+
+def test_media_dims_audit_counts(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.multimodal import (
+        media_dims_audit,
+        synthetic_image_media,
+    )
+
+    got = {
+        r["format"]: r.asDict()
+        for r in media_dims_audit(synthetic_image_media(spark, 64)).collect()
+    }
+    # sequential model of the planted populations
+    want = {"png": [0, 0, 0, 0], "jpeg": [0, 0, 0, 0]}
+    for i in range(64):
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        w = want[fmt]
+        w[0] += 1
+        if i % 13 == 0:
+            w[3] += 1
+        elif i % 11 == 0:
+            w[2] += 1
+        else:
+            w[1] += 1
+    for fmt, (n, match, drift, bad) in want.items():
+        g = got[fmt]
+        assert g["n_media"] == n
+        assert g["n_match"] == match
+        assert g["n_meta_mismatch"] == drift
+        assert g["n_unparseable"] == bad
+        assert g["n_parsed"] == match + drift

@@ -192,3 +192,23 @@ class TestSaltedSkewJoin:
         }
         assert got == want
         assert got[(1, "view")][0] == 40 and got[(1, "view")][2] == 40
+
+
+def test_salted_join_keeps_negative_ids(spark):
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators.relational import (
+        salted_skew_join,
+    )
+
+    # negative event_ids: % keeps sign in Spark, so without pmod the
+    # salt lands outside the dim explode's range and rows vanish
+    rows = [(-i, dt(2024, 1, 1, i % 24), 1, "view") for i in range(1, 9)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).withColumn("value", F.lit(1.0))
+    got = salted_skew_join(ev, n_salts=4).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 8

@@ -844,8 +844,26 @@ def winnowing_fp_set(
     chars have no full window and are excluded — declared semantics,
     mirrored by the oracle twin.
     """
-    d = documents.filter(F.length("text") >= k + w - 1).select(
-        "doc_id", "text", F.length("text").alias("n")
+    d = (
+        documents.filter(F.length("text") >= k + w - 1)
+        .select("doc_id", "text", F.length("text").alias("n"))
+        # ENFORCED guard for the packed-argmin radix: positions must
+        # fit in 2^20 or the min selection silently corrupts in both
+        # engines (the oracle could not catch it). assert_true inside
+        # a filter (returns NULL -> row kept) can't be pruned away.
+        .filter(
+            F.assert_true(
+                F.col("n") < F.lit(_WINNOW_POS),
+                F.concat(
+                    F.lit(
+                        "winnowing_fp_set: document length must be < "
+                        f"{_WINNOW_POS} chars (packed-argmin radix); "
+                        "chunk longer inputs first. Got "
+                    ),
+                    F.col("n").cast("string"),
+                ),
+            ).isNull()
+        )
     )
     grams = d.select(
         "doc_id",

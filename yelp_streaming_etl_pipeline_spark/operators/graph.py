@@ -304,7 +304,14 @@ def personalized_pagerank_bipartite(
     )
 
 
-def cosupply_edges(lineitem: DataFrame, k: int = 8) -> DataFrame:
+COSUPPLY_PART_CAP = 32  # max suppliers per part entering the self-join
+
+
+def cosupply_edges(
+    lineitem: DataFrame,
+    k: int = 8,
+    part_cap: int | None = COSUPPLY_PART_CAP,
+) -> DataFrame:
     """Unipartite supplier similarity graph via MUTUAL k-nearest
     neighbors: rank each supplier's co-suppliers by shared distinct
     supplied parts (ties by id), keep the top ``k`` per supplier, and
@@ -322,13 +329,38 @@ def cosupply_edges(lineitem: DataFrame, k: int = 8) -> DataFrame:
     self-join keyed by part — cost is sum over parts of
     suppliers_per_part^2, bounded by per-part fan-out, never |S|^2.
     A part supplied by a pathological number of suppliers is the hot
-    key; cap or sample per-part supplier lists before the self-join
-    at production scale (same discipline as LSH hot-bucket
-    sub-banding in operators/dedup.py). The kNN rank is one shuffle
-    keyed by source supplier; the mutual check is an equi-join of
-    the k-bounded kNN table against its own transpose.
+    key: ``part_cap`` ENFORCES the bound (same discipline as LSH
+    hot-bucket sub-banding in operators/dedup.py) by keeping, per
+    part, only the ``part_cap`` suppliers ranked first under a
+    deterministic engine-portable pseudo-random order —
+    ``(md5(partkey|suppkey), suppkey)`` — so pair volume per part is
+    ≤ part_cap^2 regardless of skew, the selection is unbiased
+    across parts, and any engine picks the identical sample
+    (lowercase-hex md5 compares the same everywhere). ``None``
+    disables the cap. The kNN rank is one shuffle keyed by source
+    supplier; the mutual check is an equi-join of the k-bounded kNN
+    table against its own transpose.
     """
     ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    if part_cap is not None:
+        w_cap = Window.partitionBy("l_partkey").orderBy(
+            "_h", "l_suppkey"
+        )
+        ps = (
+            ps.withColumn(
+                "_h",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_partkey").cast("string"),
+                        F.col("l_suppkey").cast("string"),
+                    )
+                ),
+            )
+            .withColumn("_pr", F.row_number().over(w_cap))
+            .filter(F.col("_pr") <= part_cap)
+            .drop("_h", "_pr")
+        )
     a = ps.alias("a")
     b = ps.alias("b")
     pairs = (
@@ -391,6 +423,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionAll(e0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # ENFORCED: node ids >= 2^32 would silently lose the packed
+        # total order (and overflow the BIGINT at deg*2^32). The
+        # assert_true lives in a filter so it cannot be pruned.
+        .filter(
+            F.assert_true(
+                F.col("node") < F.lit(1 << 32),
+                F.concat(
+                    F.lit(
+                        "triangle_counts: node ids must be < 2^32 "
+                        "(packed degree-order radix); re-encode wider "
+                        "key spaces first. Got "
+                    ),
+                    F.col("node").cast("string"),
+                ),
+            ).isNull()
+        )
         .select(
             "node",
             (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("ord"),

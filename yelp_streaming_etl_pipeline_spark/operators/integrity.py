@@ -54,7 +54,16 @@ def table_fingerprint(
     return df.select(h.alias("h")).agg(
         F.lit(name).alias("table_name"),
         F.count("*").alias("n_rows"),
-        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(FP_MOD))
+        # coalesce: SUM over zero rows is NULL — an empty table must
+        # fingerprint to checksum 0, not NULL, so replica audits and
+        # the incremental residual stay well-defined on empty splits
+        (
+            F.coalesce(
+                F.sum(F.col("h").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            % F.lit(FP_MOD)
+        )
         .cast("long")
         .alias("checksum"),
     )

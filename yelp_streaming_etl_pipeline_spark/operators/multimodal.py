@@ -165,3 +165,174 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------- real header parsing (no codec library) ----------------
+
+_PNG_MAGIC = "89504E470D0A1A0A"  # uppercase hex, as F.hex() emits
+
+
+def synthetic_image_media(spark, n: int = 512) -> DataFrame:
+    """Deterministic media table whose payloads carry REAL image
+    headers: valid PNG signature + IHDR chunk (CRC included) and valid
+    JPEG SOI + APP0/JFIF + SOF0 marker segments, dims derived from the
+    id. Three planted populations make the downstream audit
+    non-trivial: every 13th row's payload is corrupted (bad magic ->
+    unparseable), every 11th row's metadata width disagrees with the
+    payload by one pixel (metadata drift the parser must expose), the
+    rest agree. The same id arithmetic is what the DuckDB twin
+    recomputes — the only way Spark reproduces its counts is by
+    actually parsing the bytes."""
+    import struct
+    import zlib
+
+    rows = []
+    for i in range(n):
+        w = 16 + (i % 97)
+        h = 16 + ((i * 7) % 89)
+        if i % 2 == 0:
+            fmt = "png"
+            ihdr_data = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13)
+                + b"IHDR"
+                + ihdr_data
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+            )
+        else:
+            fmt = "jpeg"
+            app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x01\x00H\x00H\x00\x00"
+            sof0 = (
+                b"\xff\xc0"
+                + struct.pack(">H", 11)
+                + bytes([8])
+                + struct.pack(">HH", h, w)
+                + bytes([1, 0x11, 0x00])
+            )
+            payload = b"\xff\xd8" + app0 + sof0
+        payload += hashlib.sha256(f"img-{i}".encode()).digest()
+        if i % 13 == 0:
+            payload = b"\x00" * 12  # corrupted: wrong magic, too short
+        meta_w = w + (1 if i % 11 == 0 else 0)
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                ("image", fmt, meta_w, h, None, len(payload)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _be(payload, pos, nbytes):
+    """Big-endian unsigned int read from a binary column — pure native
+    expressions (substring on binary -> hex -> base conversion), so the
+    whole parse stays inside whole-stage codegen."""
+    return F.conv(F.hex(F.substring(payload, pos, nbytes)), 16, 10).cast(
+        "long"
+    )
+
+
+def parse_image_dims(
+    media: DataFrame, max_jpeg_segments: int = 8
+) -> DataFrame:
+    """REAL image-dimension extraction from payload header bytes with
+    ZERO Python and no codec library — native column expressions only.
+
+    PNG: verify the 8-byte signature and the IHDR tag, then read
+    width/height as the two big-endian u32s at offsets 17/21
+    (PNG spec: signature, chunk length, 'IHDR', width, height).
+
+    JPEG: verify SOI (FFD8) then WALK the marker segments — an
+    unrolled fold (``F.aggregate`` over a constant sequence) steps
+    ``pos -> pos + 2 + segment_length`` until it hits a SOF0/1/2
+    marker, whose payload carries height/width as big-endian u16s at
+    +5/+7. Bounded at ``max_jpeg_segments`` hops (headers put SOF
+    within the first few segments; raise for exotic files). Corrupt
+    or foreign bytes yield NULL dims, never an error.
+
+    Returns (media_id, meta, parsed_width, parsed_height)."""
+    p = F.col("payload")
+    png_ok = (F.hex(F.substring(p, 1, 8)) == _PNG_MAGIC) & (
+        F.substring(p, 13, 4).cast("string") == "IHDR"
+    )
+    png_w = F.when(png_ok, _be(p, 17, 4))
+    png_h = F.when(png_ok, _be(p, 21, 4))
+
+    # JPEG marker walk: acc = (pos, w, h); pos = -1 once invalid,
+    # w/h stay NULL until a SOF marker is found.
+    stopped = F.lit(-1)
+
+    def step(acc, _):
+        pos = acc.getField("pos")
+        live = (
+            (pos > 0)
+            & acc.getField("w").isNull()
+            & (pos + 8 <= F.length(p))
+        )
+        m1 = _be(p, pos, 1)
+        m2 = _be(p, pos + 1, 1)
+        is_sof = (m1 == 255) & m2.isin(192, 193, 194)
+        seglen = _be(p, pos + 2, 2)
+        walk_ok = (m1 == 255) & (seglen >= 2)
+        return F.struct(
+            F.when(~live, pos)
+            .when(is_sof | ~walk_ok, F.when(is_sof, pos).otherwise(stopped))
+            .otherwise(pos + 2 + seglen)
+            .cast("long")
+            .alias("pos"),
+            F.when(live & is_sof, _be(p, pos + 7, 2))
+            .otherwise(acc.getField("w"))
+            .alias("w"),
+            F.when(live & is_sof, _be(p, pos + 5, 2))
+            .otherwise(acc.getField("h"))
+            .alias("h"),
+        )
+
+    init = F.struct(
+        F.when(F.hex(F.substring(p, 1, 2)) == "FFD8", F.lit(3))
+        .otherwise(stopped)
+        .cast("long")
+        .alias("pos"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_jpeg_segments)), init, step
+    )
+    jpg_w = walked.getField("w")
+    jpg_h = walked.getField("h")
+
+    return media.select(
+        "media_id",
+        "meta",
+        F.coalesce(png_w, jpg_w).cast("int").alias("parsed_width"),
+        F.coalesce(png_h, jpg_h).cast("int").alias("parsed_height"),
+    )
+
+
+def media_dims_audit(media: DataFrame) -> DataFrame:
+    """Constraint audit: does the typed metadata agree with what the
+    payload bytes actually say? Per-format counts of parsed /
+    matching / metadata-drifted / unparseable rows — the multimodal
+    twin of operators/integrity.constraint_audit. Map + one tiny
+    aggregate; payload bytes never enter a shuffle key."""
+    d = parse_image_dims(media)
+    parsed = F.col("parsed_width").isNotNull() & F.col(
+        "parsed_height"
+    ).isNotNull()
+    match = parsed & (
+        F.col("parsed_width") == F.col("meta.width")
+    ) & (F.col("parsed_height") == F.col("meta.height"))
+    one = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (
+        d.groupBy(F.col("meta.format").alias("format"))
+        .agg(
+            F.count("*").alias("n_media"),
+            one(parsed).alias("n_parsed"),
+            one(match).alias("n_match"),
+            one(parsed & ~match).alias("n_meta_mismatch"),
+            one(~parsed).alias("n_unparseable"),
+        )
+    )

@@ -562,8 +562,11 @@ def salted_skew_join(
             F.sequence(F.lit(0), F.lit(n_salts - 1))
         ).alias("_salt"),
     )
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # event_id would salt outside the dim explode's 0..n_salts-1
+    # range and silently drop from the join
     fact_salted = events.withColumn(
-        "_salt", (F.col("event_id") % n_salts).cast("int")
+        "_salt", F.pmod(F.col("event_id"), F.lit(n_salts)).cast("int")
     )
     # shuffle_hash hint models the production case (dim too big to
     # broadcast): with a broadcastable dim Spark would rightly skip

@@ -2026,12 +2026,21 @@ FROM dw JOIN sizes USING (w)
 GROUP BY doc_id"""
 
 
-def _cosupply_edges_cte(k: int = 8) -> str:
+def _cosupply_edges_cte(k: int = 8, part_cap: int = 32) -> str:
     """Shared CTE chain ending in ``edges`` — the mutual-kNN
     co-supply graph, mirroring operators/graph.py:cosupply_edges
-    (integer shared-part ranking with id tie-break, top-k per
-    supplier, mutual check, canonical u < v)."""
-    return f"""ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    (deterministic md5-ranked per-part supplier cap, integer
+    shared-part ranking with id tie-break, top-k per supplier,
+    mutual check, canonical u < v)."""
+    return f"""ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ps AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, row_number() OVER (
+      PARTITION BY l_partkey
+      ORDER BY md5(CAST(l_partkey AS VARCHAR) || '|' ||
+                   CAST(l_suppkey AS VARCHAR)), l_suppkey) AS pr
+    FROM ps0)
+  WHERE pr <= {part_cap}),
 pairs AS (
   SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
   FROM ps a JOIN ps b
@@ -2356,8 +2365,8 @@ def _fp_arm(table: str, exprs: list[str]) -> str:
     )
     return f"""SELECT '{table}' AS table_name,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(('0x' || substr(md5(concat_ws('|',
-      {enc})), 1, 8))::BIGINT) % {1 << 61} AS BIGINT) AS checksum
+       CAST(COALESCE(sum(('0x' || substr(md5(concat_ws('|',
+      {enc})), 1, 8))::BIGINT), 0) % {1 << 61} AS BIGINT) AS checksum
 FROM {table}"""
 
 
