@@ -2328,6 +2328,63 @@ SELECT user_id AS key, count(*) AS n_events,
 FROM events GROUP BY user_id"""
 
 
+def q_user_value_ewma_segmented(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hot-key-safe EWMA (operators/timeseries.py
+    ewma_by_key_segmented): the linear recurrence composed as affine
+    (A, B) segment pairs — per-task state is
+    max(segment_size, n/segment_size) instead of one n-sized array,
+    so a 1e8-event key cannot OOM an executor. segment_size=16 here
+    so MULTI-segment composition is exercised at sf0.01 (~40 events
+    per key); the DuckDB twin replays the identical segmented IEEE op
+    sequence via in-order list_reduce at both levels."""
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        ewma_by_key_segmented,
+    )
+
+    return ewma_by_key_segmented(
+        read_events(_ensure_conf(spark), sf_dir), segment_size=16
+    )
+
+
+def _sql_user_value_ewma_segmented(segment_size: int = 16) -> str:
+    """Twin of ewma_by_key_segmented — same per-event affine pairs
+    (seed -> (0, x), else -> (0.875, 0.125*x)), same in-order
+    left-fold compose (acc first) within segments and across segment
+    pairs. All arithmetic pinned to DOUBLE so both engines run the
+    identical IEEE sequence."""
+    compose = (
+        "(acc, p) -> struct_pack(pa := p.pa * acc.pa, "
+        "pb := p.pa * acc.pb + p.pb)"
+    )
+    fold2 = (
+        "list_reduce(list(struct_pack(pa := sp.pa, pb := sp.pb) "
+        f"ORDER BY seg), {compose}).pb"
+    )
+    return f"""
+WITH ordered AS (
+  SELECT user_id AS key, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+pairs AS (
+  SELECT key, rn, (rn - 1) // {segment_size} AS seg,
+         CASE WHEN rn = 1 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(0.875 AS DOUBLE) END AS pa,
+         CASE WHEN rn = 1 THEN x
+              ELSE CAST(0.125 AS DOUBLE) * x END AS pb
+  FROM ordered),
+segs AS (
+  SELECT key, seg, count(*) AS n,
+         list_reduce(list(struct_pack(pa := pa, pb := pb)
+                          ORDER BY rn), {compose}) AS sp
+  FROM pairs GROUP BY key, seg)
+SELECT key, CAST(sum(n) AS BIGINT) AS n_events,
+       {SR(fold2, 6)} AS ewma
+FROM segs GROUP BY key"""
+
+
 def q_pagerank_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the customer–supplier bipartite
     interaction graph (operators/graph.py) — the iterative-graph
@@ -2947,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sql_surface_q4": q_sql_surface_q4,
         "user_value_ewma": q_user_value_ewma,
+        "user_value_ewma_segmented": q_user_value_ewma_segmented,
         "pagerank_nodes": q_pagerank_nodes,
         "bpe_token_counts": q_bpe_token_counts,
         "personalized_pagerank": q_personalized_pagerank,
@@ -4221,6 +4279,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_zscores": _sql_event_zscores(),
         "user_value_ewma": _sql_user_value_ewma(),
+        "user_value_ewma_segmented": _sql_user_value_ewma_segmented(),
         "hll_registers_stream": O.sql_hll_registers(),
         "frame_sample_plan": _sql_frame_sample_plan(),
         "hll_by_type": O.sql_hll_by_group(),

@@ -33,7 +33,7 @@ streaming twin of this shape is transformWithState.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import _B, _hi_lo, quantize, stable_round
@@ -117,9 +117,20 @@ def ewma_by_key(
     order_cols: tuple[str, str] = ("ts", "event_id"),
     value_col: str = "value",
     alpha: float = EWMA_ALPHA,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Per-key EWMA with a totally pinned fold order. Returns
-    (key, n_events, ewma)."""
+    (key, n_events, ewma).
+
+    CONTRACT — bounded key cardinality only: the pinned-order fold
+    materializes ALL of a key's events into one in-memory array, so a
+    key with ~1e8 events OOMs an executor. For unbounded / hot keys
+    use :func:`ewma_by_key_segmented` (sqrt-bounded state, one extra
+    shuffle, last-ulp FP divergence possible) or the streaming fold
+    ``streaming/stateful.py::ewma_stream`` (2 scalars of state per
+    key, bit-identical to this fold). ``max_events_per_key`` turns
+    the contract into an ENFORCED guard: any key exceeding it raises
+    instead of silently risking the executor."""
     t1, t2 = order_cols
     arr = F.array_sort(
         F.collect_list(
@@ -135,6 +146,21 @@ def ewma_by_key(
     grouped = df.groupBy(F.col(key_col).alias("key")).agg(
         arr.alias("evs"), F.count("*").alias("n_events")
     )
+    if max_events_per_key is not None:
+        grouped = grouped.filter(
+            F.assert_true(
+                F.col("n_events") <= F.lit(max_events_per_key),
+                F.concat(
+                    F.lit(
+                        "ewma_by_key: key exceeds max_events_per_key="
+                        f"{max_events_per_key} (hot key would "
+                        "materialize unbounded state); use "
+                        "ewma_by_key_segmented or ewma_stream. Got "
+                    ),
+                    F.col("n_events").cast("string"),
+                ),
+            ).isNull()
+        )
     vals = F.transform(F.col("evs"), lambda s: s.getField("x"))
     ewma = F.aggregate(
         F.slice(vals, 2, F.greatest(F.lit(0), F.size(vals) - 1)),
@@ -143,4 +169,129 @@ def ewma_by_key(
     )
     return grouped.select(
         "key", "n_events", stable_round(ewma, 6).alias("ewma")
+    )
+
+
+EWMA_SEGMENT_SIZE = 4096
+
+
+def ewma_by_key_segmented(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha: float = EWMA_ALPHA,
+    segment_size: int = EWMA_SEGMENT_SIZE,
+) -> DataFrame:
+    """Hot-key-safe per-key EWMA via ASSOCIATIVE SEGMENT COMPOSITION.
+
+    EWMA is a linear recurrence, so every event is an affine
+    transform of the running value: the seed event (rank 1) is
+    ``r -> x_1`` i.e. the pair ``(A, B) = (0, x_1)``; every later
+    event is ``r -> (1-a)*r + a*x`` i.e. ``((1-a), a*x)``. Affine
+    pairs compose associatively —
+    ``(A2, B2) ∘ (A1, B1) = (A2*A1, A2*B1 + B2)`` — so the fold
+    splits into bounded segments:
+
+    1. one shuffle+SORT per key assigns each event its pinned rank
+       (row_number over (ts, event_id) — sorts SPILL, unlike a
+       collect_list, so this pass is hot-key safe);
+    2. per (key, segment of ``segment_size`` ranks): fold the ordered
+       pair array — state ≤ segment_size structs;
+    3. per key: fold the ordered SEGMENT pairs — state ≤
+       ceil(n/segment_size) structs. The final B is the EWMA (A is
+       zeroed by the seed's (0, x_1)).
+
+    Per-task state is max(segment_size, n_key/segment_size): with the
+    default 4096, a 10^8-event hot key folds 4096-element arrays and
+    a 24k-element segment array — versus 10^8 structs in one array
+    for the direct fold. Cost: two extra shuffles.
+
+    ENGINE-EXACT, but NOT bit-identical to :func:`ewma_by_key`: the
+    composition reassociates IEEE arithmetic, so results can differ
+    from the direct fold in the last ulp (equal after the 6-decimal
+    round in practice). The DuckDB twin (oracles) replays the IDENTICAL
+    segmented op sequence — per-element pair build, in-order
+    list_reduce compose at both levels — so cross-engine comparison is
+    exact. Returns (key, n_events, ewma)."""
+    t1, t2 = order_cols
+    a = float(alpha)
+    b = 1.0 - a
+    w = Window.partitionBy(key_col).orderBy(t1, t2)
+    x = F.col(value_col).cast("double")
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).alias("rn"),
+        F.when(F.row_number().over(w) == 1, F.lit(0.0))
+        .otherwise(F.lit(b))
+        .alias("pa"),
+        F.when(F.row_number().over(w) == 1, x)
+        .otherwise(F.lit(a) * x)
+        .alias("pb"),
+    ).select(
+        "key",
+        "rn",
+        ((F.col("rn") - 1) / segment_size).cast("long").alias("seg"),
+        "pa",
+        "pb",
+    )
+
+    def compose_fold(pairs_sorted):
+        first = F.element_at(pairs_sorted, 1)
+        rest = F.slice(
+            pairs_sorted,
+            2,
+            F.greatest(F.lit(0), F.size(pairs_sorted) - 1),
+        )
+        return F.aggregate(
+            rest,
+            F.struct(
+                first.getField("pa").alias("pa"),
+                first.getField("pb").alias("pb"),
+            ),
+            lambda acc, p: F.struct(
+                (p.getField("pa") * acc.getField("pa")).alias("pa"),
+                (
+                    p.getField("pa") * acc.getField("pb")
+                    + p.getField("pb")
+                ).alias("pb"),
+            ),
+        )
+
+    seg_pairs = (
+        ev.groupBy("key", "seg")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "pa", "pb"))
+            ).alias("ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "key",
+            "seg",
+            "n",
+            compose_fold(F.col("ps")).alias("sp"),
+        )
+    )
+    return (
+        seg_pairs.groupBy("key")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seg").alias("rn"),
+                        F.col("sp.pa").alias("pa"),
+                        F.col("sp.pb").alias("pb"),
+                    )
+                )
+            ).alias("sps"),
+        )
+        .select(
+            "key",
+            "n_events",
+            stable_round(
+                compose_fold(F.col("sps")).getField("pb"), 6
+            ).alias("ewma"),
+        )
     )
