@@ -531,6 +531,53 @@ def q_attributed_purchases_outer_stream(
     return spark.table(name)
 
 
+def q_attributed_purchases_full_outer_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (completes the join
+    matrix: inner / left outer / full outer): matches emit in-batch;
+    unmatched purchases null-emit below the global watermark;
+    unmatched clicks null-emit below (watermark - attribution
+    window), the bound at which no future purchase can attribute to
+    them. Both eviction bounds empirically verified against Spark's
+    derived state watermarks and mirrored in the oracle."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases_full_outer,
+    )
+
+    def side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        ev = read_events_stream(_ensure_conf(spark), sf_dir)
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id", *[F.col(src).alias(dst) for src, dst in cols.items()]
+        )
+
+    clicks = side("click", {"ts": "click_ts", "event_id": "click_id"})
+    purchases = side(
+        "purchase",
+        {"ts": "purchase_ts", "event_id": "purchase_id", "value": "amount"},
+    )
+    name = "attributed_fo_" + uuid.uuid4().hex[:8]
+    q = (
+        attribute_purchases_full_outer(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_attrfo_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState) run
     to completion over the events fixture with trigger(availableNow).
@@ -2046,6 +2093,158 @@ def q_sql_surface_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SURFACE_Q21)
 
 
+SQL_SURFACE_Q3 = """
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue_cents DESC, o.o_orderkey ASC
+LIMIT 10"""
+
+
+def q_sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q3 shipping-priority
+    shape): 3-way selective join + grouped revenue + deterministic
+    global top-10 (revenue DESC with key tie-break, so LIMIT is
+    stable under any partitioning). Revenue is floor-quantized to
+    integer cents PER ROW before the sum — the one double product is
+    a single IEEE expression both engines evaluate identically, and
+    the order-dependent aggregation happens on exact BIGINTs."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q3)
+
+
+SQL_SURFACE_Q5 = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name"""
+
+
+def q_sql_surface_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q5 local-supplier-volume
+    shape): the 6-table snowflake join whose distinguishing edge is
+    the NON-hierarchical c_nationkey = s_nationkey condition closing
+    a cycle in the join graph — the classic join-order stress test;
+    Catalyst must pick a bushy/reordered plan and broadcast the tiny
+    nation/region dims."""
+    for t in ("customer", "orders", "lineitem", "supplier",
+              "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q5)
+
+
+SQL_SURFACE_Q10 = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey ASC
+LIMIT 20"""
+
+
+def q_sql_surface_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q10 returned-item
+    shape): selective fact filter -> 4-way join -> wide GROUP BY
+    (keys include the non-functional c_name carried through) ->
+    deterministic top-20. The returnflag filter pushes below the
+    joins in both engines (plan-audited on the Spark side)."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q10)
+
+
+SQL_SURFACE_Q14 = """
+SELECT 100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'STANDARD%'
+                        THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       / CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) AS standard_revenue_pct,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01'"""
+
+
+def q_sql_surface_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q14 promo-revenue
+    shape): conditional aggregation (CASE inside sum) computing a
+    revenue share. Both sums are exact integer cents; the single
+    double division at the end is one IEEE op — deterministic in
+    both engines with no stable-round needed."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q14)
+
+
+SQL_SURFACE_Q19 = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)"""
+
+
+def q_sql_surface_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q19 discounted-revenue
+    shape): disjunctive mixed-table predicates over an equi-join —
+    the OR branches each combine a dim attribute range with a fact
+    attribute range, so the optimizer can only push the common
+    equi-key and must evaluate the disjunction post-join; exercises
+    predicate handling the conjunctive entries never touch."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q19)
+
+
+SQL_SURFACE_Q22 = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) > (
+    SELECT avg(CAST(floor(c2.c_acctbal * 100.0 + 0.5) AS BIGINT))
+    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey"""
+
+
+def q_sql_surface_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q22 global-sales-
+    opportunity shape, lapsed form: no orders SINCE a date, which is
+    non-empty in the fixture): an UNCORRELATED scalar aggregate
+    subquery (global mean balance, exact integer cents so the
+    average is an exact rational both engines agree on) AND a
+    correlated NOT EXISTS anti-join with an extra date predicate —
+    the two subquery decorrelations composed in one WHERE clause."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q22)
+
+
 SQL_SURFACE_Q16 = """
 SELECT p.p_brand, p.p_type,
        CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
@@ -2902,6 +3101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_stream": q_cms_topk_stream,
         "ann_sharded_topk": q_ann_sharded_topk,
         "sql_surface_q16": q_sql_surface_q16,
+        "sql_surface_q3": q_sql_surface_q3,
+        "sql_surface_q5": q_sql_surface_q5,
+        "sql_surface_q10": q_sql_surface_q10,
+        "sql_surface_q14": q_sql_surface_q14,
+        "sql_surface_q19": q_sql_surface_q19,
+        "sql_surface_q22": q_sql_surface_q22,
         "sql_surface_q18": q_sql_surface_q18,
         "cosupply_clustering": q_cosupply_clustering,
         "session_window_stream": q_session_window_stream,
@@ -3001,6 +3206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_type": q_hll_by_type,
         "attributed_purchases_outer_stream": (
             q_attributed_purchases_outer_stream
+        ),
+        "attributed_purchases_full_outer_stream": (
+            q_attributed_purchases_full_outer_stream
         ),
         "sql_surface_q4": q_sql_surface_q4,
         "user_value_ewma": q_user_value_ewma,
@@ -3350,6 +3558,65 @@ nulls AS (
 SELECT * FROM matches
 UNION ALL
 SELECT * FROM nulls"""
+
+
+def _sql_attributed_purchases_full_outer_stream() -> str:
+    """Twin of q_attributed_purchases_full_outer_stream: inner
+    matches + null-click rows for watermark-evicted unmatched
+    purchases (purchase_ts < wm) + null-purchase rows for unmatched
+    clicks past attribution reach (click_ts < wm - 30 min). Same
+    ms-floored min-over-inputs watermark arithmetic as the
+    left-outer twin; the click bound subtracts the window because a
+    click at T only matches purchases in [T, T + window]."""
+    return """
+WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+         value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+matches AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, p.amount,
+         c.click_id, c.click_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+   AND epoch_us(c.click_ts) >= epoch_us(p.purchase_ts) - 1800000000
+),
+wm AS (
+  SELECT least((SELECT epoch_us(max(click_ts)) // 1000 FROM c),
+               (SELECT epoch_us(max(purchase_ts)) // 1000 FROM p))
+         - 3600000 AS w_ms
+),
+pnulls AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, p.amount,
+         CAST(NULL AS BIGINT) AS click_id,
+         CAST(NULL AS TIMESTAMP) AS click_ts
+  FROM p CROSS JOIN wm
+  WHERE epoch_us(p.purchase_ts) // 1000 < wm.w_ms
+    AND NOT EXISTS (
+      SELECT 1 FROM matches m WHERE m.purchase_id = p.purchase_id
+    )
+),
+cnulls AS (
+  SELECT c.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+         CAST(NULL AS DOUBLE) AS amount,
+         c.click_id, c.click_ts
+  FROM c CROSS JOIN wm
+  WHERE epoch_us(c.click_ts) // 1000 < wm.w_ms - 1800000
+    AND NOT EXISTS (
+      SELECT 1 FROM matches m WHERE m.click_id = c.click_id
+    )
+)
+SELECT * FROM matches
+UNION ALL
+SELECT * FROM pnulls
+UNION ALL
+SELECT * FROM cnulls"""
 
 
 def _sql_topic_roundtrip_reviews() -> str:
@@ -4236,6 +4503,12 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk_stream": O.sql_cms_topk_stream(),
         "ann_sharded_topk": O.sql_ann_topk(),
         "sql_surface_q16": SQL_SURFACE_Q16,
+        "sql_surface_q3": SQL_SURFACE_Q3,
+        "sql_surface_q5": SQL_SURFACE_Q5,
+        "sql_surface_q10": SQL_SURFACE_Q10,
+        "sql_surface_q14": SQL_SURFACE_Q14,
+        "sql_surface_q19": SQL_SURFACE_Q19,
+        "sql_surface_q22": SQL_SURFACE_Q22,
         "sql_surface_q18": SQL_SURFACE_Q18,
         "cosupply_clustering": O.sql_cosupply_clustering(),
         "session_window_stream": O.sql_session_window_stream(),
@@ -4276,6 +4549,9 @@ def oracle_sql() -> dict[str, str]:
         "cms_join_size": O.sql_cms_join_size(),
         "attributed_purchases_outer_stream": (
             _sql_attributed_purchases_outer_stream()
+        ),
+        "attributed_purchases_full_outer_stream": (
+            _sql_attributed_purchases_full_outer_stream()
         ),
         "event_zscores": _sql_event_zscores(),
         "user_value_ewma": _sql_user_value_ewma(),

@@ -155,11 +155,74 @@ HEADLINE = [
     "bloom_pruned_join",
     "cosupply_communities",
     "fingerprint_incremental",
-    # sessionize_stream (applyInPandasWithState) is correctness-gated in
-    # queries() but excluded here: its cost is streaming-machinery fixed
-    # overhead (state store init, per-batch planning), not data-path
-    # throughput, and it would swamp the batch suite signal at sf0.1.
+    # round-5 additions: every remaining BATCH entry is benched; only
+    # the names in BENCH_EXCLUDED (with per-entry reasons) are not.
+    "order_priority_counts",
+    "customers_without_orders",
+    "parts_with_shipments",
+    "histogram_median",
+    "media_features",
+    "media_dims_audit",
+    "text_features",
+    "review_stats_overall",
+    "acceptance_summary",
+    "issue_counts",
+    "dedup_reviews",
+    "duplicate_issues",
+    "dedup_corpus_prune",
+    "embedding_neardup",
+    "neardup_ngram",
+    "mixture_sample",
+    "pps_sample",
+    "user_value_ewma_segmented",
+    "sql_surface_q3",
+    "sql_surface_q5",
+    "sql_surface_q10",
+    "sql_surface_q14",
+    "sql_surface_q19",
+    "sql_surface_q22",
 ]
+
+# Entries deliberately NOT in the headline suite — each with the reason.
+# main() asserts HEADLINE + BENCH_EXCLUDED covers queries() exactly, so
+# a new entry cannot silently skip the bench.
+_STREAM_OVERHEAD = (
+    "streaming entry: cost is fixed streaming machinery (state-store "
+    "init, per-micro-batch planning, checkpoint IO), not data-path "
+    "throughput - would swamp the batch signal at sf0.1"
+)
+BENCH_EXCLUDED = {
+    "sessionize_stream": _STREAM_OVERHEAD,
+    "dedup_stream": _STREAM_OVERHEAD,
+    "windowed_events_stream": _STREAM_OVERHEAD,
+    "trending_stream": _STREAM_OVERHEAD,
+    "trending_update_stream": _STREAM_OVERHEAD,
+    "enriched_events_stream": _STREAM_OVERHEAD,
+    "attributed_purchases_stream": _STREAM_OVERHEAD,
+    "attributed_purchases_outer_stream": _STREAM_OVERHEAD,
+    "attributed_purchases_full_outer_stream": _STREAM_OVERHEAD,
+    "hll_registers_stream": _STREAM_OVERHEAD,
+    "cms_topk_stream": _STREAM_OVERHEAD,
+    "events_hourly_update_stream": _STREAM_OVERHEAD,
+    "user_value_ewma_stream": _STREAM_OVERHEAD,
+    "dedup_watermark_stream": _STREAM_OVERHEAD,
+    "dedup_watermark_multibatch_stream": _STREAM_OVERHEAD,
+    "session_window_stream": _STREAM_OVERHEAD,
+    "session_window_multibatch_stream": _STREAM_OVERHEAD,
+    "topic_roundtrip_reviews": (
+        "file-topic shim round trip: measures tmpdir write+read of the "
+        "Kafka stand-in, i.e. local disk, not engine throughput"
+    ),
+    "corpus_upsert": (
+        "replay-safe streaming ingest: foreachBatch + epoch-upsert "
+        "sink, same fixed streaming/IO overhead profile as the "
+        "_stream entries"
+    ),
+    "io_roundtrip_formats": (
+        "writes and re-reads parquet/json/csv to tmpdir - measures "
+        "local disk and format codecs, not query execution"
+    ),
+}
 
 
 def sf_from_dir(d: str) -> float:
@@ -284,6 +347,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    covered = set(HEADLINE) | set(BENCH_EXCLUDED)
+    allq = set(qs)
+    assert covered == allq, (
+        f"bench coverage drift: unbenched+unexcused={sorted(allq - covered)} "
+        f"stale={sorted(covered - allq)}"
+    )
+
     med, passes = run_suite(spark, qs)
     total = round(sum(med.values()), 3)
     rps = pipeline_rps(spark)
@@ -305,6 +375,7 @@ def main() -> None:
             "pipeline_rps_by_lang_backend"
         ],
         "sf": sf_from_dir(SF_DIR),
+        "excluded": BENCH_EXCLUDED,
     }
     line = json.dumps(payload)
     # durable copy: a stdout-tail capture can truncate the one-line

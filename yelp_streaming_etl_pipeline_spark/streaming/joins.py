@@ -93,3 +93,49 @@ def attribute_purchases_outer(
         F.col("c.click_id").alias("click_id"),
         F.col("c.click_ts").alias("click_ts"),
     )
+
+
+def attribute_purchases_full_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = JOIN_WATERMARK,
+) -> DataFrame:
+    """FULL OUTER variant — completes the stream-stream join matrix
+    (inner / left outer / full outer): matches emit in-batch;
+    unmatched PURCHASES emit a null-click row once the global
+    watermark passes their event time (same bound as the left-outer
+    variant); unmatched CLICKS emit a null-purchase row once the
+    watermark proves no future purchase can attribute to them — a
+    click at T only matches purchases in [T, T + window], and future
+    events arrive at >= watermark, so the click side's state
+    watermark is (global watermark - window). Both bounds are
+    strict-less-than eviction on ms-floored event-time stats,
+    mirrored exactly by the oracle twin.
+
+    Scale shape unchanged: one shuffle per side on user_id; each
+    side's state bounded by its own watermark horizon (clicks keep
+    an extra `window` of history — that is the price of proving
+    their non-attribution)."""
+    c = clicks.withWatermark("click_ts", watermark).alias("c")
+    p = purchases.withWatermark("purchase_ts", watermark).alias("p")
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            c.click_ts <= p.purchase_ts AND
+            c.click_ts >= p.purchase_ts - INTERVAL {window}
+            """
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias(
+            "user_id"
+        ),
+        F.col("p.purchase_id").alias("purchase_id"),
+        F.col("p.purchase_ts").alias("purchase_ts"),
+        F.col("p.amount").alias("amount"),
+        F.col("c.click_id").alias("click_id"),
+        F.col("c.click_ts").alias("click_ts"),
+    )
