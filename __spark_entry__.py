@@ -1007,6 +1007,16 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (operators/similarity.py mmr_topk):
+    greedy relevance-minus-redundancy selection over each query's
+    top-16 cosine candidates — corpus scanned once, greedy stages run
+    on the |Q|*16 candidate table only; DuckDB twin unrolls the
+    identical stages as CTEs."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.mmr_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_cpu(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
@@ -3029,112 +3039,68 @@ def q_trending_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Round-4 window (priority order, per VERDICT r3 directive #1):
-    (a) the 13 r1-green entries displaced in round 3 — longest since
-    a driver check, rotate back in FIRST; (b) 0 of the 28 entries
-    round 3 added (driver-green in CORRECTNESS_r03, re-verified
-    because several carry THIS round's code changes: pagerank persist
-    hygiene + per-edge weights, BPE argmax collect + short-circuit,
-    z-score variance guard, personalized-pagerank EXISTS seed) —
-    the 18 that are r3-green AND untouched this round
-    (trending_stream, io_roundtrip_formats, pii_profile, pii_redact,
-    zorder_layout, frame_sample_plan, hll_set_ops, cms_join_size,
-    embedding_project, semantic_dedup, kmeans_clusters,
-    hard_negatives, cluster_balanced_sample, quality_classifier,
-    semantic_decontaminate, event_funnel, enriched_events_stream,
-    user_cohorts, hll_registers_stream, hll_by_type,
-    attributed_purchases_outer_stream, sql_surface_q4,
-    user_value_ewma) yield their slots to rule (c) and move to the
-    tail's r3-checked block, as do ALL the round-3 additions with r4
-    code changes (pagerank_nodes, bpe_merges, bpe_token_counts,
-    personalized_pagerank, event_zscores) — the changed code paths
-    stay witnessed in-window by pagerank_weighted and
-    bpe_merges_bytes, which exercise them, plus pytest fixtures;
-    (c) the 36 entries NEW this round — never driver-checked, which
-    outranks re-coverage; (d) dedup_clusters, which carries this
-    round's checkpoint-knob refactor. 13 + 36 + 1 = 50.
+    Round-5 window (priority order, per VERDICT r4 directive #1 and
+    the standing cycle plan):
+    (a) the 13 never-driver-checked entries — the three round-4
+    session-3 streaming additions (cross-batch session windows,
+    multi-batch watermark dedup, update-mode trending) and the ten
+    entries NEW this round (media_dims_audit,
+    user_value_ewma_segmented, six TPC-H-shaped SQL-surface queries,
+    the full-outer stream-stream join, mmr_topk);
+    (b) the three cosupply_* entries, whose RESULTS changed this
+    round (the per-part hot-key cap defaults to 32 and binds at
+    sf>=0.01);
+    (c) the three PageRank entries, whose plans were rewritten this
+    round (invariant-table carry join, pre-partitioned edge cache) —
+    results are fixed-point-identical, re-witnessed in-window;
+    (d) 31 of the 46 stale-r2-checked entries, oldest-first, headed
+    by topic_roundtrip_reviews / events_hourly per the cycle plan.
+    13 + 3 + 3 + 31 = 50.
 
-    CYCLE PLAN (145 entries, 50-entry window): entries past position
-    50 are ordered by staleness — the ~45 r2-checked entries first
-    (headed by topic_roundtrip_reviews / events_hourly), then the
-    r3-checked gauntlet/streaming group. Round 5's window takes the
-    stale-r2 block (plus anything new/changed); round 6 takes the
-    remainder — every entry is driver-green at most 3 rounds stale,
-    and every entry is ALSO green each round in the local full gate
-    (scripts/check_oracle.py + check_vanilla.py, same comparator).
+    CYCLE PLAN (158 entries, 50-entry window): past position 50 the
+    order is round 6's queue — the 15 remaining r2-checked entries
+    (embedding_neardup .. customer_quartiles) first, then the
+    r3-checked block, then the r4-checked block (freshest). Entries
+    whose code changed this round without changing results or plans
+    materially (fingerprint coalesce guard, winnowing/triangle
+    assert guards, salted-join pmod, ewma guard param) stay in their
+    staleness slots: each is re-proven every round by the local full
+    gate (scripts/check_oracle.py + check_vanilla.py over all 157)
+    and by pytest units added with the change.
     """
     return {
-        # (a) displaced r1-green entries — longest since driver check
-        "distinct_daily_users": q_distinct_daily_users,
-        "event_type_pivot": q_event_type_pivot,
-        "value_percentiles": q_value_percentiles,
-        "click_purchase_5min": q_click_purchase_5min,
-        "returning_users": q_returning_users,
-        "top_bigrams": q_top_bigrams,
-        "tfidf_keywords": q_tfidf_keywords,
-        "customers_without_orders": q_customers_without_orders,
-        "parts_with_shipments": q_parts_with_shipments,
-        "top_orders_per_segment": q_top_orders_per_segment,
-        "order_priority_counts": q_order_priority_counts,
-        "latest_event_per_user": q_latest_event_per_user,
-        "user_event_intervals": q_user_event_intervals,
-        # (b) round-3 additions — re-verify (several carry r4 changes)
-        # (c) NEW this round — never driver-checked, must be in window
-        "lang_id_prefix": q_lang_id_prefix,
-        "pagerank_weighted": q_pagerank_weighted,
-        "quantile_sketch": q_quantile_sketch,
-        "quantile_estimate": q_quantile_estimate,
-        "bpe_merges_bytes": q_bpe_merges_bytes,
-        "bpe_bytes_token_counts": q_bpe_bytes_token_counts,
-        "events_hourly_update_stream": q_events_hourly_update_stream,
-        "user_value_ewma_stream": q_user_value_ewma_stream,
-        "quantile_by_type": q_quantile_by_type,
-        "sql_surface_q13": q_sql_surface_q13,
-        "sql_surface_q2": q_sql_surface_q2,
-        "sql_surface_q21": q_sql_surface_q21,
-        "cosupply_triangles": q_cosupply_triangles,
-        "bfs_levels": q_bfs_levels,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "salted_skew_join": q_salted_skew_join,
-        "winnow_neardup": q_winnow_neardup,
-        "dedup_watermark_stream": q_dedup_watermark_stream,
-        "cms_topk_stream": q_cms_topk_stream,
-        "ann_sharded_topk": q_ann_sharded_topk,
-        "sql_surface_q16": q_sql_surface_q16,
+        # (a) NEVER driver-checked: round-4 session-3 streaming
+        # additions, then everything new this round
+        "session_window_multibatch_stream": q_session_window_multibatch_stream,
+        "dedup_watermark_multibatch_stream": (
+            q_dedup_watermark_multibatch_stream
+        ),
+        "trending_update_stream": q_trending_update_stream,
+        "media_dims_audit": q_media_dims_audit,
+        "user_value_ewma_segmented": q_user_value_ewma_segmented,
         "sql_surface_q3": q_sql_surface_q3,
         "sql_surface_q5": q_sql_surface_q5,
         "sql_surface_q10": q_sql_surface_q10,
         "sql_surface_q14": q_sql_surface_q14,
         "sql_surface_q19": q_sql_surface_q19,
         "sql_surface_q22": q_sql_surface_q22,
-        "sql_surface_q18": q_sql_surface_q18,
+        "attributed_purchases_full_outer_stream": (
+            q_attributed_purchases_full_outer_stream
+        ),
+        "mmr_topk": q_mmr_topk,
+        # (b) results CHANGED this round (per-part hot-key cap now
+        # binds at test scale)
+        "cosupply_triangles": q_cosupply_triangles,
         "cosupply_clustering": q_cosupply_clustering,
-        "session_window_stream": q_session_window_stream,
-        "bigram_lift": q_bigram_lift,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "sql_surface_groupingsets": q_sql_surface_groupingsets,
-        "sql_surface_lateral": q_sql_surface_lateral,
-        "table_fingerprints": q_table_fingerprints,
-        "schema_evolution_read": q_schema_evolution_read,
-        "bucketed_join": q_bucketed_join,
-        "partition_overwrite_backfill": q_partition_overwrite_backfill,
-        "constraint_audit": q_constraint_audit,
-        "bloom_pruned_join": q_bloom_pruned_join,
         "cosupply_communities": q_cosupply_communities,
-        "fingerprint_incremental": q_fingerprint_incremental,
-        # (d) carries this round's checkpoint-knob refactor
-        "dedup_clusters": q_dedup_clusters,
-        # ---- position > 50: all green in this round's local full
-        # gate (tuned + vanilla sessions). Round-4 session-3
-        # additions FIRST (never driver-checked — they head round 5's
-        # window), then the stale-r2 block.
-        "session_window_multibatch_stream": (
-            q_session_window_multibatch_stream
-        ),
-        "dedup_watermark_multibatch_stream": (
-            q_dedup_watermark_multibatch_stream
-        ),
-        "trending_update_stream": q_trending_update_stream,
+        # (c) plan changed this round (invariant-join PageRank +
+        # pre-partitioned edges) - same fixed-point results,
+        # re-witnessed in-window
+        "pagerank_nodes": q_pagerank_nodes,
+        "personalized_pagerank": q_personalized_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
+        # (d) stale-r2 block, oldest-first (driver-checked r2;
+        # green in every local full gate since)
         "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
         "events_hourly": q_events_hourly,
         "pps_sample": q_pps_sample,
@@ -3167,8 +3133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        # ---- position > 50: round 6 takes from here, in order.
+        # r2-checked remainder first
         "media_features": q_media_features,
-        "media_dims_audit": q_media_dims_audit,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "corpus_upsert": q_corpus_upsert,
@@ -3182,8 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_running_revenue": q_supplier_running_revenue,
         "rollup_revenue": q_rollup_revenue,
         "customer_quartiles": q_customer_quartiles,
-        # ---- r3-checked block (freshest aside from this window):
-        # round 6's rotation
+        # r3-checked block
         "trending_stream": q_trending_stream,
         "io_roundtrip_formats": q_io_roundtrip_formats,
         "pii_profile": q_pii_profile,
@@ -3207,15 +3173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributed_purchases_outer_stream": (
             q_attributed_purchases_outer_stream
         ),
-        "attributed_purchases_full_outer_stream": (
-            q_attributed_purchases_full_outer_stream
-        ),
         "sql_surface_q4": q_sql_surface_q4,
         "user_value_ewma": q_user_value_ewma,
-        "user_value_ewma_segmented": q_user_value_ewma_segmented,
-        "pagerank_nodes": q_pagerank_nodes,
         "bpe_token_counts": q_bpe_token_counts,
-        "personalized_pagerank": q_personalized_pagerank,
         "event_zscores": q_event_zscores,
         "bpe_merges": q_bpe_merges,
         "review_stats": q_review_stats,
@@ -3239,6 +3199,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "text_features": q_text_features,
+        # r4-checked block (freshest)
+        "distinct_daily_users": q_distinct_daily_users,
+        "event_type_pivot": q_event_type_pivot,
+        "value_percentiles": q_value_percentiles,
+        "click_purchase_5min": q_click_purchase_5min,
+        "returning_users": q_returning_users,
+        "top_bigrams": q_top_bigrams,
+        "tfidf_keywords": q_tfidf_keywords,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_shipments": q_parts_with_shipments,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "order_priority_counts": q_order_priority_counts,
+        "latest_event_per_user": q_latest_event_per_user,
+        "user_event_intervals": q_user_event_intervals,
+        "lang_id_prefix": q_lang_id_prefix,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_estimate": q_quantile_estimate,
+        "bpe_merges_bytes": q_bpe_merges_bytes,
+        "bpe_bytes_token_counts": q_bpe_bytes_token_counts,
+        "events_hourly_update_stream": q_events_hourly_update_stream,
+        "user_value_ewma_stream": q_user_value_ewma_stream,
+        "quantile_by_type": q_quantile_by_type,
+        "sql_surface_q13": q_sql_surface_q13,
+        "sql_surface_q2": q_sql_surface_q2,
+        "sql_surface_q21": q_sql_surface_q21,
+        "bfs_levels": q_bfs_levels,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "salted_skew_join": q_salted_skew_join,
+        "winnow_neardup": q_winnow_neardup,
+        "dedup_watermark_stream": q_dedup_watermark_stream,
+        "cms_topk_stream": q_cms_topk_stream,
+        "ann_sharded_topk": q_ann_sharded_topk,
+        "sql_surface_q16": q_sql_surface_q16,
+        "sql_surface_q18": q_sql_surface_q18,
+        "session_window_stream": q_session_window_stream,
+        "bigram_lift": q_bigram_lift,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "sql_surface_groupingsets": q_sql_surface_groupingsets,
+        "sql_surface_lateral": q_sql_surface_lateral,
+        "table_fingerprints": q_table_fingerprints,
+        "schema_evolution_read": q_schema_evolution_read,
+        "bucketed_join": q_bucketed_join,
+        "partition_overwrite_backfill": q_partition_overwrite_backfill,
+        "constraint_audit": q_constraint_audit,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        "fingerprint_incremental": q_fingerprint_incremental,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -4641,6 +4648,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_ngram": O.sql_ngram_jaccard_pairs(2, 0.3),
         "text_analysis": O.sql_text_analysis(),
         "ann_cosine_topk": O.sql_ann_topk(),
+        "mmr_topk": O.sql_mmr_topk(),
         "ann_lsh_topk": O.sql_ann_lsh_topk(),
         "ann_lsh_multiprobe": O.sql_ann_lsh_multiprobe_topk(),
         "ann_ivf_topk": O.sql_ann_ivf_topk(),

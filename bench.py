@@ -181,6 +181,7 @@ HEADLINE = [
     "sql_surface_q14",
     "sql_surface_q19",
     "sql_surface_q22",
+    "mmr_topk",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -618,3 +618,27 @@ def test_winnowing_rejects_overlong_document(spark):
     )
     with pytest.raises(Exception, match="2\\^20|winnowing|assert"):
         winnowing_fp_set(df).collect()
+
+
+def test_mmr_demotes_redundant_candidates(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    # corpus: a and a2 nearly identical (highest sim to q), b less
+    # relevant but diverse. Plain top-2 would be {a, a2}; at lam=0.5
+    # the near-duplicate's ~1.0 redundancy penalty must demote it
+    # below b.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.97, 0.24, 0.0]),        # a
+        (2, [0.97, 0.239, 0.01]),      # a2 ~ duplicate of a
+        (3, [0.8, 0.0, 0.6]),          # b: diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_topk(
+        df, df.filter("vec_id = 0"), k=2, m=3, lam=0.5
+    ).collect()
+    picks = {r["mmr_rank"]: r["neighbor_id"] for r in out}
+    assert picks[1] in (1, 2)     # most relevant first
+    assert picks[2] == 3          # diversity beats the near-duplicate

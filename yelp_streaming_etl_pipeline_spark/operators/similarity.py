@@ -808,3 +808,128 @@ def sharded_topk(
             stable_round(F.col("sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------- MMR diversified top-k ----------------
+
+MMR_LAMBDA = 0.75  # exact binary fraction: lam and 1-lam both exact
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    m: int = 16,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick ``k`` of each query's top-``m``
+    cosine candidates, each step maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    relevance minus redundancy, the standard diverse-retrieval /
+    diverse-sampling selector for training-data pipelines.
+
+    Scale shape: the corpus is touched ONCE (the same broadcast-query
+    scored scan as cosine_topk; swap in lsh_topk candidates at
+    production scale — the selector only needs (query, candidate,
+    sim, vec) rows). The greedy loop is k - 1 driver-built stages
+    over the CANDIDATE table (|Q| * m rows, corpus-independent): per
+    stage one equi-join onto the selected set, one max-aggregate, one
+    argmax window. Everything deterministic: ``lam = 0.75`` keeps
+    both mixing weights exact binary fractions, cosine uses the
+    pinned left-fold (_dot), and every argmax tie-breaks by
+    neighbor_id — the DuckDB twin unrolls the identical stages as
+    CTEs and matches exactly.
+
+    Returns (query_id, mmr_rank, neighbor_id, mmr_score)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select("query_id", "neighbor_id", "sim", "c_vec")
+        .persist()
+    )
+    lam_c = F.lit(float(lam))
+    pen_c = F.lit(float(1.0 - lam))
+    pick1 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    selected = (
+        cand.withColumn("_r", F.row_number().over(pick1))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            "c_vec",
+            F.lit(1).alias("mmr_rank"),
+            (lam_c * F.col("sim")).alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel = selected.select(
+            F.col("query_id").alias("s_qid"),
+            F.col("neighbor_id").alias("s_nid"),
+            F.col("c_vec").alias("s_vec"),
+        )
+        remaining = cand.join(
+            sel.select(
+                F.col("s_qid").alias("query_id"),
+                F.col("s_nid").alias("neighbor_id"),
+            ),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scored = (
+            remaining.join(
+                sel, remaining["query_id"] == sel["s_qid"]
+            )
+            .withColumn(
+                "pair_sim", cosine(F.col("c_vec"), F.col("s_vec"))
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.first("sim").alias("sim"),
+                F.first("c_vec").alias("c_vec"),
+                F.max("pair_sim").alias("pen"),
+            )
+            .withColumn(
+                "mmr_score",
+                lam_c * F.col("sim") - pen_c * F.col("pen"),
+            )
+        )
+        w_step = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("_r", F.row_number().over(w_step))
+            .filter(F.col("_r") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "sim",
+                "c_vec",
+                F.lit(step).alias("mmr_rank"),
+                "mmr_score",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "query_id",
+        "mmr_rank",
+        "neighbor_id",
+        stable_round(F.col("mmr_score"), 6).alias("mmr_score"),
+    )

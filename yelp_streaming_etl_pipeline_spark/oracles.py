@@ -2455,3 +2455,71 @@ l{r} AS (
     return f"""
 WITH {body}
 SELECT node AS s_suppkey, label AS community FROM {prev}"""
+
+
+def sql_mmr_topk(k: int = 4, m: int = 16, dim: int = 64) -> str:
+    """Twin of operators/similarity.py:mmr_topk — the greedy stages
+    unrolled as CTEs: identical candidate ranking, identical
+    ``0.75 * sim - 0.25 * max_pairwise`` arithmetic (both weights
+    exact binary fractions), identical neighbor_id tie-breaks."""
+    sim_qc = sql_cosine("cv", "qv", dim)
+    parts = [f"""q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {sim_qc} AS sim, cv
+  FROM c CROSS JOIN q WHERE neighbor_id != query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, sim, cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
+  WHERE rnk <= {m}
+),
+s1 AS (
+  SELECT query_id, neighbor_id, sim, cv, 1 AS mmr_rank,
+         0.75 * sim AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, neighbor_id ASC) AS r FROM cand)
+  WHERE r = 1
+),
+sel1 AS (SELECT query_id, neighbor_id, cv FROM s1)"""]
+    pair = sql_cosine("t.cv", "s.cv", dim)
+    for step in range(2, k + 1):
+        prev = step - 1
+        parts.append(f"""pen{step} AS (
+  SELECT t.query_id, t.neighbor_id, max({pair}) AS pen
+  FROM cand t JOIN sel{prev} s ON t.query_id = s.query_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{prev} x
+    WHERE x.query_id = t.query_id
+      AND x.neighbor_id = t.neighbor_id)
+  GROUP BY t.query_id, t.neighbor_id
+),
+sc{step} AS (
+  SELECT c2.query_id, c2.neighbor_id, c2.sim, c2.cv,
+         0.75 * c2.sim - 0.25 * p.pen AS mmr_score
+  FROM cand c2 JOIN pen{step} p
+    ON c2.query_id = p.query_id AND c2.neighbor_id = p.neighbor_id
+),
+s{step} AS (
+  SELECT query_id, neighbor_id, sim, cv, {step} AS mmr_rank,
+         mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY mmr_score DESC, neighbor_id ASC) AS r FROM sc{step})
+  WHERE r = 1
+),
+sel{step} AS (
+  SELECT query_id, neighbor_id, cv FROM sel{prev}
+  UNION ALL
+  SELECT query_id, neighbor_id, cv FROM s{step}
+)""")
+    body = ",\n".join(parts)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT query_id, mmr_rank, neighbor_id, "
+        f"{sql_stable_round('mmr_score', 6)} AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {body}\n{arms}"
