@@ -2320,6 +2320,18 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_triangles(_t(spark, sf_dir, "lineitem"))
 
 
+def q_cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the mutual-kNN co-supply graph (operators/graph.py
+    kcore_nodes): round-synchronous degree peeling to the fixpoint,
+    convergence ENFORCED by an assert on the residual degrees —
+    unrolled-CTE DuckDB twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        cosupply_kcore,
+    )
+
+    return cosupply_kcore(_t(spark, sf_dir, "lineitem"))
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from every 100th customer through
     the customer–supplier graph (operators/graph.py) — frontier-loop
@@ -3041,25 +3053,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 13 never-driver-checked entries — the three round-4
+    (a) the 14 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the ten
-    entries NEW this round (media_dims_audit,
+    multi-batch watermark dedup, update-mode trending) and the
+    eleven entries NEW this round (media_dims_audit,
     user_value_ewma_segmented, six TPC-H-shaped SQL-surface queries,
-    the full-outer stream-stream join, mmr_topk);
+    the full-outer stream-stream join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 31 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 30 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan.
-    13 + 3 + 3 + 31 = 50.
+    14 + 3 + 3 + 30 = 50.
 
-    CYCLE PLAN (158 entries, 50-entry window): past position 50 the
-    order is round 6's queue — the 15 remaining r2-checked entries
-    (embedding_neardup .. customer_quartiles) first, then the
+    CYCLE PLAN (159 entries, 50-entry window): past position 50 the
+    order is round 6's queue — the 16 remaining r2-checked entries
+    (ann_ivf_topk .. customer_quartiles) first, then the
     r3-checked block, then the r4-checked block (freshest). Entries
     whose code changed this round without changing results or plans
     materially (fingerprint coalesce guard, winnowing/triangle
@@ -3088,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_attributed_purchases_full_outer_stream
         ),
         "mmr_topk": q_mmr_topk,
+        "cosupply_kcore": q_cosupply_kcore,
         # (b) results CHANGED this round (per-part hot-key cap now
         # binds at test scale)
         "cosupply_triangles": q_cosupply_triangles,
@@ -4649,6 +4662,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": O.sql_text_analysis(),
         "ann_cosine_topk": O.sql_ann_topk(),
         "mmr_topk": O.sql_mmr_topk(),
+        "cosupply_kcore": O.sql_cosupply_kcore(),
         "ann_lsh_topk": O.sql_ann_lsh_topk(),
         "ann_lsh_multiprobe": O.sql_ann_lsh_multiprobe_topk(),
         "ann_ivf_topk": O.sql_ann_ivf_topk(),

@@ -182,6 +182,7 @@ HEADLINE = [
     "sql_surface_q19",
     "sql_surface_q22",
     "mmr_topk",
+    "cosupply_kcore",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -421,3 +421,48 @@ def test_triangle_counts_rejects_wide_node_ids(spark):
     )
     with pytest.raises(Exception, match="2\\^32|assert"):
         triangle_counts(df).collect()
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        kcore_nodes,
+    )
+
+    # triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly
+    # the triangle (4 and 5 peel off over TWO rounds - chain depth
+    # exercises the iteration)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_nodes(df, k=2, rounds=4).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_raises_when_rounds_too_small(spark):
+    import pytest
+
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        kcore_nodes,
+    )
+
+    # a long pendant chain off a triangle needs ~chain-length rounds;
+    # rounds=1 cannot converge and must raise, not return a non-core
+    chain = [(i, i + 1) for i in range(3, 10)]
+    edges = [(1, 2), (1, 3), (2, 3)] + chain
+    df = spark.createDataFrame(edges, "u long, v long")
+    with pytest.raises(Exception, match="converged|assert"):
+        kcore_nodes(df, k=2, rounds=1).collect()
+
+
+def test_kcore_empty_core_is_valid(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        kcore_nodes,
+    )
+
+    # a path graph has no 2-core: peeling must reach the empty
+    # fixpoint without tripping the convergence assert
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    assert kcore_nodes(df, k=2, rounds=4).count() == 0

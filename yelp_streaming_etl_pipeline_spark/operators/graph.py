@@ -722,3 +722,83 @@ def cosupply_communities(
         F.col("node").alias("s_suppkey"),
         F.col("label").alias("community"),
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def kcore_nodes(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """k-core of an undirected ``(u < v)`` edge list by iterative
+    peeling: each round drops every node with degree < k (and its
+    edges); the k-core is the fixpoint. Peeling is CONFLUENT (the
+    k-core is unique regardless of removal order), so round-
+    synchronous peeling converges to the same set any sequential
+    algorithm finds. ``rounds`` bounds the loop; an ENFORCED
+    assert_true on the final degree table proves the fixpoint was
+    reached (all residual degrees >= k, or the core is empty) — if
+    the bound is too small for a deeper graph the call raises rather
+    than returning a non-core. The oracle twin unrolls the identical
+    rounds as CTEs.
+
+    Per round: one degree aggregate + two semi-join filters;
+    ``localCheckpoint(eager=True)`` truncates lineage (the edge
+    table feeds both the degree aggregate and the filter, so without
+    truncation the plan would double per round). At 100 TB the
+    peeling is |E|-bounded work per round and the round count is the
+    graph's degeneracy-peel depth, typically << 20 for k small.
+
+    Returns ``(node, core_degree)`` for every node in the k-core."""
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    prev = e
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k)
+        e = (
+            e.join(keep.select(F.col("node").alias("u")), "u", "leftsemi")
+            .join(keep.select(F.col("node").alias("v")), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+        prev = e
+    final_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    out = final_deg.filter(
+        F.assert_true(
+            F.col("deg") >= k,
+            F.concat(
+                F.lit(
+                    f"kcore_nodes: not converged within rounds={rounds}"
+                    " (residual degree < k) — raise the bound. Got "
+                ),
+                F.col("deg").cast("string"),
+            ),
+        ).isNull()
+    ).select("node", F.col("deg").alias("core_degree"))
+    out = out.localCheckpoint(eager=True)
+    prev.unpersist()
+    return out
+
+
+def cosupply_kcore(
+    lineitem: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """k-core of the mutual-kNN co-supply graph: the densely
+    inter-connected supplier cohort that survives peeling — the
+    standard community-trimming preprocessor (drop pendant/sparse
+    nodes before clustering). Returns (s_suppkey, core_degree)."""
+    return kcore_nodes(cosupply_edges(lineitem), k=k, rounds=rounds).select(
+        F.col("node").alias("s_suppkey"), "core_degree"
+    )

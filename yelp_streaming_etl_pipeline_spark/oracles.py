@@ -2523,3 +2523,36 @@ sel{step} AS (
         for i in range(1, k + 1)
     )
     return f"WITH {body}\n{arms}"
+
+
+def sql_cosupply_kcore(k: int = 3, rounds: int = 8) -> str:
+    """Twin of operators/graph.py:cosupply_kcore — the peel rounds
+    unrolled as CTE stages over the shared mutual-kNN edge CTE; the
+    engine's assert_true proves the fixpoint, so round ``rounds``
+    here equals the true k-core."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one several times — without
+    # materialization the expansion is exponential in `rounds`.
+    parts = [
+        f"{_cosupply_edges_cte()},\n"
+        "e0 AS MATERIALIZED (SELECT u, v FROM edges)"
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM {prev}
+    UNION ALL SELECT v FROM {prev}) GROUP BY node
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN d{r} a ON e.u = a.node AND a.deg >= {k}
+  JOIN d{r} b ON e.v = b.node AND b.deg >= {k}
+)""")
+        prev = f"e{r}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY node"""
