@@ -428,15 +428,32 @@ def hll_set_ops(
     inter = F.greatest(
         F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
     )
-    return (
-        ea.crossJoin(eb)
-        .crossJoin(eu)
-        .select(
-            "est_a",
-            "est_b",
-            "est_union",
-            stable_round(inter, 2).alias("est_intersection"),
+    # union + single-row aggregate instead of chained 1-row-x-1-row
+    # crossJoins: same result, one hash aggregate in place of two
+    # BroadcastNestedLoopJoin nodes
+    one = (
+        ea.select(F.col("est_a").alias("v"), F.lit("a").alias("k"))
+        .unionByName(
+            eb.select(F.col("est_b").alias("v"), F.lit("b").alias("k"))
         )
+        .unionByName(
+            eu.select(
+                F.col("est_union").alias("v"), F.lit("u").alias("k")
+            )
+        )
+        .agg(
+            F.max(F.when(F.col("k") == "a", F.col("v"))).alias("est_a"),
+            F.max(F.when(F.col("k") == "b", F.col("v"))).alias("est_b"),
+            F.max(F.when(F.col("k") == "u", F.col("v"))).alias(
+                "est_union"
+            ),
+        )
+    )
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        stable_round(inter, 2).alias("est_intersection"),
     )
 
 
