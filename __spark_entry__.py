@@ -2255,6 +2255,53 @@ def q_sql_surface_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SURFACE_Q22)
 
 
+SQL_SURFACE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)"""
+
+
+def q_sql_surface_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q7 volume-shipping
+    shape): the same dim table (nation) joined TWICE under different
+    roles with a symmetric OR'd pair filter, plus EXTRACT(year)
+    grouping — self-dim aliasing and disjunctive cross-role
+    predicates in one plan."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q7)
+
+
+SQL_SURFACE_Q17 = """
+SELECT CAST(sum(CAST(l1.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l1.l_quantity < 0.2 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)"""
+
+
+def q_sql_surface_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q17 small-quantity-order
+    shape): correlated scalar AVG subquery against the SAME fact
+    table being filtered — Catalyst decorrelates to an aggregate +
+    self-join. Quantities are integral doubles, so the avg is an
+    exact rational and the 0.2 * avg comparison is deterministic in
+    both engines."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q17)
+
+
 SQL_SURFACE_Q16 = """
 SELECT p.p_brand, p.p_type,
        CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
@@ -3053,25 +3100,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 14 never-driver-checked entries — the three round-4
+    (a) the 16 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the
-    eleven entries NEW this round (media_dims_audit,
-    user_value_ewma_segmented, six TPC-H-shaped SQL-surface queries,
-    the full-outer stream-stream join, mmr_topk, cosupply_kcore);
+    multi-batch watermark dedup, update-mode trending) and the 13
+    entries NEW this round (media_dims_audit,
+    user_value_ewma_segmented, eight TPC-H-shaped SQL-surface
+    queries, the full-outer stream-stream join, mmr_topk,
+    cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 30 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 28 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan.
-    14 + 3 + 3 + 30 = 50.
+    16 + 3 + 3 + 28 = 50.
 
-    CYCLE PLAN (159 entries, 50-entry window): past position 50 the
-    order is round 6's queue — the 16 remaining r2-checked entries
-    (ann_ivf_topk .. customer_quartiles) first, then the
+    CYCLE PLAN (161 entries, 50-entry window): past position 50 the
+    order is round 6's queue — the 18 remaining r2-checked entries
+    (ann_lsh_topk .. customer_quartiles) first, then the
     r3-checked block, then the r4-checked block (freshest). Entries
     whose code changed this round without changing results or plans
     materially (fingerprint coalesce guard, winnowing/triangle
@@ -3096,6 +3144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q14": q_sql_surface_q14,
         "sql_surface_q19": q_sql_surface_q19,
         "sql_surface_q22": q_sql_surface_q22,
+        "sql_surface_q7": q_sql_surface_q7,
+        "sql_surface_q17": q_sql_surface_q17,
         "attributed_purchases_full_outer_stream": (
             q_attributed_purchases_full_outer_stream
         ),
@@ -4529,6 +4579,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q14": SQL_SURFACE_Q14,
         "sql_surface_q19": SQL_SURFACE_Q19,
         "sql_surface_q22": SQL_SURFACE_Q22,
+        "sql_surface_q7": SQL_SURFACE_Q7,
+        "sql_surface_q17": SQL_SURFACE_Q17,
         "sql_surface_q18": SQL_SURFACE_Q18,
         "cosupply_clustering": O.sql_cosupply_clustering(),
         "session_window_stream": O.sql_session_window_stream(),

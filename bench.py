@@ -183,6 +183,8 @@ HEADLINE = [
     "sql_surface_q22",
     "mmr_topk",
     "cosupply_kcore",
+    "sql_surface_q7",
+    "sql_surface_q17",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
