@@ -279,6 +279,31 @@ def run_suite(spark, qs) -> tuple[dict[str, float], list[dict[str, float]]]:
     return med, passes
 
 
+def calibration(spark) -> dict[str, float]:
+    """Code-independent machine-speed reference, for normalizing
+    per-query times ACROSS rounds: the same host can differ 1.5-2x
+    between bench runs (host contention/throttling — observed r4->r5).
+    Two probes, median of 3: a pure-CPU codegen'd range-sum and a
+    parquet scan+reduce of lineitem. If these drift between rounds,
+    per-query deltas of the same magnitude are machine, not code."""
+    import statistics as _st
+
+    cpu, scan = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        cpu.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
+            "sum(l_extendedprice)", "count(*)"
+        ).collect()
+        scan.append(time.perf_counter() - t0)
+    return {
+        "range_sum_sec": round(_st.median(cpu), 3),
+        "lineitem_scan_sec": round(_st.median(scan), 3),
+    }
+
+
 def pipeline_rps(spark) -> dict[str, int | dict[str, int]]:
     """Throughput vs the reference's documented 1,000 rec/s stress rate
     (producer.py:242): the full clean->validate->score pass over a
@@ -361,6 +386,7 @@ def main() -> None:
     med, passes = run_suite(spark, qs)
     total = round(sum(med.values()), 3)
     rps = pipeline_rps(spark)
+    calib = calibration(spark)
 
     payload = {
         "metric": "headline_suite_steady_runtime",
@@ -379,6 +405,7 @@ def main() -> None:
             "pipeline_rps_by_lang_backend"
         ],
         "sf": sf_from_dir(SF_DIR),
+        "calibration": calib,
         "excluded": BENCH_EXCLUDED,
     }
     line = json.dumps(payload)

@@ -753,6 +753,7 @@ def kcore_nodes(
     Returns ``(node, core_degree)`` for every node in the k-core."""
     e = edges.select("u", "v").localCheckpoint(eager=True)
     prev = e
+    n_edges = e.count()
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("node"))
@@ -769,6 +770,15 @@ def kcore_nodes(
         )
         prev.unpersist()
         prev = e
+        # early exit at the fixpoint: a round that removed no edge
+        # proves every residual degree >= k, so further rounds are
+        # no-ops — the RESULT is identical to running all `rounds`
+        # (what the unrolled oracle computes), only the cost drops.
+        # The count is free: `e` was just materialized.
+        n_next = e.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     final_deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -926,7 +926,10 @@ def mmr_topk(
                 "mmr_score",
             )
         )
-        selected = selected.unionByName(pick)
+        # |Q| * step rows: eager-checkpoint so the per-stage double
+        # reference (penalty join + carry union) never recomputes and
+        # lineage stays flat across stages
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select(
         "query_id",
         "mmr_rank",
