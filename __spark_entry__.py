@@ -2269,6 +2269,29 @@ WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
 GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)"""
 
 
+def q_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (DataFrame.melt -> a single Expand node, one
+    pass over the fact table — never four self-scans): the four
+    lineitem measures become (measure, value) rows, then one
+    aggregate per measure with cents-exact sums. The DuckDB twin is
+    the four-way UNION ALL the Expand is equivalent to."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.melt(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    cents = F.floor(F.col("val") * 100.0 + 0.5).cast("long")
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )
+
+
 def q_sql_surface_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical-text two-engine SQL (TPC-H-Q7 volume-shipping
     shape): the same dim table (nation) joined TWICE under different
@@ -3100,26 +3123,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 16 never-driver-checked entries — the three round-4
+    (a) the 17 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the 13
+    multi-batch watermark dedup, update-mode trending) and the 14
     entries NEW this round (media_dims_audit,
     user_value_ewma_segmented, eight TPC-H-shaped SQL-surface
-    queries, the full-outer stream-stream join, mmr_topk,
-    cosupply_kcore);
+    queries, the native-UNPIVOT measures entry, the full-outer
+    stream-stream join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 28 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 27 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan.
-    16 + 3 + 3 + 28 = 50.
+    17 + 3 + 3 + 27 = 50.
 
-    CYCLE PLAN (161 entries, 50-entry window): past position 50 the
-    order is round 6's queue — the 18 remaining r2-checked entries
-    (ann_lsh_topk .. customer_quartiles) first, then the
+    CYCLE PLAN (162 entries, 50-entry window): past position 50 the
+    order is round 6's queue — the 19 remaining r2-checked entries
+    (ann_cosine_topk .. customer_quartiles) first, then the
     r3-checked block, then the r4-checked block (freshest). Entries
     whose code changed this round without changing results or plans
     materially (fingerprint coalesce guard, winnowing/triangle
@@ -3146,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q22": q_sql_surface_q22,
         "sql_surface_q7": q_sql_surface_q7,
         "sql_surface_q17": q_sql_surface_q17,
+        "measures_unpivot": q_measures_unpivot,
         "attributed_purchases_full_outer_stream": (
             q_attributed_purchases_full_outer_stream
         ),
@@ -4496,6 +4520,22 @@ SELECT review_id, 'duplicate' AS issue_type, 'review_id' AS field_name,
 FROM ranked WHERE rn > 1"""
 
 
+def _sql_measures_unpivot() -> str:
+    """Twin of q_measures_unpivot: the UNION-ALL expansion the
+    Expand node computes, aggregated identically (cents quantization
+    BEFORE the order-dependent sum)."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT l_orderkey, '{c}' AS measure, {c} AS val FROM lineitem"
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    return f"""
+WITH m AS ({arms})
+SELECT measure, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(val * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM m GROUP BY measure"""
+
+
 def _sql_media_dims_audit(n: int = 512) -> str:
     """Twin of q_media_dims_audit: the generator plants corrupt
     payloads at i % 13 == 0 and one-pixel metadata drift at
@@ -4581,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q22": SQL_SURFACE_Q22,
         "sql_surface_q7": SQL_SURFACE_Q7,
         "sql_surface_q17": SQL_SURFACE_Q17,
+        "measures_unpivot": _sql_measures_unpivot(),
         "sql_surface_q18": SQL_SURFACE_Q18,
         "cosupply_clustering": O.sql_cosupply_clustering(),
         "session_window_stream": O.sql_session_window_stream(),

@@ -185,6 +185,7 @@ HEADLINE = [
     "cosupply_kcore",
     "sql_surface_q7",
     "sql_surface_q17",
+    "measures_unpivot",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -291,7 +292,7 @@ def calibration(spark) -> dict[str, float]:
     cpu, scan = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        spark.range(1_000_000_000).selectExpr("sum(id)").collect()
         cpu.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
