@@ -2269,6 +2269,26 @@ WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
 GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)"""
 
 
+def q_pps_wor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k PPS sampling WITHOUT replacement (operators/sampling.py
+    pps_wor_sample): rows ranked by the minimum of weight-many md5
+    pseudo-uniforms — the exact sequential PPS-WOR distribution,
+    libm-free and engine-identical. Weight = 1 + totalprice div
+    10000 (range ~1..60); k = 100 orders."""
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        pps_wor_sample,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.lit(1)
+            + F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long")
+        ).alias("w"),
+    )
+    return pps_wor_sample(od, "w", "o_orderkey", k=100)
+
+
 def q_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native UNPIVOT (DataFrame.melt -> a single Expand node, one
     pass over the fact table — never four self-scans): the four
@@ -3123,26 +3143,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 17 never-driver-checked entries — the three round-4
+    (a) the 18 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the 14
+    multi-batch watermark dedup, update-mode trending) and the 15
     entries NEW this round (media_dims_audit,
     user_value_ewma_segmented, eight TPC-H-shaped SQL-surface
-    queries, the native-UNPIVOT measures entry, the full-outer
-    stream-stream join, mmr_topk, cosupply_kcore);
+    queries, the native-UNPIVOT measures entry, exact PPS-WOR
+    sampling, the full-outer stream-stream join, mmr_topk,
+    cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 27 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 26 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan.
-    17 + 3 + 3 + 27 = 50.
+    18 + 3 + 3 + 26 = 50.
 
-    CYCLE PLAN (162 entries, 50-entry window): past position 50 the
-    order is round 6's queue — the 19 remaining r2-checked entries
-    (ann_cosine_topk .. customer_quartiles) first, then the
+    CYCLE PLAN (163 entries, 50-entry window): past position 50 the
+    order is round 6's queue — the 20 remaining r2-checked entries
+    (text_analysis .. customer_quartiles) first, then the
     r3-checked block, then the r4-checked block (freshest). Entries
     whose code changed this round without changing results or plans
     materially (fingerprint coalesce guard, winnowing/triangle
@@ -3170,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q7": q_sql_surface_q7,
         "sql_surface_q17": q_sql_surface_q17,
         "measures_unpivot": q_measures_unpivot,
+        "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
             q_attributed_purchases_full_outer_stream
         ),
@@ -4520,6 +4542,30 @@ SELECT review_id, 'duplicate' AS issue_type, 'review_id' AS field_name,
 FROM ranked WHERE rn > 1"""
 
 
+def _sql_pps_wor_sample(k: int = 100) -> str:
+    """Twin of q_pps_wor_sample: same weight derivation, same
+    md5(key|j) candidates via LATERAL generate_series, same
+    (min_hash, key) ranking."""
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey AS key,
+         1 + CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS weight
+  FROM orders),
+expl AS (
+  SELECT key, weight, unnest(generate_series(1, weight)) AS j
+  FROM keyed),
+cand AS (
+  SELECT key, weight,
+         md5(CAST(key AS VARCHAR) || '|' || CAST(j AS VARCHAR)) AS h
+  FROM expl),
+mins AS (
+  SELECT key, weight, min(h) AS min_h FROM cand GROUP BY key, weight)
+SELECT rank, key, weight FROM (
+  SELECT *, row_number() OVER (ORDER BY min_h ASC, key ASC) AS rank
+  FROM mins)
+WHERE rank <= {k}"""
+
+
 def _sql_measures_unpivot() -> str:
     """Twin of q_measures_unpivot: the UNION-ALL expansion the
     Expand node computes, aggregated identically (cents quantization
@@ -4622,6 +4668,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q7": SQL_SURFACE_Q7,
         "sql_surface_q17": SQL_SURFACE_Q17,
         "measures_unpivot": _sql_measures_unpivot(),
+        "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,
         "cosupply_clustering": O.sql_cosupply_clustering(),
         "session_window_stream": O.sql_session_window_stream(),

@@ -186,6 +186,7 @@ HEADLINE = [
     "sql_surface_q7",
     "sql_surface_q17",
     "measures_unpivot",
+    "pps_wor_sample",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

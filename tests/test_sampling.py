@@ -155,3 +155,54 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
     sizes = Counter(r["cluster_id"] for r in out)
     assert sizes[0] == 10  # dense cluster capped
     assert sizes[1] == 3  # sparse cluster intact
+
+
+# ---------------- PPS without replacement ----------------
+
+
+def test_pps_wor_matches_sequential_model(spark):
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        pps_wor_sample,
+    )
+
+    rows = [(i, 1 + (i * 7) % 9) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [
+        (r["rank"], r["key"], r["weight"])
+        for r in pps_wor_sample(df, "w", "id", k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    # sequential model: min md5 over w candidates per key, k smallest
+    model = sorted(
+        (
+            min(
+                hashlib.md5(f"{i}|{j}".encode()).hexdigest()
+                for j in range(1, w + 1)
+            ),
+            i,
+            w,
+        )
+        for i, w in rows
+    )[:10]
+    want = [(r + 1, i, w) for r, (_, i, w) in enumerate(model)]
+    assert got == want
+
+
+def test_pps_wor_rejects_out_of_range_weight(spark):
+    import pytest
+
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        pps_wor_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0)], "id long, w long"
+    )
+    with pytest.raises(Exception, match="weight|assert"):
+        pps_wor_sample(df, "w", "id", k=1).collect()
+    df2 = spark.createDataFrame([(1, 2000)], "id long, w long")
+    with pytest.raises(Exception, match="weight|assert"):
+        pps_wor_sample(df2, "w", "id", k=1, max_weight=1024).collect()

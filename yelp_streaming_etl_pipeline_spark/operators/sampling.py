@@ -173,3 +173,73 @@ def mixture_sample(
         .filter(F.col("__rn") <= F.col("__cap"))
         .select(*df.columns)
     )
+
+
+def pps_wor_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    max_weight: int = 1024,
+) -> DataFrame:
+    """FIXED-SIZE probability-proportional-to-size sampling WITHOUT
+    replacement — the exact sequential PPS-WOR distribution, derived
+    hash-deterministically and libm-free.
+
+    Construction: give every row ``w`` i.i.d. pseudo-uniform
+    candidates (md5 of key|j for j in 1..w) and rank rows by their
+    MINIMUM candidate. For i.i.d. continuous candidates this ordering
+    realizes exact successive PPS-WOR: the global minimum lands in
+    row A with probability w_A / W (symmetry over all W candidates),
+    and conditioning on A's selection leaves the other rows'
+    candidates i.i.d. above the cut — so the next pick has
+    probability w_B / (W - w_A), and so on. The md5 hex candidates
+    are deterministic pseudo-uniforms (declared semantics, like every
+    sampler in this module) and compare identically in any engine —
+    no pow/ln, whose last-ulp behavior is libm-specific, anywhere.
+
+    Cost: one explode bounded by ``max_weight`` (weights above it
+    raise — at production scale either bucket the weight into coarser
+    units or switch to the exponential-race form and accept a libm
+    dependency), one min-aggregate per row, one global top-k. The
+    explode factor IS the weight, so keep weights in the tens-to-
+    hundreds; the aggregate and top-k are the same shuffle shape as
+    any ranked sample.
+
+    Returns the k sampled rows as (rank, key, weight)."""
+    w = F.col(weight_col).cast("long")
+    keyed = df.select(
+        F.col(key_col).alias("key"), w.alias("weight")
+    ).filter(
+        F.assert_true(
+            (F.col("weight") >= 1) & (F.col("weight") <= max_weight),
+            F.concat(
+                F.lit(
+                    "pps_wor_sample: weight outside [1, "
+                    f"{max_weight}] (explode bound); bucket weights "
+                    "coarser first. Got "
+                ),
+                F.col("weight").cast("string"),
+            ),
+        ).isNull()
+    )
+    cand = keyed.select(
+        "key",
+        "weight",
+        F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("j"),
+    ).select(
+        "key",
+        "weight",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("key").cast("string"), F.col("j").cast("string")
+            )
+        ).alias("h"),
+    )
+    mins = cand.groupBy("key", "weight").agg(F.min("h").alias("min_h"))
+    w_rank = Window.orderBy(F.asc("min_h"), F.asc("key"))
+    return (
+        mins.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("rank", "key", "weight")
+    )
