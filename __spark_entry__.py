@@ -2345,6 +2345,59 @@ def q_sql_surface_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SURFACE_Q17)
 
 
+SQL_SURFACE_Q8 = """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+                ELSE 0 END) AS DOUBLE)
+       / CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) AS mkt_share,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY EXTRACT(year FROM o.o_orderdate)"""
+
+
+def q_sql_surface_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q8 market-share shape):
+    a 7-table join with the nation dim in two roles (customer's
+    region restricts the market, supplier's nation is the share
+    numerator) feeding a conditional-sum / total-sum ratio per year.
+    Both sums are exact integer cents; the one double division per
+    group is deterministic."""
+    for t in ("lineitem", "orders", "customer", "supplier",
+              "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q8)
+
+
+SQL_SURFACE_Q12 = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R'
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus"""
+
+
+def q_sql_surface_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q12 shipping-priority
+    shape, returnflag standing in for the missing shipmode):
+    complementary IN / NOT IN conditional counts over a filtered
+    join — the dual-CASE pivot aggregation pattern."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q12)
+
+
 SQL_SURFACE_Q16 = """
 SELECT p.p_brand, p.p_type,
        CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
@@ -3143,11 +3196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 18 never-driver-checked entries — the three round-4
+    (a) the 20 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the 15
+    multi-batch watermark dedup, update-mode trending) and the 17
     entries NEW this round (media_dims_audit,
-    user_value_ewma_segmented, eight TPC-H-shaped SQL-surface
+    user_value_ewma_segmented, TEN TPC-H-shaped SQL-surface
     queries, the native-UNPIVOT measures entry, exact PPS-WOR
     sampling, the full-outer stream-stream join, mmr_topk,
     cosupply_kcore);
@@ -3157,13 +3210,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 26 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 24 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan.
-    18 + 3 + 3 + 26 = 50.
+    20 + 3 + 3 + 24 = 50.
 
-    CYCLE PLAN (163 entries, 50-entry window): past position 50 the
-    order is round 6's queue — the 20 remaining r2-checked entries
-    (text_analysis .. customer_quartiles) first, then the
+    CYCLE PLAN (165 entries, 50-entry window): past position 50 the
+    order is round 6's queue — the 22 remaining r2-checked entries
+    (simhash_signatures .. customer_quartiles) first, then the
     r3-checked block, then the r4-checked block (freshest). Entries
     whose code changed this round without changing results or plans
     materially (fingerprint coalesce guard, winnowing/triangle
@@ -3190,6 +3243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q22": q_sql_surface_q22,
         "sql_surface_q7": q_sql_surface_q7,
         "sql_surface_q17": q_sql_surface_q17,
+        "sql_surface_q8": q_sql_surface_q8,
+        "sql_surface_q12": q_sql_surface_q12,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -4667,6 +4722,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q22": SQL_SURFACE_Q22,
         "sql_surface_q7": SQL_SURFACE_Q7,
         "sql_surface_q17": SQL_SURFACE_Q17,
+        "sql_surface_q8": SQL_SURFACE_Q8,
+        "sql_surface_q12": SQL_SURFACE_Q12,
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

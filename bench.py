@@ -187,6 +187,8 @@ HEADLINE = [
     "sql_surface_q17",
     "measures_unpivot",
     "pps_wor_sample",
+    "sql_surface_q8",
+    "sql_surface_q12",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
