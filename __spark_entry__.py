@@ -2419,6 +2419,193 @@ def q_sql_surface_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SURFACE_Q16)
 
 
+SQL_SURFACE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_base_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_sql_surface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q1 pricing-summary
+    shape): the canonical single-table scan-heavy aggregate — four
+    chained-arithmetic sums, a count, and one derived average over a
+    date-bounded scan, grouped by the two status flags. All sums are
+    exact integer cents; the average is the one double division per
+    group (exact-int / exact-int, deterministic in both engines).
+    Completes the 22-query TPC-H SQL surface together with Q6/Q9/
+    Q11/Q15/Q20 (partsupp-dependent shapes adapted: no partsupp in
+    the test data).
+
+    Scale: a pure scan + partial-agg pipeline — six groups total, so
+    the final exchange carries ~6 rows per partition; whole-stage
+    codegen covers the entire plan below the exchange."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_Q1)
+
+
+SQL_SURFACE_Q6 = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+def q_sql_surface_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q6 forecasting-revenue
+    shape): a global no-group aggregate under a four-predicate
+    conjunctive filter (date range + discount band + quantity cap).
+    The discount band compares against the literal column values
+    stored in parquet, so the double comparisons are exact in both
+    engines.
+
+    Scale: every predicate reaches the parquet scan as a pushed
+    filter (date + numeric range are all pushable); the aggregate is
+    a single scalar — zero-width shuffle."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_Q6)
+
+
+SQL_SURFACE_Q9 = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+                - CAST(l.l_quantity AS BIGINT) * CAST(floor(p.p_retailprice * 10.0 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)"""
+
+
+def q_sql_surface_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q9 product-type-profit
+    shape, adapted: no partsupp table in the test data, so unit cost
+    is 10% of p_retailprice — in cents, floor(p_retailprice*10.0
+    +0.5) — instead of ps_supplycost): a five-table star join with a
+    substring LIKE part filter, per-(nation, order-year) profit =
+    revenue minus cost, both legs exact integer cents.
+
+    Scale: the infix '%widget%' predicate can't use stats but DOES
+    prune part before the join; the three dim joins (supplier, part
+    after filter, nation) broadcast; only orders<->lineitem is a
+    data-sized shuffle join keyed on orderkey."""
+    for t in ("lineitem", "supplier", "part", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q9)
+
+
+SQL_SURFACE_Q11 = """
+SELECT l.l_partkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY l.l_partkey
+HAVING sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT))
+     > (SELECT sum(CAST(floor(l2.l_extendedprice * (1.0 - l2.l_discount) * 100.0 + 0.5) AS BIGINT)) / 500
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        WHERE n2.n_name = 'NATION_3')"""
+
+
+def q_sql_surface_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q11 important-stock
+    shape, adapted: no partsupp, so "stock value" is the shipped
+    line value per part from one nation's suppliers): HAVING
+    compared against an UNCORRELATED scalar subquery that re-runs
+    the same filtered aggregate globally — the group-vs-global-
+    fraction pattern. Integer-cents sums; the /500 fraction is a
+    double in both engines (exact: the sums are far below 2^52).
+
+    Scale: Catalyst evaluates the scalar subquery once (a broadcast
+    scalar), so the fact table is scanned twice but never joined to
+    itself row-wise; both scans share the pushed nation filter via
+    the broadcast supplier dim."""
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q11)
+
+
+SQL_SURFACE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)"""
+
+
+def q_sql_surface_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q15 top-supplier shape):
+    a CTE referenced TWICE — once as the join input, once inside the
+    scalar MAX subquery — selecting the supplier(s) at the quarterly
+    revenue maximum. Ties surface every argmax row in both engines
+    (no LIMIT), keeping the result order-insensitively exact.
+
+    Scale: the CTE aggregate is supplier-cardinality (small); Spark
+    evaluates the two references as two plans over the same pushed-
+    filter scan unless the CTE is materialized — either way the max
+    is a scalar broadcast, never a sort of the full table."""
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q15)
+
+
+SQL_SURFACE_Q20 = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_8'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(CAST(l.l_quantity AS BIGINT)) > (
+        SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l2.l_shipdate < TIMESTAMP '1997-01-01'))"""
+
+
+def q_sql_surface_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-text two-engine SQL (TPC-H-Q20 potential-promotion
+    shape, adapted: the availqty-vs-half-demand test runs over
+    shipped quantities since there is no partsupp): THREE nesting
+    levels — an IN whose subquery contains another IN (prefix-LIKE
+    part filter) AND a HAVING against a CORRELATED scalar subquery
+    on the grouping key (supplier's share of a part's annual volume
+    > half). Catalyst decorrelates the scalar into an aggregate
+    join and plans both INs as (left-)semi joins.
+
+    Scale: every subquery aggregates before joining — the correlated
+    scalar becomes a per-partkey aggregate (part-cardinality), the
+    outer IN a semi join on suppkey (supplier-cardinality); nothing
+    data-sized crosses a nested-loop boundary."""
+    for t in ("supplier", "nation", "lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_Q20)
+
+
 SQL_SURFACE_Q18 = """
 SELECT c.c_custkey, o.o_orderkey, CAST(count(*) AS BIGINT) AS n_lines
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -3196,23 +3383,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 20 never-driver-checked entries — the three round-4
+    (a) the 26 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the 17
+    multi-batch watermark dedup, update-mode trending) and the 23
     entries NEW this round (media_dims_audit,
-    user_value_ewma_segmented, TEN TPC-H-shaped SQL-surface
-    queries, the native-UNPIVOT measures entry, exact PPS-WOR
-    sampling, the full-outer stream-stream join, mmr_topk,
-    cosupply_kcore);
+    user_value_ewma_segmented, SIXTEEN TPC-H-shaped SQL-surface
+    queries — completing the 22-query TPC-H text surface with
+    Q1/Q6/Q9/Q11/Q15/Q20 — the native-UNPIVOT measures entry,
+    exact PPS-WOR sampling, the full-outer stream-stream join,
+    mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 24 of the 46 stale-r2-checked entries, oldest-first, headed
-    by topic_roundtrip_reviews / events_hourly per the cycle plan.
-    20 + 3 + 3 + 24 = 50.
+    (d) 18 of the 46 stale-r2-checked entries, oldest-first, headed
+    by topic_roundtrip_reviews / events_hourly per the cycle plan
+    (the six displaced r2 entries — text_analysis and the ANN
+    family — lead the round-6 queue at positions 51+).
+    26 + 3 + 3 + 18 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3245,6 +3435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q17": q_sql_surface_q17,
         "sql_surface_q8": q_sql_surface_q8,
         "sql_surface_q12": q_sql_surface_q12,
+        "sql_surface_q1": q_sql_surface_q1,
+        "sql_surface_q6": q_sql_surface_q6,
+        "sql_surface_q9": q_sql_surface_q9,
+        "sql_surface_q11": q_sql_surface_q11,
+        "sql_surface_q15": q_sql_surface_q15,
+        "sql_surface_q20": q_sql_surface_q20,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3291,14 +3487,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "simhash_signatures": q_simhash,
         "neardup_ngram": q_neardup_ngram,
+        # ---- position > 50: round 6 takes from here, in order.
+        # r2-checked remainder first (the six entries displaced by
+        # this session's Q1/Q6/Q9/Q11/Q15/Q20 additions lead)
         "text_analysis": q_text_analysis,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
-        # ---- position > 50: round 6 takes from here, in order.
-        # r2-checked remainder first
         "media_features": q_media_features,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
@@ -4724,6 +4921,12 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q17": SQL_SURFACE_Q17,
         "sql_surface_q8": SQL_SURFACE_Q8,
         "sql_surface_q12": SQL_SURFACE_Q12,
+        "sql_surface_q1": SQL_SURFACE_Q1,
+        "sql_surface_q6": SQL_SURFACE_Q6,
+        "sql_surface_q9": SQL_SURFACE_Q9,
+        "sql_surface_q11": SQL_SURFACE_Q11,
+        "sql_surface_q15": SQL_SURFACE_Q15,
+        "sql_surface_q20": SQL_SURFACE_Q20,
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

@@ -189,6 +189,12 @@ HEADLINE = [
     "pps_wor_sample",
     "sql_surface_q8",
     "sql_surface_q12",
+    "sql_surface_q1",
+    "sql_surface_q6",
+    "sql_surface_q9",
+    "sql_surface_q11",
+    "sql_surface_q15",
+    "sql_surface_q20",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -489,6 +489,58 @@ def test_sql_surface_q18_semi_join_over_aggregate(spark):
     assert not A.has_python_udf(df)
 
 
+def test_sql_surface_q1_pushes_date_filter(spark):
+    # the scan-heavy aggregate: the shipdate bound must reach the
+    # parquet scan as a pushed filter, and the whole plan is
+    # scan -> partial agg -> exchange -> final agg, no join
+    df = E.q_sql_surface_q1(spark, SF)
+    plan = A.physical_plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan[:3000]
+    assert "Join" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q6_all_predicates_pushed(spark):
+    # all four conjuncts are pushable (date range, discount band,
+    # quantity cap); the aggregate is a scalar - no join, no window
+    df = E.q_sql_surface_q6(spark, SF)
+    plan = A.physical_plan(df)
+    assert "PushedFilters" in plan
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in plan, (c, plan[:3000])
+    assert "Join" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q11_scalar_subquery_not_cartesian(spark):
+    # the uncorrelated global-total subquery must evaluate once as a
+    # scalar (Subquery node), never as a join multiplying the fact
+    df = E.q_sql_surface_q11(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q15_no_full_sort(spark):
+    # the argmax-by-scalar-subquery form must not globally sort the
+    # revenue table (that's the point vs ORDER BY ... LIMIT 1 with
+    # ties broken wrong); max() is an aggregate, not a sort
+    df = E.q_sql_surface_q15(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
+def test_sql_surface_q20_nested_semi_joins(spark):
+    # both INs -> semi joins; the correlated scalar in HAVING ->
+    # decorrelated aggregate join; nothing cartesian, nothing per-row
+    df = E.q_sql_surface_q20(spark, SF)
+    plan = A.physical_plan(df)
+    assert "Semi" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+
 def test_sql_surface_lateral_decorrelates(spark):
     # the correlated LATERAL top-k must plan as a join (window or
     # aggregated), never a per-outer-row subquery or cartesian
