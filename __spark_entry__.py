@@ -1022,6 +1022,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py:ivfpq_topk): coarse
+    quantizer + residual product quantization (8x8-dim codebooks from
+    a deterministic residual subsample) + integer-quantized ADC scan
+    + exact cosine re-rank of the top-20 ADC candidates. The encoded
+    corpus is 8 one-byte codes + a centroid id per doc — the 100 TB
+    scan object — and the ADC partial sums are scaled BIGINTs, so the
+    whole approximate index is value-checkable against DuckDB."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthetic binary payloads ->
     Arrow-batched mapInPandas extract -> (content hash, first feature).
@@ -3383,26 +3395,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 26 never-driver-checked entries — the three round-4
+    (a) the 27 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the 23
+    multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
     user_value_ewma_segmented, SIXTEEN TPC-H-shaped SQL-surface
     queries — completing the 22-query TPC-H text surface with
-    Q1/Q6/Q9/Q11/Q15/Q20 — the native-UNPIVOT measures entry,
-    exact PPS-WOR sampling, the full-outer stream-stream join,
-    mmr_topk, cosupply_kcore);
+    Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN, the
+    native-UNPIVOT measures entry, exact PPS-WOR sampling, the
+    full-outer stream-stream join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 18 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 17 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the six displaced r2 entries — text_analysis and the ANN
-    family — lead the round-6 queue at positions 51+).
-    26 + 3 + 3 + 18 = 50.
+    (the displaced r2 entries — repetition_profile through the ANN
+    family — lead the round-6 queue at positions 50+).
+    27 + 3 + 3 + 17 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3441,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q11": q_sql_surface_q11,
         "sql_surface_q15": q_sql_surface_q15,
         "sql_surface_q20": q_sql_surface_q20,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3478,6 +3491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
         "gopher_quality": q_gopher_quality,
+        # ---- position >= 50: round 6 takes from here, in order.
+        # r2-checked remainder first (displaced by this round's
+        # 24 new entries)
         "repetition_profile": q_repetition_profile,
         "doc_chunks": q_doc_chunks,
         "bloom_registers": q_bloom_registers,
@@ -3487,9 +3503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "simhash_signatures": q_simhash,
         "neardup_ngram": q_neardup_ngram,
-        # ---- position > 50: round 6 takes from here, in order.
-        # r2-checked remainder first (the six entries displaced by
-        # this session's Q1/Q6/Q9/Q11/Q15/Q20 additions lead)
         "text_analysis": q_text_analysis,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4927,6 +4940,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q11": SQL_SURFACE_Q11,
         "sql_surface_q15": SQL_SURFACE_Q15,
         "sql_surface_q20": SQL_SURFACE_Q20,
+        "ann_ivfpq_topk": O.sql_ann_ivfpq_topk(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

@@ -195,6 +195,7 @@ HEADLINE = [
     "sql_surface_q11",
     "sql_surface_q15",
     "sql_surface_q20",
+    "ann_ivfpq_topk",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

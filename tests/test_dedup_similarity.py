@@ -187,6 +187,39 @@ def test_ivf_topk_finds_near_neighbors(spark):
     assert out[0]["cosine_sim"] > 0.9
 
 
+def test_ivfpq_topk_recall_and_shape(spark):
+    # 16-dim corpus, 2 subspaces of 8: exercises the full coarse ->
+    # residual -> codebook -> ADC -> rerank path at toy scale
+    base = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = base.filter(F.col("vec_id") < 3)
+    out = SIM.ivfpq_topk(
+        base, qs, k=3, centroid_mod=10, nprobe=2, cb_mod=5,
+        n_sub=2, sub=8,
+    )
+    rows = out.collect()
+    # k rows per query, ranks contiguous, rerank scores are EXACT
+    # cosines so the top hit must be a strong neighbor (period-11
+    # construction repeats vectors exactly)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rs in per_q.items():
+        assert sorted(x["rank"] for x in rs) == [1, 2, 3]
+        top = [x for x in rs if x["rank"] == 1][0]
+        assert top["cosine_sim"] > 0.9
+    # the ADC stage is a pruning stage over EXACT rerank scores:
+    # every returned (q, n) must appear in the exact top-3*4 pool
+    exact = SIM.cosine_topk(base, qs, k=12)
+    pool = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    for r in rows:
+        assert (r["query_id"], r["neighbor_id"]) in pool
+
+
 def test_embedding_neardup_pairs(spark):
     base = spark.createDataFrame(
         [

@@ -936,3 +936,231 @@ def mmr_topk(
         "neighbor_id",
         stable_round(F.col("mmr_score"), 6).alias("mmr_score"),
     )
+
+
+# ---------------- IVF-PQ: residual product quantization ----------------
+
+PQ_M = 8              # subspaces (64 dims -> 8 x 8)
+PQ_SUB = 8            # dims per subspace
+PQ_CB_MOD = 20        # vec_id % MOD == 0 -> that doc's residual seeds the codebook
+PQ_ADC_SCALE = 1 << 20  # ADC partials quantized to ints at this scale
+
+
+def _residual(vec: Column, cent: Column) -> Column:
+    """vec - centroid, element-wise, in exact double."""
+    return F.zip_with(
+        vec, cent, lambda x, y: x.cast("double") - y.cast("double")
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, index-ordered fold (engine-identical)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ddot(a: Column, b: Column) -> Column:
+    """Dot of two double arrays, index-ordered fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subspaces(res: Column, m: int = PQ_M, sub: int = PQ_SUB) -> Column:
+    """Array of m subvectors: slice i covers dims [i*sub, (i+1)*sub)."""
+    return F.array(*[F.slice(res, i * sub + 1, sub) for i in range(m)])
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    nprobe: int = IVF_NPROBE,
+    cb_mod: int = PQ_CB_MOD,
+    rerank_factor: int = 4,
+    n_sub: int = PQ_M,
+    sub: int = PQ_SUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN top-k: coarse quantizer + residual product
+    quantization + ADC scan + exact re-rank (the FAISS IVFPQ shape,
+    expressed relationally — no index structure, no UDF).
+
+    Pipeline:
+      1. coarse: deterministic centroid subsample (id % centroid_mod
+         == 0); every vector joins its argmax-cosine centroid and
+         keeps the RESIDUAL vec - centroid (residual PQ quantizes
+         what the coarse step couldn't explain).
+      2. codebooks: the residuals of docs with id % cb_mod == 0 are
+         split into PQ_M subvectors; subspace m's codebook is that
+         column of subvectors (deterministic, so the whole index is
+         oracle-checkable; swap in per-subspace k-means offline at
+         production scale without changing the query shape).
+      3. encode: per (doc, m), the argmin-L2 codeword id — the doc
+         compresses to a centroid id + PQ_M small codes.
+      4. ADC search: each query probes its nprobe nearest centroids;
+         per (query, centroid, m, code) the partial dot
+         q_sub . codeword is computed ONCE into a lookup table, then
+         approx_dot(q, x) = q . c_x + sum_m table[m, code_m(x)].
+         Partials are quantized to integers at PQ_ADC_SCALE before
+         the cross-row sum so the reduction is associative and
+         bit-identical in any engine / any partitioning.
+      5. exact cosine re-rank of the top k*rerank_factor ADC
+         candidates; output schema matches cosine_topk.
+
+    Scale shape: the corpus is touched three times (assign, encode,
+    ADC join) — every join is keyed or broadcast-small (centroids,
+    codebooks, probe tables); the ADC join fans each probed doc out
+    to PQ_M rows of (int code -> int partial) lookups, never to dim-
+    width arithmetic. At 100 TB the encoded table (8 bytes of codes
+    vs 256 bytes of floats) is the only thing scanned per query
+    batch, partitioned by centroid_id so a probe reads nprobe /
+    n_centroids of it."""
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+    )
+
+    # 1. assign: argmax cosine over broadcast centroids (partial-agg
+    # argmax, same discipline as ivf_topk), carrying the winning
+    # centroid vector so the residual is one zip_with away
+    assigned = (
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("c_sim", cosine(F.col("vec"), F.col("cent_vec")))
+        .groupBy("nid")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "cent_vec"),
+                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("win"),
+            F.first("vec").alias("vec"),
+        )
+        .select(
+            "nid",
+            F.col("win.centroid_id").alias("centroid_id"),
+            _residual(F.col("vec"), F.col("win.cent_vec")).alias("res"),
+            "vec",
+        )
+    )
+
+    # 2. codebooks: one row per (m, code_id, codeword)
+    cb = (
+        assigned.filter(F.col("nid") % cb_mod == 0)
+        .select(
+            F.col("nid").alias("code_id"),
+            F.posexplode(_subspaces(F.col("res"), n_sub, sub)).alias("m", "cw"),
+        )
+    )
+
+    # 3. encode: per (doc, m) argmin-L2 codeword (ties -> lower id)
+    codes = (
+        assigned.select(
+            "nid",
+            "centroid_id",
+            F.posexplode(_subspaces(F.col("res"), n_sub, sub)).alias("m", "sv"),
+        )
+        .join(F.broadcast(cb), "m")
+        .withColumn("d2", _l2(F.col("sv"), F.col("cw")))
+        .groupBy("nid", "m")
+        .agg(
+            F.max_by(
+                F.col("code_id"),
+                F.struct((-F.col("d2")).alias("nd"),
+                         (-F.col("code_id")).alias("nc")),
+            ).alias("code"),
+            F.first("centroid_id").alias("centroid_id"),
+        )
+    )
+
+    # 4a. probes: top-nprobe centroids per query + the base term q.c
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("c_sim", cosine(F.col("qv"), F.col("cent_vec")))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select(
+            "qid",
+            "centroid_id",
+            "qv",
+            F.floor(
+                _ddot(
+                    F.transform(F.col("qv"), lambda x: x.cast("double")),
+                    F.transform(
+                        F.col("cent_vec"), lambda x: x.cast("double")
+                    ),
+                )
+                * F.lit(float(PQ_ADC_SCALE))
+                + F.lit(0.5)
+            ).cast("long").alias("base_i"),
+            _residual(F.col("qv"), F.col("cent_vec")).alias("q_res"),
+        )
+    )
+
+    # 4b. ADC lookup table: int partials per (query, centroid, m, code)
+    adc = (
+        probes.select(
+            "qid", "centroid_id", "base_i",
+            F.posexplode(_subspaces(F.col("q_res"), n_sub, sub)).alias("m", "q_sub"),
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "qid", "centroid_id", "base_i", "m",
+            F.col("code_id").alias("code"),
+            F.floor(
+                _ddot(F.col("q_sub"), F.col("cw"))
+                * F.lit(float(PQ_ADC_SCALE))
+                + F.lit(0.5)
+            ).cast("long").alias("part_i"),
+        )
+    )
+
+    # 4c. approximate scores: integer base + integer partial sum
+    approx = (
+        codes.join(
+            F.broadcast(adc), ["centroid_id", "m", "code"]
+        )
+        .groupBy("qid", "nid")
+        .agg((F.max("base_i") + F.sum("part_i")).alias("adc_i"))
+        .filter(F.col("nid") != F.col("qid"))
+    )
+    m_rerank = k * rerank_factor
+    w1 = Window.partitionBy("qid").orderBy(F.desc("adc_i"), F.asc("nid"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w1))
+        .filter(F.col("arank") <= m_rerank)
+        .select("qid", "nid")
+    )
+
+    # 5. exact re-rank
+    c_full = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        c_full.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(q_full), "qid")
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("nid").alias("neighbor_id"),
+            stable_round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )

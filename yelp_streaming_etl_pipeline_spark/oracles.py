@@ -2556,3 +2556,129 @@ WITH {body}
 SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
 GROUP BY node"""
+
+
+def sql_ann_ivfpq_topk(
+    k: int = 5,
+    dim: int = 64,
+    centroid_mod: int = 40,
+    nprobe: int = 2,
+    cb_mod: int = 20,
+    n_sub: int = 8,
+    sub: int = 8,
+    adc_scale: int = 1 << 20,
+    rerank_factor: int = 4,
+) -> str:
+    """Twin of operators/similarity.py:ivfpq_topk — coarse quantizer,
+    residual product quantization, integer-quantized ADC scan, exact
+    re-rank. ADC partials are floor(dot * scale + 0.5) BIGINTs, so the
+    cross-row sum is associative and engine-identical."""
+    m_rerank = k * rerank_factor
+    assign_sim = sql_cosine("v.embedding", "c.cent_vec", dim)
+    res = (
+        "[CAST(embedding[i] AS DOUBLE) - CAST(cent_vec[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, {dim})]"
+    )
+    subvec = f"[res[i] FOR i IN generate_series(m * {sub} + 1, m * {sub} + {sub})]"
+    l2 = (
+        "list_reduce([(sv[i] - cw[i]) * (sv[i] - cw[i]) "
+        f"FOR i IN generate_series(1, {sub})], (x, y) -> x + y)"
+    )
+    qdot_cent = (
+        "list_reduce([CAST(qv[i] AS DOUBLE) * CAST(cent_vec[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, {dim})], (x, y) -> x + y)"
+    )
+    part_dot = (
+        "list_reduce([q_sub[i] * cw[i] "
+        f"FOR i IN generate_series(1, {sub})], (x, y) -> x + y)"
+    )
+    rerank_sim = sql_cosine("cf.c_vec", "qf.q_vec", dim)
+    return f"""
+WITH ms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
+  WHERE vec_id % {centroid_mod} = 0
+),
+assigned0 AS (
+  SELECT v.vec_id AS nid, v.embedding, c.centroid_id, c.cent_vec,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_sim} DESC, c.centroid_id ASC)
+           AS c_rank
+  FROM embeddings v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT nid, centroid_id, embedding, {res} AS res
+  FROM assigned0 WHERE c_rank = 1
+),
+cb AS (
+  SELECT nid AS code_id, m, {subvec} AS cw
+  FROM assigned CROSS JOIN ms WHERE nid % {cb_mod} = 0
+),
+doc_sub AS (
+  SELECT nid, centroid_id, m, {subvec} AS sv
+  FROM assigned CROSS JOIN ms
+),
+enc0 AS (
+  SELECT d.nid, d.centroid_id, d.m, cb.code_id,
+         row_number() OVER (PARTITION BY d.nid, d.m
+                            ORDER BY {l2} ASC, cb.code_id ASC) AS e_rank
+  FROM doc_sub d JOIN cb ON cb.m = d.m
+),
+codes AS (
+  SELECT nid, centroid_id, m, code_id AS code FROM enc0 WHERE e_rank = 1
+),
+probes0 AS (
+  SELECT v.vec_id AS qid, v.embedding AS qv, c.centroid_id, c.cent_vec,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_sim} DESC, c.centroid_id ASC)
+           AS c_rank
+  FROM embeddings v CROSS JOIN cent c WHERE v.vec_id % 100 = 0
+),
+probes AS (
+  SELECT qid, centroid_id, qv,
+         CAST(floor({qdot_cent} * {adc_scale}.0 + 0.5) AS BIGINT) AS base_i,
+         [CAST(qv[i] AS DOUBLE) - CAST(cent_vec[i] AS DOUBLE)
+          FOR i IN generate_series(1, {dim})] AS q_res
+  FROM probes0 WHERE c_rank <= {nprobe}
+),
+q_sub AS (
+  SELECT qid, centroid_id, base_i, m,
+         [q_res[i] FOR i IN generate_series(m * {sub} + 1, m * {sub} + {sub})] AS q_sub
+  FROM probes CROSS JOIN ms
+),
+adc AS (
+  SELECT q.qid, q.centroid_id, q.base_i, q.m, cb.code_id AS code,
+         CAST(floor({part_dot} * {adc_scale}.0 + 0.5) AS BIGINT) AS part_i
+  FROM q_sub q JOIN cb ON cb.m = q.m
+),
+approx AS (
+  SELECT a.qid, c.nid,
+         max(a.base_i) + sum(a.part_i) AS adc_i
+  FROM codes c
+  JOIN adc a ON a.centroid_id = c.centroid_id AND a.m = c.m
+            AND a.code = c.code
+  WHERE c.nid != a.qid
+  GROUP BY a.qid, c.nid
+),
+cand AS (
+  SELECT qid, nid FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY qid ORDER BY adc_i DESC, nid ASC) AS arank
+    FROM approx
+  ) WHERE arank <= {m_rerank}
+),
+cf AS (SELECT vec_id AS nid, embedding AS c_vec FROM embeddings),
+qf AS (SELECT vec_id AS qid, embedding AS q_vec FROM embeddings
+       WHERE vec_id % 100 = 0),
+exact AS (
+  SELECT cand.qid, cand.nid, {rerank_sim} AS sim
+  FROM cand JOIN cf ON cf.nid = cand.nid JOIN qf ON qf.qid = cand.qid
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM exact
+)
+SELECT qid AS query_id, rank, nid AS neighbor_id,
+       {sql_stable_round('sim', 6)} AS cosine_sim
+FROM r WHERE rank <= {k}"""
