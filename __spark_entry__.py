@@ -2674,6 +2674,28 @@ def q_cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_kcore(_t(spark, sf_dir, "lineitem"))
 
 
+def q_kcore_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming k-core maintenance (operators/graph.py
+    kcore_maintain_stream): the mutual-kNN co-supply edge list
+    arrives as THREE mtime-ordered micro-batches; each epoch folds
+    the new edges into accumulated state and re-peels, with the
+    insert-only monotonicity invariant (prior core subset-of next
+    core) asserted per epoch via an anti-join. The final epoch's
+    core equals the batch k-core over all edges, so the entry shares
+    sql_cosupply_kcore as its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        cosupply_edges, kcore_maintain_stream,
+    )
+
+    spark = _ensure_conf(spark)
+    edges = cosupply_edges(_t(spark, sf_dir, "lineitem"))
+    return kcore_maintain_stream(spark, edges).select(
+        F.col("node").alias("s_suppkey"), F.col("core_degree")
+    )
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from every 100th customer through
     the customer–supplier graph (operators/graph.py) — frontier-loop
@@ -3395,26 +3417,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 27 never-driver-checked entries — the three round-4
+    (a) the 28 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
     user_value_ewma_segmented, SIXTEEN TPC-H-shaped SQL-surface
     queries — completing the 22-query TPC-H text surface with
-    Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN, the
-    native-UNPIVOT measures entry, exact PPS-WOR sampling, the
-    full-outer stream-stream join, mmr_topk, cosupply_kcore);
+    Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN,
+    streaming k-core maintenance, the native-UNPIVOT measures
+    entry, exact PPS-WOR sampling, the full-outer stream-stream
+    join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 17 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 16 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — repetition_profile through the ANN
+    (the displaced r2 entries — gopher_quality through the ANN
     family — lead the round-6 queue at positions 50+).
-    27 + 3 + 3 + 17 = 50.
+    28 + 3 + 3 + 16 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3454,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q15": q_sql_surface_q15,
         "sql_surface_q20": q_sql_surface_q20,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "kcore_maintenance_stream": q_kcore_maintenance_stream,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3490,10 +3514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
-        "gopher_quality": q_gopher_quality,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 24 new entries)
+        # 25 new entries)
+        "gopher_quality": q_gopher_quality,
         "repetition_profile": q_repetition_profile,
         "doc_chunks": q_doc_chunks,
         "bloom_registers": q_bloom_registers,
@@ -4941,6 +4965,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q15": SQL_SURFACE_Q15,
         "sql_surface_q20": SQL_SURFACE_Q20,
         "ann_ivfpq_topk": O.sql_ann_ivfpq_topk(),
+        "kcore_maintenance_stream": O.sql_cosupply_kcore(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

@@ -466,3 +466,26 @@ def test_kcore_empty_core_is_valid(spark):
     edges = [(1, 2), (2, 3), (3, 4)]
     df = spark.createDataFrame(edges, "u long, v long")
     assert kcore_nodes(df, k=2, rounds=4).count() == 0
+
+
+def test_kcore_maintain_stream_matches_batch_and_grows(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        kcore_maintain_stream, kcore_nodes,
+    )
+
+    # two triangles bridged by a chain; edges arrive in 3 micro-
+    # batches (ntile over (u,v)) — the final maintained core must
+    # equal the batch 2-core over ALL edges, and every intermediate
+    # epoch's monotonicity assert must hold (insert-only growth)
+    edges = [
+        (1, 2), (1, 3), (2, 3),          # triangle A
+        (3, 4), (4, 5),                  # pendant chain (peels off)
+        (6, 7), (6, 8), (7, 8),          # triangle B
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = kcore_maintain_stream(spark, df, k=2, rounds=6, n_slices=3)
+    batch = kcore_nodes(df, k=2, rounds=6)
+    g = {(r["node"], r["core_degree"]) for r in got.collect()}
+    b = {(r["node"], r["core_degree"]) for r in batch.collect()}
+    assert g == b
+    assert {n for n, _ in g} == {1, 2, 3, 6, 7, 8}

@@ -812,3 +812,109 @@ def cosupply_kcore(
     return kcore_nodes(cosupply_edges(lineitem), k=k, rounds=rounds).select(
         F.col("node").alias("s_suppkey"), "core_degree"
     )
+
+
+def _stage_edge_slices(edges: DataFrame, n_slices: int = 3) -> str:
+    """Stage an ``(u, v)`` edge list as ``n_slices`` parquet files
+    with strictly increasing mtimes, so the file stream source
+    (mtime-ordered) replays them as ``n_slices`` micro-batches under
+    ``maxFilesPerTrigger=1``. Slicing is deterministic (ntile over
+    (u, v)), so every engine stages the same batches. Test-staging
+    scaffolding — the production source is a Kafka edge topic."""
+    import glob
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="edge_slices_")
+    w = Window.orderBy("u", "v")
+    sliced = edges.withColumn("_slice", F.ntile(n_slices).over(w))
+    timed: set[str] = set()
+    for i in range(1, n_slices + 1):
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        for p in glob.glob(os.path.join(d, "*.parquet")):
+            if p not in timed:
+                os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+                timed.add(p)
+    return d
+
+
+def kcore_maintain_stream(
+    spark,
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming k-core MAINTENANCE: an edge stream arrives in
+    micro-batches; each epoch folds the new edges into the
+    accumulated graph and re-peels the k-core incrementally.
+
+    The maintenance invariant that makes this cheaper than naive
+    recompute is MONOTONICITY: under edge INSERTIONS the k-core only
+    grows (adding an edge never lowers any residual degree during
+    peeling), so (a) the previous epoch's core is a certified subset
+    of the next — ASSERTED every epoch via an anti-join that must be
+    empty, and (b) peeling restarted from the accumulated edge list
+    stays under kcore_nodes' enforced-convergence contract — if an
+    epoch's peel needs more than ``rounds`` rounds the call raises
+    rather than returning a non-core.
+
+    State story at 100 TB: the accumulated edge list is the
+    streaming state — here a chain of localCheckpointed unions (one
+    materialized table per epoch), in production a compacted state
+    table (Delta/Hudi or the RocksDB store) keyed by (u, v) so
+    replays are idempotent; the per-epoch recompute touches only
+    |E_acc| with the same bounded-rounds cost as batch kcore_nodes.
+
+    Returns the FINAL epoch's core — identical by construction to
+    batch kcore_nodes over all edges, so the entry shares the batch
+    oracle twin."""
+    d = _stage_edge_slices(edges.select("u", "v"), n_slices)
+    state: dict = {"edges": None, "core": None, "epochs": 0}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        acc = (
+            b
+            if state["edges"] is None
+            else state["edges"].unionByName(b).localCheckpoint(eager=True)
+        )
+        state["edges"] = acc
+        core = kcore_nodes(acc, k=k, rounds=rounds)
+        prev = state["core"]
+        if prev is not None:
+            # the monotone-growth invariant: every node of the prior
+            # core must survive the new epoch's peel
+            lost = prev.select("node").join(
+                core.select("node"), "node", "left_anti"
+            )
+            n_lost = lost.count()
+            if n_lost:
+                raise AssertionError(
+                    f"kcore_maintain_stream: epoch {epoch_id} dropped "
+                    f"{n_lost} node(s) from the k-core — insert-only "
+                    "maintenance must grow monotonically"
+                )
+        state["core"] = core
+        state["epochs"] += 1
+
+    import tempfile
+
+    stream = (
+        spark.readStream.schema(edges.select("u", "v").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kcore_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["epochs"] >= n_slices, (
+        f"expected >= {n_slices} micro-batches, got {state['epochs']}"
+    )
+    return state["core"]
