@@ -2696,6 +2696,23 @@ def q_kcore_maintenance_stream(
     )
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb boilerplate-line removal (operators/
+    corpus_quality.py drop_boilerplate_lines): lines whose corpus
+    document-frequency exceeds 5% are site chrome and are stripped
+    from every page, the rest reassembled in order. Runs over the
+    planted-boilerplate corpus (footer in 100% of docs, promo line
+    in 50%) so both planted lines vanish and every content line
+    survives."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        drop_boilerplate_lines, with_synthetic_boilerplate,
+    )
+
+    return drop_boilerplate_lines(
+        with_synthetic_boilerplate(_t_cpu(spark, sf_dir, "documents"))
+    )
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from every 100th customer through
     the customer–supplier graph (operators/graph.py) — frontier-loop
@@ -3417,27 +3434,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 28 never-driver-checked entries — the three round-4
+    (a) the 29 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
     user_value_ewma_segmented, SIXTEEN TPC-H-shaped SQL-surface
     queries — completing the 22-query TPC-H text surface with
     Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN,
-    streaming k-core maintenance, the native-UNPIVOT measures
-    entry, exact PPS-WOR sampling, the full-outer stream-stream
-    join, mmr_topk, cosupply_kcore);
+    streaming k-core maintenance, C4-style boilerplate-line
+    removal, the native-UNPIVOT measures entry, exact PPS-WOR
+    sampling, the full-outer stream-stream join, mmr_topk,
+    cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 16 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 15 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — gopher_quality through the ANN
+    (the displaced r2 entries — cube_revenue through the ANN
     family — lead the round-6 queue at positions 50+).
-    28 + 3 + 3 + 16 = 50.
+    29 + 3 + 3 + 15 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3478,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q20": q_sql_surface_q20,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "kcore_maintenance_stream": q_kcore_maintenance_stream,
+        "boilerplate_lines": q_boilerplate_lines,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3513,10 +3532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
-        "cube_revenue": q_cube_revenue,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 25 new entries)
+        # 26 new entries)
+        "cube_revenue": q_cube_revenue,
         "gopher_quality": q_gopher_quality,
         "repetition_profile": q_repetition_profile,
         "doc_chunks": q_doc_chunks,
@@ -4966,6 +4985,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_q20": SQL_SURFACE_Q20,
         "ann_ivfpq_topk": O.sql_ann_ivfpq_topk(),
         "kcore_maintenance_stream": O.sql_cosupply_kcore(),
+        "boilerplate_lines": O.sql_drop_boilerplate_lines(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

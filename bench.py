@@ -196,6 +196,7 @@ HEADLINE = [
     "sql_surface_q15",
     "sql_surface_q20",
     "ann_ivfpq_topk",
+    "boilerplate_lines",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

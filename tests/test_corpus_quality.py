@@ -274,3 +274,55 @@ class TestQualityClassifier:
         a = sorted(map(tuple, CQ.quality_classifier(df).collect()))
         b = sorted(map(tuple, CQ.quality_classifier(df).collect()))
         assert a == b
+
+
+class TestBoilerplateLines:
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_high_df_lines_dropped_order_kept(self, spark):
+        footer = "copyright footer"
+        rows = [
+            (i, f"unique content {i}\n{footer}\nmore content {i}")
+            for i in range(20)
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in CQ.drop_boilerplate_lines(
+                self._corpus(spark, rows), max_df_pct=5
+            ).collect()
+        }
+        for i in range(20):
+            r = out[i]
+            # footer (df=100%) gone; the two content lines kept IN ORDER
+            assert r["clean_text"] == f"unique content {i}\nmore content {i}"
+            assert r["n_kept"] == 2 and r["n_dropped"] == 1
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        rows = [(i, "same line everywhere") for i in range(10)]
+        out = CQ.drop_boilerplate_lines(
+            self._corpus(spark, rows), max_df_pct=50
+        ).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r["clean_text"] == ""
+            assert r["n_kept"] == 0 and r["n_dropped"] == 1
+
+    def test_threshold_is_strict_inequality(self, spark):
+        # a line in exactly max_df_pct% of docs is NOT boilerplate
+        rows = [(i, ("edge line" if i < 5 else f"solo {i}")) for i in range(10)]
+        out = {
+            r["doc_id"]: r
+            for r in CQ.drop_boilerplate_lines(
+                self._corpus(spark, rows), max_df_pct=50
+            ).collect()
+        }
+        assert out[0]["clean_text"] == "edge line"  # df = 50% == pct -> kept
+        rows2 = [(i, ("edge line" if i < 6 else f"solo {i}")) for i in range(10)]
+        out2 = {
+            r["doc_id"]: r
+            for r in CQ.drop_boilerplate_lines(
+                self._corpus(spark, rows2), max_df_pct=50
+            ).collect()
+        }
+        assert out2[0]["clean_text"] == ""  # df = 60% > 50 -> dropped

@@ -401,3 +401,110 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         score.alias("qc_score"),
         (F.col("s") > 0).alias("qc_label"),
     )
+
+
+# ---------------- boilerplate line removal (C4/RefinedWeb shape) ----------------
+
+BOILER_MAX_DF_PCT = 5  # a line in > this % of docs is boilerplate
+BOILER_LINE_A = "all rights reserved."
+BOILER_LINE_B = "subscribe to our newsletter for updates"
+
+
+def with_synthetic_boilerplate(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Test-harness corpus builder: turns the single-line synthetic
+    documents into multi-line pages with PLANTED boilerplate — every
+    doc gains a site-wide footer line (df = 100%) and even-id docs a
+    second promo line (df = 50%), mirroring the terms-of-service /
+    subscribe chrome that line-level dedup exists to strip. The
+    content line keeps position 1 so reassembly order is exercised."""
+    extra = F.when(
+        F.col(id_col) % 2 == 0,
+        F.concat(F.lit("\n"), F.lit(BOILER_LINE_B)),
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        text_col,
+        F.concat(
+            F.col(text_col), F.lit("\n"), F.lit(BOILER_LINE_A), extra
+        ),
+    )
+
+
+def drop_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_pct: int = BOILER_MAX_DF_PCT,
+) -> DataFrame:
+    """Corpus-frequency line filter (the C4 / RefinedWeb boilerplate
+    rule): a LINE that appears in more than ``max_df_pct`` percent of
+    documents is site chrome (nav, footers, cookie banners), not
+    content — drop it from every document and reassemble the rest in
+    original order.
+
+    Relational shape, one pass each way:
+      1. posexplode(split(text, '\\n')) — (doc, pos, line);
+      2. line document-frequency: one groupBy(line) with
+         count(DISTINCT doc) (map-side partial, line-keyed shuffle);
+      3. the boilerplate set (high-df lines only — tiny by
+         construction: at most 100/max_df_pct distinct lines can
+         exceed the threshold) broadcasts back as an anti-join;
+      4. ordered reassembly per doc: collect (pos, line) structs,
+         array_sort, join — one doc-keyed shuffle.
+    The df comparison is integer-exact (line_df * 100 > pct * n_docs
+    — no double ratio), and n_docs rides in as a broadcast 1-row
+    aggregate, not a driver collect.
+
+    At 100 TB: group/join on xxhash64(line) instead of the raw
+    string to cut shuffle width ~10x (collision risk 2^-64 per pair;
+    the raw-line form here keeps the operator value-checkable
+    against engines without the same hash). Documents that are 100%
+    boilerplate survive with empty clean_text (LEFT join from the
+    original corpus), so downstream length filters see them rather
+    than silently losing rows.
+
+    Returns (id, clean_text, n_kept, n_dropped)."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("_id").alias("line_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("line_df") * 100 > F.lit(max_df_pct) * F.col("n_docs"))
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    reassembled = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    orig = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        orig.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

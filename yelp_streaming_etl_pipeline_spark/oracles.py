@@ -2682,3 +2682,48 @@ r AS (
 SELECT qid AS query_id, rank, nid AS neighbor_id,
        {sql_stable_round('sim', 6)} AS cosine_sim
 FROM r WHERE rank <= {k}"""
+
+
+def sql_drop_boilerplate_lines(max_df_pct: int | None = None) -> str:
+    """Twin of operators/corpus_quality.py:drop_boilerplate_lines over
+    the with_synthetic_boilerplate corpus (footer line in every doc,
+    promo line in even-id docs)."""
+    from .operators import corpus_quality as CQ
+
+    pct = CQ.BOILER_MAX_DF_PCT if max_df_pct is None else max_df_pct
+    return f"""
+WITH bdocs AS (
+  SELECT doc_id,
+         text || chr(10) || '{CQ.BOILER_LINE_A}' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || '{CQ.BOILER_LINE_B}' ELSE '' END AS t
+  FROM documents
+),
+bsplit AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM bdocs),
+blines AS (
+  SELECT doc_id, pos, ls[pos] AS line FROM (
+    SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS pos
+    FROM bsplit)
+),
+btot AS (SELECT count(*) AS n_docs FROM bdocs),
+boiler AS (
+  SELECT line FROM blines CROSS JOIN btot
+  GROUP BY line, n_docs
+  HAVING count(DISTINCT doc_id) * 100 > {pct} * n_docs
+),
+bkept AS (
+  SELECT * FROM blines
+  WHERE line NOT IN (SELECT line FROM boiler)
+),
+breasm AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM bkept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(d.t, chr(10))) - COALESCE(r.n_kept, 0)
+            AS BIGINT) AS n_dropped
+FROM bdocs d LEFT JOIN breasm r USING (doc_id)"""
