@@ -2713,6 +2713,27 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lpa_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming community maintenance (operators/graph.py
+    lpa_maintain_stream): the co-supply edge stream arrives as three
+    micro-batches; each epoch re-runs synchronous LPA over the
+    accumulated graph with a totality invariant (every accumulated
+    node labeled exactly once) asserted per epoch. The final epoch
+    equals batch cosupply_communities, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        cosupply_edges, lpa_maintain_stream,
+    )
+
+    spark = _ensure_conf(spark)
+    edges = cosupply_edges(_t(spark, sf_dir, "lineitem"))
+    return lpa_maintain_stream(spark, edges).select(
+        F.col("node").alias("s_suppkey"),
+        F.col("label").alias("community"),
+    )
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from every 100th customer through
     the customer–supplier graph (operators/graph.py) — frontier-loop
@@ -3434,28 +3455,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 29 never-driver-checked entries — the three round-4
+    (a) the 30 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
     user_value_ewma_segmented, SIXTEEN TPC-H-shaped SQL-surface
     queries — completing the 22-query TPC-H text surface with
     Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN,
-    streaming k-core maintenance, C4-style boilerplate-line
-    removal, the native-UNPIVOT measures entry, exact PPS-WOR
-    sampling, the full-outer stream-stream join, mmr_topk,
-    cosupply_kcore);
+    streaming k-core and LPA-community maintenance, C4-style
+    boilerplate-line removal, the native-UNPIVOT measures entry,
+    exact PPS-WOR sampling, the full-outer stream-stream join,
+    mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 15 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 14 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — cube_revenue through the ANN
+    (the displaced r2 entries — pricing_summary through the ANN
     family — lead the round-6 queue at positions 50+).
-    29 + 3 + 3 + 15 = 50.
+    30 + 3 + 3 + 14 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3497,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "kcore_maintenance_stream": q_kcore_maintenance_stream,
         "boilerplate_lines": q_boilerplate_lines,
+        "lpa_maintenance_stream": q_lpa_maintenance_stream,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3531,10 +3553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
-        "pricing_summary": q_pricing_summary,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 26 new entries)
+        # 27 new entries)
+        "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
         "gopher_quality": q_gopher_quality,
         "repetition_profile": q_repetition_profile,
@@ -4986,6 +5008,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": O.sql_ann_ivfpq_topk(),
         "kcore_maintenance_stream": O.sql_cosupply_kcore(),
         "boilerplate_lines": O.sql_drop_boilerplate_lines(),
+        "lpa_maintenance_stream": O.sql_cosupply_communities(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

@@ -489,3 +489,24 @@ def test_kcore_maintain_stream_matches_batch_and_grows(spark):
     b = {(r["node"], r["core_degree"]) for r in batch.collect()}
     assert g == b
     assert {n for n, _ in g} == {1, 2, 3, 6, 7, 8}
+
+
+def test_lpa_maintain_stream_matches_batch(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        label_propagation, lpa_maintain_stream,
+    )
+
+    # two cliques joined by one bridge: LPA should find two
+    # communities; streamed maintenance must equal the batch result
+    edges = [
+        (1, 2), (1, 3), (2, 3),
+        (4, 5), (4, 6), (5, 6),
+        (3, 4),
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = lpa_maintain_stream(spark, df, rounds=4, n_slices=3)
+    batch = label_propagation(df, rounds=4)
+    g = sorted((r["node"], r["label"]) for r in got.collect())
+    b = sorted((r["node"], r["label"]) for r in batch.collect())
+    assert g == b
+    assert len(g) == 6

@@ -871,8 +871,40 @@ def kcore_maintain_stream(
     Returns the FINAL epoch's core — identical by construction to
     batch kcore_nodes over all edges, so the entry shares the batch
     oracle twin."""
+
+    def per_epoch(acc: DataFrame, prev, epoch_id: int) -> DataFrame:
+        core = kcore_nodes(acc, k=k, rounds=rounds)
+        if prev is not None:
+            # the monotone-growth invariant: every node of the prior
+            # core must survive the new epoch's peel
+            n_lost = prev.select("node").join(
+                core.select("node"), "node", "left_anti"
+            ).count()
+            if n_lost:
+                raise AssertionError(
+                    f"kcore_maintain_stream: epoch {epoch_id} dropped "
+                    f"{n_lost} node(s) from the k-core — insert-only "
+                    "maintenance must grow monotonically"
+                )
+        return core
+
+    return _edge_stream_fold(spark, edges, per_epoch, n_slices)
+
+
+def _edge_stream_fold(
+    spark, edges: DataFrame, per_epoch, n_slices: int = 3
+) -> DataFrame:
+    """Shared streaming-graph-maintenance harness: replay ``edges``
+    as ``n_slices`` mtime-ordered micro-batches; per epoch, fold the
+    new edges into the accumulated state and call
+    ``per_epoch(acc_edges, prev_result, epoch_id)``. Returns the
+    final epoch's result. The accumulated edge list is the streaming
+    state (localCheckpointed per epoch; a compacted keyed state table
+    in production)."""
+    import tempfile
+
     d = _stage_edge_slices(edges.select("u", "v"), n_slices)
-    state: dict = {"edges": None, "core": None, "epochs": 0}
+    state: dict = {"edges": None, "result": None, "epochs": 0}
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         b = batch_df.localCheckpoint(eager=True)
@@ -882,25 +914,8 @@ def kcore_maintain_stream(
             else state["edges"].unionByName(b).localCheckpoint(eager=True)
         )
         state["edges"] = acc
-        core = kcore_nodes(acc, k=k, rounds=rounds)
-        prev = state["core"]
-        if prev is not None:
-            # the monotone-growth invariant: every node of the prior
-            # core must survive the new epoch's peel
-            lost = prev.select("node").join(
-                core.select("node"), "node", "left_anti"
-            )
-            n_lost = lost.count()
-            if n_lost:
-                raise AssertionError(
-                    f"kcore_maintain_stream: epoch {epoch_id} dropped "
-                    f"{n_lost} node(s) from the k-core — insert-only "
-                    "maintenance must grow monotonically"
-                )
-        state["core"] = core
+        state["result"] = per_epoch(acc, state["result"], epoch_id)
         state["epochs"] += 1
-
-    import tempfile
 
     stream = (
         spark.readStream.schema(edges.select("u", "v").schema)
@@ -909,7 +924,7 @@ def kcore_maintain_stream(
     )
     q = (
         stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kcore_"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_graph_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -917,4 +932,43 @@ def kcore_maintain_stream(
     assert state["epochs"] >= n_slices, (
         f"expected >= {n_slices} micro-batches, got {state['epochs']}"
     )
-    return state["core"]
+    return state["result"]
+
+
+def lpa_maintain_stream(
+    spark,
+    edges: DataFrame,
+    rounds: int = 4,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming community MAINTENANCE: synchronous label propagation
+    re-run per epoch over the accumulated edge stream. Unlike k-core
+    there is no subset monotonicity to exploit — LPA labels are
+    init-dependent, so each epoch recomputes from scratch (the only
+    strategy whose result provably matches the batch operator and
+    stays engine-exact; warm-starting from the prior epoch's labels
+    changes the fixed rounds' outcome). The per-epoch invariant
+    ASSERTED instead is totality: the label table covers exactly the
+    accumulated node set — every node labeled once.
+
+    Final epoch equals batch label_propagation over all edges, so
+    the entry shares the batch unrolled-CTE oracle twin."""
+
+    def per_epoch(acc: DataFrame, prev, epoch_id: int) -> DataFrame:
+        labels = label_propagation(acc, rounds=rounds)
+        n_nodes = (
+            acc.select(F.col("u").alias("n"))
+            .unionAll(acc.select(F.col("v").alias("n")))
+            .distinct()
+            .count()
+        )
+        n_labeled = labels.count()
+        if n_labeled != n_nodes:
+            raise AssertionError(
+                f"lpa_maintain_stream: epoch {epoch_id} labeled "
+                f"{n_labeled} of {n_nodes} accumulated nodes — the "
+                "label table must stay total"
+            )
+        return labels
+
+    return _edge_stream_fold(spark, edges, per_epoch, n_slices)
