@@ -2734,6 +2734,24 @@ def q_lpa_maintenance_stream(
     )
 
 
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution (operators/linkage.py):
+    distinct-name dictionary -> two-pass blocking (2-char prefix +
+    suffix, so a one-char corruption at either end still lands the
+    true pair in >= 1 block) -> levenshtein <= 2 match -> pointer-
+    halving connected components -> rows inherit their name's
+    cluster. Runs over the synthetic person dimension with planted
+    one-char-dropped variants; recursive-CTE reachability oracle."""
+    from yelp_streaming_etl_pipeline_spark.operators.linkage import (
+        entity_clusters, synthetic_people, with_name_variants,
+    )
+
+    people = with_name_variants(
+        synthetic_people(_t(spark, sf_dir, "customer"))
+    )
+    return entity_clusters(people)
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from every 100th customer through
     the customer–supplier graph (operators/graph.py) — frontier-loop
@@ -3455,7 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 30 never-driver-checked entries — the three round-4
+    (a) the 31 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
@@ -3463,20 +3481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries — completing the 22-query TPC-H text surface with
     Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN,
     streaming k-core and LPA-community maintenance, C4-style
-    boilerplate-line removal, the native-UNPIVOT measures entry,
-    exact PPS-WOR sampling, the full-outer stream-stream join,
-    mmr_topk, cosupply_kcore);
+    boilerplate-line removal, blocked entity resolution, the
+    native-UNPIVOT measures entry, exact PPS-WOR sampling, the
+    full-outer stream-stream join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 14 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 13 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — pricing_summary through the ANN
+    (the displaced r2 entries — numeric_profile through the ANN
     family — lead the round-6 queue at positions 50+).
-    30 + 3 + 3 + 14 = 50.
+    31 + 3 + 3 + 13 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3519,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_maintenance_stream": q_kcore_maintenance_stream,
         "boilerplate_lines": q_boilerplate_lines,
         "lpa_maintenance_stream": q_lpa_maintenance_stream,
+        "entity_clusters": q_entity_clusters,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3552,10 +3571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
-        "numeric_profile": q_numeric_profile,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 27 new entries)
+        # 28 new entries)
+        "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
         "gopher_quality": q_gopher_quality,
@@ -5009,6 +5028,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_maintenance_stream": O.sql_cosupply_kcore(),
         "boilerplate_lines": O.sql_drop_boilerplate_lines(),
         "lpa_maintenance_stream": O.sql_cosupply_communities(),
+        "entity_clusters": O.sql_entity_clusters(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

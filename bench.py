@@ -197,6 +197,7 @@ HEADLINE = [
     "sql_surface_q20",
     "ann_ivfpq_topk",
     "boilerplate_lines",
+    "entity_clusters",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

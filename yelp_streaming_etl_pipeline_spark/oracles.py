@@ -2727,3 +2727,61 @@ SELECT d.doc_id,
        CAST(len(string_split(d.t, chr(10))) - COALESCE(r.n_kept, 0)
             AS BIGINT) AS n_dropped
 FROM bdocs d LEFT JOIN breasm r USING (doc_id)"""
+
+
+def sql_entity_clusters() -> str:
+    """Twin of operators/linkage.py:entity_clusters over the
+    synthetic person dimension (names from the 12x12 part lists,
+    every 7th person re-appearing as a one-char-dropped variant):
+    distinct-name dictionary, two-pass blocking (2-char prefix +
+    suffix), levenshtein <= 2 match, recursive-CTE reachability
+    closure for the transitive clusters."""
+    from .operators import linkage as LK
+
+    first = "[" + ", ".join(f"'{x}'" for x in LK.NAME_FIRST) + "]"
+    last = "[" + ", ".join(f"'{x}'" for x in LK.NAME_LAST) + "]"
+    return f"""
+WITH RECURSIVE ppl0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS person_id,
+         ({first})[CAST(c_custkey % 12 + 1 AS INTEGER)] || ' ' ||
+         ({last})[CAST((c_custkey // 12) % 12 + 1 AS INTEGER)] AS name
+  FROM customer
+),
+var0 AS (
+  SELECT person_id + {LK.VARIANT_ID_OFFSET} AS person_id,
+         substring(name, 1, p - 1) ||
+         substring(name, p + 1, length(name)) AS name
+  FROM (SELECT person_id, name,
+               CAST(1 + person_id % length(name) AS INTEGER) AS p
+        FROM ppl0 WHERE person_id % {LK.VARIANT_EVERY} = 0)
+),
+people AS (SELECT * FROM ppl0 UNION ALL SELECT * FROM var0),
+names AS (SELECT name, min(person_id) AS nid FROM people GROUP BY name),
+keyed AS (
+  SELECT name, nid,
+         unnest(['p:' || substring(name, 1, 2),
+                 's:' || substring(name, length(name) - 1, 2)]) AS bk
+  FROM names
+),
+lpairs AS (
+  SELECT DISTINCT a.nid AS na, b.nid AS nb
+  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.nid < b.nid
+  WHERE levenshtein(a.name, b.name) <= {LK.LEV_MAX_DIST}
+),
+ledges AS (
+  SELECT na AS a, nb AS b FROM lpairs
+  UNION
+  SELECT nb AS a, na AS b FROM lpairs
+),
+lreach AS (
+  SELECT a AS node, a AS r FROM ledges
+  UNION
+  SELECT e.a AS node, lreach.r AS r
+  FROM ledges e JOIN lreach ON e.b = lreach.node
+),
+ncl AS (SELECT node AS nid, min(r) AS cluster_id FROM lreach GROUP BY node)
+SELECT p.person_id, p.name,
+       COALESCE(ncl.cluster_id, nm.nid) AS cluster_id
+FROM people p
+JOIN names nm USING (name)
+LEFT JOIN ncl ON ncl.nid = nm.nid"""
