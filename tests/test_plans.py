@@ -635,3 +635,13 @@ def test_bloom_pruned_join_is_map_side(spark):
     # allowed keyed exchanges: the join (<=2 sides) + final agg
     assert A.key_shuffle_exchanges(df) <= 3, plan[:3000]
     assert not A.has_python_udf(df)
+
+
+def test_ivfpq_no_python_udf_no_cartesian_on_data(spark):
+    # the whole IVF-PQ pipeline (assign, encode, ADC, rerank) must
+    # stay JVM-side; the only nested-loop joins are broadcast-small
+    # (centroids / codebooks / probe tables), never data x data
+    df = E.q_ann_ivfpq_topk(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
