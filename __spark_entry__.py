@@ -2752,6 +2752,28 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_clusters(people)
 
 
+def q_entity_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming entity-resolution maintenance (operators/linkage.py
+    entity_maintain_stream): person rows arrive in three ascending-id
+    micro-batches; per epoch only the NEW dictionary names are
+    matched (new x accumulated within blocks) because old x old
+    pairs are already state — per-epoch match cost independent of
+    dictionary size. Ordered staging pins every name's representative
+    id, so the final pair graph and clusters equal the batch
+    entity_clusters run, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.linkage import (
+        entity_maintain_stream, synthetic_people, with_name_variants,
+    )
+
+    spark = _ensure_conf(spark)
+    people = with_name_variants(
+        synthetic_people(_t(spark, sf_dir, "customer"))
+    )
+    return entity_maintain_stream(spark, people)
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from every 100th customer through
     the customer–supplier graph (operators/graph.py) — frontier-loop
@@ -3473,7 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 31 never-driver-checked entries — the three round-4
+    (a) the 32 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
@@ -3481,20 +3503,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries — completing the 22-query TPC-H text surface with
     Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN,
     streaming k-core and LPA-community maintenance, C4-style
-    boilerplate-line removal, blocked entity resolution, the
-    native-UNPIVOT measures entry, exact PPS-WOR sampling, the
-    full-outer stream-stream join, mmr_topk, cosupply_kcore);
+    boilerplate-line removal, blocked entity resolution batch +
+    incremental streaming maintenance, the native-UNPIVOT measures
+    entry, exact PPS-WOR sampling, the full-outer stream-stream
+    join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 13 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 12 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — numeric_profile through the ANN
+    (the displaced r2 entries — histogram_median through the ANN
     family — lead the round-6 queue at positions 50+).
-    31 + 3 + 3 + 13 = 50.
+    32 + 3 + 3 + 12 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3538,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "lpa_maintenance_stream": q_lpa_maintenance_stream,
         "entity_clusters": q_entity_clusters,
+        "entity_maintenance_stream": q_entity_maintenance_stream,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3570,10 +3594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
-        "histogram_median": q_histogram_median,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 28 new entries)
+        # 29 new entries)
+        "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
@@ -5029,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": O.sql_drop_boilerplate_lines(),
         "lpa_maintenance_stream": O.sql_cosupply_communities(),
         "entity_clusters": O.sql_entity_clusters(),
+        "entity_maintenance_stream": O.sql_entity_clusters(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

@@ -83,3 +83,30 @@ def test_match_runs_on_name_dictionary_not_rows(spark):
             for i in range(1000)]
     pairs = LK.blocked_match_pairs(_people(spark, rows))
     assert pairs.count() <= 1
+
+
+def test_entity_maintain_stream_matches_batch(spark):
+    cust = spark.range(1, 300).select(F.col("id").alias("c_custkey"))
+    people = LK.with_name_variants(LK.synthetic_people(cust))
+    got = LK.entity_maintain_stream(spark, people, n_slices=3)
+    batch = LK.entity_clusters(people)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b
+
+
+def test_entity_maintain_stream_pairs_are_complete(spark):
+    # an old-old pair must never be missed: two names that match each
+    # other arrive in DIFFERENT batches, and a third matching name in
+    # the last batch must link to both earlier ones
+    rows = [
+        (1, "priya patel"),    # slice 1
+        (50, "pria patel"),    # slice 2 (matches 1)
+        (90, "ria patel"),     # slice 3 (matches 50; links all three)
+    ]
+    df = spark.createDataFrame(rows, "person_id long, name string")
+    out = {
+        r["person_id"]: r["cluster_id"]
+        for r in LK.entity_maintain_stream(spark, df, n_slices=3).collect()
+    }
+    assert out == {1: 1, 50: 1, 90: 1}
