@@ -2774,6 +2774,26 @@ def q_entity_maintenance_stream(
     return entity_maintain_stream(spark, people)
 
 
+def q_neardup_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup maintenance (operators/dedup.py
+    neardup_maintain_stream): documents arrive in three ascending-id
+    micro-batches; per epoch, signatures/bands are computed for the
+    NEW docs only and the band join is fresh x accumulated — old x
+    old pairs are already state, so per-epoch candidate work is
+    independent of the accumulated corpus size. Final pair set equals
+    batch minhash_lsh_pairs, sharing neardup_minhash's oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        neardup_maintain_stream,
+    )
+
+    spark = _ensure_conf(spark)
+    return neardup_maintain_stream(
+        spark, _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", 0.5
+    )
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from every 100th customer through
     the customer–supplier graph (operators/graph.py) — frontier-loop
@@ -3495,7 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 32 never-driver-checked entries — the three round-4
+    (a) the 33 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
@@ -3504,20 +3524,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN,
     streaming k-core and LPA-community maintenance, C4-style
     boilerplate-line removal, blocked entity resolution batch +
-    incremental streaming maintenance, the native-UNPIVOT measures
-    entry, exact PPS-WOR sampling, the full-outer stream-stream
-    join, mmr_topk, cosupply_kcore);
+    incremental streaming maintenance, incremental MinHash-LSH
+    near-dup maintenance, the native-UNPIVOT measures entry, exact
+    PPS-WOR sampling, the full-outer stream-stream join, mmr_topk,
+    cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 12 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 11 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — histogram_median through the ANN
+    (the displaced r2 entries — value_histogram through the ANN
     family — lead the round-6 queue at positions 50+).
-    32 + 3 + 3 + 12 = 50.
+    33 + 3 + 3 + 11 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3562,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_maintenance_stream": q_lpa_maintenance_stream,
         "entity_clusters": q_entity_clusters,
         "entity_maintenance_stream": q_entity_maintenance_stream,
+        "neardup_maintenance_stream": q_neardup_maintenance_stream,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3593,10 +3615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
-        "value_histogram": q_value_histogram,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 29 new entries)
+        # 30 new entries)
+        "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
@@ -5054,6 +5076,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_maintenance_stream": O.sql_cosupply_communities(),
         "entity_clusters": O.sql_entity_clusters(),
         "entity_maintenance_stream": O.sql_entity_clusters(),
+        "neardup_maintenance_stream": O.sql_minhash_lsh_pairs(0.5),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

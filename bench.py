@@ -229,6 +229,7 @@ BENCH_EXCLUDED = {
     "kcore_maintenance_stream": _STREAM_OVERHEAD,
     "lpa_maintenance_stream": _STREAM_OVERHEAD,
     "entity_maintenance_stream": _STREAM_OVERHEAD,
+    "neardup_maintenance_stream": _STREAM_OVERHEAD,
     "topic_roundtrip_reviews": (
         "file-topic shim round trip: measures tmpdir write+read of the "
         "Kafka stand-in, i.e. local disk, not engine throughput"

@@ -675,3 +675,22 @@ def test_mmr_demotes_redundant_candidates(spark):
     picks = {r["mmr_rank"]: r["neighbor_id"] for r in out}
     assert picks[1] in (1, 2)     # most relevant first
     assert picks[2] == 3          # diversity beats the near-duplicate
+
+
+def test_neardup_maintain_stream_matches_batch(spark):
+    # 9 docs across 3 micro-batches; near-dup pairs span batches
+    # (6 dups 1, 9 dups 3) — the incremental fold must find every
+    # cross-batch pair and exactly equal the batch run
+    rows = DOCS + [
+        (6, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (7, "some unrelated text about tokenizers and byte pair encoding"),
+        (8, "yet another unrelated document mentioning vector similarity"),
+        (9, "the quick brown fox jumps over the lazy dog near the river delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = DD.neardup_maintain_stream(spark, df, "text", "doc_id", 0.3, 3)
+    batch = DD.minhash_lsh_pairs(df, "text", "doc_id", 0.3)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b
+    assert (1, 6, 1.0) in g  # cross-batch exact dup found

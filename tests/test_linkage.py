@@ -110,3 +110,32 @@ def test_entity_maintain_stream_pairs_are_complete(spark):
         for r in LK.entity_maintain_stream(spark, df, n_slices=3).collect()
     }
     assert out == {1: 1, 50: 1, 90: 1}
+
+
+def test_block_cap_bounds_hot_block(spark):
+    # 50 names all sharing both block keys ("p:aa", "s:aa"); with
+    # block_cap=5 the per-block dictionary is capped at 5 names, so
+    # candidate pairs are <= 2 blocks * C(5,2) = 20 instead of 1225
+    rows = [(i, "aa" + "x" * (i % 3) + "aa") for i in range(1, 51)]
+    capped = LK.blocked_match_pairs(_people(spark, rows), block_cap=5)
+    assert capped.count() <= 20
+    # deterministic: same cap selection on re-run
+    again = LK.blocked_match_pairs(_people(spark, rows), block_cap=5)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_block_cap_default_does_not_bind_on_small_dictionary(spark):
+    rows = [
+        (1, "maria garcia"),
+        (2, "ivan petrov"),
+        (100, "aria garcia"),
+        (200, "ivan petro"),
+    ]
+    df = _people(spark, rows)
+    with_cap = sorted(map(tuple, LK.blocked_match_pairs(df).collect()))
+    no_cap = sorted(
+        map(tuple, LK.blocked_match_pairs(df, block_cap=None).collect())
+    )
+    assert with_cap == no_cap and len(no_cap) == 2

@@ -979,3 +979,120 @@ def winnow_neardup_pairs(
     res = out.localCheckpoint()
     fps.unpersist()
     return res
+
+
+def neardup_maintain_stream(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup MAINTENANCE with truly
+    incremental match cost: documents arrive in micro-batches; per
+    epoch, signatures and band keys are computed for the NEW docs
+    only, and the band join is fresh x accumulated — old x old pairs
+    are already in state. Per-epoch candidate work is
+    |new docs| x band-mates, independent of the accumulated corpus
+    size (the naive recompute re-signs and re-joins the whole corpus
+    every epoch — quadratic-in-epochs total work at 100 TB ingest).
+
+    State is three dictionary-shaped tables, localCheckpointed per
+    epoch (a compacted keyed state table in production):
+    - docs  (doc_id, shingles)   — one row per doc, shingles stored
+      ONCE (not x LSH_BANDS as the batch path's banded cache does);
+    - bands (doc_id, band_key)   — LSH_BANDS rows per doc;
+    - pairs (doc_a, doc_b, jaccard) — the verified output so far.
+
+    Completeness: a pair surfaces exactly in its LATER member's
+    arrival epoch (the later member is on the fresh side; band keys
+    are deterministic per doc), so the final pair set equals batch
+    minhash_lsh_pairs over all rows and the entry shares its oracle
+    twin. A candidate that fails the Jaccard check can never
+    resurface: both members are old in every later epoch.
+    """
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"docs": None, "bands": None, "pairs": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        base = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"),
+                word_shingles(F.col(text_col)).alias("shingles"),
+            )
+            .withColumn(
+                "digests", F.transform(F.col("shingles"), lambda s: F.md5(s))
+            )
+            .withColumn("sig", minhash_signature(F.col("digests")))
+        )
+        fresh_docs = base.select("doc_id", "shingles").localCheckpoint(
+            eager=True
+        )
+        fresh_bands = base.select(
+            "doc_id", F.explode(lsh_band_keys(F.col("sig"))).alias("band_key")
+        ).localCheckpoint(eager=True)
+        acc_docs = (
+            fresh_docs
+            if state["docs"] is None
+            else state["docs"].unionByName(fresh_docs).localCheckpoint(
+                eager=True
+            )
+        )
+        acc_bands = (
+            fresh_bands
+            if state["bands"] is None
+            else state["bands"].unionByName(fresh_bands).localCheckpoint(
+                eager=True
+            )
+        )
+        cand = (
+            fresh_bands.alias("a")
+            .join(
+                acc_bands.alias("b"),
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sh_a = acc_docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        sh_b = acc_docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+        new_pairs = (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+            .withColumn(
+                "jaccard",
+                stable_round(inter.cast("double") / union.cast("double"), 6),
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        pairs = (
+            new_pairs
+            if state["pairs"] is None
+            else state["pairs"].unionByName(new_pairs)
+        ).localCheckpoint(eager=True)
+        state["docs"] = acc_docs
+        state["bands"] = acc_bands
+        state["pairs"] = pairs
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="neardup_",
+    )
+    return state["pairs"]

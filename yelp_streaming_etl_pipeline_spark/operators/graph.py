@@ -814,32 +814,6 @@ def cosupply_kcore(
     )
 
 
-def _stage_edge_slices(edges: DataFrame, n_slices: int = 3) -> str:
-    """Stage an ``(u, v)`` edge list as ``n_slices`` parquet files
-    with strictly increasing mtimes, so the file stream source
-    (mtime-ordered) replays them as ``n_slices`` micro-batches under
-    ``maxFilesPerTrigger=1``. Slicing is deterministic (ntile over
-    (u, v)), so every engine stages the same batches. Test-staging
-    scaffolding — the production source is a Kafka edge topic."""
-    import glob
-    import os
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="edge_slices_")
-    w = Window.orderBy("u", "v")
-    sliced = edges.withColumn("_slice", F.ntile(n_slices).over(w))
-    timed: set[str] = set()
-    for i in range(1, n_slices + 1):
-        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
-            1
-        ).write.mode("append").parquet(d)
-        for p in glob.glob(os.path.join(d, "*.parquet")):
-            if p not in timed:
-                os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-                timed.add(p)
-    return d
-
-
 def kcore_maintain_stream(
     spark,
     edges: DataFrame,
@@ -900,11 +874,10 @@ def _edge_stream_fold(
     ``per_epoch(acc_edges, prev_result, epoch_id)``. Returns the
     final epoch's result. The accumulated edge list is the streaming
     state (localCheckpointed per epoch; a compacted keyed state table
-    in production)."""
-    import tempfile
+    in production). Staging/replay: streaming/replay.py."""
+    from ..streaming.replay import replay_fold
 
-    d = _stage_edge_slices(edges.select("u", "v"), n_slices)
-    state: dict = {"edges": None, "result": None, "epochs": 0}
+    state: dict = {"edges": None, "result": None}
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         b = batch_df.localCheckpoint(eager=True)
@@ -915,22 +888,14 @@ def _edge_stream_fold(
         )
         state["edges"] = acc
         state["result"] = per_epoch(acc, state["result"], epoch_id)
-        state["epochs"] += 1
 
-    stream = (
-        spark.readStream.schema(edges.select("u", "v").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_graph_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    assert state["epochs"] >= n_slices, (
-        f"expected >= {n_slices} micro-batches, got {state['epochs']}"
+    replay_fold(
+        spark,
+        edges.select("u", "v"),
+        fold,
+        n_slices=n_slices,
+        order_cols=["u", "v"],
+        prefix="edges_",
     )
     return state["result"]
 

@@ -44,6 +44,13 @@ NAME_LAST = [
 VARIANT_EVERY = 7          # every 7th person gets a corrupted twin
 VARIANT_ID_OFFSET = 10_000_000
 LEV_MAX_DIST = 2
+# Per-block name cap: a block of m names costs ~m^2/2 levenshtein
+# pairs, and low-entropy dictionaries (e.g. a corpus where every
+# name starts "mc" / ends "ez") make one block key hot — the same
+# straggler shape as an LSH hot bucket. 1024 caps any single block
+# at ~0.5M pairs; at the 144-name synthetic dictionary it never
+# binds, so entries keep their oracle twins bit-for-bit.
+BLOCK_CAP = 1024
 
 
 def synthetic_people(customer: DataFrame) -> DataFrame:
@@ -99,7 +106,9 @@ def _block_keys(name: Column) -> Column:
 
 
 def blocked_match_pairs(
-    people: DataFrame, max_dist: int = LEV_MAX_DIST
+    people: DataFrame,
+    max_dist: int = LEV_MAX_DIST,
+    block_cap: int | None = BLOCK_CAP,
 ) -> DataFrame:
     """Candidate generation + match over the DISTINCT-name
     dictionary. Returns ``(nid_a, nid_b, name_a, name_b, dist)``
@@ -108,14 +117,31 @@ def blocked_match_pairs(
 
     Scale: pair generation is per-block quadratic over the name
     DICTIONARY (millions, not billions); levenshtein runs once per
-    candidate pair, JVM-side. Hot blocks would get the same cap/
-    sub-band discipline as the LSH dedup path (dedup.py:315) — at
-    the 144-name synthetic dictionary every block is tiny."""
+    candidate pair, JVM-side. ``block_cap`` ENFORCES the hot-block
+    bound (same discipline as the LSH sub-band path, dedup.py:360,
+    and the co-supply part cap, graph.py:cosupply_edges): a block
+    over the cap keeps only the ``block_cap`` names ranked first
+    under a deterministic per-(block, name) md5 — arrival-order-free
+    and engine-neutral, so per-block work is <= block_cap^2
+    regardless of dictionary skew and the selection is mirrorable in
+    the oracle twin. None disables the cap."""
+    from pyspark.sql import Window
+
     names = (
         people.groupBy("name")
         .agg(F.min("person_id").alias("nid"))
         .withColumn("bk", F.explode(_block_keys(F.col("name"))))
     )
+    if block_cap is not None:
+        w_cap = Window.partitionBy("bk").orderBy("_h", "nid")
+        names = (
+            names.withColumn(
+                "_h", F.md5(F.concat_ws("|", F.col("bk"), F.col("name")))
+            )
+            .withColumn("_br", F.row_number().over(w_cap))
+            .filter(F.col("_br") <= block_cap)
+            .drop("_h", "_br")
+        )
     a = names.select(
         F.col("bk"), F.col("nid").alias("nid_a"), F.col("name").alias("name_a")
     )
@@ -153,33 +179,6 @@ def entity_clusters(
     )
 
 
-def _stage_people_slices(people: DataFrame, n_slices: int = 3) -> str:
-    """Stage rows as ``n_slices`` mtime-ordered parquet files, sliced
-    by ntile over person_id ASCENDING — so the first occurrence of
-    every name carries its global-minimum person_id, making the
-    name's representative nid STABLE across epochs (a later batch
-    can never retroactively re-key the pair graph)."""
-    import glob
-    import os
-    import tempfile
-
-    from pyspark.sql import Window
-
-    d = tempfile.mkdtemp(prefix="people_slices_")
-    w = Window.orderBy("person_id")
-    sliced = people.withColumn("_slice", F.ntile(n_slices).over(w))
-    timed: set[str] = set()
-    for i in range(1, n_slices + 1):
-        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
-            1
-        ).write.mode("append").parquet(d)
-        for p in glob.glob(os.path.join(d, "*.parquet")):
-            if p not in timed:
-                os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-                timed.add(p)
-    return d
-
-
 def entity_maintain_stream(
     spark,
     people: DataFrame,
@@ -204,11 +203,19 @@ def entity_maintain_stream(
     insert-only edges only ever MERGE clusters).
 
     Final epoch equals batch entity_clusters over all rows, so the
-    entry shares sql_entity_clusters as its oracle twin."""
-    import tempfile
+    entry shares sql_entity_clusters as its oracle twin. Staging/
+    replay harness: streaming/replay.py (ascending-person_id slices).
 
-    d = _stage_people_slices(people, n_slices)
-    state: dict = {"rows": None, "names": None, "pairs": None, "epochs": 0}
+    The fold matches UNCAPPED (batch ``block_cap`` equivalent None):
+    a global md5-ranked block cap is not maintainable under
+    insert-only folds — a name can fall out of the cap as its block
+    fills, which would retract already-emitted pairs. Batch equality
+    therefore holds whenever the cap does not bind (every block
+    <= BLOCK_CAP names, true for the synthetic dictionary); capped
+    maintenance needs retraction support, out of insert-only scope."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"rows": None, "names": None, "pairs": None}
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         b = batch_df.localCheckpoint(eager=True)
@@ -271,24 +278,14 @@ def entity_maintain_stream(
         ).localCheckpoint(eager=True)
         state["names"] = acc_names
         state["pairs"] = pairs
-        state["epochs"] += 1
 
-    stream = (
-        spark.readStream.schema(people.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_linkage_")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    assert state["epochs"] >= n_slices, (
-        f"expected >= {n_slices} micro-batches, got {state['epochs']}"
+    replay_fold(
+        spark,
+        people,
+        fold,
+        n_slices=n_slices,
+        order_cols=["person_id"],
+        prefix="people_",
     )
     clusters = dedup_clusters(state["pairs"], a_col="nid_a", b_col="nid_b")
     name_cluster = state["names"].join(

@@ -2757,11 +2757,22 @@ var0 AS (
 ),
 people AS (SELECT * FROM ppl0 UNION ALL SELECT * FROM var0),
 names AS (SELECT name, min(person_id) AS nid FROM people GROUP BY name),
-keyed AS (
+keyed0 AS (
   SELECT name, nid,
          unnest(['p:' || substring(name, 1, 2),
                  's:' || substring(name, length(name) - 1, 2)]) AS bk
   FROM names
+),
+keyed AS (
+  -- deterministic per-block name cap (linkage.py BLOCK_CAP); never
+  -- binds at the 144-name dictionary but kept twin-exact
+  SELECT name, nid, bk FROM (
+    SELECT name, nid, bk,
+           row_number() OVER (
+             PARTITION BY bk ORDER BY md5(bk || '|' || name), nid
+           ) AS _br
+    FROM keyed0)
+  WHERE _br <= {LK.BLOCK_CAP}
 ),
 lpairs AS (
   SELECT DISTINCT a.nid AS na, b.nid AS nb
