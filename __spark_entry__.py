@@ -1034,6 +1034,19 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
+def q_pq_codebooks_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebooks (operators/similarity.py:
+    pq_kmeans_codebooks): per-subspace k-means over the coarse
+    residuals — the production codebook-training step ivfpq_topk's
+    deterministic-subsample codebook stands in for. All 8 subspace
+    problems train in one DataFrame job per Lloyd iteration (subspace
+    index m rides along every join/group key); integer-quantized
+    arithmetic makes the trained codebooks bit-identical across
+    engines. Output: (m, code_id, n_members, dim_j, cq) scalar rows."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return SIM.pq_kmeans_codebooks(emb)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthetic binary payloads ->
     Arrow-batched mapInPandas extract -> (content hash, first feature).
@@ -3515,7 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 33 never-driver-checked entries — the three round-4
+    (a) the 34 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
@@ -3525,20 +3538,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming k-core and LPA-community maintenance, C4-style
     boilerplate-line removal, blocked entity resolution batch +
     incremental streaming maintenance, incremental MinHash-LSH
-    near-dup maintenance, the native-UNPIVOT measures entry, exact
-    PPS-WOR sampling, the full-outer stream-stream join, mmr_topk,
-    cosupply_kcore);
+    near-dup maintenance, per-subspace k-means PQ codebook training,
+    the native-UNPIVOT measures entry, exact PPS-WOR sampling, the
+    full-outer stream-stream join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 11 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 10 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — value_histogram through the ANN
+    (the displaced r2 entries — salted_event_counts through the ANN
     family — lead the round-6 queue at positions 50+).
-    33 + 3 + 3 + 11 = 50.
+    34 + 3 + 3 + 10 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3584,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_clusters": q_entity_clusters,
         "entity_maintenance_stream": q_entity_maintenance_stream,
         "neardup_maintenance_stream": q_neardup_maintenance_stream,
+        "pq_codebooks_kmeans": q_pq_codebooks_kmeans,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3614,10 +3628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_prune": q_dedup_corpus_prune,
         "simhash_pairs": q_simhash_pairs,
         "sliding_hourly_stats": q_sliding_hourly_stats,
-        "salted_event_counts": q_salted_event_counts,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 30 new entries)
+        # 31 new entries)
+        "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
         "numeric_profile": q_numeric_profile,
@@ -5077,6 +5091,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_clusters": O.sql_entity_clusters(),
         "entity_maintenance_stream": O.sql_entity_clusters(),
         "neardup_maintenance_stream": O.sql_minhash_lsh_pairs(0.5),
+        "pq_codebooks_kmeans": O.sql_pq_kmeans_codebooks(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

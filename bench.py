@@ -198,6 +198,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "boilerplate_lines",
     "entity_clusters",
+    "pq_codebooks_kmeans",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

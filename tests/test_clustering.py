@@ -69,3 +69,38 @@ def test_quantize_vec_offset_and_rounding(spark):
     # 5e-7 rounds half-up to 1 quantum (float32 of 5e-7 is just below
     # or above .5 ulp — accept the stable kernel's answer both sides
     assert row["q"][3] in (base, base + 1)
+
+
+def test_pq_kmeans_codebooks_shape_and_training(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.similarity import (
+        pq_kmeans_codebooks,
+    )
+
+    # 64-dim corpus; ids 0..79 -> centroid_mod=40 gives 2 coarse
+    # centroids, cb_mod=20 seeds 4 codes per subspace
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_kmeans_codebooks(df).collect()
+    by_code = {}
+    for r in out:
+        by_code.setdefault((r["m"], r["code_id"]), []).append(r)
+    # every subspace present; every surviving code has all 8 dims and
+    # a positive member count
+    assert {m for m, _ in by_code} == set(range(8))
+    for (_, _), rs in by_code.items():
+        assert sorted(r["dim_j"] for r in rs) == list(range(8))
+        assert all(r["n_members"] >= 1 for r in rs)
+    # training MOVED the codebook off its seed: a seed code's trained
+    # centroid is the mean of its members, not the seed subvector
+    seeds = {
+        (r["m"], r["code_id"]): r["cq"]
+        for r in out
+        if r["dim_j"] == 0 and r["n_members"] > 1
+    }
+    assert seeds, "expected at least one multi-member code"
+    # deterministic across runs
+    again = pq_kmeans_codebooks(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -976,6 +976,44 @@ def _subspaces(res: Column, m: int = PQ_M, sub: int = PQ_SUB) -> Column:
     return F.array(*[F.slice(res, i * sub + 1, sub) for i in range(m)])
 
 
+def _coarse_residuals(
+    corpus: DataFrame,
+    centroid_mod: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse-quantizer stage shared by ivfpq_topk and
+    pq_kmeans_codebooks: deterministic centroid subsample
+    (id % centroid_mod == 0), argmax-cosine assignment via a
+    partial-aggregate max_by over the broadcast centroid table, and
+    the per-doc RESIDUAL vec - centroid. Returns (centroids,
+    assigned) where assigned = (nid, centroid_id, res, vec)."""
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("c_sim", cosine(F.col("vec"), F.col("cent_vec")))
+        .groupBy("nid")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "cent_vec"),
+                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("win"),
+            F.first("vec").alias("vec"),
+        )
+        .select(
+            "nid",
+            F.col("win.centroid_id").alias("centroid_id"),
+            _residual(F.col("vec"), F.col("win.cent_vec")).alias("res"),
+            "vec",
+        )
+    )
+    return cent, assigned
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1023,33 +1061,10 @@ def ivfpq_topk(
     vs 256 bytes of floats) is the only thing scanned per query
     batch, partitioned by centroid_id so a probe reads nprobe /
     n_centroids of it."""
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cent_vec"),
-    )
-
-    # 1. assign: argmax cosine over broadcast centroids (partial-agg
-    # argmax, same discipline as ivf_topk), carrying the winning
-    # centroid vector so the residual is one zip_with away
-    assigned = (
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("c_sim", cosine(F.col("vec"), F.col("cent_vec")))
-        .groupBy("nid")
-        .agg(
-            F.max_by(
-                F.struct("centroid_id", "cent_vec"),
-                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("nc")),
-            ).alias("win"),
-            F.first("vec").alias("vec"),
-        )
-        .select(
-            "nid",
-            F.col("win.centroid_id").alias("centroid_id"),
-            _residual(F.col("vec"), F.col("win.cent_vec")).alias("res"),
-            "vec",
-        )
-    )
+    # 1. coarse assign + residuals (argmax cosine over broadcast
+    # centroids via partial-agg max_by; shared with
+    # pq_kmeans_codebooks)
+    cent, assigned = _coarse_residuals(corpus, centroid_mod, id_col, vec_col)
 
     # 2. codebooks: one row per (m, code_id, codeword)
     cb = (
@@ -1163,4 +1178,106 @@ def ivfpq_topk(
             F.col("nid").alias("neighbor_id"),
             stable_round(F.col("sim"), 6).alias("cosine_sim"),
         )
+    )
+
+
+# -------- PQ codebook TRAINING: per-subspace integer Lloyd --------
+
+PQ_KM_ITERS = 2
+
+
+def pq_kmeans_codebooks(
+    corpus: DataFrame,
+    iters: int = PQ_KM_ITERS,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    cb_mod: int = PQ_CB_MOD,
+    n_sub: int = PQ_M,
+    sub: int = PQ_SUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the PQ codebooks properly: per-subspace k-means over the
+    coarse residuals (the production step ivfpq_topk's docstring
+    defers to — its deterministic-subsample codebook is the SEED
+    here, refined by Lloyd iterations).
+
+    All n_sub subspace problems train in ONE DataFrame job per
+    iteration — "m" (the subspace index) simply joins/groups
+    alongside the cluster key, so the plan shape is identical to
+    clustering.py:kmeans_lloyd (broadcast-assign partial-agg argmin,
+    posexplode + hash-agg update) with an extra key column; no
+    per-subspace driver loop, no collect. Exactness: subvectors are
+    quantized into integer space (clustering.py:quantize_vec) and
+    the update is the integer round-half-up mean, so codebooks are
+    bit-identical across engines/partitionings and the entry is
+    oracle-checkable (ties -> lower code id, empty codes drop —
+    declared semantics shared with kmeans_lloyd).
+
+    Returns the trained codebooks exploded to scalar rows
+    ``(m, code_id, n_members, dim_j, cq)`` — n_members from the
+    assignment that produced the final centroids.
+
+    Scale shape: per iteration the corpus-sized subvector table is
+    scanned once for assign (codebooks broadcast: n_sub * n_codes
+    rows) and once for update; everything else is codebook-sized. At
+    100 TB the standard practice of training on a sample drops in by
+    filtering ``corpus`` — the iteration shape is unchanged."""
+    from .clustering import _sq_dist, quantize_vec
+
+    if iters < 1:
+        raise ValueError(
+            "pq_kmeans_codebooks: iters must be >= 1 (n_members comes "
+            "from the assignment that produced the final centroids)"
+        )
+    _, assigned = _coarse_residuals(corpus, centroid_mod, id_col, vec_col)
+    subs = assigned.select(
+        "nid",
+        F.posexplode(_subspaces(F.col("res"), n_sub, sub)).alias("m", "sv"),
+    ).select("nid", "m", quantize_vec(F.col("sv")).alias("qvec"))
+    # the iteration working set: scanned twice per Lloyd round (assign
+    # + update) and re-rooted by every round's new centroid lineage —
+    # materialize ONCE so the coarse-assign stage upstream never
+    # re-executes (lazy localCheckpoint: first action pays it)
+    subs = subs.localCheckpoint(eager=False)
+    cent = subs.filter(F.col("nid") % cb_mod == 0).select(
+        "m", F.col("nid").alias("cid"), F.col("qvec").alias("cvec")
+    )
+    sq = _sq_dist(F.col("qvec"), F.col("cvec"))
+    for _ in range(iters):
+        best = (
+            subs.join(F.broadcast(cent), "m")
+            .withColumn("dist", sq)
+            .groupBy("nid", "m")
+            .agg(
+                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("best"),
+                F.first("qvec").alias("qvec"),
+            )
+            .select("nid", "m", F.col("best.cid").alias("cid"), "qvec")
+        )
+        per_dim = (
+            best.select("m", "cid", F.posexplode(F.col("qvec")).alias("j", "q"))
+            .groupBy("m", "cid", "j")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .withColumn("cq", F.expr("(2 * s + n) div (2 * n)"))
+        )
+        cent = per_dim.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("cq")))
+                ),
+                lambda x: x.getField("cq"),
+            ).alias("cvec"),
+            F.max("n").alias("n_members"),
+        )
+    return cent.select(
+        F.col("m").cast("long").alias("m"),
+        F.col("cid").alias("code_id"),
+        "n_members",
+        F.posexplode(F.col("cvec")).alias("dim_j", "cq"),
+    ).select(
+        "m",
+        "code_id",
+        "n_members",
+        F.col("dim_j").cast("long").alias("dim_j"),
+        "cq",
     )

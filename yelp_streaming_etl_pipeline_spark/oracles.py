@@ -2684,6 +2684,88 @@ SELECT qid AS query_id, rank, nid AS neighbor_id,
 FROM r WHERE rank <= {k}"""
 
 
+def sql_pq_kmeans_codebooks(
+    dim: int = 64,
+    centroid_mod: int = 40,
+    cb_mod: int = 20,
+    n_sub: int = 8,
+    sub: int = 8,
+    iters: int = 2,
+) -> str:
+    """Twin of operators/similarity.py:pq_kmeans_codebooks — coarse
+    residuals, per-subspace integer-quantized Lloyd (iterations
+    unrolled, subspace index m carried through every key), trained
+    codebooks exploded to scalar rows. Same exact integer math as
+    sql_kmeans_lloyd; HUGEINT cast back to BIGINT at output edges."""
+    from .operators.clustering import KMEANS_OFFSET, KMEANS_QS
+
+    qm = f"{float(10 ** KMEANS_QS)!r}"
+    assign_sim = sql_cosine("v.embedding", "c.cent_vec", dim)
+    res = (
+        "[CAST(embedding[i] AS DOUBLE) - CAST(cent_vec[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, {dim})]"
+    )
+    qvec = (
+        f"[CAST(floor(res[m * {sub} + i] * {qm} + 0.5) AS BIGINT)"
+        f" + {KMEANS_OFFSET} FOR i IN generate_series(1, {sub})]"
+    )
+    dist = (
+        "list_reduce([(s.qvec[i] - c.cvec[i]) * (s.qvec[i] - c.cvec[i]) "
+        f"FOR i IN generate_series(1, {sub})], (x, y) -> x + y)"
+    )
+    parts = [
+        f"""ms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
+  WHERE vec_id % {centroid_mod} = 0
+),
+assigned0 AS (
+  SELECT v.vec_id AS nid, v.embedding, c.cent_vec,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_sim} DESC, c.centroid_id ASC)
+           AS c_rank
+  FROM embeddings v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT nid, {res} AS res FROM assigned0 WHERE c_rank = 1
+),
+subs AS (
+  SELECT nid, m, {qvec} AS qvec FROM assigned CROSS JOIN ms
+),
+cent0 AS (
+  SELECT m, nid AS cid, qvec AS cvec FROM subs WHERE nid % {cb_mod} = 0
+)"""
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+  SELECT s.nid, s.m, s.qvec, c.cid, {dist} AS dist,
+         row_number() OVER (PARTITION BY s.nid, s.m
+                            ORDER BY {dist} ASC, c.cid ASC) AS rn
+  FROM subs s JOIN {prev} c ON c.m = s.m
+),
+m{it} AS (SELECT nid, m, qvec, cid FROM a{it} WHERE rn = 1),
+d{it} AS (
+  SELECT m, cid, j,
+         CAST((2 * sum(qvec[j]) + count(*)) // (2 * count(*)) AS BIGINT)
+           AS cq,
+         count(*) AS n
+  FROM m{it} CROSS JOIN generate_series(1, {sub}) AS g(j)
+  GROUP BY m, cid, j
+),
+cent{it} AS (
+  SELECT m, cid, list(cq ORDER BY j) AS cvec, max(n) AS n_members
+  FROM d{it} GROUP BY m, cid
+)""")
+        prev = f"cent{it}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(m AS BIGINT) AS m, cid AS code_id, n_members,
+       CAST(j - 1 AS BIGINT) AS dim_j, cvec[j] AS cq
+FROM {prev} CROSS JOIN generate_series(1, {sub}) AS g(j)"""
+
+
 def sql_drop_boilerplate_lines(max_df_pct: int | None = None) -> str:
     """Twin of operators/corpus_quality.py:drop_boilerplate_lines over
     the with_synthetic_boilerplate corpus (footer line in every doc,
