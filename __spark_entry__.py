@@ -1034,6 +1034,20 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
+def q_audio_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of media_dims_audit (operators/multimodal.py
+    audio_meta_audit): payloads carry REAL canonical 44-byte PCM WAV
+    headers; Spark parses sample rate / channels / data size from
+    the little-endian bytes natively and derives the duration, then
+    audits it against the metadata struct. The DuckDB twin recomputes
+    the counts from the id arithmetic alone — agreement requires the
+    byte-level parse to be right."""
+    import yelp_streaming_etl_pipeline_spark.operators.multimodal as MM2
+
+    spark = _ensure_conf(spark)
+    return MM2.audio_meta_audit(MM2.synthetic_audio_media(spark, 512))
+
+
 def q_pq_codebooks_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained PQ codebooks (operators/similarity.py:
     pq_kmeans_codebooks): per-subspace k-means over the coarse
@@ -3528,7 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window (priority order, per VERDICT r4 directive #1 and
     the standing cycle plan):
-    (a) the 34 never-driver-checked entries — the three round-4
+    (a) the 35 never-driver-checked entries — the three round-4
     session-3 streaming additions (cross-batch session windows,
     multi-batch watermark dedup, update-mode trending) and the 24
     entries NEW this round (media_dims_audit,
@@ -3539,19 +3553,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     boilerplate-line removal, blocked entity resolution batch +
     incremental streaming maintenance, incremental MinHash-LSH
     near-dup maintenance, per-subspace k-means PQ codebook training,
-    the native-UNPIVOT measures entry, exact PPS-WOR sampling, the
-    full-outer stream-stream join, mmr_topk, cosupply_kcore);
+    the WAV-header audio_meta_audit, the native-UNPIVOT measures
+    entry, exact PPS-WOR sampling, the full-outer stream-stream
+    join, mmr_topk, cosupply_kcore);
     (b) the three cosupply_* entries, whose RESULTS changed this
     round (the per-part hot-key cap defaults to 32 and binds at
     sf>=0.01);
     (c) the three PageRank entries, whose plans were rewritten this
     round (invariant-table carry join, pre-partitioned edge cache) —
     results are fixed-point-identical, re-witnessed in-window;
-    (d) 10 of the 46 stale-r2-checked entries, oldest-first, headed
+    (d) 9 of the 46 stale-r2-checked entries, oldest-first, headed
     by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — salted_event_counts through the ANN
+    (the displaced r2 entries — sliding_hourly_stats through the ANN
     family — lead the round-6 queue at positions 50+).
-    34 + 3 + 3 + 10 = 50.
+    35 + 3 + 3 + 9 = 50.
 
     CYCLE PLAN (165 entries, 50-entry window): past position 50 the
     order is round 6's queue — the 22 remaining r2-checked entries
@@ -3598,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_maintenance_stream": q_entity_maintenance_stream,
         "neardup_maintenance_stream": q_neardup_maintenance_stream,
         "pq_codebooks_kmeans": q_pq_codebooks_kmeans,
+        "audio_meta_audit": q_audio_meta_audit,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
         "attributed_purchases_full_outer_stream": (
@@ -3627,10 +3643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_corpus_prune": q_dedup_corpus_prune,
         "simhash_pairs": q_simhash_pairs,
-        "sliding_hourly_stats": q_sliding_hourly_stats,
         # ---- position >= 50: round 6 takes from here, in order.
         # r2-checked remainder first (displaced by this round's
-        # 31 new entries)
+        # 32 new entries)
+        "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
         "histogram_median": q_histogram_median,
@@ -5017,6 +5033,32 @@ SELECT format,
 FROM m GROUP BY format"""
 
 
+def _sql_audio_meta_audit(n: int = 512) -> str:
+    """Twin of q_audio_meta_audit: the generator corrupts payloads at
+    i % 13 == 0 and drifts metadata duration +1 ms at i % 11 == 0;
+    sample rate is 8000 + (i % 5) * 4000. The audit counts follow
+    from that arithmetic; Spark reaches the same numbers only via
+    the little-endian WAV header parse."""
+    return f"""
+WITH m AS (
+  SELECT i,
+         8000 + (i % 5) * 4000 AS sr,
+         (i % 13 = 0) AS corrupt,
+         (i % 11 = 0) AS drift
+  FROM generate_series(0, {n - 1}) t(i))
+SELECT CASE WHEN corrupt THEN NULL ELSE sr END AS sample_rate,
+  CAST(count(*) AS BIGINT) AS n_media,
+  CAST(sum(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_parsed,
+  CAST(sum(CASE WHEN NOT corrupt AND NOT drift THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_match,
+  CAST(sum(CASE WHEN NOT corrupt AND drift THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_meta_mismatch,
+  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unparseable
+FROM m GROUP BY 1"""
+
+
 def _sql_media_features(n: int = 256) -> str:
     """Mirrors operators/multimodal.py: payload = sha256('media-i')
     digest repeated 4 + i%7 times; content hash over lowercase hex;
@@ -5092,6 +5134,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_maintenance_stream": O.sql_entity_clusters(),
         "neardup_maintenance_stream": O.sql_minhash_lsh_pairs(0.5),
         "pq_codebooks_kmeans": O.sql_pq_kmeans_codebooks(),
+        "audio_meta_audit": _sql_audio_meta_audit(),
         "measures_unpivot": _sql_measures_unpivot(),
         "pps_wor_sample": _sql_pps_wor_sample(),
         "sql_surface_q18": SQL_SURFACE_Q18,

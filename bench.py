@@ -199,6 +199,7 @@ HEADLINE = [
     "boilerplate_lines",
     "entity_clusters",
     "pq_codebooks_kmeans",
+    "audio_meta_audit",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

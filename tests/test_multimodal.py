@@ -166,3 +166,29 @@ def test_media_dims_audit_counts(spark):
         assert g["n_meta_mismatch"] == drift
         assert g["n_unparseable"] == bad
         assert g["n_parsed"] == match + drift
+
+
+def test_wav_header_parse_and_audit(spark):
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synthetic_audio_media(spark, 64)
+    parsed = MM.parse_wav_meta(media).collect()
+    by_id = {r["media_id"]: r for r in parsed}
+    # id 1: sr=12000, ch=2, n_samples=1037 -> duration 86 ms
+    assert by_id[1]["parsed_sample_rate"] == 12000
+    assert by_id[1]["parsed_channels"] == 2
+    assert by_id[1]["parsed_duration_ms"] == 1037 * 1000 // 12000
+    # corrupted rows (i % 13 == 0) parse to NULL
+    assert by_id[13]["parsed_sample_rate"] is None
+    assert by_id[0]["parsed_duration_ms"] is None
+    # drift rows (i % 11 == 0, not corrupt) mismatch metadata by 1 ms
+    assert (
+        by_id[11]["parsed_duration_ms"] + 1 == by_id[11]["meta"]["duration_ms"]
+    )
+    audit = MM.audio_meta_audit(media).collect()
+    total = sum(r["n_media"] for r in audit)
+    unparseable = sum(r["n_unparseable"] for r in audit)
+    assert total == 64
+    assert unparseable == len([i for i in range(64) if i % 13 == 0])
+    null_group = [r for r in audit if r["sample_rate"] is None]
+    assert len(null_group) == 1 and null_group[0]["n_parsed"] == 0

@@ -336,3 +336,116 @@ def media_dims_audit(media: DataFrame) -> DataFrame:
             one(~parsed).alias("n_unparseable"),
         )
     )
+
+
+# ---------------- audio: real RIFF/WAVE header parsing ----------------
+
+_RIFF_MAGIC = "52494646"          # "RIFF", uppercase hex as F.hex() emits
+_WAVEFMT_MAGIC = "57415645666D7420"  # "WAVEfmt "
+
+
+def synthetic_audio_media(spark, n: int = 512) -> DataFrame:
+    """Deterministic media table whose payloads carry REAL canonical
+    44-byte PCM WAV headers (RIFF/WAVE/fmt /data chunks, little-
+    endian fields) with sample rate, channels and sample count
+    derived from the id. Planted populations mirror
+    synthetic_image_media: every 13th payload corrupted (bad magic),
+    every 11th row's metadata duration_ms drifts +1 ms from what the
+    header bytes imply, the rest agree. The DuckDB twin recomputes
+    the audit counts from the id arithmetic alone — Spark only
+    reproduces them by actually parsing the bytes."""
+    import struct
+
+    rows = []
+    for i in range(n):
+        sr = 8000 + (i % 5) * 4000
+        ch = 1 + (i % 2)
+        n_samples = 1000 + (i * 37) % 4000
+        data_size = n_samples * ch * 2
+        duration_ms = n_samples * 1000 // sr
+        header = (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_size)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            + b"data"
+            + struct.pack("<I", data_size)
+        )
+        payload = header + hashlib.sha256(f"wav-{i}".encode()).digest()
+        if i % 13 == 0:
+            payload = b"\x00" * 10  # corrupted: wrong magic, too short
+        meta_ms = duration_ms + (1 if i % 11 == 0 else 0)
+        rows.append(
+            (i, bytearray(payload), ("audio", "wav", None, None, meta_ms,
+                                     len(payload)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _le(payload, pos, nbytes):
+    """Little-endian unsigned int read from a binary column — per-byte
+    native reads combined with powers of 256, whole-stage codegen."""
+    total = F.lit(0).cast("long")
+    for k in range(nbytes):
+        total = total + (
+            F.conv(F.hex(F.substring(payload, pos + k, 1)), 16, 10)
+            .cast("long")
+            * F.lit(256**k)
+        )
+    return total
+
+
+def parse_wav_meta(media: DataFrame) -> DataFrame:
+    """Parse PCM WAV header fields straight from payload BYTES with
+    native expressions (no audio library): RIFF+WAVE magic check,
+    little-endian sample_rate / channels / bits / data size at the
+    canonical offsets, duration derived by integer arithmetic
+    (non-negative operands, so Spark's div == DuckDB's //). Returns
+    the input plus parsed_sample_rate / parsed_channels /
+    parsed_duration_ms, NULL where the payload is not a canonical
+    PCM WAV (reference parity: the reference pipeline has no binary
+    surface at all — this extends the Phase-2 multimodal family)."""
+    p = F.col("payload")
+    wav_ok = (
+        (F.length(p) >= 44)
+        & (F.hex(F.substring(p, 1, 4)) == _RIFF_MAGIC)
+        & (F.hex(F.substring(p, 9, 8)) == _WAVEFMT_MAGIC)
+        & (_le(p, 21, 2) == 1)  # audio_format = PCM
+    )
+    sr = _le(p, 25, 4)
+    ch = _le(p, 23, 2)
+    bits = _le(p, 35, 2)
+    data = _le(p, 41, 4)
+    frame_bytes = ch * F.floor(bits / 8).cast("long")
+    n_samples = F.floor(data / frame_bytes).cast("long")
+    dur = F.floor(n_samples * 1000 / sr).cast("long")
+    return media.select(
+        "*",
+        F.when(wav_ok, sr).alias("parsed_sample_rate"),
+        F.when(wav_ok, ch).alias("parsed_channels"),
+        F.when(wav_ok, dur).alias("parsed_duration_ms"),
+    )
+
+
+def audio_meta_audit(media: DataFrame) -> DataFrame:
+    """Constraint audit for audio: per parsed-sample-rate counts of
+    parsed / duration-matching / metadata-drifted / unparseable rows
+    (unparseable rows group under NULL sample rate). Same shape and
+    discipline as media_dims_audit — map + one tiny aggregate,
+    payload bytes never in a shuffle key."""
+    d = parse_wav_meta(media)
+    parsed = F.col("parsed_duration_ms").isNotNull()
+    match = parsed & (
+        F.col("parsed_duration_ms") == F.col("meta.duration_ms")
+    )
+    one = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (
+        d.groupBy(F.col("parsed_sample_rate").alias("sample_rate"))
+        .agg(
+            F.count("*").alias("n_media"),
+            one(parsed).alias("n_parsed"),
+            one(match).alias("n_match"),
+            one(parsed & ~match).alias("n_meta_mismatch"),
+            one(~parsed).alias("n_unparseable"),
+        )
+    )
