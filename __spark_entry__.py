@@ -3568,15 +3568,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family — lead the round-6 queue at positions 50+).
     35 + 3 + 3 + 9 = 50.
 
-    CYCLE PLAN (165 entries, 50-entry window): past position 50 the
-    order is round 6's queue — the 22 remaining r2-checked entries
-    (simhash_signatures .. customer_quartiles) first, then the
+    CYCLE PLAN (180 entries, 50-entry window): past position 50 the
+    order is round 6's queue — the remaining r2-checked entries
+    (sliding_hourly_stats .. customer_quartiles, incl. the three
+    displaced by this round's new entries) first, then the
     r3-checked block, then the r4-checked block (freshest). Entries
     whose code changed this round without changing results or plans
     materially (fingerprint coalesce guard, winnowing/triangle
-    assert guards, salted-join pmod, ewma guard param) stay in their
+    assert guards, salted-join pmod, ewma guard param, linkage
+    block_cap that never binds at test scale) stay in their
     staleness slots: each is re-proven every round by the local full
-    gate (scripts/check_oracle.py + check_vanilla.py over all 157)
+    gate (scripts/check_oracle.py + check_vanilla.py over all 180)
     and by pytest units added with the change.
     """
     return {
