@@ -427,14 +427,37 @@ def main() -> None:
         "calibration": calib,
         "excluded": BENCH_EXCLUDED,
     }
-    line = json.dumps(payload)
-    # durable copy: a stdout-tail capture can truncate the one-line
-    # record; the file is the authoritative artifact
+    # durable copy: the full payload (per-query medians, exclusion
+    # reasons, per-pass totals) is the authoritative artifact
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
     with open(out_path, "w") as fh:
-        fh.write(line + "\n")
+        fh.write(json.dumps(payload) + "\n")
+
+    # stdout gets a COMPACT line as the very last thing printed: the
+    # driver records only a 2000-char stdout tail, and the full line
+    # (~9 KB with 150+ queries) starts mid-line in that tail and can't
+    # be parsed (BENCH_r04/r05 both recorded parsed=null). Keep the
+    # headline numbers + the 20 slowest queries; cap hard at 1500 B.
+    top = dict(
+        sorted(med.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "queries": top,
+        "n_queries": len(med),
+        "pipeline_rps": payload["pipeline_rps"],
+        "calibration": calib,
+        "full_record": "bench_out.json",
+    }
+    line = json.dumps(compact)
+    while len(line) > 1500 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
     print(line)
 
 

@@ -192,3 +192,40 @@ def test_wav_header_parse_and_audit(spark):
     assert unparseable == len([i for i in range(64) if i % 13 == 0])
     null_group = [r for r in audit if r["sample_rate"] is None]
     assert len(null_group) == 1 and null_group[0]["n_parsed"] == 0
+
+
+def test_wav_malformed_riff_lands_in_null_bucket(spark):
+    """A structurally-plausible RIFF/PCM payload with a wrong data-chunk
+    tag or a zero sample-rate must yield NULL for ALL parsed_* columns
+    (ADVICE r5: previously such rows kept a non-NULL sample rate with a
+    NULL duration and were audited inside a real sample-rate group)."""
+    import struct
+
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    def wav(sr, ch, bits, tag=b"data"):
+        return (
+            b"RIFF" + struct.pack("<I", 100) + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, ch, sr,
+                sr * ch * max(bits // 8, 1), ch * max(bits // 8, 1), bits,
+            )
+            + tag + struct.pack("<I", 64) + b"\x00" * 64
+        )
+
+    rows = [
+        (0, bytearray(wav(8000, 1, 16)), ("audio", "wav", None, None, 10, 120)),
+        (1, bytearray(wav(8000, 1, 16, tag=b"LIST")),
+         ("audio", "wav", None, None, 10, 120)),
+        (2, bytearray(wav(0, 1, 16)), ("audio", "wav", None, None, 10, 120)),
+        (3, bytearray(wav(8000, 0, 16)), ("audio", "wav", None, None, 10, 120)),
+        (4, bytearray(wav(8000, 1, 0)), ("audio", "wav", None, None, 10, 120)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.parse_wav_meta(media).collect()}
+    assert got[0]["parsed_sample_rate"] == 8000
+    assert got[0]["parsed_duration_ms"] is not None
+    for i in (1, 2, 3, 4):
+        assert got[i]["parsed_sample_rate"] is None, i
+        assert got[i]["parsed_channels"] is None, i
+        assert got[i]["parsed_duration_ms"] is None, i

@@ -645,3 +645,13 @@ def test_ivfpq_no_python_udf_no_cartesian_on_data(spark):
     plan = A.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert not A.has_python_udf(df)
+
+
+def test_customer_quartiles_no_single_partition_exchange(spark):
+    # exact ntile(4) must NOT plan the textbook Exchange
+    # SinglePartition global-window sort; the two-pass range-partition
+    # rank keeps every exchange keyed/ranged (VERDICT r5 item #3)
+    df = E.q_customer_quartiles(spark, SF)
+    plan = A.physical_plan(df)
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "ntile" not in plan.lower(), plan[:2000]

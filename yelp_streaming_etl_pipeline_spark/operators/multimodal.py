@@ -342,6 +342,7 @@ def media_dims_audit(media: DataFrame) -> DataFrame:
 
 _RIFF_MAGIC = "52494646"          # "RIFF", uppercase hex as F.hex() emits
 _WAVEFMT_MAGIC = "57415645666D7420"  # "WAVEfmt "
+_DATA_MAGIC = "64617461"          # "data" chunk tag at offset 37
 
 
 def synthetic_audio_media(spark, n: int = 512) -> DataFrame:
@@ -406,15 +407,24 @@ def parse_wav_meta(media: DataFrame) -> DataFrame:
     PCM WAV (reference parity: the reference pipeline has no binary
     surface at all — this extends the Phase-2 multimodal family)."""
     p = F.col("payload")
+    sr = _le(p, 25, 4)
+    ch = _le(p, 23, 2)
+    bits = _le(p, 35, 2)
     wav_ok = (
         (F.length(p) >= 44)
         & (F.hex(F.substring(p, 1, 4)) == _RIFF_MAGIC)
         & (F.hex(F.substring(p, 9, 8)) == _WAVEFMT_MAGIC)
+        & (F.hex(F.substring(p, 37, 4)) == _DATA_MAGIC)
         & (_le(p, 21, 2) == 1)  # audio_format = PCM
+        # zero rate / channels / bit-depth would make the duration
+        # arithmetic divide by zero: such a header is malformed, and
+        # gating ALL parsed_* on it keeps the row in the audit's NULL
+        # (unparseable) bucket instead of a real sample-rate group
+        # with a NULL duration (ADVICE r5)
+        & (sr > 0)
+        & (ch > 0)
+        & (bits > 0)
     )
-    sr = _le(p, 25, 4)
-    ch = _le(p, 23, 2)
-    bits = _le(p, 35, 2)
     data = _le(p, 41, 4)
     frame_bytes = ch * F.floor(bits / 8).cast("long")
     n_samples = F.floor(data / frame_bytes).cast("long")

@@ -930,6 +930,13 @@ def mmr_topk(
         # reference (penalty join + carry union) never recomputes and
         # lineage stays flat across stages
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    if k <= 1:
+        # no loop iteration ran, so selected still lazily references
+        # cand — materialize before releasing the cache
+        selected = selected.localCheckpoint(eager=True)
+    # every loop exit leaves selected eager-checkpointed (lineage cut),
+    # so the candidate cache is loop-lifetime only — release it
+    cand.unpersist()
     return selected.select(
         "query_id",
         "mmr_rank",
@@ -1119,15 +1126,22 @@ def ivfpq_topk(
                 * F.lit(float(PQ_ADC_SCALE))
                 + F.lit(0.5)
             ).cast("long").alias("base_i"),
-            _residual(F.col("qv"), F.col("cent_vec")).alias("q_res"),
+            F.transform(F.col("qv"), lambda x: x.cast("double")).alias(
+                "q_dbl"
+            ),
         )
     )
 
-    # 4b. ADC lookup table: int partials per (query, centroid, m, code)
+    # 4b. ADC lookup table: int partials per (query, centroid, m, code).
+    # Partials are q_sub . codeword — subvectors of q ITSELF, the
+    # standard FAISS IP-ADC form, so base + sum approximates
+    # q.c + q.r_hat = q.(c + r_hat) ~= q.x. (Round 5 used subvectors
+    # of the query residual q - c, which adds a per-doc -c.r_hat bias
+    # to within-list ranking; fixed per ADVICE r5.)
     adc = (
         probes.select(
             "qid", "centroid_id", "base_i",
-            F.posexplode(_subspaces(F.col("q_res"), n_sub, sub)).alias("m", "q_sub"),
+            F.posexplode(_subspaces(F.col("q_dbl"), n_sub, sub)).alias("m", "q_sub"),
         )
         .join(F.broadcast(cb), "m")
         .select(

@@ -2637,13 +2637,13 @@ probes0 AS (
 probes AS (
   SELECT qid, centroid_id, qv,
          CAST(floor({qdot_cent} * {adc_scale}.0 + 0.5) AS BIGINT) AS base_i,
-         [CAST(qv[i] AS DOUBLE) - CAST(cent_vec[i] AS DOUBLE)
-          FOR i IN generate_series(1, {dim})] AS q_res
+         [CAST(qv[i] AS DOUBLE)
+          FOR i IN generate_series(1, {dim})] AS q_dbl
   FROM probes0 WHERE c_rank <= {nprobe}
 ),
 q_sub AS (
   SELECT qid, centroid_id, base_i, m,
-         [q_res[i] FOR i IN generate_series(m * {sub} + 1, m * {sub} + {sub})] AS q_sub
+         [q_dbl[i] FOR i IN generate_series(m * {sub} + 1, m * {sub} + {sub})] AS q_sub
   FROM probes CROSS JOIN ms
 ),
 adc AS (
