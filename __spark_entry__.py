@@ -315,6 +315,43 @@ def q_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking near-dup pairs (operators/dedup.py
+    cdc_chunk_pairs): rolling-hash cut points -> per-doc chunk-hash
+    sets -> document-frequency-capped equi-join on chunk_hash -> doc
+    pairs with >= 2 shared chunks + jaccard. Runs over the near-dup
+    corpus PLUS insertion-shifted variants (a snippet spliced at char
+    200, doc_id % 13 -> +3_000_000) — the duplicate class that shifts
+    every fixed-window shingle but leaves CDC chunks outside the
+    edited one intact."""
+    return DD.cdc_chunk_pairs(
+        DD.with_insertion_shifted_dups(_doc_corpus_cpu(spark, sf_dir)),
+        "text",
+        "doc_id",
+    )
+
+
+def q_kmeans_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming k-means centroid maintenance (operators/clustering.py
+    kmeans_maintain_stream): embeddings arrive in three ascending-id
+    micro-batches; the first Lloyd update is maintained as associative
+    per-(cluster, dim) (sum, count) state — per epoch only NEW points
+    are assigned to the pinned seed centroids and merged — with the
+    remaining iterations finished over the accumulated set per epoch.
+    Final assignment equals batch kmeans_lloyd, sharing
+    kmeans_clusters' oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.clustering import (
+        kmeans_maintain_stream,
+    )
+
+    spark = _ensure_conf(spark)
+    return kmeans_maintain_stream(
+        spark, read_fixture(spark, sf_dir, "embeddings", spread=True)
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_streaming_etl_pipeline_spark.functions.lang_trigrams import (
         with_lm_score,
@@ -3540,114 +3577,46 @@ def q_trending_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Round-5 window (priority order, per VERDICT r4 directive #1 and
+    Round-6 window (priority order, per VERDICT r5 directive #2 and
     the standing cycle plan):
-    (a) the 35 never-driver-checked entries — the three round-4
-    session-3 streaming additions (cross-batch session windows,
-    multi-batch watermark dedup, update-mode trending) and the 24
-    entries NEW this round (media_dims_audit,
-    user_value_ewma_segmented, SIXTEEN TPC-H-shaped SQL-surface
-    queries — completing the 22-query TPC-H text surface with
-    Q1/Q6/Q9/Q11/Q15/Q20 — IVF-PQ residual-quantization ANN,
-    streaming k-core and LPA-community maintenance, C4-style
-    boilerplate-line removal, blocked entity resolution batch +
-    incremental streaming maintenance, incremental MinHash-LSH
-    near-dup maintenance, per-subspace k-means PQ codebook training,
-    the WAV-header audio_meta_audit, the native-UNPIVOT measures
-    entry, exact PPS-WOR sampling, the full-outer stream-stream
-    join, mmr_topk, cosupply_kcore);
-    (b) the three cosupply_* entries, whose RESULTS changed this
-    round (the per-part hot-key cap defaults to 32 and binds at
-    sf>=0.01);
-    (c) the three PageRank entries, whose plans were rewritten this
-    round (invariant-table carry join, pre-partitioned edge cache) —
-    results are fixed-point-identical, re-witnessed in-window;
-    (d) 9 of the 46 stale-r2-checked entries, oldest-first, headed
-    by topic_roundtrip_reviews / events_hourly per the cycle plan
-    (the displaced r2 entries — sliding_hourly_stats through the ANN
-    family — lead the round-6 queue at positions 50+).
-    35 + 3 + 3 + 9 = 50.
+    (a) the 2 entries NEW this round (streaming k-means centroid
+    maintenance, content-defined-chunking near-dup pairs) — never
+    driver-checked;
+    (b) 3 entries whose code changed this round: ann_ivfpq_topk
+    (RESULTS changed — ADC partials now dot subvectors of q itself,
+    the standard FAISS IP-ADC form, oracle updated in step),
+    customer_quartiles (plan rewritten to the two-pass distributed
+    rank, results bit-identical), audio_meta_audit (WAV parse guards
+    hardened; synthetic-corpus results identical);
+    (c) the 36 remaining r2-checked entries, oldest stamps in the
+    ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
+    except customer_quartiles, which sits in (b));
+    (d) the first 9 r3-checked entries (trending_stream ..
+    embedding_project).
+    2 + 3 + 36 + 9 = 50.
 
-    CYCLE PLAN (180 entries, 50-entry window): past position 50 the
-    order is round 6's queue — the remaining r2-checked entries
-    (sliding_hourly_stats .. customer_quartiles, incl. the three
-    displaced by this round's new entries) first, then the
-    r3-checked block, then the r4-checked block (freshest). Entries
-    whose code changed this round without changing results or plans
-    materially (fingerprint coalesce guard, winnowing/triangle
-    assert guards, salted-join pmod, ewma guard param, linkage
-    block_cap that never binds at test scale) stay in their
-    staleness slots: each is re-proven every round by the local full
-    gate (scripts/check_oracle.py + check_vanilla.py over all 180)
-    and by pytest units added with the change.
+    CYCLE PLAN (182 entries, 50-entry window): past position 50 the
+    order is round 7's queue — the remaining r3-checked block first,
+    then the r4-checked block, then the r5-checked block (freshest).
+    Entries whose code changed this round without changing results
+    or plans materially (duplicated_passages now routes through the
+    shared cdc_chunks helper; mmr_topk releases its candidate cache)
+    stay in their staleness slots: each is re-proven every round by
+    the local full gate (scripts/check_oracle.py + check_vanilla.py
+    over all 182) and by pytest units added with the change.
     """
     return {
-        # (a) NEVER driver-checked: round-4 session-3 streaming
-        # additions, then everything new this round
-        "session_window_multibatch_stream": q_session_window_multibatch_stream,
-        "dedup_watermark_multibatch_stream": (
-            q_dedup_watermark_multibatch_stream
-        ),
-        "trending_update_stream": q_trending_update_stream,
-        "media_dims_audit": q_media_dims_audit,
-        "user_value_ewma_segmented": q_user_value_ewma_segmented,
-        "sql_surface_q3": q_sql_surface_q3,
-        "sql_surface_q5": q_sql_surface_q5,
-        "sql_surface_q10": q_sql_surface_q10,
-        "sql_surface_q14": q_sql_surface_q14,
-        "sql_surface_q19": q_sql_surface_q19,
-        "sql_surface_q22": q_sql_surface_q22,
-        "sql_surface_q7": q_sql_surface_q7,
-        "sql_surface_q17": q_sql_surface_q17,
-        "sql_surface_q8": q_sql_surface_q8,
-        "sql_surface_q12": q_sql_surface_q12,
-        "sql_surface_q1": q_sql_surface_q1,
-        "sql_surface_q6": q_sql_surface_q6,
-        "sql_surface_q9": q_sql_surface_q9,
-        "sql_surface_q11": q_sql_surface_q11,
-        "sql_surface_q15": q_sql_surface_q15,
-        "sql_surface_q20": q_sql_surface_q20,
+        # (a) NEVER driver-checked: new this round
+        "kmeans_maintenance_stream": q_kmeans_maintenance_stream,
+        "cdc_chunk_pairs": q_cdc_chunk_pairs,
+        # (b) changed this round: ADC partials now dot q itself
+        # (results changed); quartiles plan rewritten (two-pass rank,
+        # results identical); WAV parse guards hardened
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "kcore_maintenance_stream": q_kcore_maintenance_stream,
-        "boilerplate_lines": q_boilerplate_lines,
-        "lpa_maintenance_stream": q_lpa_maintenance_stream,
-        "entity_clusters": q_entity_clusters,
-        "entity_maintenance_stream": q_entity_maintenance_stream,
-        "neardup_maintenance_stream": q_neardup_maintenance_stream,
-        "pq_codebooks_kmeans": q_pq_codebooks_kmeans,
+        "customer_quartiles": q_customer_quartiles,
         "audio_meta_audit": q_audio_meta_audit,
-        "measures_unpivot": q_measures_unpivot,
-        "pps_wor_sample": q_pps_wor_sample,
-        "attributed_purchases_full_outer_stream": (
-            q_attributed_purchases_full_outer_stream
-        ),
-        "mmr_topk": q_mmr_topk,
-        "cosupply_kcore": q_cosupply_kcore,
-        # (b) results CHANGED this round (per-part hot-key cap now
-        # binds at test scale)
-        "cosupply_triangles": q_cosupply_triangles,
-        "cosupply_clustering": q_cosupply_clustering,
-        "cosupply_communities": q_cosupply_communities,
-        # (c) plan changed this round (invariant-join PageRank +
-        # pre-partitioned edges) - same fixed-point results,
-        # re-witnessed in-window
-        "pagerank_nodes": q_pagerank_nodes,
-        "personalized_pagerank": q_personalized_pagerank,
-        "pagerank_weighted": q_pagerank_weighted,
-        # (d) stale-r2 block, oldest-first (driver-checked r2;
-        # green in every local full gate since)
-        "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
-        "events_hourly": q_events_hourly,
-        "pps_sample": q_pps_sample,
-        "duplicate_issues": q_duplicate_issues,
-        "lapsed_users": q_lapsed_users,
-        "train_test_split": q_train_test_split,
-        "stratified_sample": q_stratified_sample,
-        "dedup_corpus_prune": q_dedup_corpus_prune,
-        "simhash_pairs": q_simhash_pairs,
-        # ---- position >= 50: round 6 takes from here, in order.
-        # r2-checked remainder first (displaced by this round's
-        # 32 new entries)
+        # (c) stale-r2 block, oldest-first (driver-checked r2; green
+        # in every local full gate since)
         "sliding_hourly_stats": q_sliding_hourly_stats,
         "salted_event_counts": q_salted_event_counts,
         "value_histogram": q_value_histogram,
@@ -3684,8 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "supplier_running_revenue": q_supplier_running_revenue,
         "rollup_revenue": q_rollup_revenue,
-        "customer_quartiles": q_customer_quartiles,
-        # r3-checked block
+        # (d) r3-checked head, filling the window to 50
         "trending_stream": q_trending_stream,
         "io_roundtrip_formats": q_io_roundtrip_formats,
         "pii_profile": q_pii_profile,
@@ -3695,6 +3663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
         "embedding_project": q_embedding_project,
+        # ---- position >= 50: round 7 takes from here, in order.
+        # r3-checked remainder first
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
         "hard_negatives": q_hard_negatives,
@@ -3735,7 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "text_features": q_text_features,
-        # r4-checked block (freshest)
+        # r4-checked block
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
@@ -3782,6 +3752,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": q_bloom_pruned_join,
         "fingerprint_incremental": q_fingerprint_incremental,
         "dedup_clusters": q_dedup_clusters,
+        # r5-checked block (freshest)
+        "session_window_multibatch_stream": q_session_window_multibatch_stream,
+        "dedup_watermark_multibatch_stream": (
+            q_dedup_watermark_multibatch_stream
+        ),
+        "trending_update_stream": q_trending_update_stream,
+        "media_dims_audit": q_media_dims_audit,
+        "user_value_ewma_segmented": q_user_value_ewma_segmented,
+        "sql_surface_q3": q_sql_surface_q3,
+        "sql_surface_q5": q_sql_surface_q5,
+        "sql_surface_q10": q_sql_surface_q10,
+        "sql_surface_q14": q_sql_surface_q14,
+        "sql_surface_q19": q_sql_surface_q19,
+        "sql_surface_q22": q_sql_surface_q22,
+        "sql_surface_q7": q_sql_surface_q7,
+        "sql_surface_q17": q_sql_surface_q17,
+        "sql_surface_q8": q_sql_surface_q8,
+        "sql_surface_q12": q_sql_surface_q12,
+        "sql_surface_q1": q_sql_surface_q1,
+        "sql_surface_q6": q_sql_surface_q6,
+        "sql_surface_q9": q_sql_surface_q9,
+        "sql_surface_q11": q_sql_surface_q11,
+        "sql_surface_q15": q_sql_surface_q15,
+        "sql_surface_q20": q_sql_surface_q20,
+        "kcore_maintenance_stream": q_kcore_maintenance_stream,
+        "boilerplate_lines": q_boilerplate_lines,
+        "lpa_maintenance_stream": q_lpa_maintenance_stream,
+        "entity_clusters": q_entity_clusters,
+        "entity_maintenance_stream": q_entity_maintenance_stream,
+        "neardup_maintenance_stream": q_neardup_maintenance_stream,
+        "pq_codebooks_kmeans": q_pq_codebooks_kmeans,
+        "measures_unpivot": q_measures_unpivot,
+        "pps_wor_sample": q_pps_wor_sample,
+        "attributed_purchases_full_outer_stream": (
+            q_attributed_purchases_full_outer_stream
+        ),
+        "mmr_topk": q_mmr_topk,
+        "cosupply_kcore": q_cosupply_kcore,
+        "cosupply_triangles": q_cosupply_triangles,
+        "cosupply_clustering": q_cosupply_clustering,
+        "cosupply_communities": q_cosupply_communities,
+        "pagerank_nodes": q_pagerank_nodes,
+        "personalized_pagerank": q_personalized_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
+        "topic_roundtrip_reviews": q_topic_roundtrip_reviews,
+        "events_hourly": q_events_hourly,
+        "pps_sample": q_pps_sample,
+        "duplicate_issues": q_duplicate_issues,
+        "lapsed_users": q_lapsed_users,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "dedup_corpus_prune": q_dedup_corpus_prune,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -3933,6 +3956,71 @@ FROM ch
 WHERE len(chunk) >= 16
 GROUP BY 1
 HAVING count(*) >= 2"""
+
+
+def _sql_cdc_chunk_pairs() -> str:
+    """Twin of dedup.cdc_chunk_pairs over the near-dup corpus plus
+    insertion-shifted variants (splice at char 200, %13 ->
+    +3_000_000, applied to the WHOLE near-dup union as Spark's
+    with_insertion_shifted_dups does). Same chunker CTEs as
+    _sql_duplicated_passages; df cap 64, min shared 2."""
+    norm = O.sql_norm_text("text")
+    return f"""
+WITH corpus0 AS ({O.NEAR_DUP_CORPUS_SQL}),
+corpus AS (
+  SELECT doc_id, text FROM corpus0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         substr(text, 1, 200)
+           || ' xq inserted snippet shifts everything after it '
+           || substr(text, 201)
+  FROM corpus0 WHERE doc_id % 13 = 0
+),
+nrm AS (
+  SELECT doc_id, {norm} AS s FROM corpus
+),
+st AS (
+  SELECT doc_id, s,
+    list_sort(list_distinct(list_prepend(1,
+      CASE WHEN len(s) >= 9 THEN
+        [CAST(i AS INTEGER) FOR i IN
+           generate_series(2, greatest(2, len(s) - 7))
+         IF ((('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT % 64) = 0)]
+      ELSE [] END))) AS starts
+  FROM nrm
+),
+ch AS (
+  SELECT doc_id,
+         unnest([substr(s, starts[k],
+                        coalesce(starts[k + 1], len(s) + 1) - starts[k])
+                 FOR k IN generate_series(1, len(starts))]) AS chunk
+  FROM st
+),
+sets AS (
+  SELECT DISTINCT doc_id, md5(chunk) AS chunk_hash
+  FROM ch WHERE len(chunk) >= 16
+),
+dfc AS (
+  SELECT chunk_hash FROM sets GROUP BY chunk_hash HAVING count(*) <= 64
+),
+kept AS (
+  SELECT s.doc_id, s.chunk_hash FROM sets s JOIN dfc USING (chunk_hash)
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_chunks FROM kept GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b
+    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_chunks,
+       {SR('CAST(shared AS DOUBLE) / (sa.n_chunks + sb.n_chunks - shared)', 6)}
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = pairs.doc_a
+JOIN sizes sb ON sb.doc_id = pairs.doc_b"""
 
 
 def _sql_lm_score() -> str:
@@ -5166,6 +5254,10 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": O.sql_semantic_dedup(),
         "trending_stream": _sql_trending_stream(),
         "kmeans_clusters": O.sql_kmeans_lloyd(),
+        # streaming maintenance converges to the identical batch
+        # fixed point, so it shares the batch twin
+        "kmeans_maintenance_stream": O.sql_kmeans_lloyd(),
+        "cdc_chunk_pairs": _sql_cdc_chunk_pairs(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

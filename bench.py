@@ -67,6 +67,7 @@ HEADLINE = [
     "simhash_signatures",
     "simhash_pairs",
     "duplicated_passages",
+    "cdc_chunk_pairs",
     "text_analysis",
     "gopher_quality",
     "repetition_profile",
@@ -232,6 +233,7 @@ BENCH_EXCLUDED = {
     "lpa_maintenance_stream": _STREAM_OVERHEAD,
     "entity_maintenance_stream": _STREAM_OVERHEAD,
     "neardup_maintenance_stream": _STREAM_OVERHEAD,
+    "kmeans_maintenance_stream": _STREAM_OVERHEAD,
     "topic_roundtrip_reviews": (
         "file-topic shim round trip: measures tmpdir write+read of the "
         "Kafka stand-in, i.e. local disk, not engine throughput"

@@ -104,3 +104,39 @@ def test_pq_kmeans_codebooks_shape_and_training(spark):
     # deterministic across runs
     again = pq_kmeans_codebooks(df).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_kmeans_maintain_stream_equals_batch(spark):
+    """The associative-state maintenance must land on the identical
+    fixed point as batch Lloyd: same (vec_id, cluster_id, sq_dist)
+    triples after replaying the corpus as three micro-batches."""
+    from yelp_streaming_etl_pipeline_spark.operators.clustering import (
+        kmeans_maintain_stream,
+    )
+
+    df = _blobs(spark)
+    batch = {
+        (r["vec_id"], r["cluster_id"], r["sq_dist"])
+        for r in kmeans_lloyd(df, k=2, iters=2).collect()
+    }
+    streamed = {
+        (r["vec_id"], r["cluster_id"], r["sq_dist"])
+        for r in kmeans_maintain_stream(spark, df, k=2, iters=2).collect()
+    }
+    assert streamed == batch
+
+
+def test_kmeans_maintain_stream_requires_seeds_in_first_batch(spark):
+    """Seeds are pinned from the first micro-batch: with k larger
+    than the first slice's id coverage the call must fail loudly
+    rather than maintain state against a partial seed set."""
+    import pytest
+
+    from yelp_streaming_etl_pipeline_spark.operators.clustering import (
+        kmeans_maintain_stream,
+    )
+
+    df = _blobs(spark, n_per=6)
+    # foreachBatch wraps the AssertionError in a StreamingQueryException
+    with pytest.raises(Exception, match="seed centroids"):
+        kmeans_maintain_stream(spark, df, k=12, iters=2, n_slices=3)

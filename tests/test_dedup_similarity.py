@@ -694,3 +694,41 @@ def test_neardup_maintain_stream_matches_batch(spark):
     b = sorted(map(tuple, batch.collect()))
     assert g == b
     assert (1, 6, 1.0) in g  # cross-batch exact dup found
+
+
+def test_cdc_chunk_pairs_survive_insertion_shift(spark):
+    """The CDC pair detector's reason to exist: splicing a snippet
+    into the middle of a long document shifts every fixed-window
+    representation after the edit, but the chunk sets still overlap
+    heavily, so the (original, edited) pair is emitted with high
+    jaccard. Fully disjoint docs share nothing."""
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fotra",
+             "golfy", "hotel", "indix", "julep"]
+    base = " ".join(rng.choice(words) for _ in range(400))
+    edited = base[:1200] + " spliced interruption phrase " + base[1200:]
+    other = " ".join(rng.choice(words) for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    out = DD.cdc_chunk_pairs(docs, "text", "doc_id").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["jaccard"] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cdc_chunk_pairs_df_cap_drops_boilerplate(spark):
+    """A chunk present in more docs than max_df is template chrome:
+    it must not generate pairs (the bucket would fan out N^2)."""
+    footer = "shared boilerplate footer line that exceeds the df cap " * 3
+    docs = spark.createDataFrame(
+        [(i, f"unique body text {i} " * 20 + footer) for i in range(8)],
+        "doc_id long, text string",
+    )
+    # footer chunk(s) appear in all 8 docs; with max_df=4 no pair may
+    # be justified by footer chunks alone
+    out = DD.cdc_chunk_pairs(docs, "text", "doc_id", max_df=4).collect()
+    assert out == []

@@ -89,19 +89,25 @@ def _assign(base: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """Per-(cluster, dim) integer round-half-up mean -> new centroid
-    arrays. One explode + one hash aggregate + one rebuild."""
-    dims = assigned.select(
-        "cid", F.posexplode(F.col("qvec")).alias("j", "q")
-    )
-    per_dim = (
-        dims.groupBy("cid", "j")
-        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-        .withColumn("cq", F.expr("(2 * s + n) div (2 * n)"))
-    )
+def _per_dim_stats(assigned: DataFrame) -> DataFrame:
+    """Associative Lloyd-update state: per-(cluster, dim) integer
+    (sum, count) partials — mergeable across any partitioning OR any
+    micro-batch split, which is what makes the streaming maintenance
+    exact (see kmeans_maintain_stream)."""
     return (
-        per_dim.groupBy("cid")
+        assigned.select("cid", F.posexplode(F.col("qvec")).alias("j", "q"))
+        .groupBy("cid", "j")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+    )
+
+
+def _cent_from_stats(per_dim: DataFrame) -> DataFrame:
+    """(cid, j, s, n) -> centroid arrays via the exact integer
+    round-half-up mean (2s + n) div (2n); operands are non-negative
+    (KMEANS_OFFSET shift) so Spark div == DuckDB //."""
+    return (
+        per_dim.withColumn("cq", F.expr("(2 * s + n) div (2 * n)"))
+        .groupBy("cid")
         .agg(
             F.transform(
                 F.array_sort(
@@ -111,6 +117,12 @@ def _update(assigned: DataFrame) -> DataFrame:
             ).alias("cvec")
         )
     )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Per-(cluster, dim) integer round-half-up mean -> new centroid
+    arrays. One explode + one hash aggregate + one rebuild."""
+    return _cent_from_stats(_per_dim_stats(assigned))
 
 
 def kmeans_lloyd(
@@ -138,3 +150,106 @@ def kmeans_lloyd(
         F.col("cid").alias("cluster_id"),
         F.col("dist").alias("sq_dist"),
     )
+
+
+def kmeans_maintain_stream(
+    spark,
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    n_slices: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming k-means centroid MAINTENANCE: points arrive in
+    ascending-id micro-batches; the first Lloyd update is maintained
+    as genuinely ASSOCIATIVE per-(cluster, dim) (sum, count) state.
+
+    Why iteration 1 streams exactly: its assignment target is the
+    FIXED seed centroids (vid < k, pinned from the first batch), so a
+    new point's seed-assignment never changes as the corpus grows —
+    per epoch only the NEW points are assigned and their (sum, count)
+    partials merged into state (epoch cost independent of accumulated
+    size; merge is a keyed aggregate over <= k x dim state rows).
+    Later iterations' targets move with the data, so each epoch
+    finishes them (iters - 1 update/assign rounds) over the
+    accumulated point set — the same bounded re-run discipline as
+    kcore/LPA maintenance, with the expensive first sweep incremental.
+
+    Per-epoch invariant: the state's per-dim point count must equal
+    the accumulated corpus size (every point counted exactly once in
+    exactly one cluster) — asserted each epoch.
+
+    State story at 100 TB: the (cid, j, s, n) table IS the streaming
+    state (k x dim rows, constant-size); in production it lives in
+    the state store / a compacted table and the epoch merge is
+    map-side. The final epoch's assignment equals batch kmeans_lloyd
+    over all points, so the entry shares kmeans_clusters' oracle."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"cent0": None, "stats": None, "pts": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.select(
+            F.col(id_col).alias("vid"),
+            quantize_vec(F.col(vec_col)).alias("qvec"),
+        ).localCheckpoint(eager=True)
+        if state["cent0"] is None:
+            cent0 = b.filter(F.col("vid") < k).select(
+                F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
+            ).localCheckpoint(eager=True)
+            n_seeds = cent0.count()
+            if n_seeds != k:
+                raise AssertionError(
+                    f"kmeans_maintain_stream: first batch carries "
+                    f"{n_seeds}/{k} seed centroids — ascending-id "
+                    "staging must deliver ids < k in epoch 0"
+                )
+            state["cent0"] = cent0
+        # associative iteration-1 maintenance: NEW points only
+        fresh = _per_dim_stats(_assign(b, state["cent0"]))
+        merged = (
+            fresh
+            if state["stats"] is None
+            else state["stats"]
+            .unionByName(fresh)
+            .groupBy("cid", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+        state["stats"] = merged.localCheckpoint(eager=True)
+        state["pts"] = (
+            b
+            if state["pts"] is None
+            else state["pts"].unionByName(b).localCheckpoint(eager=True)
+        )
+        n_acc = state["pts"].count()
+        counted = (
+            state["stats"].filter(F.col("j") == 0)
+            .agg(F.sum("n").alias("t"))
+            .collect()[0]["t"]
+        )
+        if counted != n_acc:
+            raise AssertionError(
+                f"kmeans_maintain_stream: epoch {epoch_id} state counts "
+                f"{counted} point(s) but {n_acc} accumulated — the "
+                "associative partition invariant is broken"
+            )
+        # finish: centroids from state, then the moving iterations
+        cent = _cent_from_stats(state["stats"])
+        for _ in range(iters - 1):
+            cent = _update(_assign(state["pts"], cent))
+        state["result"] = _assign(state["pts"], cent).select(
+            F.col("vid").alias("vec_id"),
+            F.col("cid").alias("cluster_id"),
+            F.col("dist").alias("sq_dist"),
+        )
+
+    replay_fold(
+        spark,
+        embeddings.select(id_col, vec_col),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="kmeans_",
+    )
+    return state["result"]

@@ -758,6 +758,137 @@ def _chunk_starts(s: Column) -> Column:
     )
 
 
+def with_insertion_shifted_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Test-harness helper: union INSERTION-SHIFTED near copies — a
+    snippet spliced into the middle of the text (doc_id % 13 == 0 ->
+    +3_000_000). Every fixed-window representation (shingles, simhash
+    tokens, winnowing k-grams) sees all post-insertion positions
+    shifted; content-defined chunk boundaries re-synchronize right
+    after the edit, so only the chunk containing the splice changes.
+    Mirrored in _sql_cdc_corpus (__spark_entry__.py)."""
+    t = F.col(text_col)
+    spliced = F.concat(
+        t.substr(F.lit(1), F.lit(200)),
+        F.lit(" xq inserted snippet shifts everything after it "),
+        t.substr(F.lit(201), F.length(t)),
+    )
+    ins = (
+        df.filter(F.col(id_col) % 13 == 0)
+        .withColumn(id_col, F.col(id_col) + F.lit(3_000_000))
+        .withColumn(text_col, spliced)
+    )
+    return df.unionByName(ins)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = CDC_MIN_CHUNK,
+) -> DataFrame:
+    """(doc_id, chunk) rows: normalized text split at content-defined
+    boundaries (_chunk_starts), sub-``min_len`` fragments dropped.
+    Pure per-row map — chunking never shuffles. Shared by
+    duplicated_passages (occurrence counts) and cdc_chunk_pairs
+    (doc-pair similarity)."""
+    norm = F.regexp_replace(F.lower(ws_trim(F.col(text_col))), r"\s+", " ")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_s")
+    ).withColumn("_starts", _chunk_starts(F.col("_s")))
+    s, starts = F.col("_s"), F.col("_starts")
+    k_seq = F.sequence(F.lit(1), F.size(starts))
+    chunk_at = lambda k: s.substr(  # noqa: E731
+        F.element_at(starts, k),
+        F.coalesce(F.try_element_at(starts, k + 1), F.length(s) + 1)
+        - F.element_at(starts, k),
+    )
+    return staged.select(
+        "doc_id",
+        F.explode(F.transform(k_seq, chunk_at)).alias("chunk"),
+    ).filter(F.length("chunk") >= min_len)
+
+
+CDC_MAX_DF = 64  # chunks shared by more docs than this are boilerplate
+CDC_MIN_SHARED = 2  # pair evidence threshold
+
+
+def cdc_chunk_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = CDC_MIN_CHUNK,
+    max_df: int = CDC_MAX_DF,
+    min_shared: int = CDC_MIN_SHARED,
+) -> DataFrame:
+    """Near-duplicate DOC PAIRS from shared content-defined chunks —
+    the insertion-robust complement to MinHash/SimHash/winnowing: an
+    edit that splices text into a document shifts every fixed-window
+    shingle after it, but CDC boundaries re-synchronize at the next
+    content-defined cut, so all chunks outside the edited one still
+    match exactly (the rsync/LBFS trick, applied to corpus dedup).
+
+    Scale discipline (same as minhash_lsh_pairs / winnow_neardup_pairs
+    — candidate generation is NEVER all-pairs):
+    - per-doc chunk SETS (distinct hashes), so the join key space is
+      content, not positions;
+    - document-frequency cap: chunks appearing in more than ``max_df``
+      docs are template/boilerplate chrome and are dropped BEFORE the
+      pair join — every bucket's pair fan-out is <= max_df^2
+      regardless of corpus skew;
+    - the pair join is an equi-join on chunk_hash; each surviving
+      bucket contributes its own pairs only.
+
+    Returns (doc_a, doc_b, shared_chunks, jaccard) for pairs sharing
+    at least ``min_shared`` capped chunks; jaccard is over the capped
+    chunk sets."""
+    sets = (
+        cdc_chunks(df, text_col, id_col, min_len)
+        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+        .distinct()
+    )
+    dfc = sets.groupBy("chunk_hash").agg(F.count("*").alias("_df"))
+    kept = sets.join(
+        dfc.filter(F.col("_df") <= max_df).select("chunk_hash"),
+        "chunk_hash",
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    a = kept.select(
+        F.col("chunk_hash"), F.col("doc_id").alias("doc_a")
+    )
+    b = kept.select(
+        F.col("chunk_hash"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("_na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("_nb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_chunks",
+            stable_round(
+                F.col("shared_chunks")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_chunks")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def duplicated_passages(
     df: DataFrame,
     text_col: str,
@@ -778,22 +909,8 @@ def duplicated_passages(
     map side. HOF-safety: norm/starts are materialized columns before
     any lambda references them (interpreted HOFs re-evaluate captured
     EXPRESSIONS per element; re-evaluating a column reference is
-    free)."""
-    norm = F.regexp_replace(F.lower(ws_trim(F.col(text_col))), r"\s+", " ")
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), norm.alias("_s")
-    ).withColumn("_starts", _chunk_starts(F.col("_s")))
-    s, starts = F.col("_s"), F.col("_starts")
-    k_seq = F.sequence(F.lit(1), F.size(starts))
-    chunk_at = lambda k: s.substr(  # noqa: E731
-        F.element_at(starts, k),
-        F.coalesce(F.try_element_at(starts, k + 1), F.length(s) + 1)
-        - F.element_at(starts, k),
-    )
-    chunks = staged.select(
-        "doc_id",
-        F.explode(F.transform(k_seq, chunk_at)).alias("chunk"),
-    ).filter(F.length("chunk") >= min_len)
+    free) — see cdc_chunks."""
+    chunks = cdc_chunks(df, text_col, id_col, min_len)
     return (
         chunks.select(
             "doc_id",
