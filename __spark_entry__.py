@@ -3292,6 +3292,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup maintenance (operators/similarity.py
+    semantic_dedup_maintain_stream): the vec-dup corpus arrives in
+    three ascending-id micro-batches; per epoch only the NEW vectors
+    are assigned (fixed offline centroid subsample) and judged
+    against same-cluster residents — verdicts are immutable
+    (append-only asserted). Final output equals batch semantic_dedup,
+    sharing its oracle twin."""
+    spark = _ensure_conf(spark)
+    return SIM.semantic_dedup_maintain_stream(
+        spark,
+        SIM.with_synthetic_vec_dups(
+            read_fixture(spark, sf_dir, "embeddings", spread=True)
+        ),
+    )
+
+
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.project_embeddings(_t_cpu(spark, sf_dir, "embeddings"))
 
@@ -3579,9 +3598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 window (priority order, per VERDICT r5 directive #2 and
     the standing cycle plan):
-    (a) the 2 entries NEW this round (streaming k-means centroid
-    maintenance, content-defined-chunking near-dup pairs) — never
-    driver-checked;
+    (a) the 3 entries NEW this round (streaming k-means centroid
+    maintenance, content-defined-chunking near-dup pairs,
+    incremental SemDeDup maintenance) — never driver-checked;
     (b) 3 entries whose code changed this round: ann_ivfpq_topk
     (RESULTS changed — ADC partials now dot subvectors of q itself,
     the standard FAISS IP-ADC form, oracle updated in step),
@@ -3591,11 +3610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 9 r3-checked entries (trending_stream ..
-    embedding_project).
-    2 + 3 + 36 + 9 = 50.
+    (d) the first 8 r3-checked entries (trending_stream ..
+    cms_join_size).
+    3 + 3 + 36 + 8 = 50.
 
-    CYCLE PLAN (182 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (183 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3603,12 +3622,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 182) and by pytest units added with the change.
+    over all 183) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
         "kmeans_maintenance_stream": q_kmeans_maintenance_stream,
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
+        "semantic_dedup_maintenance_stream": (
+            q_semantic_dedup_maintenance_stream
+        ),
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -3662,8 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_plan": q_frame_sample_plan,
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
-        "embedding_project": q_embedding_project,
         # ---- position >= 50: round 7 takes from here, in order.
+        "embedding_project": q_embedding_project,
         # r3-checked remainder first
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
@@ -5258,6 +5280,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed point, so it shares the batch twin
         "kmeans_maintenance_stream": O.sql_kmeans_lloyd(),
         "cdc_chunk_pairs": _sql_cdc_chunk_pairs(),
+        "semantic_dedup_maintenance_stream": O.sql_semantic_dedup(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

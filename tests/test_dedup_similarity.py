@@ -732,3 +732,34 @@ def test_cdc_chunk_pairs_df_cap_drops_boilerplate(spark):
     # be justified by footer chunks alone
     out = DD.cdc_chunk_pairs(docs, "text", "doc_id", max_df=4).collect()
     assert out == []
+
+
+def test_semantic_dedup_maintain_stream_equals_batch(spark):
+    """The incremental maintenance must reproduce batch SemDeDup
+    exactly: same (vec_id, centroid_id, kept) triples after replaying
+    the corpus as three ascending-id micro-batches — including a
+    transitive case (dup of a dup) where the middle vector is itself
+    pruned but still prunes the later copy."""
+    import random
+
+    rng = random.Random(11)
+    base = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)
+    ]
+    # two later copies of vec 0: BOTH pruned in batch semantics (the
+    # pruned id-500 copy still prunes id-501)
+    rows = base + [(500, list(base[0][1])), (501, list(base[0][1]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    batch = {
+        (r["vec_id"], r["centroid_id"], r["kept"])
+        for r in SIM.semantic_dedup(df, tau=0.99).collect()
+    }
+    streamed = {
+        (r["vec_id"], r["centroid_id"], r["kept"])
+        for r in SIM.semantic_dedup_maintain_stream(
+            spark, df, tau=0.99
+        ).collect()
+    }
+    assert streamed == batch
+    kept = {v: k for v, _, k in streamed}
+    assert kept[0] and not kept[500] and not kept[501]

@@ -945,6 +945,150 @@ def mmr_topk(
     )
 
 
+def _semdedup_assign(
+    vecs: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """(vid, vec) x broadcast centroids -> (vid, centroid_id, vec) via
+    the same argmax-cosine partial aggregate as semantic_dedup."""
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("c_sim", cosine(F.col("vec"), F.col("cent_vec")))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(
+                    F.col("c_sim"), (-F.col("centroid_id")).alias("nc")
+                ),
+            ).alias("centroid_id"),
+            F.first("vec").alias("vec"),
+        )
+    )
+
+
+def semantic_dedup_maintain_stream(
+    spark,
+    embeddings: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    centroid_mod: int = SEMDEDUP_CENTROID_MOD,
+    n_slices: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup maintenance: vectors arrive in
+    ascending-id micro-batches and each epoch decides (centroid_id,
+    kept) for the NEW vectors only — never revisiting old ones.
+
+    Why arrival order makes the prune incremental: semantic_dedup's
+    rule is greedy first-seen-wins — vector b is pruned iff some
+    SMALLER-id vector in b's cluster has cosine >= tau (whether or
+    not that vector was itself pruned). Against a FIXED centroid set
+    (the offline artifact — here the same deterministic corpus
+    subsample the batch operator uses; an offline k-means codebook
+    in production), a vector's cluster never changes, and with
+    ascending-id staging every accumulated vector has a smaller id
+    than every fresh one — so a fresh vector's verdict depends only
+    on (accumulated cluster residents) + (smaller-id vectors in its
+    own batch), both available at its arrival epoch. Verdicts are
+    IMMUTABLE once emitted (asserted: the output is append-only).
+
+    Per-epoch cost: fresh x same-cluster residents — the identical
+    blocked-quadratic bound as batch SemDeDup, paid incrementally;
+    state is the accumulated (vid, centroid_id, vec) resident table
+    (ALL arrivals, pruned or not, since pruned vectors still prune
+    later near-copies in the batch semantics).
+
+    Final (vec_id, centroid_id, kept) equals batch semantic_dedup
+    over the full corpus, so the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    cent = embeddings.filter(
+        F.col(id_col) % centroid_mod == 0
+    ).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+    ).localCheckpoint(eager=True)
+
+    state: dict = {"residents": None, "out": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = _semdedup_assign(
+            batch_df.select(
+                F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+            ),
+            cent,
+        ).localCheckpoint(eager=True)
+        b_new = fresh.alias("b")
+
+        def pair_cols(left: DataFrame) -> DataFrame:
+            return (
+                left.alias("a")
+                .join(
+                    b_new,
+                    (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                    & (F.col("a.vid") < F.col("b.vid")),
+                )
+                .select(
+                    F.col("a.vec").alias("a_vec"),
+                    F.col("b.vec").alias("b_vec"),
+                    F.col("b.vid").alias("b_vid"),
+                )
+            )
+
+        cand = pair_cols(fresh)
+        if state["residents"] is not None:
+            cand = cand.unionByName(pair_cols(state["residents"]))
+        pruned = (
+            cand.filter(cosine(F.col("a_vec"), F.col("b_vec")) >= tau)
+            .select(F.col("b_vid").alias("vid"))
+            .distinct()
+        )
+        verdicts = (
+            fresh.join(
+                pruned.withColumn("is_dup", F.lit(True)), "vid", "left"
+            )
+            .select(
+                "vid",
+                "centroid_id",
+                F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if state["out"] is None:
+            state["out"] = verdicts
+        else:
+            # append-only contract: an epoch may never re-emit (and
+            # thus never flip) an already-decided vid
+            n_overlap = state["out"].select("vid").join(
+                verdicts.select("vid"), "vid"
+            ).count()
+            if n_overlap:
+                raise AssertionError(
+                    f"semantic_dedup_maintain_stream: epoch {epoch_id} "
+                    f"re-emitted {n_overlap} already-decided vector(s) — "
+                    "verdicts must be immutable"
+                )
+            state["out"] = state["out"].unionByName(verdicts)
+        state["residents"] = (
+            fresh
+            if state["residents"] is None
+            else state["residents"].unionByName(fresh)
+            .localCheckpoint(eager=True)
+        )
+
+    replay_fold(
+        spark,
+        embeddings.select(id_col, vec_col),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="semdedup_",
+    )
+    return state["out"].select(
+        F.col("vid").alias("vec_id"), "centroid_id", "kept"
+    )
+
+
 # ---------------- IVF-PQ: residual product quantization ----------------
 
 PQ_M = 8              # subspaces (64 dims -> 8 x 8)
