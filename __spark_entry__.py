@@ -1923,6 +1923,39 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quantile-sketch maintenance in Structured
+    Streaming, completing the mergeable-sketch streaming trio (HLL:
+    hll_registers_stream, CMS: cms_topk_stream): the HDR register
+    table kept by a streaming groupBy(bucket).agg(min lb, min width,
+    count) in COMPLETE output mode — every register aggregate is
+    associative/commutative, so the streaming state IS the sketch
+    (bounded at ~64 x 64 rows forever) and the final table equals the
+    batch build bit-for-bit (same oracle as quantile_sketch)."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(_ensure_conf(spark), sf_dir)
+    regs = SK.quantile_sketch_registers(ev, F.col("value"))
+    name = "qsk_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_qsks_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable rank-based quantile sketch (HDR-histogram-style) over
     events.value: fixed log-scaled buckets (data-range INDEPENDENT,
@@ -3598,9 +3631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 window (priority order, per VERDICT r5 directive #2 and
     the standing cycle plan):
-    (a) the 3 entries NEW this round (streaming k-means centroid
+    (a) the 4 entries NEW this round (streaming k-means centroid
     maintenance, content-defined-chunking near-dup pairs,
-    incremental SemDeDup maintenance) — never driver-checked;
+    incremental SemDeDup maintenance, streaming quantile-sketch
+    maintenance) — never driver-checked;
     (b) 3 entries whose code changed this round: ann_ivfpq_topk
     (RESULTS changed — ADC partials now dot subvectors of q itself,
     the standard FAISS IP-ADC form, oracle updated in step),
@@ -3610,11 +3644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 8 r3-checked entries (trending_stream ..
-    cms_join_size).
-    3 + 3 + 36 + 8 = 50.
+    (d) the first 7 r3-checked entries (trending_stream ..
+    hll_set_ops).
+    4 + 3 + 36 + 7 = 50.
 
-    CYCLE PLAN (183 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (184 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3622,7 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 183) and by pytest units added with the change.
+    over all 184) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3631,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_maintenance_stream": (
             q_semantic_dedup_maintenance_stream
         ),
+        "quantile_sketch_stream": q_quantile_sketch_stream,
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -3683,8 +3718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "frame_sample_plan": q_frame_sample_plan,
         "hll_set_ops": q_hll_set_ops,
-        "cms_join_size": q_cms_join_size,
         # ---- position >= 50: round 7 takes from here, in order.
+        "cms_join_size": q_cms_join_size,
         "embedding_project": q_embedding_project,
         # r3-checked remainder first
         "semantic_dedup": q_semantic_dedup,
@@ -5281,6 +5316,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_maintenance_stream": O.sql_kmeans_lloyd(),
         "cdc_chunk_pairs": _sql_cdc_chunk_pairs(),
         "semantic_dedup_maintenance_stream": O.sql_semantic_dedup(),
+        "quantile_sketch_stream": _sql_quantile_sketch(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),
