@@ -3179,6 +3179,27 @@ def q_pagerank_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming PageRank maintenance (operators/graph.py
+    pagerank_maintain_stream): the undirected customer-supplier pair
+    list arrives in three micro-batches; each epoch symmetrizes the
+    accumulated pairs and re-runs the fixed-iters PageRank (the only
+    batch-exact strategy — same argument as LPA), with totality and
+    mass-conservation invariants asserted per epoch. Final epoch
+    equals batch pagerank_bipartite, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        _decode_nodes, bipartite_pairs, pagerank_maintain_stream,
+    )
+
+    spark = _ensure_conf(spark)
+    pairs = bipartite_pairs(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return _decode_nodes(pagerank_maintain_stream(spark, pairs))
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_streaming_etl_pipeline_spark.operators.clustering import (
         kmeans_lloyd,
@@ -3631,10 +3652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 window (priority order, per VERDICT r5 directive #2 and
     the standing cycle plan):
-    (a) the 4 entries NEW this round (streaming k-means centroid
+    (a) the 5 entries NEW this round (streaming k-means centroid
     maintenance, content-defined-chunking near-dup pairs,
     incremental SemDeDup maintenance, streaming quantile-sketch
-    maintenance) — never driver-checked;
+    maintenance, streaming PageRank maintenance) — never
+    driver-checked;
     (b) 3 entries whose code changed this round: ann_ivfpq_topk
     (RESULTS changed — ADC partials now dot subvectors of q itself,
     the standard FAISS IP-ADC form, oracle updated in step),
@@ -3644,11 +3666,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 7 r3-checked entries (trending_stream ..
-    hll_set_ops).
-    4 + 3 + 36 + 7 = 50.
+    (d) the first 6 r3-checked entries (trending_stream ..
+    frame_sample_plan).
+    5 + 3 + 36 + 6 = 50.
 
-    CYCLE PLAN (184 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (185 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3656,7 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 184) and by pytest units added with the change.
+    over all 185) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3666,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_semantic_dedup_maintenance_stream
         ),
         "quantile_sketch_stream": q_quantile_sketch_stream,
+        "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -3717,8 +3740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "zorder_layout": q_zorder_layout,
         "frame_sample_plan": q_frame_sample_plan,
-        "hll_set_ops": q_hll_set_ops,
         # ---- position >= 50: round 7 takes from here, in order.
+        "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
         "embedding_project": q_embedding_project,
         # r3-checked remainder first
@@ -5317,6 +5340,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_pairs": _sql_cdc_chunk_pairs(),
         "semantic_dedup_maintenance_stream": O.sql_semantic_dedup(),
         "quantile_sketch_stream": _sql_quantile_sketch(),
+        "pagerank_maintenance_stream": O.sql_pagerank_bipartite(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

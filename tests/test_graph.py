@@ -510,3 +510,25 @@ def test_lpa_maintain_stream_matches_batch(spark):
     b = sorted((r["node"], r["label"]) for r in batch.collect())
     assert g == b
     assert len(g) == 6
+
+
+def test_pagerank_maintain_stream_matches_batch(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        _symmetrize, pagerank, pagerank_maintain_stream,
+    )
+
+    # hub + leaf pairs arriving in 3 micro-batches: the maintained
+    # final epoch must equal batch pagerank over the symmetrized
+    # union, and every epoch's totality/mass invariants must hold
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6), (2, 6)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_maintain_stream(spark, df, n_slices=3).collect()
+    }
+    batch = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(_symmetrize(df)).collect()
+    }
+    assert got == batch
+    assert got[1] > got[3]  # the hub outranks a degree-2 node

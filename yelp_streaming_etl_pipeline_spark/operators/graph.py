@@ -194,15 +194,15 @@ def pagerank(
     return out
 
 
-def bipartite_edges(
+def bipartite_pairs(
     orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
-    """Customer–supplier interaction graph from the fact tables:
-    distinct (o_custkey, l_suppkey) pairs via the orderkey join,
-    node-encoded ``customer = 2k`` / ``supplier = 2k+1`` and
-    symmetrized, so the random walk alternates sides and every node
-    has out-degree ≥ 1."""
-    pairs = (
+    """Undirected customer–supplier interaction pair list: distinct
+    (o_custkey, l_suppkey) via the orderkey join, node-encoded
+    ``customer = 2k`` / ``supplier = 2k+1``. One (a, b) row per pair
+    — symmetrization is the caller's step (bipartite_edges for batch,
+    per-epoch inside pagerank_maintain_stream)."""
+    return (
         orders.join(
             lineitem,
             orders["o_orderkey"] == lineitem["l_orderkey"],
@@ -213,11 +213,25 @@ def bipartite_edges(
         )
         .distinct()
     )
+
+
+def _symmetrize(pairs: DataFrame) -> DataFrame:
     return pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+
+
+def bipartite_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Customer–supplier interaction graph from the fact tables:
+    distinct (o_custkey, l_suppkey) pairs via the orderkey join,
+    node-encoded ``customer = 2k`` / ``supplier = 2k+1`` and
+    symmetrized, so the random walk alternates sides and every node
+    has out-degree ≥ 1."""
+    return _symmetrize(bipartite_pairs(orders, lineitem))
 
 
 def bipartite_weighted_edges(
@@ -937,3 +951,80 @@ def lpa_maintain_stream(
         return labels
 
     return _edge_stream_fold(spark, edges, per_epoch, n_slices)
+
+
+def pagerank_maintain_stream(
+    spark,
+    pairs: DataFrame,
+    iters: int = PR_ITERS,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming PageRank MAINTENANCE over an undirected interaction
+    pair stream (one ``(a, b)`` row per pair; symmetrized per epoch
+    so every accumulated node always has out-degree >= 1 — slicing
+    the symmetrized list instead could strand a node as dst-only
+    mid-stream and silently drop its incoming mass).
+
+    Each epoch folds the new pairs into accumulated state and re-runs
+    the fixed-``iters`` PageRank. Like LPA (and unlike k-core) there
+    is no warm-start shortcut that stays batch-exact: the batch
+    contract is "``iters`` sweeps from the uniform seed", and a warm
+    start changes what those sweeps produce — per-epoch recompute is
+    the only strategy whose final epoch provably equals the batch
+    operator. The incremental part is the edge state (new pairs only
+    are staged per epoch, the accumulated table is checkpointed),
+    and the per-epoch cost carries pagerank's own disciplines:
+    pre-partitioned persisted edges, iteration-invariant node table,
+    linear plan growth.
+
+    Per-epoch invariants ASSERTED:
+    - totality: exactly one rank row per accumulated node;
+    - conservation: sum(rank_fp) <= PR_SCALE — integer flooring only
+      ever LOSES mass, so a larger total means double-counted nodes.
+
+    Final epoch equals batch ``pagerank`` over all pairs, so entries
+    share the batch unrolled-CTE oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"pairs": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        acc = (
+            b
+            if state["pairs"] is None
+            else state["pairs"].unionByName(b).localCheckpoint(eager=True)
+        )
+        state["pairs"] = acc
+        pr = pagerank(_symmetrize(acc), iters=iters)
+        n_nodes = (
+            acc.select(F.col("a").alias("n"))
+            .unionAll(acc.select(F.col("b").alias("n")))
+            .distinct()
+            .count()
+        )
+        n_ranked = pr.count()
+        if n_ranked != n_nodes:
+            raise AssertionError(
+                f"pagerank_maintain_stream: epoch {epoch_id} ranked "
+                f"{n_ranked} of {n_nodes} accumulated nodes — the rank "
+                "table must stay total"
+            )
+        mass = pr.agg(F.sum("rank_fp").alias("m")).collect()[0]["m"]
+        if mass > PR_SCALE:
+            raise AssertionError(
+                f"pagerank_maintain_stream: epoch {epoch_id} total "
+                f"rank mass {mass} exceeds PR_SCALE {PR_SCALE} — "
+                "integer flooring can only lose mass"
+            )
+        state["result"] = pr
+
+    replay_fold(
+        spark,
+        pairs.select("a", "b"),
+        fold,
+        n_slices=n_slices,
+        order_cols=["a", "b"],
+        prefix="prm_",
+    )
+    return state["result"]
