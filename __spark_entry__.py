@@ -331,6 +331,23 @@ def q_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC near-dup maintenance (operators/dedup.py
+    cdc_maintain_stream): the spliced near-dup corpus arrives in three
+    ascending-id micro-batches; each doc is rolling-hash CHUNKED once
+    at arrival (append-only hash state, asserted), while the df-cap +
+    pair join re-derives per epoch because corpus-wide frequencies
+    move. Final pair set equals batch cdc_chunk_pairs, sharing its
+    oracle twin."""
+    spark = _ensure_conf(spark)
+    return DD.cdc_maintain_stream(
+        spark,
+        DD.with_insertion_shifted_dups(_doc_corpus_cpu(spark, sf_dir)),
+        "text",
+        "doc_id",
+    )
+
+
 def q_kmeans_maintenance_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3652,11 +3669,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 window (priority order, per VERDICT r5 directive #2 and
     the standing cycle plan):
-    (a) the 5 entries NEW this round (streaming k-means centroid
-    maintenance, content-defined-chunking near-dup pairs,
-    incremental SemDeDup maintenance, streaming quantile-sketch
-    maintenance, streaming PageRank maintenance) — never
-    driver-checked;
+    (a) the 6 entries NEW this round (streaming k-means centroid
+    maintenance, content-defined-chunking near-dup pairs + their
+    streaming maintenance, incremental SemDeDup maintenance,
+    streaming quantile-sketch maintenance, streaming PageRank
+    maintenance) — never driver-checked;
     (b) 3 entries whose code changed this round: ann_ivfpq_topk
     (RESULTS changed — ADC partials now dot subvectors of q itself,
     the standard FAISS IP-ADC form, oracle updated in step),
@@ -3666,11 +3683,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 6 r3-checked entries (trending_stream ..
-    frame_sample_plan).
-    5 + 3 + 36 + 6 = 50.
+    (d) the first 5 r3-checked entries (trending_stream ..
+    zorder_layout).
+    6 + 3 + 36 + 5 = 50.
 
-    CYCLE PLAN (185 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (186 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3678,7 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 185) and by pytest units added with the change.
+    over all 186) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3689,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "quantile_sketch_stream": q_quantile_sketch_stream,
         "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
+        "cdc_maintenance_stream": q_cdc_maintenance_stream,
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -3739,8 +3757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
         "zorder_layout": q_zorder_layout,
-        "frame_sample_plan": q_frame_sample_plan,
         # ---- position >= 50: round 7 takes from here, in order.
+        "frame_sample_plan": q_frame_sample_plan,
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
         "embedding_project": q_embedding_project,
@@ -5341,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_maintenance_stream": O.sql_semantic_dedup(),
         "quantile_sketch_stream": _sql_quantile_sketch(),
         "pagerank_maintenance_stream": O.sql_pagerank_bipartite(),
+        "cdc_maintenance_stream": _sql_cdc_chunk_pairs(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

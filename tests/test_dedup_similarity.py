@@ -763,3 +763,43 @@ def test_semantic_dedup_maintain_stream_equals_batch(spark):
     assert streamed == batch
     kept = {v: k for v, _, k in streamed}
     assert kept[0] and not kept[500] and not kept[501]
+
+
+def test_cdc_maintain_stream_equals_batch_with_retraction(spark):
+    """Streaming CDC maintenance must equal batch cdc_chunk_pairs —
+    including the df-cap retraction case: a chunk that is under the
+    cap in an early epoch but crosses it once later docs arrive must
+    justify NO pair in the final output (per-epoch re-derivation,
+    not append-only pair state)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fotra",
+             "golfy", "hotel", "indix", "julep"]
+
+    def doc(seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(300))
+
+    shared = doc("shared-template")
+    # docs 1,2 share the template (pair candidate in epoch 1); docs
+    # 3..8 also carry it, pushing every template chunk's df over the
+    # cap (max_df=4) by the final epoch
+    rows = [(i, shared + " tail " + doc(i)) for i in range(1, 9)]
+    # plus one genuine near-dup pair with ids in different batches
+    base = doc("genuine")
+    rows += [(10, base), (20, base[:800] + " splice " + base[800:])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r["doc_a"], r["doc_b"], r["shared_chunks"], r["jaccard"])
+        for r in DD.cdc_chunk_pairs(df, "text", "doc_id", max_df=4).collect()
+    }
+    streamed = {
+        (r["doc_a"], r["doc_b"], r["shared_chunks"], r["jaccard"])
+        for r in DD.cdc_maintain_stream(
+            spark, df, "text", "doc_id", max_df=4
+        ).collect()
+    }
+    assert streamed == batch
+    pair_ids = {(a, b) for a, b, _, _ in streamed}
+    assert (10, 20) in pair_ids  # the genuine cross-batch pair survives

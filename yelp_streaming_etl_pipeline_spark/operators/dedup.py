@@ -848,6 +848,19 @@ def cdc_chunk_pairs(
         .select("doc_id", F.md5("chunk").alias("chunk_hash"))
         .distinct()
     )
+    return _pairs_from_chunk_sets(sets, max_df, min_shared)
+
+
+def _pairs_from_chunk_sets(
+    sets: DataFrame,
+    max_df: int = CDC_MAX_DF,
+    min_shared: int = CDC_MIN_SHARED,
+) -> DataFrame:
+    """df-cap + pair join + jaccard over a distinct (doc_id,
+    chunk_hash) set table — the corpus-frequency-dependent tail of
+    cdc_chunk_pairs, shared with the streaming maintenance (which
+    must re-derive it per epoch: both the cap and the capped per-doc
+    set sizes move with corpus-wide document frequencies)."""
     dfc = sets.groupBy("chunk_hash").agg(F.count("*").alias("_df"))
     kept = sets.join(
         dfc.filter(F.col("_df") <= max_df).select("chunk_hash"),
@@ -887,6 +900,79 @@ def cdc_chunk_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def cdc_maintain_stream(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = CDC_MIN_CHUNK,
+    max_df: int = CDC_MAX_DF,
+    min_shared: int = CDC_MIN_SHARED,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming CDC near-dup MAINTENANCE: documents arrive in
+    micro-batches; each doc is CHUNKED exactly once, at arrival —
+    the O(len) rolling-hash boundary scan is the dominant cost and
+    never re-runs (state is the compact distinct (doc_id, chunk_hash)
+    table, appended per epoch).
+
+    The pair derivation, unlike MinHash-LSH maintenance, is NOT
+    append-only: both the document-frequency cap and the capped
+    per-doc set sizes (the jaccard denominator) move with CORPUS-WIDE
+    frequencies — a chunk under the cap can cross it as the corpus
+    grows, retracting every pair it alone justified. So each epoch
+    re-derives the pair set from the accumulated hash table
+    (_pairs_from_chunk_sets — cheap keyed joins over hashes, no text),
+    the same bounded per-epoch-recompute discipline as k-core/LPA
+    maintenance, with the expensive text scan incremental.
+
+    Per-epoch invariant asserted: chunk-set state is append-only per
+    doc — a doc's hashes arrive in exactly one epoch.
+
+    Final epoch equals batch cdc_chunk_pairs over all docs, so the
+    entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"sets": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = (
+            cdc_chunks(batch_df, text_col, id_col, min_len)
+            .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if state["sets"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["sets"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"cdc_maintain_stream: epoch {epoch_id} re-chunked "
+                    f"{n_overlap} already-chunked doc(s) — chunk state "
+                    "must be append-only per doc"
+                )
+            acc = state["sets"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["sets"] = acc
+        state["result"] = _pairs_from_chunk_sets(acc, max_df, min_shared)
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="cdc_",
+    )
+    return state["result"]
 
 
 def duplicated_passages(
