@@ -1892,6 +1892,22 @@ def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with forward fill (operators/
+    timeseries.py resample_ffill): slots floored on epoch integers,
+    last-observation-wins per slot totally ordered by (ts, event_id),
+    per-key grid spans, gaps filled by last(ignorenulls) — the
+    regular-grid gap-fill staple between raw events and
+    fixed-interval features."""
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    return resample_ffill(read_events(_ensure_conf(spark), sf_dir)).select(
+        F.col("key").alias("user_id"), "slot", "value", "n_obs", "is_gap"
+    )
+
+
 def q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical outlier detection: events > 3 sigma from their
     type's mean, with engine-exact moments (integer sums of the
@@ -3669,11 +3685,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 window (priority order, per VERDICT r5 directive #2 and
     the standing cycle plan):
-    (a) the 6 entries NEW this round (streaming k-means centroid
+    (a) the 7 entries NEW this round (streaming k-means centroid
     maintenance, content-defined-chunking near-dup pairs + their
     streaming maintenance, incremental SemDeDup maintenance,
     streaming quantile-sketch maintenance, streaming PageRank
-    maintenance) — never driver-checked;
+    maintenance, per-key resample + forward fill) — never
+    driver-checked;
     (b) 3 entries whose code changed this round: ann_ivfpq_topk
     (RESULTS changed — ADC partials now dot subvectors of q itself,
     the standard FAISS IP-ADC form, oracle updated in step),
@@ -3683,11 +3700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 5 r3-checked entries (trending_stream ..
-    zorder_layout).
-    6 + 3 + 36 + 5 = 50.
+    (d) the first 4 r3-checked entries (trending_stream ..
+    pii_redact).
+    7 + 3 + 36 + 4 = 50.
 
-    CYCLE PLAN (186 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (187 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3695,7 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 186) and by pytest units added with the change.
+    over all 187) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3707,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_stream": q_quantile_sketch_stream,
         "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
+        "events_resample_ffill": q_events_resample_ffill,
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -3756,8 +3774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_roundtrip_formats": q_io_roundtrip_formats,
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
-        "zorder_layout": q_zorder_layout,
         # ---- position >= 50: round 7 takes from here, in order.
+        "zorder_layout": q_zorder_layout,
         "frame_sample_plan": q_frame_sample_plan,
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
@@ -4054,6 +4072,48 @@ FROM ch
 WHERE len(chunk) >= 16
 GROUP BY 1
 HAVING count(*) >= 2"""
+
+
+def _sql_events_resample_ffill(every_minutes: int = 60) -> str:
+    """Twin of resample_ffill over events: identical epoch-integer
+    slot floor (non-negative, so // == div), identical total order
+    for last-observation-wins, per-key generate_series grid,
+    last_value IGNORE NULLS forward fill."""
+    step = every_minutes * 60 * 1_000_000
+    return f"""
+WITH obs AS (
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // {step}) * {step}) AS slot,
+         ts, event_id, value
+  FROM events
+),
+per_slot AS (
+  SELECT user_id, slot, value AS v_last, n_obs FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, slot
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, slot) AS n_obs
+    FROM obs
+  ) WHERE rn = 1
+),
+spans AS (
+  SELECT user_id, min(slot) AS lo, max(slot) AS hi
+  FROM per_slot GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi,
+                                INTERVAL {every_minutes} MINUTE)) AS slot
+  FROM spans
+)
+SELECT g.user_id, g.slot,
+       last_value(p.v_last IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CAST(coalesce(p.n_obs, 0) AS BIGINT) AS n_obs,
+       (p.slot IS NULL) AS is_gap
+FROM grid g LEFT JOIN per_slot p
+  ON p.user_id = g.user_id AND p.slot = g.slot"""
 
 
 def _sql_cdc_chunk_pairs() -> str:
@@ -5360,6 +5420,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_stream": _sql_quantile_sketch(),
         "pagerank_maintenance_stream": O.sql_pagerank_bipartite(),
         "cdc_maintenance_stream": _sql_cdc_chunk_pairs(),
+        "events_resample_ffill": _sql_events_resample_ffill(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

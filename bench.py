@@ -118,6 +118,7 @@ HEADLINE = [
     "cms_join_size",
     "event_zscores",
     "user_value_ewma",
+    "events_resample_ffill",
     "frame_sample_plan",
     "hll_by_type",
     "personalized_pagerank",

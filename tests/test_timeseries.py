@@ -183,3 +183,35 @@ def test_ewma_guard_raises_on_hot_key(spark):
         ewma_by_key(df, max_events_per_key=50).collect()
     # under the bound: passes
     assert ewma_by_key(df, max_events_per_key=100).count() == 1
+
+
+def test_resample_ffill_gaps_and_per_key_spans(spark):
+    """Gap rows carry the last observed value and are flagged; each
+    key's grid spans only its own [min, max] slot; within a slot the
+    last observation (by ts, then event_id) wins."""
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    rows = [
+        # user 1: obs at 00 and 03 -> gaps at 01, 02 carrying 1.0;
+        # slot 00 has two observations, later ts wins
+        (1, "2024-01-01 00:10:00", 1, 99.0),
+        (2, "2024-01-01 00:50:00", 1, 1.0),
+        (3, "2024-01-01 03:30:00", 1, 4.0),
+        # user 2: single observation -> one row, no gaps
+        (4, "2024-01-01 10:00:00", 2, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["key"], str(r["slot"])): (r["value"], r["n_obs"], r["is_gap"])
+        for r in resample_ffill(df).collect()
+    }
+    assert len(out) == 5  # user 1: 4 slots; user 2: 1 slot
+    assert out[(1, "2024-01-01 00:00:00")] == (1.0, 2, False)
+    assert out[(1, "2024-01-01 01:00:00")] == (1.0, 0, True)
+    assert out[(1, "2024-01-01 02:00:00")] == (1.0, 0, True)
+    assert out[(1, "2024-01-01 03:00:00")] == (4.0, 1, False)
+    assert out[(2, "2024-01-01 10:00:00")] == (7.0, 1, False)

@@ -295,3 +295,85 @@ def ewma_by_key_segmented(
             ).alias("ewma"),
         )
     )
+
+
+RESAMPLE_MINUTES = 60
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    every_minutes: int = RESAMPLE_MINUTES,
+) -> DataFrame:
+    """Per-key fixed-interval resampling with forward fill — the
+    gap-fill staple every metrics/feature pipeline needs between raw
+    events and models that assume a regular grid.
+
+    Semantics (all deterministic, no float arithmetic introduced):
+    - slot = ts floored to the interval (pure map, epoch integer
+      division on non-negative micros — Spark div == DuckDB //);
+    - per (key, slot) the LAST observation wins, totally ordered by
+      (ts, tiebreak) so both engines pick the same row;
+    - the grid spans each key's OWN [min_slot, max_slot] (a sparse
+      key never drags a global range; grid rows come from exploding
+      one sequence per key — |keys| input rows, not |events|);
+    - gaps take the previous slot's value via last(ignorenulls) over
+      (key, slot) — the same keyed shuffle the grid join just used,
+      so the window adds no new exchange; leading gaps cannot exist
+      (the grid starts at an observed slot).
+
+    Returns (key, slot, value, n_obs, is_gap) — n_obs = observations
+    folded into the slot, is_gap marks synthesized rows.
+
+    Scale shape: one keyed shuffle for the slot aggregate, one for
+    the per-key span, then grid join + window reuse the key
+    partitioning. State per key is its slot count, not its event
+    count."""
+    step_us = every_minutes * 60 * 1_000_000
+    slot = F.expr(
+        f"timestamp_micros((unix_micros({ts_col}) div {step_us})"
+        f" * {step_us})"
+    )
+    per_slot = (
+        df.select(
+            F.col(key_col).alias("key"),
+            slot.alias("slot"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("key", "slot")
+        .agg(
+            F.max_by(
+                F.col("_v"), F.struct(F.col("_ts"), F.col("_tb"))
+            ).alias("v_last"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    spans = per_slot.groupBy("key").agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.expr(f"sequence(lo, hi, interval {every_minutes} minutes)")
+        ).alias("slot"),
+    )
+    w = Window.partitionBy("key").orderBy("slot").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(per_slot, ["key", "slot"], "left")
+        .select(
+            "key",
+            "slot",
+            F.last("v_last", ignorenulls=True).over(w).alias("value"),
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias(
+                "n_obs"
+            ),
+            F.col("n_obs").isNull().alias("is_gap"),
+        )
+    )
