@@ -1115,6 +1115,20 @@ def q_pq_codebooks_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_kmeans_codebooks(emb)
 
 
+def q_payload_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob chunk manifest (operators/multimodal.py
+    payload_chunk_manifest): fixed-size segments + per-segment
+    sha256-of-hex over the synthetic media corpus (chunk_bytes=96 so
+    every payload splits into 2-4 segments with ragged tails). The
+    storage layout multi-GB payloads need for parallel fetch/verify;
+    payload bytes never survive past the map side."""
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    return MM.payload_chunk_manifest(
+        MM.synthetic_media(_ensure_conf(spark), 256), chunk_bytes=96
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthetic binary payloads ->
     Arrow-batched mapInPandas extract -> (content hash, first feature).
@@ -3700,11 +3714,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 4 r3-checked entries (trending_stream ..
-    pii_redact).
-    7 + 3 + 36 + 4 = 50.
+    (d) the first 3 r3-checked entries (trending_stream ..
+    pii_profile).
+    8 + 3 + 36 + 3 = 50.
 
-    CYCLE PLAN (187 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (188 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3712,7 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 187) and by pytest units added with the change.
+    over all 188) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3725,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
         "events_resample_ffill": q_events_resample_ffill,
+        "payload_chunk_manifest": q_payload_chunk_manifest,
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -3773,8 +3788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_stream": q_trending_stream,
         "io_roundtrip_formats": q_io_roundtrip_formats,
         "pii_profile": q_pii_profile,
-        "pii_redact": q_pii_redact,
         # ---- position >= 50: round 7 takes from here, in order.
+        "pii_redact": q_pii_redact,
         "zorder_layout": q_zorder_layout,
         "frame_sample_plan": q_frame_sample_plan,
         "hll_set_ops": q_hll_set_ops,
@@ -4072,6 +4087,41 @@ FROM ch
 WHERE len(chunk) >= 16
 GROUP BY 1
 HAVING count(*) >= 2"""
+
+
+def _sql_payload_chunk_manifest(n: int = 256, cb: int = 96) -> str:
+    """Twin of payload_chunk_manifest over the synthetic media
+    arithmetic (payload = sha256 digest repeated 4 + i%7 times).
+    DuckDB lacks BLOB substring, so the twin slices the LOWERCASE-HEX
+    encoding at 2 chars/byte — byte offsets align exactly with
+    Spark's native binary slicing."""
+    hc = 2 * cb
+    return f"""
+WITH m AS (
+  SELECT i AS media_id,
+         repeat(unhex(sha256('media-' || CAST(i AS VARCHAR))), 4 + i % 7)
+           AS payload
+  FROM generate_series(0, {n - 1}) t(i)
+),
+hx AS (
+  SELECT media_id, lower(hex(payload)) AS hp,
+         octet_length(payload) AS len
+  FROM m
+),
+idx AS (
+  SELECT media_id, hp,
+         unnest(generate_series(
+           0, CAST(ceil(len / {cb}.0) AS BIGINT) - 1)) AS ci
+  FROM hx
+)
+SELECT media_id,
+       CAST(ci AS INTEGER) AS chunk_idx,
+       CAST(ci * {cb} AS BIGINT) AS offset,
+       CAST(length(substring(hp, CAST(ci * {hc} + 1 AS BIGINT), {hc})) / 2
+            AS BIGINT) AS nbytes,
+       sha256(substring(hp, CAST(ci * {hc} + 1 AS BIGINT), {hc}))
+         AS chunk_sha
+FROM idx"""
 
 
 def _sql_events_resample_ffill(every_minutes: int = 60) -> str:
@@ -5421,6 +5471,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_maintenance_stream": O.sql_pagerank_bipartite(),
         "cdc_maintenance_stream": _sql_cdc_chunk_pairs(),
         "events_resample_ffill": _sql_events_resample_ffill(),
+        "payload_chunk_manifest": _sql_payload_chunk_manifest(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

@@ -165,6 +165,7 @@ HEADLINE = [
     "histogram_median",
     "media_features",
     "media_dims_audit",
+    "payload_chunk_manifest",
     "text_features",
     "review_stats_overall",
     "acceptance_summary",

@@ -229,3 +229,36 @@ def test_wav_malformed_riff_lands_in_null_bucket(spark):
         assert got[i]["parsed_sample_rate"] is None, i
         assert got[i]["parsed_channels"] is None, i
         assert got[i]["parsed_duration_ms"] is None, i
+
+
+def test_payload_chunk_manifest_tiles_and_audits(spark):
+    """Segments must tile every payload exactly (ragged tail allowed):
+    offsets contiguous from 0, nbytes summing to the payload length,
+    chunk hashes matching a direct recompute; the audit flags every
+    row layout_ok."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 16)
+    man = MM.payload_chunk_manifest(media, chunk_bytes=48)
+    rows = man.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for i, segs in by_media.items():
+        segs.sort(key=lambda r: r["chunk_idx"])
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        assert segs[0]["offset"] == 0
+        off = 0
+        for s in segs:
+            assert s["offset"] == off
+            piece = payload[off:off + s["nbytes"]]
+            assert s["chunk_sha"] == hashlib.sha256(
+                piece.hex().encode()
+            ).hexdigest()
+            off += s["nbytes"]
+        assert off == len(payload)
+    audit = MM.payload_chunk_audit(man, media).collect()
+    assert len(audit) == 16
+    assert all(r["layout_ok"] for r in audit)

@@ -459,3 +459,78 @@ def audio_meta_audit(media: DataFrame) -> DataFrame:
             one(~parsed).alias("n_unparseable"),
         )
     )
+
+
+CHUNK_BYTES = 64 * 1024  # production default: 64 KiB blob segments
+
+
+def payload_chunk_manifest(
+    media: DataFrame, chunk_bytes: int = CHUNK_BYTES
+) -> DataFrame:
+    """Blob chunk layout for large payloads — the storage shape
+    multi-GB image/video blobs need at 100 TB: fixed-size segments a
+    reader can fetch/verify in parallel (and a writer can upload as a
+    multipart object), with a manifest row per segment.
+
+    Returns (media_id, chunk_idx, offset, nbytes, chunk_sha):
+    0-based byte offset, ragged tail allowed, chunk_sha =
+    sha256(lowercase-hex(segment)) — the same hex-normalized hashing
+    convention as content_sha, so any engine with a string sha256
+    verifies a segment.
+
+    Scale shape: pure map + posexplode — the payload bytes never
+    survive past the map side (only per-chunk hashes + ints shuffle),
+    the same payload-free discipline as frame-sample planning. The
+    DuckDB twin slices the hex encoding (2 chars/byte) because DuckDB
+    lacks BLOB substring; Spark slices the binary natively — byte
+    offsets align exactly."""
+    p = F.col("payload")
+    cb = F.lit(chunk_bytes)
+    n_chunks = F.ceil(F.length(p) / cb.cast("double")).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    staged = media.select("media_id", p.alias("_p"), idxs.alias("_idxs"))
+    pm = F.col("_p")
+    seg = F.explode(F.col("_idxs")).alias("chunk_idx")
+    out = staged.select("media_id", pm.alias("_p"), seg)
+    chunk = pm.substr(
+        F.col("chunk_idx") * cb + 1, cb
+    )
+    return out.select(
+        "media_id",
+        "chunk_idx",
+        (F.col("chunk_idx").cast("long") * chunk_bytes).alias("offset"),
+        F.length(chunk).cast("long").alias("nbytes"),
+        F.sha2(F.lower(F.hex(chunk)), 256).alias("chunk_sha"),
+    )
+
+
+def payload_chunk_audit(
+    manifest: DataFrame, media: DataFrame
+) -> DataFrame:
+    """Layout integrity audit over the manifest alone + payload
+    lengths: per media, segments must tile the payload exactly —
+    first offset 0, contiguous (sum nbytes + count consistency with
+    ceil), total bytes equal to the payload length. Returns
+    (media_id, n_chunks, total_bytes, layout_ok)."""
+    agg = manifest.groupBy("media_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.min("offset").alias("_min_off"),
+        F.max(F.col("offset") + F.col("nbytes")).alias("_max_end"),
+    )
+    lens = media.select(
+        "media_id", F.length("payload").cast("long").alias("_len")
+    )
+    return (
+        agg.join(lens, "media_id")
+        .select(
+            "media_id",
+            "n_chunks",
+            "total_bytes",
+            (
+                (F.col("_min_off") == 0)
+                & (F.col("_max_end") == F.col("_len"))
+                & (F.col("total_bytes") == F.col("_len"))
+            ).alias("layout_ok"),
+        )
+    )
