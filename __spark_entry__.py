@@ -25,6 +25,7 @@ from yelp_streaming_etl_pipeline_spark.functions.rounding import (
     sql_exact_avg as XA,
     sql_exact_sum as XS,
     sql_exact_sum_over as XSO,
+    sql_quantize as SQZ,
     sql_stable_round as SR,
     stable_round as ROUND,
 )
@@ -1906,6 +1907,26 @@ def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided CUSUM drift alarms (operators/timeseries.py
+    cusum_changepoints): exact-integer Page recurrence over the
+    pinned (ts, event_id) order — persistent small shifts accumulate
+    to alarms that zscore's point detector misses."""
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(
+        read_events(_ensure_conf(spark), sf_dir)
+    ).select(
+        F.col("key").alias("user_id"),
+        "n_events",
+        "n_alarms",
+        "max_cusum_pos",
+        "max_cusum_neg",
+    )
+
+
 def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resampling with forward fill (operators/
     timeseries.py resample_ffill): slots floored on epoch integers,
@@ -3714,11 +3735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 3 r3-checked entries (trending_stream ..
-    pii_profile).
-    8 + 3 + 36 + 3 = 50.
+    (d) the first 2 r3-checked entries (trending_stream,
+    io_roundtrip_formats).
+    9 + 3 + 36 + 2 = 50.
 
-    CYCLE PLAN (188 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (189 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3726,7 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 188) and by pytest units added with the change.
+    over all 189) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3740,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
         "events_resample_ffill": q_events_resample_ffill,
         "payload_chunk_manifest": q_payload_chunk_manifest,
+        "cusum_changepoints": q_cusum_changepoints,
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -4087,6 +4109,62 @@ FROM ch
 WHERE len(chunk) >= 16
 GROUP BY 1
 HAVING count(*) >= 2"""
+
+
+def _sql_cusum_changepoints(slack_q: int = 500, h_q: int = 5000) -> str:
+    """Twin of cusum_changepoints: identical quantization, floor-div
+    mean, and integer fold. DuckDB's list_reduce seeds with the FIRST
+    element — whose state fields are zeros and whose value is never
+    applied — exactly the Spark side's declared fold-from-second
+    semantics.
+
+    FIELD-ORDER CONSTRAINT (verified against duckdb 1.0): from the
+    second lambda application on, list_reduce evaluates the result
+    struct's fields IN ORDER with the accumulator mutated in place —
+    a later field reading acc.cp sees the cp just written this step
+    (the first application snapshots, later ones do not). The struct
+    is therefore ordered so every field reads only acc fields not yet
+    written this step (al/mcp/mcn read pre-update cp/cn; cp/cn write
+    last) — an ordering that is ALSO correct under pure snapshot
+    semantics, so the twin does not depend on the quirk."""
+    q = "CAST(" + SQZ("value", 3) + " AS BIGINT)"
+    elem = (
+        "{'al': CAST(0 AS BIGINT), 'mcp': CAST(0 AS BIGINT), "
+        "'mcn': CAST(0 AS BIGINT), 'cp': CAST(0 AS BIGINT), "
+        "'cn': CAST(0 AS BIGINT), 'q': q}"
+    )
+    cp_raw = f"greatest(0, acc.cp + x.q - mu - {slack_q})"
+    cn_raw = f"greatest(0, acc.cn + (mu - x.q) - {slack_q})"
+    step = (
+        "{"
+        f"'al': acc.al + (CASE WHEN {cp_raw} >= {h_q} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {cn_raw} >= {h_q} THEN 1 ELSE 0 END), "
+        f"'mcp': greatest(acc.mcp, {cp_raw}), "
+        f"'mcn': greatest(acc.mcn, {cn_raw}), "
+        f"'cp': CASE WHEN {cp_raw} >= {h_q} THEN 0 ELSE {cp_raw} END, "
+        f"'cn': CASE WHEN {cn_raw} >= {h_q} THEN 0 ELSE {cn_raw} END, "
+        "'q': x.q}"
+    )
+    return f"""
+WITH qd AS (
+  SELECT user_id, ts, event_id, {q} AS q FROM events
+),
+g AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(q) AS BIGINT) // count(*) AS mu,
+         list({elem} ORDER BY ts, event_id) AS l
+  FROM qd GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n_events,
+         list_reduce(l, (acc, x) -> {step}) AS st
+  FROM g
+)
+SELECT user_id, n_events,
+       CAST(st.al AS BIGINT) AS n_alarms,
+       CAST(st.mcp AS BIGINT) AS max_cusum_pos,
+       CAST(st.mcn AS BIGINT) AS max_cusum_neg
+FROM f"""
 
 
 def _sql_payload_chunk_manifest(n: int = 256, cb: int = 96) -> str:
@@ -5472,6 +5550,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_maintenance_stream": _sql_cdc_chunk_pairs(),
         "events_resample_ffill": _sql_events_resample_ffill(),
         "payload_chunk_manifest": _sql_payload_chunk_manifest(),
+        "cusum_changepoints": _sql_cusum_changepoints(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

@@ -119,6 +119,7 @@ HEADLINE = [
     "event_zscores",
     "user_value_ewma",
     "events_resample_ffill",
+    "cusum_changepoints",
     "frame_sample_plan",
     "hll_by_type",
     "personalized_pagerank",

@@ -31,6 +31,7 @@ SF = "/root/testdata/sf0.1"
 REP_EVENTS = 10
 REP_DOCS = 10
 REP_EMB = 4
+REP_FACT = 10  # customer/orders consistent-key replication
 
 
 def replicate(spark, out: str) -> None:
@@ -64,8 +65,30 @@ def replicate(spark, out: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    # customer + orders replicated with CONSISTENTLY shifted keys so
+    # the per-customer aggregate (and the quartile rank input) truly
+    # grows 10x — custkey shift is mirrored on both sides of the join
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    n_c = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    creps = spark.range(REP_FACT).select(F.col("id").alias("_r"))
+    (
+        cust.crossJoin(creps)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("_r") * n_c)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/customer.parquet")
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_o = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    (
+        orders.crossJoin(creps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * n_o)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("_r") * n_c)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
         shutil.copy(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
 
 
@@ -84,6 +107,14 @@ PROBES = [
     ("ann_lsh_topk", "ann_lsh_topk", REP_EMB),
     ("embedding_project", "embedding_project", REP_EMB),
     ("kmeans_clusters", "kmeans_clusters", REP_EMB),
+    # round-6 additions: the quartile rewrite's whole point is
+    # surviving a rank-input blow-up without a single-partition sort;
+    # resample's grid/fill must track events linearly. cdc_chunk_pairs
+    # is deliberately NOT probed: exact-copy replication makes every
+    # replica a true duplicate of its original, so the PAIR COUNT is
+    # quadratic in the replication factor by SEMANTICS, not by plan.
+    ("customer_quartiles", "customer_quartiles", REP_FACT),
+    ("events_resample_ffill", "events_resample_ffill", REP_EVENTS),
 ]
 
 

@@ -215,3 +215,31 @@ def test_resample_ffill_gaps_and_per_key_spans(spark):
     assert out[(1, "2024-01-01 02:00:00")] == (1.0, 0, True)
     assert out[(1, "2024-01-01 03:00:00")] == (4.0, 1, False)
     assert out[(2, "2024-01-01 10:00:00")] == (7.0, 1, False)
+
+
+def test_cusum_detects_level_shift_zscore_misses(spark):
+    """CUSUM's reason to exist: a persistent +2-unit level shift (well
+    under any 3-sigma point threshold) accumulates to an alarm; a
+    stable series fires none. Integer fold, deterministic counts."""
+    from yelp_streaming_etl_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = []
+    # user 1: 20 obs at 10.0 then 20 obs at 12.0 (persistent shift)
+    for i in range(40):
+        v = 10.0 if i < 20 else 12.0
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, v))
+    # user 2: flat series
+    for i in range(40):
+        rows.append((100 + i, f"2024-01-01 00:{i:02d}:00", 2, 11.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["key"]: r for r in cusum_changepoints(df).collect()}
+    assert out[1]["n_alarms"] >= 1  # the shift accumulates to alarms
+    assert out[2]["n_alarms"] == 0
+    assert out[2]["max_cusum_pos"] == 0 and out[2]["max_cusum_neg"] == 0
+    # per-step drift above the mean is (12-11)*1000-500 = 500/step:
+    # alarms fire roughly every 10 shifted steps
+    assert out[1]["max_cusum_pos"] >= 4500

@@ -377,3 +377,106 @@ def resample_ffill(
             F.col("n_obs").isNull().alias("is_gap"),
         )
     )
+
+
+CUSUM_QS = 3         # 1e-3 value resolution, as zscore uses
+CUSUM_SLACK_Q = 500  # slack k = 0.5 value units, quantized
+CUSUM_H_Q = 5000     # alarm threshold h = 5.0 value units, quantized
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    slack_q: int = CUSUM_SLACK_Q,
+    h_q: int = CUSUM_H_Q,
+    max_events_per_key: int | None = None,
+) -> DataFrame:
+    """Page's two-sided CUSUM changepoint detector per key — the
+    sequential drift alarm zscore (a point detector) cannot give:
+    small persistent shifts accumulate until either side crosses
+    ``h_q``, which fires an alarm and resets that side (the standard
+    restart form).
+
+    Exact-integer end to end: values quantized at 1e-3, the key mean
+    is the floor integer division sum_q div n (non-negative inputs,
+    so Spark div == DuckDB //), and every fold step is integer
+    max/add — no float enters the recurrence, so alarm counts are
+    bit-deterministic across engines and partitionings.
+
+    Fold order pinned like ewma_by_key: per key sorted by
+    (ts, event_id). DECLARED SEED SEMANTICS: the first observation
+    initializes zero state and contributes no step (DuckDB's
+    list_reduce uses the first element as the seed; Spark mirrors by
+    folding from the second element with a zero-state seed —
+    identical step sequence on both engines).
+
+    Same bounded-key contract as ewma_by_key (the fold materializes
+    one key's events); use ``max_events_per_key`` to enforce.
+
+    Returns (key, n_events, n_alarms, max_cusum_pos, max_cusum_neg)
+    with the CUSUM maxima in quantized units (BIGINT)."""
+    t1, t2 = order_cols
+    q = quantize(F.col(value_col), CUSUM_QS)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(t1).alias("o1"),
+                F.col(t2).alias("o2"),
+                q.alias("q"),
+            )
+        )
+    )
+    grouped = df.groupBy(F.col(key_col).alias("key")).agg(
+        arr.alias("evs"),
+        F.count("*").alias("n_events"),
+        F.sum(q).alias("_sum_q"),
+    )
+    if max_events_per_key is not None:
+        grouped = grouped.filter(
+            F.assert_true(
+                F.col("n_events") <= F.lit(max_events_per_key)
+            ).isNull()
+        )
+    grouped = grouped.withColumn(
+        "_mu", F.expr("_sum_q div n_events")
+    )
+    vals = F.transform(F.col("evs"), lambda s: s.getField("q"))
+    zero = F.lit(0).cast("long")
+    seed = F.struct(
+        zero.alias("cp"),
+        zero.alias("cn"),
+        zero.alias("al"),
+        zero.alias("mcp"),
+        zero.alias("mcn"),
+    )
+    mu = F.col("_mu")
+    sk = F.lit(int(slack_q)).cast("long")
+    h = F.lit(int(h_q)).cast("long")
+
+    def step(acc, x):
+        cp_raw = F.greatest(zero, acc.getField("cp") + (x - mu - sk))
+        cn_raw = F.greatest(zero, acc.getField("cn") + (mu - x - sk))
+        alarm_p = (cp_raw >= h).cast("long")
+        alarm_n = (cn_raw >= h).cast("long")
+        return F.struct(
+            F.when(cp_raw >= h, zero).otherwise(cp_raw).alias("cp"),
+            F.when(cn_raw >= h, zero).otherwise(cn_raw).alias("cn"),
+            (acc.getField("al") + alarm_p + alarm_n).alias("al"),
+            F.greatest(acc.getField("mcp"), cp_raw).alias("mcp"),
+            F.greatest(acc.getField("mcn"), cn_raw).alias("mcn"),
+        )
+
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.lit(0), F.size(vals) - 1)),
+        seed,
+        step,
+    )
+    return grouped.select(
+        "key",
+        "n_events",
+        fold.getField("al").alias("n_alarms"),
+        fold.getField("mcp").alias("max_cusum_pos"),
+        fold.getField("mcn").alias("max_cusum_neg"),
+    )
