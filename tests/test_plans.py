@@ -655,3 +655,39 @@ def test_customer_quartiles_no_single_partition_exchange(spark):
     plan = A.physical_plan(df)
     assert "SinglePartition" not in plan, plan[:2000]
     assert "ntile" not in plan.lower(), plan[:2000]
+
+
+def test_resample_ffill_two_key_shuffles(spark):
+    # slot aggregate + span aggregate; the grid join and the forward-
+    # fill window must REUSE the key partitioning, not add exchanges
+    df = E.q_events_resample_ffill(spark, SF)
+    assert A.key_shuffle_exchanges(df) <= 2, A.physical_plan(df)[:2000]
+    assert "SinglePartition" not in A.physical_plan(df)
+
+
+def test_cusum_single_key_shuffle_no_udf(spark):
+    # one grouped collect per key; the integer fold is all Column
+    # algebra inside whole-stage codegen
+    df = E.q_cusum_changepoints(spark, SF)
+    assert A.key_shuffle_exchanges(df) == 1, A.physical_plan(df)[:2000]
+    assert not A.has_python_udf(df)
+
+
+def test_payload_chunk_manifest_pure_map(spark):
+    # chunking + hashing is a map + posexplode: ZERO exchanges — the
+    # payload bytes never shuffle
+    df = E.q_payload_chunk_manifest(spark, SF)
+    plan = A.physical_plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert not A.has_python_udf(df)
+
+
+def test_cdc_chunk_pairs_keyed_joins_only(spark):
+    # chunk sets materialized once; tail is keyed equi-joins — no
+    # cartesian, no python, and the shuffle count stays small (cap
+    # join + pair join + sizes), not one per consumer of the scan
+    df = E.q_cdc_chunk_pairs(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+    assert A.key_shuffle_exchanges(df) <= 5, plan[:3000]

@@ -843,10 +843,15 @@ def cdc_chunk_pairs(
     Returns (doc_a, doc_b, shared_chunks, jaccard) for pairs sharing
     at least ``min_shared`` capped chunks; jaccard is over the capped
     chunk sets."""
+    # materialize the chunk sets ONCE: the tail references them from
+    # four consumers (df-cap aggregate, both self-join sides via kept,
+    # per-doc sizes) and the per-position rolling-hash chunk scan is
+    # by far the dominant cost — without this it re-runs per consumer
     sets = (
         cdc_chunks(df, text_col, id_col, min_len)
         .select("doc_id", F.md5("chunk").alias("chunk_hash"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return _pairs_from_chunk_sets(sets, max_df, min_shared)
 
@@ -862,10 +867,12 @@ def _pairs_from_chunk_sets(
     must re-derive it per epoch: both the cap and the capped per-doc
     set sizes move with corpus-wide document frequencies)."""
     dfc = sets.groupBy("chunk_hash").agg(F.count("*").alias("_df"))
+    # kept feeds three consumers (both pair-join sides + sizes);
+    # materialize so the cap join runs once, not per consumer
     kept = sets.join(
         dfc.filter(F.col("_df") <= max_df).select("chunk_hash"),
         "chunk_hash",
-    )
+    ).localCheckpoint(eager=True)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
     a = kept.select(
         F.col("chunk_hash"), F.col("doc_id").alias("doc_a")
