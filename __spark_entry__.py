@@ -195,6 +195,52 @@ def q_attributed_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def q_attributed_purchases_semi_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (streaming/joins.py
+    attribute_purchases_semi): purchases with ANY prior click within
+    30 min emit exactly once — completing the stream-join family
+    (inner, left outer, full outer, semi). One-file replay -> matches
+    emit in-batch; the oracle is the EXISTS form of the interval
+    join."""
+    import tempfile
+    import uuid
+
+    from yelp_streaming_etl_pipeline_spark.sources.events import (
+        read_events_stream,
+    )
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases_semi,
+    )
+
+    def side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        ev = read_events_stream(_ensure_conf(spark), sf_dir)
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id", *[F.col(src).alias(dst) for src, dst in cols.items()]
+        )
+
+    clicks = side("click", {"ts": "click_ts", "event_id": "click_id"})
+    purchases = side(
+        "purchase",
+        {"ts": "purchase_ts", "event_id": "purchase_id", "value": "amount"},
+    )
+    name = "attributed_semi_" + uuid.uuid4().hex[:8]
+    q = (
+        attribute_purchases_semi(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_attrs_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_topic_roundtrip_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 producer + S5 consumer EXECUTED end to end: the synthetic
     review table is streamed into the file-backed topic shim (keyed by
@@ -3735,11 +3781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first 2 r3-checked entries (trending_stream,
-    io_roundtrip_formats).
-    9 + 3 + 36 + 2 = 50.
+    (d) the first r3-checked entry (trending_stream).
+    10 + 3 + 36 + 1 = 50.
 
-    CYCLE PLAN (189 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (190 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3747,7 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 189) and by pytest units added with the change.
+    over all 190) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3762,6 +3807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample_ffill": q_events_resample_ffill,
         "payload_chunk_manifest": q_payload_chunk_manifest,
         "cusum_changepoints": q_cusum_changepoints,
+        "attributed_purchases_semi_stream": (
+            q_attributed_purchases_semi_stream
+        ),
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -4430,6 +4478,21 @@ FROM events p JOIN events c
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND epoch_us(c.ts) <= epoch_us(p.ts)
  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000"""
+
+
+def _sql_attributed_purchases_semi_stream() -> str:
+    """One-batch left-semi stream-stream join == EXISTS over the
+    inclusive 30-minute attribution interval."""
+    return """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS amount
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      AND epoch_us(c.ts) <= epoch_us(p.ts)
+      AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000)"""
 
 
 def _sql_attributed_purchases_outer_stream() -> str:
@@ -5551,6 +5614,9 @@ def oracle_sql() -> dict[str, str]:
         "events_resample_ffill": _sql_events_resample_ffill(),
         "payload_chunk_manifest": _sql_payload_chunk_manifest(),
         "cusum_changepoints": _sql_cusum_changepoints(),
+        "attributed_purchases_semi_stream": (
+            _sql_attributed_purchases_semi_stream()
+        ),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

@@ -834,3 +834,46 @@ def test_native_session_window_gap_boundary(spark, tmp_path):
     # event chained); the 23:00 session is still open at the final
     # watermark and unemitted
     assert got == [("2024-01-01 10:00:00", 4)]
+
+
+def test_stream_stream_semi_join_emits_once(spark, tmp_path):
+    """LEFT SEMI attribution: a purchase with TWO matching clicks
+    emits exactly one row (no per-click fan-out); an unmatched
+    purchase emits nothing."""
+    from yelp_streaming_etl_pipeline_spark.streaming.joins import (
+        attribute_purchases_semi,
+    )
+
+    t0 = datetime(2026, 8, 1, 0, 0, 0)
+    clicks = [
+        ("u1", t0, "c1"),
+        ("u1", t0 + timedelta(minutes=25), "c2"),
+        ("u2", t0 + timedelta(minutes=5), "c4"),
+    ]
+    purchases = [
+        ("u1", t0 + timedelta(minutes=28), "p1", 10.0),  # c1+c2 match
+        ("u2", t0 + timedelta(minutes=50), "p2", 5.0),   # 45min: none
+    ]
+    cs = "user_id string, click_ts timestamp, click_id string"
+    ps = "user_id string, purchase_ts timestamp, purchase_id string, amount double"
+    spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(
+        str(tmp_path / "clicks")
+    )
+    spark.createDataFrame(purchases, ps).coalesce(1).write.parquet(
+        str(tmp_path / "purchases")
+    )
+    out = attribute_purchases_semi(
+        spark.readStream.schema(cs).parquet(str(tmp_path / "clicks")),
+        spark.readStream.schema(ps).parquet(str(tmp_path / "purchases")),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_semi_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr_semi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM attr_semi_out").collect()
+    assert [(r["purchase_id"], r["amount"]) for r in rows] == [("p1", 10.0)]

@@ -51,6 +51,39 @@ def attribute_purchases(
     )
 
 
+def attribute_purchases_semi(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = JOIN_WATERMARK,
+) -> DataFrame:
+    """LEFT SEMI variant: each purchase that has ANY prior click in
+    the window emits exactly once — match-existence filtering without
+    the per-click fan-out of the inner join (the shape attribution
+    GATES use, where downstream only needs "was attributed", not the
+    click list). Same state story as the inner join: both sides keep
+    watermark-bounded interval state; a purchase emits in the batch
+    its first matching click is visible."""
+    c = clicks.withWatermark("click_ts", watermark).alias("c")
+    p = purchases.withWatermark("purchase_ts", watermark).alias("p")
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            c.click_ts <= p.purchase_ts AND
+            c.click_ts >= p.purchase_ts - INTERVAL {window}
+            """
+        ),
+        "left_semi",
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.purchase_id").alias("purchase_id"),
+        F.col("p.purchase_ts").alias("purchase_ts"),
+        F.col("p.amount").alias("amount"),
+    )
+
+
 def attribute_purchases_outer(
     clicks: DataFrame,
     purchases: DataFrame,
