@@ -767,7 +767,8 @@ def with_insertion_shifted_dups(
     tokens, winnowing k-grams) sees all post-insertion positions
     shifted; content-defined chunk boundaries re-synchronize right
     after the edit, so only the chunk containing the splice changes.
-    Mirrored in _sql_cdc_corpus (__spark_entry__.py)."""
+    Mirrored in the corpus CTE of _sql_cdc_chunk_pairs
+    (__spark_entry__.py)."""
     t = F.col(text_col)
     spliced = F.concat(
         t.substr(F.lit(1), F.lit(200)),
