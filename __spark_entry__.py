@@ -1989,6 +1989,36 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column stats over lineitem (operators/
+    integrity.py table_stats_profile): row/null counts, NATIVE
+    min/max canonicalized post-aggregation, HLL ndv per column —
+    two passes total (one partial-combinable aggregate + one melted
+    grouped sketch), regardless of column count."""
+    from yelp_streaming_etl_pipeline_spark.operators.integrity import (
+        table_stats_profile,
+    )
+
+    def as_str(c):
+        return c.cast("string")
+
+    def dec2(c):
+        return ROUND(c, 2).cast("decimal(18,2)").cast("string")
+
+    def ts(c):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+    li = _t(spark, sf_dir, "lineitem")
+    specs = [
+        ("l_orderkey", F.col("l_orderkey"), as_str),
+        ("l_suppkey", F.col("l_suppkey"), as_str),
+        ("l_returnflag", F.col("l_returnflag"), as_str),
+        ("l_shipdate", F.col("l_shipdate"), ts),
+        ("l_quantity", F.col("l_quantity"), dec2),
+    ]
+    return table_stats_profile(li, specs)
+
+
 def q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical outlier detection: events > 3 sigma from their
     type's mean, with engine-exact moments (integer sums of the
@@ -3766,11 +3796,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 window (priority order, per VERDICT r5 directive #2 and
     the standing cycle plan):
-    (a) the 7 entries NEW this round (streaming k-means centroid
+    (a) the 11 entries NEW this round (streaming k-means centroid
     maintenance, content-defined-chunking near-dup pairs + their
     streaming maintenance, incremental SemDeDup maintenance,
     streaming quantile-sketch maintenance, streaming PageRank
-    maintenance, per-key resample + forward fill) — never
+    maintenance, per-key resample + forward fill, blob chunk
+    manifest, per-key CUSUM changepoints, stream-stream left-semi
+    interval join, ANALYZE-style table-stats profiler) — never
     driver-checked;
     (b) 3 entries whose code changed this round: ann_ivfpq_topk
     (RESULTS changed — ADC partials now dot subvectors of q itself,
@@ -3781,10 +3813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c) the 36 remaining r2-checked entries, oldest stamps in the
     ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
     except customer_quartiles, which sits in (b));
-    (d) the first r3-checked entry (trending_stream).
-    10 + 3 + 36 + 1 = 50.
+    11 + 3 + 36 = 50 (the r2 block keeps every slot not taken by
+    never-checked or changed entries).
 
-    CYCLE PLAN (190 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (191 entries, 50-entry window): past position 50 the
     order is round 7's queue — the remaining r3-checked block first,
     then the r4-checked block, then the r5-checked block (freshest).
     Entries whose code changed this round without changing results
@@ -3792,7 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared cdc_chunks helper; mmr_topk releases its candidate cache)
     stay in their staleness slots: each is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 190) and by pytest units added with the change.
+    over all 191) and by pytest units added with the change.
     """
     return {
         # (a) NEVER driver-checked: new this round
@@ -3810,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributed_purchases_semi_stream": (
             q_attributed_purchases_semi_stream
         ),
+        "table_stats_profile": q_table_stats_profile,
         # (b) changed this round: ADC partials now dot q itself
         # (results changed); quartiles plan rewritten (two-pass rank,
         # results identical); WAV parse guards hardened
@@ -4157,6 +4190,83 @@ FROM ch
 WHERE len(chunk) >= 16
 GROUP BY 1
 HAVING count(*) >= 2"""
+
+
+def _sql_table_stats_profile() -> str:
+    """Twin of q_table_stats_profile: per-column scalar aggregates
+    (UNION ALL) + the grouped-HLL ndv over melted canonical strings,
+    reusing oracles' register/rho/estimate machinery verbatim."""
+    from yelp_streaming_etl_pipeline_spark.operators.sketches import (
+        HLL_BUCKETS, _linear_counting_lut,
+    )
+
+    m = HLL_BUCKETS
+    scale = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    raw = (
+        f"(CAST({scale!r} AS DOUBLE) / "
+        f"(sum(pow(2.0, -max_rho)) + ({m} - count(*))))"
+    )
+    v = f"CAST({m} - count(*) AS INTEGER)"
+    lut = "[" + ", ".join(f"{x!r}" for x in _linear_counting_lut()) + "]"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN ({lut})[{v}] ELSE {raw} END"
+    )
+    canon = {
+        "l_orderkey": "CAST(l_orderkey AS VARCHAR)",
+        "l_suppkey": "CAST(l_suppkey AS VARCHAR)",
+        "l_returnflag": "CAST(l_returnflag AS VARCHAR)",
+        "l_shipdate": "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')",
+        "l_quantity": (
+            f"CAST(CAST({SR('l_quantity', 2)} AS DECIMAL(18,2)) AS VARCHAR)"
+        ),
+    }
+
+    def canon_of(name: str, expr: str) -> str:
+        return canon[name].replace(name, expr) if name != "l_returnflag" \
+            else f"CAST({expr} AS VARCHAR)"
+
+    base_parts = []
+    val_parts = []
+    for name, c in canon.items():
+        mn = canon_of(name, f"min({name})")
+        mx = canon_of(name, f"max({name})")
+        base_parts.append(
+            f"SELECT '{name}' AS col_name, count(*) AS n_rows,\n"
+            f"  CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_nulls,\n"
+            f"  {mn} AS min_val, {mx} AS max_val FROM lineitem"
+        )
+        val_parts.append(
+            f"SELECT '{name}' AS g, {c} AS v FROM lineitem"
+        )
+    base_sql = "\n  UNION ALL ".join(base_parts)
+    vals_sql = "\n  UNION ALL ".join(val_parts)
+    return f"""
+WITH base AS (
+  {base_sql}
+),
+vals AS (
+  {vals_sql}
+),
+h AS (
+  SELECT g, md5(v) AS h FROM vals WHERE v IS NOT NULL
+),
+parts AS (
+  SELECT g, ('0x' || substr(h, 1, 2))::INTEGER AS bucket,
+         regexp_replace(substr(h, 3, 6), '^0+', '') AS stripped
+  FROM h
+),
+regs AS (
+  SELECT g, bucket, max(CAST({O._HLL_RHO_CASE} AS INTEGER)) AS max_rho
+  FROM parts GROUP BY g, bucket
+),
+ndv AS (
+  SELECT g, {SR(est, 2)} AS ndv_est FROM regs GROUP BY g
+)
+SELECT base.col_name, base.n_rows, base.n_nulls,
+       base.min_val, base.max_val, ndv.ndv_est
+FROM base JOIN ndv ON ndv.g = base.col_name"""
 
 
 def _sql_cusum_changepoints(slack_q: int = 500, h_q: int = 5000) -> str:
@@ -5617,6 +5727,7 @@ def oracle_sql() -> dict[str, str]:
         "attributed_purchases_semi_stream": (
             _sql_attributed_purchases_semi_stream()
         ),
+        "table_stats_profile": _sql_table_stats_profile(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

@@ -120,6 +120,7 @@ HEADLINE = [
     "user_value_ewma",
     "events_resample_ffill",
     "cusum_changepoints",
+    "table_stats_profile",
     "frame_sample_plan",
     "hll_by_type",
     "personalized_pagerank",

@@ -65,3 +65,35 @@ def test_fingerprint_empty_table_is_zero_not_null(spark):
     n, c = _fp(spark, [])
     assert n == 0
     assert c == 0
+
+
+def test_table_stats_profile_exact_on_small_table(spark):
+    """Profiler semantics on a hand-checkable table: native (not
+    lexicographic) min/max, null counting, and an HLL ndv that is
+    EXACT at tiny cardinality (linear-counting regime)."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators.integrity import (
+        table_stats_profile,
+    )
+
+    rows = [(2, "b"), (10, "a"), (None, "a"), (3, None)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = {
+        r["col_name"]: r
+        for r in table_stats_profile(
+            df,
+            [
+                ("k", F.col("k"), lambda c: c.cast("string")),
+                ("s", F.col("s"), lambda c: c.cast("string")),
+            ],
+        ).collect()
+    }
+    k, s = out["k"], out["s"]
+    assert k["n_rows"] == 4 and k["n_nulls"] == 1
+    # numeric min/max: 2..10, NOT the lexicographic "10".."3"
+    assert (k["min_val"], k["max_val"]) == ("2", "10")
+    assert abs(k["ndv_est"] - 3.0) < 0.1  # linear-counting regime
+    assert s["n_nulls"] == 1
+    assert (s["min_val"], s["max_val"]) == ("a", "b")
+    assert abs(s["ndv_est"] - 2.0) < 0.1

@@ -67,3 +67,83 @@ def table_fingerprint(
         .cast("long")
         .alias("checksum"),
     )
+
+
+def table_stats_profile(
+    df: DataFrame,
+    specs: list[tuple[str, Column, "object"]],
+) -> DataFrame:
+    """ANALYZE-style per-column statistics — the stats a cost-based
+    planner (or a data-quality dashboard) wants before touching a
+    100 TB table: row count, null count, min/max, and an
+    ndv-per-column estimate from the explicit HLL sketch.
+
+    ``specs``: list of (col_name, native_column, canonicalizer) where
+    the canonicalizer maps a Column to this module's cross-engine
+    string encoding (integers/strings as-is, timestamps via a fixed
+    date_format pattern, doubles through stable_round + DECIMAL —
+    never hash or print raw doubles; see the module docstring).
+
+    Scale shape — exactly TWO passes over the table regardless of
+    column count:
+    1. ONE partial-combinable aggregate computes n_rows plus every
+       column's null count and NATIVE min/max (canonicalized after
+       aggregation, so min/max are numeric/temporal, never
+       lexicographic); the single output row is exploded into one
+       row per column.
+    2. the columns are melted to (col_name, canon_value) pairs in a
+       pure map and fed to the grouped HLL sketch — state is 256
+       registers per column, merge is max-per-bucket, shuffle carries
+       register rows only.
+
+    Returns (col_name, n_rows, n_nulls, min_val, max_val, ndv_est)."""
+    from .sketches import hll_estimate_by_group, hll_registers_by_group
+
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for name, col, canon in specs:
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_nulls_{name}"),
+            canon(F.min(col)).alias(f"_min_{name}"),
+            canon(F.max(col)).alias(f"_max_{name}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_n_rows").alias("n_rows"),
+                F.col(f"_nulls_{name}").alias("n_nulls"),
+                F.col(f"_min_{name}").alias("min_val"),
+                F.col(f"_max_{name}").alias("max_val"),
+            )
+            for name, _, _ in specs
+        ]
+    )
+    base = one.select(F.explode(rows).alias("r")).select("r.*")
+    melted = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("g"),
+                            canon(col).alias("v"),
+                        )
+                        for name, col, canon in specs
+                    ]
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.g").alias("g"), F.col("e.v").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    ndv = hll_estimate_by_group(
+        hll_registers_by_group(melted, F.col("g"), F.col("v"))
+    )
+    return base.join(
+        ndv.select(
+            F.col("g").alias("col_name"),
+            F.col("hll_estimate").alias("ndv_est"),
+        ),
+        "col_name",
+    )
