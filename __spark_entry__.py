@@ -2008,7 +2008,10 @@ def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ts(c):
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-    li = _t(spark, sf_dir, "lineitem")
+    # spread read: the melted HLL pass is CPU-bound per row (md5 +
+    # rho per column value), and the single sf0.1 parquet file would
+    # otherwise land on 1-2 input partitions
+    li = _t_cpu(spark, sf_dir, "lineitem")
     specs = [
         ("l_orderkey", F.col("l_orderkey"), as_str),
         ("l_suppkey", F.col("l_suppkey"), as_str),
