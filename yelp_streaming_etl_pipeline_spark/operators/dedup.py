@@ -722,9 +722,11 @@ CDC_MOD = 64  # expected chunk length (1/64 boundary density)
 CDC_MIN_CHUNK = 16  # ignore sub-chunks too short to be meaningful
 
 
-def _chunk_starts(s: Column) -> Column:
-    """Ascending chunk-start positions for normalized text ``s``
-    (a materialized column reference — see duplicated_passages).
+def _chunk_starts(chars: Column, n: Column) -> Column:
+    """Ascending chunk-start positions for normalized text given as a
+    BOUND char-array column ``chars`` (``split(s, '')`` materialized as
+    a real attribute — inline subexpressions inside a HOF lambda are
+    re-evaluated per element) and ``n`` its element count.
 
     Content-defined boundaries: position i starts a new chunk when the
     md5 of the 8-gram at i hashes to 0 mod CDC_MOD. Because the cut
@@ -732,8 +734,17 @@ def _chunk_starts(s: Column) -> Column:
     shifts chunk boundaries only near the edit — distant chunks keep
     their identity, which is what makes chunk-hash dedup robust where
     fixed-width blocks are not (the rsync/LBFS trick). Position 1 is
-    always a start; texts shorter than the window are one chunk."""
-    n = F.length(s)
+    always a start; texts shorter than the window are one chunk.
+
+    O(n) per document: each window is rebuilt from the array via
+    ``slice`` + ``concat_ws`` (O(GRAM) each), never via ``s.substr(i,
+    GRAM)`` whose UTF8String forward-walk from the string head makes
+    the whole scan O(n^2) — the same trap, and the same fix, as
+    lang_trigrams._trigram_array_from_chars (round 3, 33x at 12k
+    chars). Unicode note as there: ``split('')`` yields UTF-16 code
+    units while ``substr`` counts codepoints — window CONTENT (hence
+    every md5 cut decision and the DuckDB oracle twin) is identical
+    for BMP-only text, which the normalized corpus is."""
     bounds = F.when(
         n >= CDC_GRAM + 1,
         F.aggregate(
@@ -742,7 +753,11 @@ def _chunk_starts(s: Column) -> Column:
             lambda acc, i: F.when(
                 F.pmod(
                     F.conv(
-                        F.substring(F.md5(s.substr(i, F.lit(CDC_GRAM))), 1, 8),
+                        F.substring(
+                            F.md5(F.concat_ws("", F.slice(chars, i, CDC_GRAM))),
+                            1,
+                            8,
+                        ),
                         16,
                         10,
                     ).cast("long"),
@@ -795,15 +810,30 @@ def cdc_chunks(
     duplicated_passages (occurrence counts) and cdc_chunk_pairs
     (doc-pair similarity)."""
     norm = F.regexp_replace(F.lower(ws_trim(F.col(text_col))), r"\s+", " ")
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), norm.alias("_s")
-    ).withColumn("_starts", _chunk_starts(F.col("_s")))
-    s, starts = F.col("_s"), F.col("_starts")
+    staged = (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("_s"))
+        # bind the char array ONCE as a real attribute (layered
+        # Projects): both the boundary scan and chunk extraction
+        # index it via element_at/slice at O(1) per access, keeping
+        # the whole chunker O(len) per document
+        .withColumn("_chars", F.split(F.col("_s"), ""))
+        .withColumn(
+            "_starts",
+            _chunk_starts(F.col("_chars"), F.size(F.col("_chars"))),
+        )
+    )
+    chars, starts = F.col("_chars"), F.col("_starts")
     k_seq = F.sequence(F.lit(1), F.size(starts))
-    chunk_at = lambda k: s.substr(  # noqa: E731
-        F.element_at(starts, k),
-        F.coalesce(F.try_element_at(starts, k + 1), F.length(s) + 1)
-        - F.element_at(starts, k),
+    # chunk k spans [starts[k], starts[k+1]) in char-array space; the
+    # last chunk runs to the end of the array
+    chunk_at = lambda k: F.concat_ws(  # noqa: E731
+        "",
+        F.slice(
+            chars,
+            F.element_at(starts, k),
+            F.coalesce(F.try_element_at(starts, k + 1), F.size(chars) + 1)
+            - F.element_at(starts, k),
+        ),
     )
     return staged.select(
         "doc_id",
