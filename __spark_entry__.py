@@ -4268,8 +4268,9 @@ ndv AS (
   SELECT g, {SR(est, 2)} AS ndv_est FROM regs GROUP BY g
 )
 SELECT base.col_name, base.n_rows, base.n_nulls,
-       base.min_val, base.max_val, ndv.ndv_est
-FROM base JOIN ndv ON ndv.g = base.col_name"""
+       base.min_val, base.max_val,
+       coalesce(ndv.ndv_est, 0.0) AS ndv_est
+FROM base LEFT JOIN ndv ON ndv.g = base.col_name"""
 
 
 def _sql_cusum_changepoints(slack_q: int = 500, h_q: int = 5000) -> str:

@@ -88,6 +88,12 @@ def replicate(spark, out: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
     )
+    # NOTE: lineitem is copied UNREPLICATED, so replica orders
+    # (o_orderkey shifted by _r * n_o) reference NO lineitem rows —
+    # orderkey referential integrity holds only for the _r == 0 copy.
+    # Fine for the current probes (none joins orders x lineitem in the
+    # scaled dir); if such a probe is added, replicate lineitem with
+    # matching l_orderkey shifts instead of copying it.
     for t in ("region", "nation", "supplier", "part", "lineitem"):
         shutil.copy(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
 

@@ -97,3 +97,31 @@ def test_table_stats_profile_exact_on_small_table(spark):
     assert s["n_nulls"] == 1
     assert (s["min_val"], s["max_val"]) == ("a", "b")
     assert abs(s["ndv_est"] - 2.0) < 0.1
+
+
+def test_table_stats_profile_reports_all_null_column(spark):
+    # an entirely-NULL column has no melted HLL rows; it must still
+    # profile (ndv 0) instead of silently disappearing from the report
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators.integrity import (
+        table_stats_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, dead string"
+    )
+    out = {
+        r["col_name"]: r
+        for r in table_stats_profile(
+            df,
+            [
+                ("k", F.col("k"), lambda c: c.cast("string")),
+                ("dead", F.col("dead"), lambda c: c.cast("string")),
+            ],
+        ).collect()
+    }
+    assert "dead" in out
+    d = out["dead"]
+    assert d["n_nulls"] == 2 and d["ndv_est"] == 0.0
+    assert d["min_val"] is None and d["max_val"] is None

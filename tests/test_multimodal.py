@@ -262,3 +262,21 @@ def test_payload_chunk_manifest_tiles_and_audits(spark):
     audit = MM.payload_chunk_audit(man, media).collect()
     assert len(audit) == 16
     assert all(r["layout_ok"] for r in audit)
+
+
+def test_payload_chunk_manifest_empty_payload_has_no_rows(spark):
+    # a zero-length payload must yield ZERO manifest rows (not one
+    # phantom empty chunk) and still audit as an ok empty layout
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(0, b""), (1, b"x" * 100)], "media_id long, payload binary"
+    )
+    man = MM.payload_chunk_manifest(media, chunk_bytes=48)
+    assert man.filter("media_id = 0").count() == 0
+    assert man.filter("media_id = 1").count() == 3
+    audit = {r["media_id"]: r for r in MM.payload_chunk_audit(man, media).collect()}
+    assert audit[0]["n_chunks"] == 0
+    assert audit[0]["total_bytes"] == 0
+    assert audit[0]["layout_ok"]
+    assert audit[1]["layout_ok"]

@@ -140,10 +140,17 @@ def table_stats_profile(
     ndv = hll_estimate_by_group(
         hll_registers_by_group(melted, F.col("g"), F.col("v"))
     )
-    return base.join(
+    # LEFT join: an entirely-NULL column contributes no melted rows,
+    # so it has no HLL row — it must still profile (ndv 0), not
+    # silently vanish from the report
+    joined = base.join(
         ndv.select(
             F.col("g").alias("col_name"),
             F.col("hll_estimate").alias("ndv_est"),
         ),
         "col_name",
+        "left",
+    )
+    return joined.withColumn(
+        "ndv_est", F.coalesce(F.col("ndv_est"), F.lit(0.0))
     )

@@ -487,7 +487,12 @@ def payload_chunk_manifest(
     p = F.col("payload")
     cb = F.lit(chunk_bytes)
     n_chunks = F.ceil(F.length(p) / cb.cast("double")).cast("int")
-    idxs = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    # zero-length payloads produce ZERO manifest rows (not one phantom
+    # empty chunk): the ungated form forced sequence(0, 0) via
+    # greatest, diverging from the twin's generate_series(0, -1)
+    idxs = F.when(
+        F.length(p) > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     staged = media.select("media_id", p.alias("_p"), idxs.alias("_idxs"))
     pm = F.col("_p")
     seg = F.explode(F.col("_idxs")).alias("chunk_idx")
@@ -521,16 +526,23 @@ def payload_chunk_audit(
     lens = media.select(
         "media_id", F.length("payload").cast("long").alias("_len")
     )
+    # LEFT from lens: a zero-length payload legitimately has ZERO
+    # manifest rows (see payload_chunk_manifest) — it must audit as
+    # an ok empty layout, not silently drop out of the report
     return (
-        agg.join(lens, "media_id")
+        lens.join(agg, "media_id", "left")
         .select(
             "media_id",
-            "n_chunks",
-            "total_bytes",
-            (
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            F.coalesce(F.col("total_bytes"), F.lit(0).cast("long")).alias(
+                "total_bytes"
+            ),
+            F.when(F.col("_len") == 0, F.col("n_chunks").isNull())
+            .otherwise(
                 (F.col("_min_off") == 0)
                 & (F.col("_max_end") == F.col("_len"))
                 & (F.col("total_bytes") == F.col("_len"))
-            ).alias("layout_ok"),
+            )
+            .alias("layout_ok"),
         )
     )
