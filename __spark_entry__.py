@@ -3794,6 +3794,24 @@ def q_trending_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- round-7 additions ----------------
+
+def q_wordpiece_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece/unigram-LM tokenization scoring (operators/
+    tokenizer.py wordpiece_doc_scores): greedy longest-match
+    segmentation of every distinct word against a corpus-derived
+    top-256 piece vocab (integer log2-frequency weights), folded as
+    engine-exact integer consume-and-jump state; per doc the word /
+    piece / UNK counts and the quantized LM score — the tokenizer-fit
+    diagnostics (fertility, OOV rate) an LLM pipeline runs before
+    training."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        wordpiece_doc_scores,
+    )
+
+    return wordpiece_doc_scores(_t_cpu(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
@@ -3831,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (a) NEVER driver-checked: new this round
+        "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "kmeans_maintenance_stream": q_kmeans_maintenance_stream,
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
         "semantic_dedup_maintenance_stream": (
@@ -5758,6 +5777,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": O.sql_personalized_pagerank_bipartite(),
         "bpe_merges": O.sql_bpe_train(),
         "bpe_token_counts": O.sql_bpe_token_counts(),
+        "wordpiece_doc_scores": O.sql_wordpiece_doc_scores(),
         "sql_surface_q4": SQL_SURFACE_Q4,
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),

@@ -176,3 +176,77 @@ def test_bpe_bytes_artifact_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in reread.collect()} == {
         tuple(r) for r in merges.collect()
     }
+
+
+def test_wordpiece_word_stats_hand_fixture(spark):
+    """Greedy longest-match against an EXPLICIT vocab, hand-computed:
+    unable -> un|able (2 pieces, 10+20), banana -> b|a|n|a|n|a
+    (6 pieces, all weight 1), quiz -> [UNK] (q unmatched), and a
+    33-char word -> [UNK] via the length cap."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as T
+
+    vocab = spark.createDataFrame(
+        [("un", 10), ("able", 20), ("ab", 5), ("a", 1), ("b", 1),
+         ("l", 1), ("e", 1), ("n", 1)],
+        "piece string, piece_w long",
+    )
+    words = spark.createDataFrame(
+        [("unable", 1), ("banana", 1), ("quiz", 1), ("a" * 33, 1)],
+        "w string, f long",
+    )
+    got = {
+        r["w"]: r
+        for r in T.wordpiece_word_stats(words, vocab).collect()
+    }
+    assert (got["unable"]["n_pieces"], got["unable"]["lm_score_q"],
+            got["unable"]["is_unk"]) == (2, 30, False)
+    assert (got["banana"]["n_pieces"], got["banana"]["lm_score_q"],
+            got["banana"]["is_unk"]) == (6, 6, False)
+    # any unmatched position -> the WHOLE word is one [UNK], score 0
+    assert (got["quiz"]["n_pieces"], got["quiz"]["lm_score_q"],
+            got["quiz"]["is_unk"]) == (1, 0, True)
+    # words over WP_MAX_WORD chars are [UNK] outright (never scanned)
+    assert got["a" * 33]["is_unk"] and got["a" * 33]["n_pieces"] == 1
+
+
+def test_wordpiece_vocab_topk_order_and_weights(spark):
+    """Vocab derivation: gram counts weighted by word frequency,
+    pinned top-k order (count DESC, piece ASC), integer
+    log2-frequency weights len(bin(cnt))."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as T
+
+    words = spark.createDataFrame(
+        [("aa", 1), ("ab", 1)], "w string, f long"
+    )
+    # gram totals: a=3, aa=1, ab=1, b=1; k=3 keeps a, aa, ab
+    got = [tuple(r) for r in T.wordpiece_vocab(words, k=3).collect()]
+    assert got[0] == ("a", 2)  # len(bin(3)) == 2
+    assert sorted(got[1:]) == [("aa", 1), ("ab", 1)]
+
+
+def test_wordpiece_doc_scores_end_to_end(spark):
+    """Self-derived vocab over a tiny corpus: with k large enough to
+    hold every gram, every word segments into its single longest
+    piece (itself, if <= WP_MAXLEN chars) and nothing is UNK."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as T
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in T.wordpiece_doc_scores(docs, k=256).collect()
+    }
+    # every word is <= 4 chars and appears as its own gram -> each
+    # word is exactly one piece, no UNKs
+    assert (got[1]["n_words"], got[1]["n_pieces"], got[1]["n_unk_words"]) \
+        == (3, 3, 0)
+    assert (got[2]["n_words"], got[2]["n_pieces"], got[2]["n_unk_words"]) \
+        == (3, 3, 0)
+    # "the" appears 3x in the corpus -> weight len(bin(3)) = 2;
+    # cat/sat/dog once -> weight 1; doc1 = 2+1+1, doc2 = 2+2+1
+    assert got[1]["lm_score_q"] == 4
+    assert got[2]["lm_score_q"] == 5

@@ -305,3 +305,233 @@ def bpe_token_counts(
         _, vocab_path = export_bpe(merges, vocab, export_path)
         vocab = docs.sparkSession.read.parquet(vocab_path)
     return tokenize_with_vocab(docs, vocab, text_col, id_col, alphabet)
+
+
+# ---------------- WordPiece greedy longest-match scoring ----------------
+
+WP_MAXLEN = 4  # longest piece, in chars (real vocabs cap piece length)
+WP_VOCAB_K = 256  # corpus-derived piece vocabulary size
+WP_MAX_WORD = 32  # words longer than this are [UNK] outright (HF's
+#                   max_input_chars_per_word discipline) — it also
+#                   bounds the per-word candidate scan at a CONSTANT,
+#                   so no document or word length makes it superlinear
+_WP_ENC = 1_000_000  # (best_len, piece_w) packed as bl * ENC + wq;
+#                      piece_w = len(bin(cnt)) <= 63 << ENC, so the
+#                      pack is collision-free and max() picks the
+#                      LONGEST match first (WordPiece greedy order)
+
+
+def _wp_candidates(short_words: DataFrame, maxlen: int) -> DataFrame:
+    """(w, i, l, piece): every candidate window of length 1..maxlen at
+    every position of every distinct word. Words are <= WP_MAX_WORD
+    chars (enforced by callers), so the substr windows per word are
+    bounded by a constant — the O(n^2)-substr trap that bit long
+    documents (see dedup._chunk_starts) cannot bind here."""
+    return (
+        short_words.select(
+            "w",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        )
+        .select(
+            "w",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(maxlen), F.length("w") - F.col("i") + 1
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select(
+            "w",
+            "i",
+            "l",
+            F.col("w").substr(F.col("i"), F.col("l")).alias("piece"),
+        )
+    )
+
+
+def wordpiece_vocab(
+    words: DataFrame, k: int = WP_VOCAB_K, maxlen: int = WP_MAXLEN
+) -> DataFrame:
+    """(piece, piece_w): the top-``k`` character n-grams (lengths
+    1..maxlen) of the corpus by frequency — a deterministic stand-in
+    for a trained WordPiece/unigram-LM vocabulary, derived entirely
+    in-engine (pinned tie order: count DESC, piece ASC).
+
+    piece_w is the INTEGER log2-frequency weight
+    ``length(bin(count))`` = floor(log2(count)) + 1 — the unigram-LM
+    "log prob" quantized so every downstream fold is integer-exact
+    across engines (bin() renders identically in Spark and DuckDB;
+    no float log in any compared value).
+
+    Scale shape: the gram aggregate runs over the DISTINCT-WORD table
+    weighted by frequency (the same trick as BPE training), and the
+    top-k is a TakeOrderedAndProject — never a global sort."""
+    short = words.filter(F.length("w") <= WP_MAX_WORD)
+    grams = (
+        _wp_candidates(short.select("w"), maxlen)
+        .join(short.select("w", "f"), "w")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+    )
+    return (
+        grams.orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(k)
+        .select(
+            "piece",
+            F.length(F.bin(F.col("cnt"))).cast("long").alias("piece_w"),
+        )
+    )
+
+
+def wordpiece_word_stats(
+    words: DataFrame, vocab: DataFrame, maxlen: int = WP_MAXLEN
+) -> DataFrame:
+    """Greedy longest-match (WordPiece) segmentation of every distinct
+    word against ``vocab``, as an engine-exact integer fold. Returns
+    (w, n_pieces, lm_score_q, is_unk):
+
+    - at each position take the LONGEST vocab piece starting there
+      (candidate windows left-join the broadcast vocab; per position
+      the (len, weight) pair is packed into one integer so a plain
+      max() picks the longest match);
+    - the sequential consume-and-jump is a fold over the per-word
+      position array: state {np, sq, unk, pos} advances pos by the
+      matched length (or 1 on a miss, flagging unk) and only
+      positions equal to pos consume — O(word length) integer ops;
+    - WordPiece UNK semantics: ANY unmatched position makes the whole
+      word a single [UNK] token (n_pieces 1, score 0), as does
+      exceeding WP_MAX_WORD;
+    - lm_score_q = sum of matched piece weights (quantized unigram-LM
+      log2-frequency score).
+
+    The fold's struct fields are ordered readers-first/writers-last
+    (np/sq/unk read only pre-update pos; pos writes last) so the
+    DuckDB twin's list_reduce is correct under both its snapshot and
+    in-place-mutation semantics — see _sql_cusum_changepoints."""
+    short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
+    best = (
+        _wp_candidates(short, maxlen)
+        .join(F.broadcast(vocab), "piece", "left")
+        .groupBy("w", "i")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("piece_w").isNotNull(),
+                        F.col("l").cast("long") * _WP_ENC
+                        + F.col("piece_w"),
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("enc")
+        )
+    )
+    elems = best.groupBy("w").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("i").cast("int").alias("i"),
+                    F.floor(F.col("enc") / _WP_ENC).cast("int").alias("bl"),
+                    F.pmod(F.col("enc"), F.lit(_WP_ENC))
+                    .cast("long")
+                    .alias("wq"),
+                )
+            )
+        ).alias("es")
+    )
+    seed = F.struct(
+        F.lit(0).cast("long").alias("np"),
+        F.lit(0).cast("long").alias("sq"),
+        F.lit(False).alias("unk"),
+        F.lit(1).cast("int").alias("pos"),
+    )
+
+    def step(acc, x):
+        consume = x["i"] == acc["pos"]
+        hit = consume & (x["bl"] > 0)
+        return F.struct(
+            (acc["np"] + F.when(consume, 1).otherwise(0))
+            .cast("long")
+            .alias("np"),
+            (acc["sq"] + F.when(hit, x["wq"]).otherwise(0))
+            .cast("long")
+            .alias("sq"),
+            (acc["unk"] | (consume & (x["bl"] == 0))).alias("unk"),
+            (
+                acc["pos"]
+                + F.when(consume, F.greatest(x["bl"], F.lit(1))).otherwise(0)
+            )
+            .cast("int")
+            .alias("pos"),
+        )
+
+    folded = elems.select(
+        "w", F.aggregate("es", seed, step).alias("st")
+    )
+    seg = folded.select(
+        "w",
+        F.when(F.col("st.unk"), 1)
+        .otherwise(F.col("st.np"))
+        .cast("long")
+        .alias("n_pieces"),
+        F.when(F.col("st.unk"), 0)
+        .otherwise(F.col("st.sq"))
+        .cast("long")
+        .alias("lm_score_q"),
+        F.col("st.unk").alias("is_unk"),
+    )
+    longw = (
+        words.select("w")
+        .filter(F.length("w") > WP_MAX_WORD)
+        .select(
+            "w",
+            F.lit(1).cast("long").alias("n_pieces"),
+            F.lit(0).cast("long").alias("lm_score_q"),
+            F.lit(True).alias("is_unk"),
+        )
+    )
+    return seg.unionByName(longw)
+
+
+def wordpiece_doc_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WP_VOCAB_K,
+    maxlen: int = WP_MAXLEN,
+) -> DataFrame:
+    """Per-document WordPiece/unigram-LM tokenization scores against
+    a corpus-derived piece vocabulary: (doc_id, n_words, n_pieces,
+    n_unk_words, lm_score_q). The tokens-per-word ratio (fertility)
+    and the quantized LM score are the standard corpus-quality /
+    tokenizer-fit diagnostics an LLM data pipeline runs before
+    training.
+
+    100 TB shape: the corpus is touched twice (word-frequency
+    aggregate + doc-word join); ALL segmentation work runs over the
+    distinct-word table (bounded by vocabulary, not corpus size), the
+    piece vocab is a top-k constant broadcast, and the per-word fold
+    is O(WP_MAX_WORD) integer ops."""
+    words = word_freq_table(docs, text_col, "char")
+    vocab = wordpiece_vocab(words, k, maxlen)
+    stats = wordpiece_word_stats(words, vocab, maxlen)
+    doc_w = _doc_words(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        "char",
+        ["doc_id"],
+    )
+    return (
+        doc_w.join(stats, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum(F.col("is_unk").cast("long")).alias("n_unk_words"),
+            F.sum("lm_score_q").alias("lm_score_q"),
+        )
+    )

@@ -2878,3 +2878,108 @@ SELECT p.person_id, p.name,
 FROM people p
 JOIN names nm USING (name)
 LEFT JOIN ncl ON ncl.nid = nm.nid"""
+
+
+def sql_wordpiece_doc_scores(
+    k: int = 256, maxlen: int = 4, max_word: int = 32
+) -> str:
+    """Twin of tokenizer.wordpiece_doc_scores: corpus-derived top-k
+    piece vocab (count DESC, piece ASC), integer log2-frequency
+    weights via length(bin(cnt)), longest-match selection through the
+    bl*ENC+wq integer pack, and the consume-and-jump segmentation as
+    list_reduce with the declared-seed sentinel (elements carry
+    zeroed state; a prepended sentinel absorbs DuckDB's
+    seed-with-first-element). Fold struct fields are ordered
+    readers-first/writers-last (np/sq/unk read only pre-update pos;
+    pos last) — correct under both list_reduce semantics, see
+    _sql_cusum_changepoints."""
+    enc = 1_000_000
+    words = _sql_bpe_words("char").format(ids="")
+    dw = _sql_bpe_words("char").format(ids="doc_id,")
+    zero_state = (
+        "'np': CAST(0 AS BIGINT), 'sq': CAST(0 AS BIGINT), "
+        "'unk': false, 'pos': CAST(1 AS INTEGER)"
+    )
+    step = f"""{{
+      'np': CAST(acc.np + CASE WHEN x.i = acc.pos THEN 1 ELSE 0 END
+                 AS BIGINT),
+      'sq': CAST(acc.sq + CASE WHEN x.i = acc.pos AND x.bl > 0
+                               THEN x.wq ELSE 0 END AS BIGINT),
+      'unk': acc.unk OR (x.i = acc.pos AND x.bl = 0),
+      'pos': CAST(acc.pos + CASE WHEN x.i = acc.pos
+                                 THEN greatest(x.bl, 1) ELSE 0 END
+                  AS INTEGER),
+      'i': x.i, 'bl': x.bl, 'wq': x.wq
+    }}"""
+    return f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM ({words}
+  GROUP BY w
+),
+shortw AS (SELECT w, f FROM wf WHERE length(w) <= {max_word}),
+cand AS (
+  SELECT w, i, l,
+         substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+  FROM (
+    SELECT w, i,
+           unnest(generate_series(1, least({maxlen}, length(w) - i + 1)))
+             AS l
+    FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+          FROM shortw)
+  )
+),
+vocab AS (
+  SELECT piece, CAST(length(bin(cnt)) AS BIGINT) AS piece_w
+  FROM (
+    SELECT c.piece, CAST(sum(s.f) AS BIGINT) AS cnt
+    FROM cand c JOIN shortw s USING (w)
+    GROUP BY c.piece
+  )
+  ORDER BY cnt DESC, piece LIMIT {k}
+),
+best AS (
+  SELECT c.w, c.i,
+         COALESCE(max(CASE WHEN v.piece_w IS NOT NULL
+                           THEN c.l * {enc} + v.piece_w END),
+                  0) AS enc
+  FROM cand c LEFT JOIN vocab v USING (piece)
+  GROUP BY c.w, c.i
+),
+elems AS (
+  SELECT w,
+         list({{{zero_state},
+               'i': CAST(i AS INTEGER),
+               'bl': CAST(enc // {enc} AS INTEGER),
+               'wq': CAST(enc % {enc} AS BIGINT)}} ORDER BY i) AS es
+  FROM best GROUP BY w
+),
+folded AS (
+  SELECT w,
+         list_reduce(
+           list_prepend({{{zero_state},
+                         'i': CAST(0 AS INTEGER),
+                         'bl': CAST(0 AS INTEGER),
+                         'wq': CAST(0 AS BIGINT)}}, es),
+           (acc, x) -> {step}) AS st
+  FROM elems
+),
+seg AS (
+  SELECT w,
+         CASE WHEN st.unk THEN 1 ELSE st.np END AS n_pieces,
+         CASE WHEN st.unk THEN 0 ELSE st.sq END AS lm_score_q,
+         st.unk AS is_unk
+  FROM folded
+  UNION ALL
+  SELECT w, 1, 0, true FROM wf WHERE length(w) > {max_word}
+),
+dw AS (
+  SELECT doc_id, w FROM ({dw}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN is_unk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unk_words,
+       CAST(sum(lm_score_q) AS BIGINT) AS lm_score_q
+FROM dw JOIN seg USING (w)
+GROUP BY doc_id"""
