@@ -14,9 +14,13 @@ ON CONFLICT upsert makes re-application idempotent -> effective
 exactly-once (same guarantee ladder as the reference). The micro-batch
 trigger (processingTime=10s) subsumes the count-based flush (W8).
 
-The psycopg2/JDBC driver is not in this image — the sink degrades to a
-clearly-typed ImportError at call time; the SQL generation and batch
-plumbing are real and unit-tested.
+The psycopg2/JDBC driver is not in this image, but the PostgreSQL 15
+server + psql CLI are (since round 7) — so alongside the psycopg2
+executor (degrades to a clearly-typed ImportError) there is a
+psql-subprocess executor that proves the generated ON CONFLICT
+statement and the commit-before-ack ordering against a GENUINE
+Postgres (tests/test_jdbc_pg.py spins up a scratch server). Production
+swaps in postgres_upsert_batch unchanged.
 """
 
 from __future__ import annotations
@@ -76,6 +80,75 @@ def postgres_upsert_batch(
     finally:
         conn.close()
     return n
+
+
+def _pg_literal(v) -> str:
+    """Render a Python value as a PostgreSQL literal (psql has no bind
+    parameters before v16). Strings quote-double; PG's default
+    standard_conforming_strings means no backslash escapes; datetimes/
+    Decimals go through their ISO/str form like the sqlite twin."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def psql_upsert_batch(
+    rows: Iterator, columns: list[str], dsn: str, table: str = UPSERT_TABLE
+) -> int:
+    """Per-partition upsert executor against a REAL PostgreSQL server
+    through the psql CLI — the env-gated harness proving the exact
+    statement build_upsert_sql generates (and the reference's
+    commit-then-ack ordering, postgres_sink.py:85-117) against genuine
+    Postgres ON CONFLICT semantics when psycopg2 is absent.
+
+    Semantics mirror psycopg2's execute_batch: one single-row INSERT
+    per record (duplicate keys WITHIN a batch are legal — a multi-row
+    VALUES would raise "cannot affect row a second time"), all inside
+    one transaction whose COMMIT precedes the streaming checkpoint
+    ack. ``dsn`` is a libpq conninfo string, e.g.
+    "host=/tmp/pg user=pg dbname=postgres"."""
+    import subprocess
+
+    batch = list(rows)
+    if not batch:
+        return 0
+    tpl = build_upsert_sql(table, columns, UPSERT_KEY, UPDATE_COLS)
+    parts = tpl.split("%s")
+    stmts = []
+    for r in batch:
+        lits = [_pg_literal(r[c]) for c in columns]
+        stmts.append(
+            "".join(p + (lits[i] if i < len(lits) else "")
+                    for i, p in enumerate(parts)) + ";"
+        )
+    script = "BEGIN;\n" + "\n".join(stmts) + "\nCOMMIT;\n"
+    subprocess.run(
+        ["psql", dsn, "-X", "-q", "-v", "ON_ERROR_STOP=1", "-f", "-"],
+        input=script.encode(),
+        check=True,
+        capture_output=True,
+    )
+    return len(batch)
+
+
+def foreach_batch_upsert_psql(dsn: str, table: str = UPSERT_TABLE):
+    """foreachBatch hook writing each micro-batch to a real Postgres
+    via partition-parallel psql upserts (the executable W5/W8 path
+    against genuine PG — see psql_upsert_batch)."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = batch_df.columns
+
+        def run_partition(rows: Iterator) -> None:
+            psql_upsert_batch(rows, cols, dsn, table)
+
+        batch_df.foreachPartition(run_partition)
+
+    return apply
 
 
 def _sqlite_value(v):
