@@ -3812,6 +3812,45 @@ def q_wordpiece_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_doc_scores(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_table_stats_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep ANALYZE profile over lineitem (operators/integrity.py
+    table_stats_profile_deep): the base row/null/min/max/ndv stats
+    PLUS per-column quartiles (weighted HDR quantile sketch) and the
+    exact top-5 heavy hitters — still exactly two corpus passes; the
+    melted per-value counts table (ndv-sized) is materialized once
+    and feeds HLL, quantile, and heavy-hitter readouts."""
+    from yelp_streaming_etl_pipeline_spark.functions.rounding import (
+        quantize,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators.integrity import (
+        table_stats_profile_deep,
+    )
+
+    def as_str(c):
+        return c.cast("string")
+
+    def dec2(c):
+        return ROUND(c, 2).cast("decimal(18,2)").cast("string")
+
+    def ts(c):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+    li = _t_cpu(spark, sf_dir, "lineitem")
+    specs = [
+        ("l_orderkey", F.col("l_orderkey"), as_str),
+        ("l_suppkey", F.col("l_suppkey"), as_str),
+        ("l_returnflag", F.col("l_returnflag"), as_str),
+        ("l_shipdate", F.col("l_shipdate"), ts),
+        ("l_quantity", F.col("l_quantity"), dec2),
+    ]
+    nums = {
+        "l_orderkey": quantize(F.col("l_orderkey"), 3),
+        "l_suppkey": quantize(F.col("l_suppkey"), 3),
+        "l_quantity": quantize(F.col("l_quantity"), 3),
+    }
+    return table_stats_profile_deep(li, specs, nums)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
@@ -3850,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) NEVER driver-checked: new this round
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
+        "table_stats_deep": q_table_stats_deep,
         "kmeans_maintenance_stream": q_kmeans_maintenance_stream,
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
         "semantic_dedup_maintenance_stream": (
@@ -4290,6 +4330,162 @@ SELECT base.col_name, base.n_rows, base.n_nulls,
        base.min_val, base.max_val,
        coalesce(ndv.ndv_est, 0.0) AS ndv_est
 FROM base LEFT JOIN ndv ON ndv.g = base.col_name"""
+
+
+def _sql_table_stats_deep(k: int = 5) -> str:
+    """Twin of q_table_stats_deep: the base profile CTEs plus the
+    collapsed per-value counts table feeding weighted HDR quantile
+    registers (sum(cnt) per bucket == raw count(*)) and the exact
+    top-k heavy hitters (count DESC, value ASC; string_agg in rank
+    order)."""
+    from yelp_streaming_etl_pipeline_spark.operators.sketches import (
+        HLL_BUCKETS, _linear_counting_lut,
+    )
+
+    m = HLL_BUCKETS
+    scale = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    raw = (
+        f"(CAST({scale!r} AS DOUBLE) / "
+        f"(sum(pow(2.0, -max_rho)) + ({m} - count(*))))"
+    )
+    v = f"CAST({m} - count(*) AS INTEGER)"
+    lut = "[" + ", ".join(f"{x!r}" for x in _linear_counting_lut()) + "]"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN ({lut})[{v}] ELSE {raw} END"
+    )
+    canon = {
+        "l_orderkey": "CAST(l_orderkey AS VARCHAR)",
+        "l_suppkey": "CAST(l_suppkey AS VARCHAR)",
+        "l_returnflag": "CAST(l_returnflag AS VARCHAR)",
+        "l_shipdate": "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')",
+        "l_quantity": (
+            f"CAST(CAST({SR('l_quantity', 2)} AS DECIMAL(18,2)) AS VARCHAR)"
+        ),
+    }
+    num = {
+        "l_orderkey": "CAST(floor(l_orderkey * 1000.0 + 0.5) AS BIGINT)",
+        "l_suppkey": "CAST(floor(l_suppkey * 1000.0 + 0.5) AS BIGINT)",
+        "l_quantity": "CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT)",
+    }
+
+    def canon_of(name: str, expr: str) -> str:
+        return canon[name].replace(name, expr) if name != "l_returnflag" \
+            else f"CAST({expr} AS VARCHAR)"
+
+    base_parts = []
+    val_parts = []
+    for name, c in canon.items():
+        mn = canon_of(name, f"min({name})")
+        mx = canon_of(name, f"max({name})")
+        base_parts.append(
+            f"SELECT '{name}' AS col_name, count(*) AS n_rows,\n"
+            f"  CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_nulls,\n"
+            f"  {mn} AS min_val, {mx} AS max_val FROM lineitem"
+        )
+        nexpr = num.get(name, "CAST(NULL AS BIGINT)")
+        val_parts.append(
+            f"SELECT '{name}' AS g, {c} AS v, {nexpr} AS num FROM lineitem"
+        )
+    base_sql = "\n  UNION ALL ".join(base_parts)
+    vals_sql = "\n  UNION ALL ".join(val_parts)
+    return f"""
+WITH base AS (
+  {base_sql}
+),
+vals AS (
+  {vals_sql}
+),
+counts AS (
+  SELECT g, v, num, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals WHERE v IS NOT NULL GROUP BY g, v, num
+),
+h AS (
+  SELECT g, md5(v) AS h FROM counts
+),
+parts AS (
+  SELECT g, ('0x' || substr(h, 1, 2))::INTEGER AS bucket,
+         regexp_replace(substr(h, 3, 6), '^0+', '') AS stripped
+  FROM h
+),
+regs AS (
+  SELECT g, bucket, max(CAST({O._HLL_RHO_CASE} AS INTEGER)) AS max_rho
+  FROM parts GROUP BY g, bucket
+),
+ndv AS (
+  SELECT g, {SR(est, 2)} AS ndv_est FROM regs GROUP BY g
+),
+qv AS (
+  SELECT g, num AS q, cnt FROM counts WHERE num IS NOT NULL
+),
+st AS (
+  SELECT g, q, cnt, greatest(length(bin(q)) - 1 - 6, 0) AS s FROM qv
+),
+bk AS (
+  SELECT g, CAST(s * 64 + (q >> s) AS BIGINT) AS bucket,
+         CAST((q >> s) << s AS BIGINT) AS lb,
+         CAST(1::BIGINT << s AS BIGINT) AS width,
+         cnt
+  FROM st
+),
+qregs AS (
+  SELECT g, bucket, CAST(min(lb) AS BIGINT) AS lb_q,
+         CAST(min(width) AS BIGINT) AS width_q,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM bk GROUP BY g, bucket
+),
+tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS total FROM qregs GROUP BY g),
+cum AS (
+  SELECT g, bucket, lb_q, width_q,
+         CAST(sum(n) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT)
+           AS cum_n
+  FROM qregs
+),
+ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
+tgt AS (
+  SELECT g, p, CAST(ceil(p * CAST(total AS DOUBLE)) AS BIGINT) AS rnk
+  FROM tot CROSS JOIN ps
+),
+hit AS (
+  SELECT t.g, t.p, min(c.bucket) AS bucket
+  FROM tgt t JOIN cum c ON t.g = c.g AND c.cum_n >= t.rnk
+  GROUP BY t.g, t.p
+),
+quants AS (
+  SELECT h.g, h.p,
+         CAST(c.lb_q + (c.width_q - 1) // 2 AS DOUBLE) / 1000.0 AS est
+  FROM hit h JOIN cum c ON h.g = c.g AND h.bucket = c.bucket
+),
+qp AS (
+  SELECT g,
+         max(CASE WHEN p = 0.25 THEN est END) AS p25,
+         max(CASE WHEN p = 0.5 THEN est END) AS p50,
+         max(CASE WHEN p = 0.75 THEN est END) AS p75
+  FROM quants GROUP BY g
+),
+vc AS (
+  SELECT g, v, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM counts GROUP BY g, v
+),
+rk AS (
+  SELECT g, v, cnt, row_number() OVER
+    (PARTITION BY g ORDER BY cnt DESC, v ASC) AS rnk
+  FROM vc
+),
+tk AS (
+  SELECT g, string_agg(v || ':' || CAST(cnt AS VARCHAR), '|'
+                       ORDER BY rnk) AS topk
+  FROM rk WHERE rnk <= {k} GROUP BY g
+)
+SELECT base.col_name, base.n_rows, base.n_nulls,
+       base.min_val, base.max_val,
+       coalesce(ndv.ndv_est, 0.0) AS ndv_est,
+       qp.p25, qp.p50, qp.p75, tk.topk
+FROM base
+LEFT JOIN ndv ON ndv.g = base.col_name
+LEFT JOIN qp ON qp.g = base.col_name
+LEFT JOIN tk ON tk.g = base.col_name"""
 
 
 def _sql_cusum_changepoints(slack_q: int = 500, h_q: int = 5000) -> str:
@@ -5751,6 +5947,7 @@ def oracle_sql() -> dict[str, str]:
             _sql_attributed_purchases_semi_stream()
         ),
         "table_stats_profile": _sql_table_stats_profile(),
+        "table_stats_deep": _sql_table_stats_deep(),
         "hard_negatives": O.sql_hard_negatives(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "quality_classifier": O.sql_quality_classifier(),

@@ -205,6 +205,9 @@ HEADLINE = [
     "entity_clusters",
     "pq_codebooks_kmeans",
     "audio_meta_audit",
+    # round-7 additions
+    "wordpiece_doc_scores",
+    "table_stats_deep",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -334,6 +337,82 @@ def calibration(spark) -> dict[str, float]:
     }
 
 
+def longdoc_probe(spark) -> dict[str, float | int]:
+    """Per-op timings on synthetic LONG documents (~50k chars,
+    deterministic): the suite's documents are short, so per-row-
+    SUPERLINEAR text ops are invisible to the headline numbers — the
+    O(n^2) substr-in-fold CDC chunk scan benched fine at sf0.1 for
+    two rounds before the round-7 fix. Every op here must scale
+    near-linearly in document length; a quadratic one shows up as a
+    10-50x outlier against its headline cost. Best of 2 passes.
+
+    NOTE (windows audit, round 6): the headline tail's repeated
+    'WindowExec: No Partition Defined' warnings are the documented
+    small-table windows (token-budget bucket offsets, <=256-row sketch
+    register cumsums, ranked-sample top-k compiling to
+    TakeOrderedAndProject) — all bounded, none data-proportional
+    (plan-asserted at tests/test_plans.py:325,144). Not a defect."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.functions.language import (
+        with_lang_id,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+    from yelp_streaming_etl_pipeline_spark.operators import (
+        corpus_quality as CQ,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators import (
+        text_analysis as TA,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    n_docs, n_words = 64, 8_334  # ~50k chars of 'w<digits>' words
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_words)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(i * 2654435761 + F.col("id"), F.lit(9973)),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    doc_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0] // n_docs
+    ops = {
+        "cdc_chunks": lambda: DD.cdc_chunks(docs, "text", "doc_id"),
+        "winnowing_fingerprints": lambda: DD.winnowing_fingerprints(docs),
+        "text_analysis": lambda: TA.analyze_documents(docs),
+        "repetition_profile": lambda: CQ.repetition_profile(docs),
+        "lang_id_full": lambda: with_lang_id(
+            docs, "text", method="trigram", id_col="doc_id"
+        ),
+        "lang_id_prefix": lambda: with_lang_id(
+            docs, "text", method="trigram", id_col="doc_id", max_chars=256
+        ),
+        "wordpiece_doc_scores": lambda: TK.wordpiece_doc_scores(docs),
+    }
+    out: dict[str, float | int] = {
+        "n_docs": n_docs, "doc_chars": int(doc_chars),
+    }
+    for name, fn in ops.items():
+        best = float("inf")
+        for _ in range(2):
+            _jvm_gc(spark)
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_sec"] = round(best, 3)
+    docs.unpersist()
+    return out
+
+
 def pipeline_rps(spark) -> dict[str, int | dict[str, int]]:
     """Throughput vs the reference's documented 1,000 rec/s stress rate
     (producer.py:242): the full clean->validate->score pass over a
@@ -417,6 +496,7 @@ def main() -> None:
     total = round(sum(med.values()), 3)
     rps = pipeline_rps(spark)
     calib = calibration(spark)
+    longdoc = longdoc_probe(spark)
 
     payload = {
         "metric": "headline_suite_steady_runtime",
@@ -436,6 +516,7 @@ def main() -> None:
         ],
         "sf": sf_from_dir(SF_DIR),
         "calibration": calib,
+        "longdoc": longdoc,
         "excluded": BENCH_EXCLUDED,
     }
     # durable copy: the full payload (per-query medians, exclusion

@@ -125,3 +125,43 @@ def test_table_stats_profile_reports_all_null_column(spark):
     d = out["dead"]
     assert d["n_nulls"] == 2 and d["ndv_est"] == 0.0
     assert d["min_val"] is None and d["max_val"] is None
+
+
+def test_table_stats_profile_deep_quartiles_and_topk(spark):
+    """Deep profile on a hand-checkable table: exact quartiles in the
+    sub-bucket-exact HDR regime, pinned top-k order (count DESC,
+    value ASC), NULL p* for non-numeric columns, and the all-NULL
+    column still reporting (ndv 0, no topk)."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.functions.rounding import (
+        quantize,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators.integrity import (
+        table_stats_profile_deep,
+    )
+
+    rows = [(1, "a", None), (2, "b", None), (3, "a", None), (4, "a", None)]
+    df = spark.createDataFrame(rows, "k long, s string, dead string")
+    out = {
+        r["col_name"]: r
+        for r in table_stats_profile_deep(
+            df,
+            [
+                ("k", F.col("k"), lambda c: c.cast("string")),
+                ("s", F.col("s"), lambda c: c.cast("string")),
+                ("dead", F.col("dead"), lambda c: c.cast("string")),
+            ],
+            {"k": quantize(F.col("k"), 3)},
+        ).collect()
+    }
+    k, s, d = out["k"], out["s"], out["dead"]
+    # ranks ceil(p*4) = 1, 2, 3 -> values 1, 2, 3, each read at its
+    # HDR bucket midpoint (relative error <= 1/64 by construction)
+    for got, want in ((k["p25"], 1.0), (k["p50"], 2.0), (k["p75"], 3.0)):
+        assert abs(got - want) / want <= 1.0 / 64, (got, want)
+    assert k["topk"] == "1:1|2:1|3:1|4:1"  # ties break value-ASC
+    assert s["p25"] is None and s["p50"] is None
+    assert s["topk"] == "a:3|b:1"
+    assert d["ndv_est"] == 0.0 and d["topk"] is None
+    assert d["n_nulls"] == 4

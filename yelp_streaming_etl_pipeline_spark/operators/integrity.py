@@ -26,7 +26,7 @@ a HUGEINT.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NULL_TAG = "\x00"
@@ -153,4 +153,160 @@ def table_stats_profile(
     )
     return joined.withColumn(
         "ndv_est", F.coalesce(F.col("ndv_est"), F.lit(0.0))
+    )
+
+
+PROFILE_QUANTILES = (0.25, 0.5, 0.75)
+PROFILE_TOPK = 5
+
+
+def table_stats_profile_deep(
+    df: DataFrame,
+    specs: list[tuple[str, Column, "object"]],
+    num_specs: dict[str, Column] | None = None,
+    k: int = PROFILE_TOPK,
+) -> DataFrame:
+    """The rest of the ANALYZE surface a cost-based planner consults:
+    everything table_stats_profile reports PLUS per-column quartiles
+    (HDR quantile sketch) and the exact top-``k`` heavy hitters.
+    Returns (col_name, n_rows, n_nulls, min_val, max_val, ndv_est,
+    p25, p50, p75, topk) — one row per column; p* are NULL for
+    non-numeric columns, topk is 'value:count|...' in pinned order
+    (count DESC, value ASC).
+
+    ``num_specs`` maps a subset of the spec names to their
+    quantize()d NON-NEGATIVE long expression (the HDR sketch domain).
+
+    Scale shape — still exactly TWO passes over the table:
+    1. the same partial-combinable scalar aggregate as
+       table_stats_profile (n_rows, per-column nulls + native
+       min/max);
+    2. ONE melted (col, canon_value, quantized_value) aggregate
+       collapses the corpus to per-value counts — an ndv-bounded
+       table, materialized once (localCheckpoint) and consumed three
+       ways WITHOUT touching the corpus again:
+       - HLL ndv registers (distinct values feed max-rho, so the
+         collapsed table gives identical registers to raw rows);
+       - weighted HDR quantile registers (sum of counts per bucket ==
+         raw count(*), see
+         sketches.quantile_sketch_registers_by_group_prequantized);
+       - exact heavy hitters (re-aggregate counts per value, rank
+         inside a per-column window — partitioned, never global).
+    """
+    from .sketches import (
+        hll_estimate_by_group,
+        hll_registers_by_group,
+        quantile_sketch_estimate_by_group,
+        quantile_sketch_registers_by_group_prequantized,
+    )
+
+    num_specs = num_specs or {}
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for name, col, canon in specs:
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_nulls_{name}"),
+            canon(F.min(col)).alias(f"_min_{name}"),
+            canon(F.max(col)).alias(f"_max_{name}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_n_rows").alias("n_rows"),
+                F.col(f"_nulls_{name}").alias("n_nulls"),
+                F.col(f"_min_{name}").alias("min_val"),
+                F.col(f"_max_{name}").alias("max_val"),
+            )
+            for name, _, _ in specs
+        ]
+    )
+    base = one.select(F.explode(rows).alias("r")).select("r.*")
+
+    melted = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("g"),
+                            canon(col).alias("v"),
+                            (
+                                num_specs[name]
+                                if name in num_specs
+                                else F.lit(None)
+                            ).cast("long").alias("num"),
+                        )
+                        for name, col, canon in specs
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.g", "e.v", "e.num")
+        .filter(F.col("v").isNotNull())
+    )
+    # the ONE corpus-wide pass: collapse to per-value counts. The
+    # result is ndv-sized; materialize so the three consumers below
+    # never re-scan the table
+    counts = (
+        melted.groupBy("g", "v", "num")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    ndv = hll_estimate_by_group(
+        hll_registers_by_group(counts, F.col("g"), F.col("v"))
+    )
+    qreg = quantile_sketch_registers_by_group_prequantized(
+        counts.filter(F.col("num").isNotNull()),
+        F.col("g"),
+        F.col("num"),
+        F.col("cnt"),
+    )
+    quants = quantile_sketch_estimate_by_group(qreg, PROFILE_QUANTILES)
+    qp = quants.groupBy("g").agg(
+        *[
+            F.max(F.when(F.col("p") == p, F.col("est"))).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in PROFILE_QUANTILES
+        ]
+    )
+    vc = counts.groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("g").orderBy(F.desc("cnt"), F.asc("v"))
+    tk = (
+        vc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy("g")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "v", "cnt"))
+                    ),
+                    lambda s: F.concat(
+                        s["v"], F.lit(":"), s["cnt"].cast("string")
+                    ),
+                ),
+            ).alias("topk")
+        )
+    )
+    out = (
+        base.join(
+            ndv.select(
+                F.col("g").alias("col_name"),
+                F.col("hll_estimate").alias("ndv_est"),
+            ),
+            "col_name",
+            "left",
+        )
+        .join(qp.withColumnRenamed("g", "col_name"), "col_name", "left")
+        .join(tk.withColumnRenamed("g", "col_name"), "col_name", "left")
+    )
+    return out.withColumn(
+        "ndv_est", F.coalesce(F.col("ndv_est"), F.lit(0.0))
+    ).select(
+        "col_name", "n_rows", "n_nulls", "min_val", "max_val",
+        "ndv_est", "p25", "p50", "p75", "topk",
     )

@@ -647,6 +647,47 @@ def quantile_sketch_registers_by_group(
     )
 
 
+def quantile_sketch_registers_by_group_prequantized(
+    counts: DataFrame, group: Column, q: Column, weight: Column
+) -> DataFrame:
+    """Grouped HDR registers from a PRE-AGGREGATED (group, quantized
+    value, weight) table — the profiler shape, where the corpus was
+    already collapsed to per-value counts. Identical registers to
+    feeding the raw rows through quantile_sketch_registers_by_group:
+    equal quantized values land in the same bucket, so summing the
+    weights reproduces the raw count(*) exactly. ``q`` must already
+    be the non-negative quantize()d long."""
+    b = QSK_SUB_BITS
+    staged = counts.select(
+        group.alias("g"), q.alias("q"), weight.alias("wt")
+    ).select(
+        "g",
+        "q",
+        "wt",
+        F.greatest(
+            (F.length(F.bin(F.col("q"))) - 1) - F.lit(b), F.lit(0)
+        ).cast("int").alias("s"),
+    )
+    return (
+        staged.select(
+            "g",
+            (
+                F.col("s").cast("long") * (1 << b)
+                + F.expr("shiftright(q, s)")
+            ).alias("bucket"),
+            F.expr("shiftleft(shiftright(q, s), s)").alias("lb"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), s)").alias("width"),
+            "wt",
+        )
+        .groupBy("g", "bucket")
+        .agg(
+            F.min("lb").alias("lb_q"),
+            F.min("width").alias("width_q"),
+            F.sum("wt").alias("n"),
+        )
+    )
+
+
 def quantile_sketch_estimate_by_group(
     registers: DataFrame, ps: tuple[float, ...] = QSK_PS
 ) -> DataFrame:
