@@ -3854,113 +3854,50 @@ def q_table_stats_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Round-6 window (priority order, per VERDICT r5 directive #2 and
+    Round-7 window (priority order, per VERDICT r6 directive #2 and
     the standing cycle plan):
-    (a) the 11 entries NEW this round (streaming k-means centroid
-    maintenance, content-defined-chunking near-dup pairs + their
-    streaming maintenance, incremental SemDeDup maintenance,
-    streaming quantile-sketch maintenance, streaming PageRank
-    maintenance, per-key resample + forward fill, blob chunk
-    manifest, per-key CUSUM changepoints, stream-stream left-semi
-    interval join, ANALYZE-style table-stats profiler) — never
-    driver-checked;
-    (b) 3 entries whose code changed this round: ann_ivfpq_topk
-    (RESULTS changed — ADC partials now dot subvectors of q itself,
-    the standard FAISS IP-ADC form, oracle updated in step),
-    customer_quartiles (plan rewritten to the two-pass distributed
-    rank, results bit-identical), audio_meta_audit (WAV parse guards
-    hardened; synthetic-corpus results identical);
-    (c) the 36 remaining r2-checked entries, oldest stamps in the
-    ledger (sliding_hourly_stats .. rollup_revenue — every r2 entry
-    except customer_quartiles, which sits in (b));
-    11 + 3 + 36 = 50 (the r2 block keeps every slot not taken by
-    never-checked or changed entries).
+    (a) the 2 entries NEW this round (WordPiece greedy longest-match
+    tokenizer scoring; the deep ANALYZE profile with per-column
+    quartiles + exact heavy hitters) — never driver-checked;
+    (b) the 3 CDC entries whose chunk scan was rewritten O(n^2)->O(n)
+    this round (split-once char array; results bit-identical, chunk
+    output verified by count+crc equivalence and the local oracle
+    gate) — the round-6 top finding, so the driver re-verifies them;
+    (c) the 45 oldest r3-checked entries (trending_stream ..
+    class_capped_sample), oldest stamps in the ledger;
+    2 + 3 + 45 = 50. The final two r3 entries (purchase_prior_click,
+    text_features) land at positions 51-52 and head the round-8
+    window.
 
-    CYCLE PLAN (191 entries, 50-entry window): past position 50 the
-    order is round 7's queue — the remaining r3-checked block first,
-    then the r4-checked block, then the r5-checked block (freshest).
-    Entries whose code changed this round without changing results
-    or plans materially (duplicated_passages now routes through the
-    shared cdc_chunks helper; mmr_topk releases its candidate cache)
-    stay in their staleness slots: each is re-proven every round by
-    the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 191) and by pytest units added with the change.
+    CYCLE PLAN (193 entries, 50-entry window): past position 50 the
+    order is round 8's queue — the 2 remaining r3 entries, then the
+    5 entries whose PLANS changed this round with identical results
+    (winnowing + winnow_fingerprint char-array rewrites, the
+    empty-payload manifest gate, the all-NULL-column profile row),
+    then the r4 / r5 / r6 blocks (freshest last). Every entry is
+    re-proven every round by the local full gate
+    (scripts/check_oracle.py + check_vanilla.py over all 193) and by
+    pytest units added with each change.
     """
     return {
         # (a) NEVER driver-checked: new this round
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "table_stats_deep": q_table_stats_deep,
-        "kmeans_maintenance_stream": q_kmeans_maintenance_stream,
+        # (b) the round-7 CDC O(n) rewrite: driver re-verification
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
-        "semantic_dedup_maintenance_stream": (
-            q_semantic_dedup_maintenance_stream
-        ),
-        "quantile_sketch_stream": q_quantile_sketch_stream,
-        "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
-        "events_resample_ffill": q_events_resample_ffill,
-        "payload_chunk_manifest": q_payload_chunk_manifest,
-        "cusum_changepoints": q_cusum_changepoints,
-        "attributed_purchases_semi_stream": (
-            q_attributed_purchases_semi_stream
-        ),
-        "table_stats_profile": q_table_stats_profile,
-        # (b) changed this round: ADC partials now dot q itself
-        # (results changed); quartiles plan rewritten (two-pass rank,
-        # results identical); WAV parse guards hardened
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "customer_quartiles": q_customer_quartiles,
-        "audio_meta_audit": q_audio_meta_audit,
-        # (c) stale-r2 block, oldest-first (driver-checked r2; green
-        # in every local full gate since)
-        "sliding_hourly_stats": q_sliding_hourly_stats,
-        "salted_event_counts": q_salted_event_counts,
-        "value_histogram": q_value_histogram,
-        "histogram_median": q_histogram_median,
-        "numeric_profile": q_numeric_profile,
-        "pricing_summary": q_pricing_summary,
-        "cube_revenue": q_cube_revenue,
-        "gopher_quality": q_gopher_quality,
-        "repetition_profile": q_repetition_profile,
-        "doc_chunks": q_doc_chunks,
-        "bloom_registers": q_bloom_registers,
-        "bloom_probe": q_bloom_probe,
-        "dedup_quality_prune": q_dedup_quality_prune,
-        "cms_counters": q_cms_counters,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "simhash_signatures": q_simhash,
-        "neardup_ngram": q_neardup_ngram,
-        "text_analysis": q_text_analysis,
-        "ann_cosine_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "media_features": q_media_features,
-        "decontaminate": q_decontaminate,
-        "lm_score": q_lm_score,
-        "corpus_upsert": q_corpus_upsert,
-        "mixture_sample": q_mixture_sample,
-        "ann_quantized_topk": q_ann_quantized_topk,
         "duplicated_passages": q_duplicated_passages,
-        "hll_registers": q_hll_registers,
-        "hll_estimate": q_hll_estimate,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_customers": q_top_customers,
-        "supplier_running_revenue": q_supplier_running_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        # (d) r3-checked head, filling the window to 50
+        # (c) stale-r3 block, oldest stamps (driver-checked r3; green
+        # in every local full gate since)
         "trending_stream": q_trending_stream,
         "io_roundtrip_formats": q_io_roundtrip_formats,
         "pii_profile": q_pii_profile,
-        # ---- position >= 50: round 7 takes from here, in order.
         "pii_redact": q_pii_redact,
         "zorder_layout": q_zorder_layout,
         "frame_sample_plan": q_frame_sample_plan,
         "hll_set_ops": q_hll_set_ops,
         "cms_join_size": q_cms_join_size,
         "embedding_project": q_embedding_project,
-        # r3-checked remainder first
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
         "hard_negatives": q_hard_negatives,
@@ -4001,7 +3938,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "text_features": q_text_features,
-        # r4-checked block
+        # (d) plan changed this round, results identical (winnowing /
+        # winnow_fingerprint char-array fix, empty-payload gate,
+        # all-NULL profile row): re-proven locally, heads the r8 queue
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "winnow_neardup": q_winnow_neardup,
+        "text_analysis": q_text_analysis,
+        "payload_chunk_manifest": q_payload_chunk_manifest,
+        "table_stats_profile": q_table_stats_profile,
+        # (e) r4 block, then r5, then r6 (freshest last)
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
@@ -4027,9 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q2": q_sql_surface_q2,
         "sql_surface_q21": q_sql_surface_q21,
         "bfs_levels": q_bfs_levels,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
         "salted_skew_join": q_salted_skew_join,
-        "winnow_neardup": q_winnow_neardup,
         "dedup_watermark_stream": q_dedup_watermark_stream,
         "cms_topk_stream": q_cms_topk_stream,
         "ann_sharded_topk": q_ann_sharded_topk,
@@ -4048,7 +3991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": q_bloom_pruned_join,
         "fingerprint_incremental": q_fingerprint_incremental,
         "dedup_clusters": q_dedup_clusters,
-        # r5-checked block (freshest)
         "session_window_multibatch_stream": q_session_window_multibatch_stream,
         "dedup_watermark_multibatch_stream": (
             q_dedup_watermark_multibatch_stream
@@ -4101,6 +4043,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_corpus_prune": q_dedup_corpus_prune,
         "simhash_pairs": q_simhash_pairs,
+        "kmeans_maintenance_stream": q_kmeans_maintenance_stream,
+        "semantic_dedup_maintenance_stream": (
+            q_semantic_dedup_maintenance_stream
+        ),
+        "quantile_sketch_stream": q_quantile_sketch_stream,
+        "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
+        "events_resample_ffill": q_events_resample_ffill,
+        "cusum_changepoints": q_cusum_changepoints,
+        "attributed_purchases_semi_stream": (
+            q_attributed_purchases_semi_stream
+        ),
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "customer_quartiles": q_customer_quartiles,
+        "audio_meta_audit": q_audio_meta_audit,
+        "sliding_hourly_stats": q_sliding_hourly_stats,
+        "salted_event_counts": q_salted_event_counts,
+        "value_histogram": q_value_histogram,
+        "histogram_median": q_histogram_median,
+        "numeric_profile": q_numeric_profile,
+        "pricing_summary": q_pricing_summary,
+        "cube_revenue": q_cube_revenue,
+        "gopher_quality": q_gopher_quality,
+        "repetition_profile": q_repetition_profile,
+        "doc_chunks": q_doc_chunks,
+        "bloom_registers": q_bloom_registers,
+        "bloom_probe": q_bloom_probe,
+        "dedup_quality_prune": q_dedup_quality_prune,
+        "cms_counters": q_cms_counters,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "simhash_signatures": q_simhash,
+        "neardup_ngram": q_neardup_ngram,
+        "ann_cosine_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+        "corpus_upsert": q_corpus_upsert,
+        "mixture_sample": q_mixture_sample,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "hll_registers": q_hll_registers,
+        "hll_estimate": q_hll_estimate,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "supplier_running_revenue": q_supplier_running_revenue,
+        "rollup_revenue": q_rollup_revenue,
     }
 
 
