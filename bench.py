@@ -208,6 +208,7 @@ HEADLINE = [
     # round-7 additions
     "wordpiece_doc_scores",
     "table_stats_deep",
+    "bm25_topk",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

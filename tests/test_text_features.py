@@ -119,3 +119,27 @@ def test_bigram_lift_exact_values(spark):
     # min_count filters everything in a sparser corpus
     sparse = spark.createDataFrame([(1, "u v")], "doc_id long, text string")
     assert bigram_lift(sparse, min_count=3).count() == 0
+
+
+def test_bm25_topk_hand_fixture(spark):
+    """Integer BM25 on a hand-computed corpus: N=3, T=10, A=(100//3)=33;
+    query = top-2 terms (bird cnt 5, cat cnt 3); idf_q(bird)=
+    len(bin(8//3))=2, idf_q(cat)=len(bin(8//5))=1; per-term scores
+    floor-divide exactly as below."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat mouse"),
+         (3, "bird bird bird bird bird")],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in bm25_topk(docs, n_query_terms=2, k=3).collect()
+    ]
+    # d3: (2*22*5*33*1000)//(10*33*5+3*33+90*5) = 7260000//2199 = 3301
+    # d1: (1*22*2*33*1000)//(10*33*2+99+270)    = 1452000//1029 = 1411
+    # d2: (1*22*1*33*1000)//(330+99+180)        =  726000//609  = 1192
+    assert got == [(3, 3301, 1), (1, 1411, 1), (2, 1192, 1)]

@@ -54,19 +54,27 @@ def winnow_fingerprint(c: Column, gram: int = 8) -> Column:
     character 8-grams of the normalized text (a 1-fingerprint
     winnowing scheme — robust to local edits, cheap to compute).
 
-    The normalized string rides inside the aggregate's zero value so
-    it is evaluated ONCE per row; referencing it from the lambda body
-    would re-run the regexp_replace per 8-gram (interpreted HOFs)."""
+    The normalized CHAR ARRAY rides inside the aggregate's zero value
+    so the split is evaluated ONCE per row (referencing it from the
+    lambda body would re-run the normalization per 8-gram), and each
+    window is rebuilt via slice + concat_ws at O(gram) — a
+    ``substr(i, gram)`` here walks the UTF8String from the head per
+    call, making the whole scan O(n^2) per document (the
+    dedup._chunk_starts trap; window content is identical for BMP
+    text)."""
     norm = F.regexp_replace(F.lower(ws_trim(c)), r"\s+", " ")
     n = F.length(norm)
     return F.aggregate(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n - (gram - 1))),
-        F.struct(norm.alias("s"), F.lit(None).cast("string").alias("mn")),
+        F.struct(
+            F.split(norm, "").alias("cs"),
+            F.lit(None).cast("string").alias("mn"),
+        ),
         lambda acc, i: F.struct(
-            acc["s"].alias("s"),
+            acc["cs"].alias("cs"),
             F.least(
                 F.coalesce(acc["mn"], F.lit("g")),  # 'g' > any hex digest
-                F.md5(acc["s"].substr(i, F.lit(gram))),
+                F.md5(F.concat_ws("", F.slice(acc["cs"], i, gram))),
             ).alias("mn"),
         ),
         lambda acc: acc["mn"],
@@ -263,5 +271,95 @@ def bigram_lift(
             ).alias("lift"),
         )
         .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+BM25_K = 20  # documents returned
+BM25_QUERY_TERMS = 5  # corpus-derived query size
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+) -> DataFrame:
+    """Integer-exact BM25 document ranking (k1 = 1.2, b = 0.75) — the
+    lexical-retrieval staple a training-data pipeline runs for
+    query-relevance filtering and eval-set mining. Self-contained: the
+    query is the corpus's ``n_query_terms`` most frequent tokens
+    (pinned count DESC, term ASC), so the entry needs no external
+    input.
+
+    Engine-exact scoring with NO float log or division (ln() is not
+    correctly rounded across libms — same discipline as tfidf_keywords
+    / bigram_lift):
+    - idf_q: dyadic Lucene-style idf — bit length of the floored
+      ratio (2N + 2) div (2 df + 1), i.e. floor(log2(1 +
+      (N - df + 0.5)/(df + 0.5))) + 1; always >= 1, integer-exact;
+    - avgdl quantized once to tenths: A = (10 T) div N;
+    - tf saturation as one integer rational: with k1 = 6/5, b = 3/4,
+      tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) scaled by 10*A gives
+      num = 22 tf A, den = 10 A tf + 3 A + 90 dl — exact longs whose
+      magnitude is bounded by PER-DOC quantities (never corpus
+      totals), so no overflow at any corpus size;
+    - per-term score = (idf_q * 22 tf A * 1000) div den, summed per
+      doc; the 1000 is fixed-point resolution.
+
+    Scale shape: one tokenize+count pass (hash aggregates), query
+    terms broadcast (n_query_terms rows), scoring touches only
+    (doc, query-term) postings, and the top-k compiles to
+    TakeOrderedAndProject — no global sort."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").alias("T"), F.count("*").alias("N")
+    )
+    # A = (10 T) div N — avgdl in tenths of a token, one tiny row
+    consts = totals.select(
+        F.expr("(10 * T) div N").alias("A"), F.col("N")
+    )
+    qterms = (
+        words.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term")
+    )
+    tf = (
+        words.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(consts)).select(
+        "term",
+        F.length(
+            F.bin(F.expr("(2 * N + 2) div (2 * df + 1)"))
+        ).cast("long").alias("idf_q"),
+        F.col("A"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_q * 22 * tf * A * 1000) div "
+                "(10 * A * tf + 3 * A + 90 * dl)"
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("bm25_q"), F.count("*").alias("n_terms"))
+        .orderBy(F.desc("bm25_q"), F.asc("doc_id"))
         .limit(k)
     )
