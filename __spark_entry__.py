@@ -3917,33 +3917,99 @@ FROM scored GROUP BY doc_id
 ORDER BY bm25_q DESC, doc_id LIMIT {k}"""
 
 
+def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup detection-quality eval (operators/dedup.py dedup_eval):
+    MinHash-LSH pairs over the planted near-dup corpus scored against
+    the exact planted ground truth (exact copies, near copies, and
+    the induced copy-of-copy pairs) — one row of
+    expected/detected/true-positive counts + precision/recall/f1.
+    The QA gate a dedup detector must clear before running at
+    corpus scale. Planted recall is the hard signal (1.0 at sf0.01);
+    precision-vs-planted is a LOWER BOUND — the synthetic corpus
+    draws from a small vocabulary, so some detected extras are
+    genuine natural near-dups, counted against precision here
+    because the planted set is the only certain ground truth."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        dedup_eval,
+        planted_near_dup_pairs,
+    )
+
+    detected = DD.minhash_lsh_pairs(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id", 0.5
+    ).select("doc_a", "doc_b")
+    expected = planted_near_dup_pairs(
+        _t_cpu(spark, sf_dir, "documents").select("doc_id")
+    )
+    return dedup_eval(detected, expected)
+
+
+def _sql_dedup_eval_minhash() -> str:
+    """Twin of q_dedup_eval_minhash: the neardup_minhash pair SQL as a
+    subquery, the modular planted-pair ground truth, and the same
+    integer-ratio precision/recall/f1 (f1 = 2TP/(det+exp))."""
+    det_sql = O.sql_minhash_lsh_pairs(0.5)
+    return f"""
+WITH det AS (
+  SELECT DISTINCT doc_a, doc_b FROM ({det_sql})
+),
+exp AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+    FROM documents WHERE doc_id % 31 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 17 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, doc_id + 2000000
+    FROM documents WHERE doc_id % 527 = 0
+  )
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_detected FROM det),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM exp),
+tp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true_pos
+  FROM det JOIN exp USING (doc_a, doc_b)
+)
+SELECT n_expected, n_detected, n_true_pos,
+  CASE WHEN n_detected > 0
+       THEN {SR('CAST(n_true_pos AS DOUBLE) / CAST(n_detected AS DOUBLE)', 6)}
+       ELSE 0.0 END AS precision,
+  CASE WHEN n_expected > 0
+       THEN {SR('CAST(n_true_pos AS DOUBLE) / CAST(n_expected AS DOUBLE)', 6)}
+       ELSE 0.0 END AS recall,
+  CASE WHEN n_detected + n_expected > 0
+       THEN {SR('2.0 * CAST(n_true_pos AS DOUBLE) / CAST(n_detected + n_expected AS DOUBLE)', 6)}
+       ELSE 0.0 END AS f1
+FROM ne CROSS JOIN nd CROSS JOIN tp"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
     Round-7 window (priority order, per VERDICT r6 directive #2 and
     the standing cycle plan):
-    (a) the 3 entries NEW this round (WordPiece greedy longest-match
+    (a) the 4 entries NEW this round (WordPiece greedy longest-match
     tokenizer scoring; the deep ANALYZE profile with per-column
-    quartiles + exact heavy hitters; integer-exact BM25 retrieval) —
-    never driver-checked;
+    quartiles + exact heavy hitters; integer-exact BM25 retrieval;
+    planted-ground-truth dedup detection eval) — never
+    driver-checked;
     (b) the 3 CDC entries whose chunk scan was rewritten O(n^2)->O(n)
     this round (split-once char array; results bit-identical, chunk
     output verified by count+crc equivalence and the local oracle
     gate) — the round-6 top finding, so the driver re-verifies them;
-    (c) the 44 oldest r3-checked entries (trending_stream ..
-    neardup_minhash), oldest stamps in the ledger;
-    3 + 3 + 44 = 50. The final three r3 entries (class_capped_sample,
-    purchase_prior_click, text_features) land at positions 51-53 and
-    head the round-8 window.
+    (c) the 43 oldest r3-checked entries (trending_stream ..
+    dedup_exact), oldest stamps in the ledger;
+    4 + 3 + 43 = 50. The final four r3 entries (neardup_minhash,
+    class_capped_sample, purchase_prior_click, text_features) land at
+    positions 51-54 and head the round-8 window.
 
-    CYCLE PLAN (194 entries, 50-entry window): past position 50 the
-    order is round 8's queue — the 3 remaining r3 entries, then the
+    CYCLE PLAN (195 entries, 50-entry window): past position 50 the
+    order is round 8's queue — the 4 remaining r3 entries, then the
     5 entries whose PLANS changed this round with identical results
     (winnowing + winnow_fingerprint char-array rewrites, the
     empty-payload manifest gate, the all-NULL-column profile row),
     then the r4 / r5 / r6 blocks (freshest last). Every entry is
     re-proven every round by the local full gate
-    (scripts/check_oracle.py + check_vanilla.py over all 194) and by
+    (scripts/check_oracle.py + check_vanilla.py over all 195) and by
     pytest units added with each change.
     """
     return {
@@ -3951,6 +4017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "table_stats_deep": q_table_stats_deep,
         "bm25_topk": q_bm25_topk,
+        "dedup_eval_minhash": q_dedup_eval_minhash,
         # (b) the round-7 CDC O(n) rewrite: driver re-verification
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
@@ -6034,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": O.sql_bpe_token_counts(),
         "wordpiece_doc_scores": O.sql_wordpiece_doc_scores(),
         "bm25_topk": _sql_bm25_topk(),
+        "dedup_eval_minhash": _sql_dedup_eval_minhash(),
         "sql_surface_q4": SQL_SURFACE_Q4,
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),

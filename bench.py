@@ -209,6 +209,7 @@ HEADLINE = [
     "wordpiece_doc_scores",
     "table_stats_deep",
     "bm25_topk",
+    "dedup_eval_minhash",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -803,3 +803,29 @@ def test_cdc_maintain_stream_equals_batch_with_retraction(spark):
     assert streamed == batch
     pair_ids = {(a, b) for a, b, _, _ in streamed}
     assert (10, 20) in pair_ids  # the genuine cross-batch pair survives
+
+
+def test_dedup_eval_hand_fixture(spark):
+    """dedup_eval on literal pair tables: 4 expected, 3 detected,
+    2 true positives -> P=2/3, R=1/2, f1=2*2/(3+4)=4/7; duplicate
+    input rows must not inflate counts; empty detected set -> all
+    zero ratios, no division error."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import dedup_eval
+
+    exp = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "doc_a long, doc_b long"
+    )
+    det = spark.createDataFrame(
+        [(1, 2), (3, 4), (9, 10), (1, 2)], "doc_a long, doc_b long"
+    )
+    r = dedup_eval(det, exp).collect()[0]
+    assert (r["n_expected"], r["n_detected"], r["n_true_pos"]) == (4, 3, 2)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == 0.5
+    assert r["f1"] == round(4 / 7, 6)
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    r0 = dedup_eval(empty, exp).collect()[0]
+    assert (r0["n_detected"], r0["precision"], r0["recall"], r0["f1"]) == (
+        0, 0.0, 0.0, 0.0,
+    )

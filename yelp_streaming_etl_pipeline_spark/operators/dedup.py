@@ -1106,16 +1106,26 @@ def winnowing_fp_set(
             ).isNull()
         )
     )
-    grams = d.select(
+    # k-gram windows come from a split-once char array via slice +
+    # concat_ws (O(k) per gram) — substring(text, pos, k) walks the
+    # UTF8String from the head per call, turning the whole scan
+    # O(n^2) per document (the _chunk_starts / trigram trap; window
+    # content is identical for BMP text). The array rides the
+    # pipelined explode->project and is dropped before the shuffle.
+    grams = d.withColumn("_chars", F.split("text", "")).select(
         "doc_id",
         "n",
-        "text",
+        "_chars",
         F.explode(
             F.sequence(F.lit(1), F.col("n") - (k - 1))
         ).alias("pos"),
     )
     h = F.conv(
-        F.substring(F.md5(F.expr(f"substring(text, pos, {k})")), 1, 8),
+        F.substring(
+            F.md5(F.concat_ws("", F.slice(F.col("_chars"), F.col("pos"), k))),
+            1,
+            8,
+        ),
         16,
         10,
     ).cast("long")
@@ -1337,3 +1347,71 @@ def neardup_maintain_stream(
         prefix="neardup_",
     )
     return state["pairs"]
+
+
+def dedup_eval(detected: DataFrame, expected: DataFrame) -> DataFrame:
+    """Detection-quality scoring against planted ground truth — the QA
+    gate a dedup pipeline runs before trusting a detector at corpus
+    scale: join the detected pair set against the expected (planted)
+    pair set and report ONE row
+    (n_expected, n_detected, n_true_pos, precision, recall, f1).
+
+    Both inputs are canonical (doc_a < doc_b) pair tables; each is
+    distinct-ed defensively. f1 uses the integer identity
+    2*TP / (n_detected + n_expected) — equal to the harmonic mean of
+    precision and recall, but computed from one exact integer ratio
+    (single stable_round, no compounding of rounded doubles).
+
+    Scale shape: two distincts + one equi-join on the pair key + three
+    1-row aggregates broadcast-crossed together — pair-set sized, never
+    corpus sized."""
+    from ..functions.rounding import stable_round
+
+    det = detected.select("doc_a", "doc_b").distinct()
+    exp = expected.select("doc_a", "doc_b").distinct()
+    n_det = det.agg(F.count("*").alias("n_detected"))
+    n_exp = exp.agg(F.count("*").alias("n_expected"))
+    n_tp = det.join(exp, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_true_pos")
+    )
+    joined = (
+        n_exp.crossJoin(F.broadcast(n_det)).crossJoin(F.broadcast(n_tp))
+    )
+    tp = F.col("n_true_pos").cast("double")
+    safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, stable_round(num / den.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "n_expected",
+        "n_detected",
+        "n_true_pos",
+        safe(tp, F.col("n_detected")).alias("precision"),
+        safe(tp, F.col("n_expected")).alias("recall"),
+        safe(
+            F.lit(2.0) * tp,
+            F.col("n_detected") + F.col("n_expected"),
+        ).alias("f1"),
+    )
+
+
+def planted_near_dup_pairs(base_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Ground-truth pair table for with_synthetic_near_dups: exact
+    copies (id, id+1e6) for id % 31 == 0, near copies (id, id+2e6)
+    for id % 17 == 0, and — when both plants hit the same doc
+    (id % 527 == 0) — the induced copy-of-copy pair (id+1e6, id+2e6),
+    which is a genuine near-dup and must not count against
+    precision."""
+    ids = base_ids.select(F.col(id_col).alias("doc_id"))
+    e1 = ids.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1_000_000).alias("doc_b"),
+    )
+    e2 = ids.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 2_000_000).alias("doc_b"),
+    )
+    e3 = ids.filter(F.col("doc_id") % 527 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_a"),
+        (F.col("doc_id") + 2_000_000).alias("doc_b"),
+    )
+    return e1.unionByName(e2).unionByName(e3)
