@@ -88,13 +88,18 @@ def replicate(spark, out: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
     )
-    # NOTE: lineitem is copied UNREPLICATED, so replica orders
-    # (o_orderkey shifted by _r * n_o) reference NO lineitem rows —
-    # orderkey referential integrity holds only for the _r == 0 copy.
-    # Fine for the current probes (none joins orders x lineitem in the
-    # scaled dir); if such a probe is added, replicate lineitem with
-    # matching l_orderkey shifts instead of copying it.
-    for t in ("region", "nation", "supplier", "part", "lineitem"):
+    # lineitem replicated with the SAME l_orderkey shift as orders, so
+    # orderkey referential integrity holds in the scaled dir and
+    # orders x lineitem join probes grow BOTH sides consistently
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    (
+        li.crossJoin(creps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * n_o)
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    for t in ("region", "nation", "supplier", "part"):
         shutil.copy(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
 
 
@@ -121,6 +126,12 @@ PROBES = [
     # quadratic in the replication factor by SEMANTICS, not by plan.
     ("customer_quartiles", "customer_quartiles", REP_FACT),
     ("events_resample_ffill", "events_resample_ffill", REP_EVENTS),
+    # round-7: lineitem now replicates with matching l_orderkey
+    # shifts, so the orders x lineitem shuffle join (TPC-H Q12 shape)
+    # grows both sides 10x consistently; the deep profiler's
+    # two-pass + ndv-sized-intermediate claim gets checked at 10x too
+    ("orders_lineitem_q12", "sql_surface_q12", REP_FACT),
+    ("table_stats_deep", "table_stats_deep", REP_FACT),
 ]
 
 

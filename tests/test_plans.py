@@ -691,3 +691,46 @@ def test_cdc_chunk_pairs_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert not A.has_python_udf(df)
     assert A.key_shuffle_exchanges(df) <= 5, plan[:3000]
+
+
+def test_bm25_topk_take_ordered_no_udf(spark):
+    # the retrieval top-k must compile to TakeOrderedAndProject (never
+    # a full range-shuffle sort), stay UDF-free, and broadcast the
+    # tiny query-term / idf tables into the postings join
+    df = E.q_bm25_topk(spark, SF)
+    plan = A.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
+    assert not A.has_python_udf(df)
+    assert A.has_broadcast_join(df), "query terms / idf must broadcast"
+
+
+def test_wordpiece_doc_scores_no_udf_no_rangesort(spark):
+    # all segmentation work is Column algebra over the distinct-word
+    # table; the vocab top-k is a TakeOrdered, never a global sort
+    df = E.q_wordpiece_doc_scores(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "rangepartitioning" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_table_stats_deep_no_global_window(spark):
+    # the heavy-hitter rank runs in PER-COLUMN windows: no
+    # unpartitioned (SinglePartition) window over data-proportional
+    # rows may appear; the profiler stays UDF-free
+    df = E.q_table_stats_deep(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    # every window spec must be PARTITIONED (the quantile cumsum and
+    # heavy-hitter rank are keyed by col_name): an unpartitioned spec
+    # starts straight with its ORDER BY column ("x ASC/DESC ..."),
+    # a partitioned one starts with the partition column
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]  # the profiler does use windows
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )
