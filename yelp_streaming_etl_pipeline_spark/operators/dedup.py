@@ -736,36 +736,38 @@ def _chunk_starts(chars: Column, n: Column) -> Column:
     fixed-width blocks are not (the rsync/LBFS trick). Position 1 is
     always a start; texts shorter than the window are one chunk.
 
-    O(n) per document: each window is rebuilt from the array via
-    ``slice`` + ``concat_ws`` (O(GRAM) each), never via ``s.substr(i,
-    GRAM)`` whose UTF8String forward-walk from the string head makes
-    the whole scan O(n^2) — the same trap, and the same fix, as
-    lang_trigrams._trigram_array_from_chars (round 3, 33x at 12k
-    chars). Unicode note as there: ``split('')`` yields UTF-16 code
-    units while ``substr`` counts codepoints — window CONTENT (hence
-    every md5 cut decision and the DuckDB oracle twin) is identical
-    for BMP-only text, which the normalized corpus is."""
+    O(n) per document, avoiding BOTH quadratic traps:
+    - each window is rebuilt from the array via ``slice`` +
+      ``concat_ws`` (O(GRAM) each), never via ``s.substr(i, GRAM)``
+      whose UTF8String forward-walk from the string head makes the
+      scan O(n^2) compute (the trap lang_trigrams fixed in round 3,
+      33x at 12k chars);
+    - the boundary list comes from ``F.filter`` over the position
+      sequence, never from an ``F.aggregate`` fold accumulating an
+      array — Spark's fold DEEP-COPIES the accumulator every step
+      (InternalRow.copyValue), so a growing array in the accumulator
+      is O(n^2/CDC_MOD) copies.
+    Unicode note: ``split('')`` yields UTF-16 code units while
+    ``substr`` counts codepoints — window CONTENT (hence every md5
+    cut decision and the DuckDB oracle twin) is identical for
+    BMP-only text, which the normalized corpus is."""
     bounds = F.when(
         n >= CDC_GRAM + 1,
-        F.aggregate(
+        F.filter(
             F.sequence(F.lit(2), F.greatest(F.lit(2), n - (CDC_GRAM - 1))),
-            F.array().cast("array<int>"),
-            lambda acc, i: F.when(
-                F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws("", F.slice(chars, i, CDC_GRAM))),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                    F.lit(CDC_MOD),
-                )
-                == 0,
-                F.array_append(acc, i.cast("int")),
-            ).otherwise(acc),
+            lambda i: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("", F.slice(chars, i, CDC_GRAM))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(CDC_MOD),
+            )
+            == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(

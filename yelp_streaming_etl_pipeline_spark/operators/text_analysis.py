@@ -49,35 +49,45 @@ def doc_fingerprint(c: Column) -> Column:
     )
 
 
-def winnow_fingerprint(c: Column, gram: int = 8) -> Column:
+def winnow_norm_chars(c: Column) -> Column:
+    """split(normalized_text, '') — the char array
+    winnow_fingerprint_from_chars folds over. Must be projected as a
+    BOUND attribute (its own select/withColumn stage) before the
+    fold: attribute references inside a HOF lambda hit the
+    materialized row value at O(1) per access, while INLINE
+    subexpressions re-evaluate per element."""
+    return F.split(
+        F.regexp_replace(F.lower(ws_trim(c)), r"\s+", " "), ""
+    )
+
+
+def winnow_fingerprint_from_chars(chars: Column, gram: int = 8) -> Column:
     """Locality-sensitive fingerprint: the minimum md5 over all
     character 8-grams of the normalized text (a 1-fingerprint
     winnowing scheme — robust to local edits, cheap to compute).
+    ``chars`` must be a BOUND attribute holding winnow_norm_chars(c).
 
-    The normalized CHAR ARRAY rides inside the aggregate's zero value
-    so the split is evaluated ONCE per row (referencing it from the
-    lambda body would re-run the normalization per 8-gram), and each
-    window is rebuilt via slice + concat_ws at O(gram) — a
-    ``substr(i, gram)`` here walks the UTF8String from the head per
-    call, making the whole scan O(n^2) per document (the
-    dedup._chunk_starts trap; window content is identical for BMP
-    text)."""
-    norm = F.regexp_replace(F.lower(ws_trim(c)), r"\s+", " ")
-    n = F.length(norm)
+    O(n * gram) per document. Two traps, both measured, both avoided:
+    - ``substr(i, gram)`` walks the UTF8String from the head per call
+      -> O(n^2) compute (the dedup._chunk_starts trap); windows are
+      rebuilt from the array via slice + concat_ws instead;
+    - anything DOCUMENT-SIZED inside the fold accumulator (the text,
+      or the char array itself) is DEEP-COPIED by Spark's aggregate
+      on every step (InternalRow.copyValue -> GenericArrayData/
+      UTF8String.copy, confirmed by thread dump) -> O(n^2) copies;
+      the accumulator here is only the 32-char running-minimum
+      digest, and the array lives in the enclosing row.
+
+    Window content is identical to the substr form for BMP text
+    (split('') yields UTF-16 units; the corpus is BMP)."""
+    n = F.size(chars)
     return F.aggregate(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n - (gram - 1))),
-        F.struct(
-            F.split(norm, "").alias("cs"),
-            F.lit(None).cast("string").alias("mn"),
+        F.lit(None).cast("string"),
+        lambda acc, i: F.least(
+            F.coalesce(acc, F.lit("g")),  # 'g' > any hex digest
+            F.md5(F.concat_ws("", F.slice(chars, i, gram))),
         ),
-        lambda acc, i: F.struct(
-            acc["cs"].alias("cs"),
-            F.least(
-                F.coalesce(acc["mn"], F.lit("g")),  # 'g' > any hex digest
-                F.md5(F.concat_ws("", F.slice(acc["cs"], i, gram))),
-            ).alias("mn"),
-        ),
-        lambda acc: acc["mn"],
     )
 
 
@@ -127,14 +137,17 @@ def text_quality_score(c: Column) -> Column:
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full text-analysis block over a documents table."""
+    """Full text-analysis block over a documents table. The winnow
+    char array is bound as its own projection stage first — see
+    winnow_fingerprint_from_chars for why it must not be inlined."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.withColumn("_wchars", winnow_norm_chars(t))
+    return staged.select(
         "doc_id",
         whitespace_token_count(t).alias("ws_tokens"),
         bpe_token_count(t).alias("bpe_tokens"),
         doc_fingerprint(t).alias("fingerprint"),
-        winnow_fingerprint(t).alias("winnow_fp"),
+        winnow_fingerprint_from_chars(F.col("_wchars")).alias("winnow_fp"),
         stable_round(stopword_ratio(t), 6).alias("stopword_ratio"),
         text_quality_score(t).alias("quality_score"),
     )
