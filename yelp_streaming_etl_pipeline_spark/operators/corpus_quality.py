@@ -190,31 +190,38 @@ def repetition_profile(
     partitioning so Catalyst plans a single exchange for the gram arm.
     """
     t = F.col(text_col)
-    words = norm_words(t)
-    lines = _lines(t)
+    # Bind the normalized word/line arrays as REAL projection
+    # attributes before anything references them from inside a HOF
+    # lambda: inline subexpressions in interpreted HOFs re-evaluate
+    # per element, so passing norm_words(t) (a regex normalize +
+    # split of the whole document) straight into _gram_structs'
+    # transform re-ran it once PER GRAM — measured 298 s for 64 x
+    # 50k-char docs vs ~2 s bound (the longdoc bench probe exists to
+    # catch exactly this class).
+    staged = df.withColumn("_rp_words", norm_words(t)).withColumn(
+        "_rp_lines", _lines(t)
+    )
+    words = F.col("_rp_words")
+    lines = F.col("_rp_lines")
     wc = F.size(words)
     nl = F.size(lines)
     line_chars = F.aggregate(
         lines, F.lit(0), lambda acc, l: acc + F.length(l)
     )
-    # chars in lines whose value repeats (all occurrences counted)
+    # chars in lines whose value repeats (all occurrences counted).
+    # The lambda references the BOUND lines attribute — the
+    # accumulator stays a scalar (Spark's fold deep-copies the
+    # accumulator per step, so an array in it would be O(L^2) copies)
     dup_line_chars = F.aggregate(
         F.array_distinct(lines),
-        F.struct(lines.alias("ls"), F.lit(0).alias("acc")),
-        lambda acc, d: F.struct(
-            acc["ls"].alias("ls"),
-            (
-                acc["acc"]
-                + F.when(
-                    F.size(F.filter(acc["ls"], lambda x: x == d)) > 1,
-                    F.size(F.filter(acc["ls"], lambda x: x == d))
-                    * F.length(d),
-                ).otherwise(F.lit(0))
-            ).alias("acc"),
-        ),
-        lambda acc: acc["acc"],
+        F.lit(0),
+        lambda acc, d: acc
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == d)) > 1,
+            F.size(F.filter(lines, lambda x: x == d)) * F.length(d),
+        ).otherwise(F.lit(0)),
     )
-    base = df.select(
+    base = staged.select(
         F.col(id_col),
         F.length(norm_text(t)).alias("total_chars"),
         _frac(wc - F.size(F.array_distinct(words)), wc).alias(
@@ -227,10 +234,10 @@ def repetition_profile(
     )
 
     all_ns = sorted({*TOP_GRAM_NS, DUP_GRAM_N})
-    fanned = df.select(
+    fanned = staged.select(
         F.col(id_col),
         F.explode(
-            F.concat(*[_gram_structs(norm_words(t), n) for n in all_ns])
+            F.concat(*[_gram_structs(words, n) for n in all_ns])
         ).alias("g"),
     ).select(id_col, "g.n", "g.gram")
     counted = fanned.groupBy(id_col, "n", "gram").agg(
