@@ -99,15 +99,22 @@ def gopher_quality(
 ) -> DataFrame:
     """Per-document Gopher/C4 rule metrics + the pass/fail verdict.
 
-    One codegen'd projection: every metric is native Column arithmetic
-    over the word/line arrays of the row — no shuffle, no UDF.
+    One projection pipeline: every metric is native Column arithmetic
+    over the word/line arrays of the row — no shuffle, no UDF. The
+    arrays are bound as projection attributes first so the ~7 metric
+    expressions share ONE normalization instead of re-running the
+    whole-document regex each (constant-factor, but measured ~3x at
+    50k chars).
     Reference scope: the reference's quality gauntlet is per-review
     rules (quality_engine.py:223-358); this is the corpus-level
     analog a training-data pipeline runs (north-star extension).
     """
     t = F.col(text_col)
-    words = norm_words(t)
-    lines = _lines(t)
+    df = df.withColumn("_gq_words", norm_words(t)).withColumn(
+        "_gq_lines", _lines(t)
+    )
+    words = F.col("_gq_words")
+    lines = F.col("_gq_lines")
     wc = F.size(words)
     nl = F.size(lines)
     # total word chars = len(norm) - (wc-1) separators (exact, no HOF)
@@ -370,8 +377,15 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     (map-side partial combine); the weight "lookup" is arithmetic on
     the bucket id, so there is no join at all. At 100 TB the cost is
     the n-gram explode — identical to repetition_profile's bound.
+
+    The word array is bound as a projection attribute BEFORE the
+    bigram transform references it: an inline norm_words(text) inside
+    the lambda re-runs the whole-document regex normalization once
+    per bigram (interpreted HOFs re-evaluate inline subexpressions
+    per element — the longdoc-probe trap class).
     """
-    words = norm_words(F.col("text"))
+    staged = docs.withColumn("_qc_words", norm_words(F.col("text")))
+    words = F.col("_qc_words")
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -382,7 +396,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(words, bigrams)
-    exploded = docs.select(
+    exploded = staged.select(
         "doc_id", F.explode_outer(grams).alias("gram")
     )
     scored = exploded.withColumn(
