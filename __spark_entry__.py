@@ -3865,6 +3865,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_bm25_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index maintenance (operators/text_analysis.py
+    bm25_maintain_stream): documents arrive in micro-batches, each
+    tokenized exactly once into the text-free (doc_id, term, tf)
+    postings state; the top-k readout is re-derived per epoch because
+    the query-term set, document frequencies and avgdl all move with
+    corpus totals. Final epoch equals batch bm25_topk, sharing its
+    oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_maintain_stream,
+    )
+
+    return bm25_maintain_stream(
+        _ensure_conf(spark), _t_cpu(spark, sf_dir, "documents")
+    )
+
+
 def _sql_bm25_topk(n_query_terms: int = 5, k: int = 20) -> str:
     """Twin of text_analysis.bm25_topk: identical tokenization,
     dyadic idf via length(bin(...)), the same integer rational
@@ -3987,29 +4004,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window (priority order, per VERDICT r6 directive #2 and
     the standing cycle plan):
-    (a) the 4 entries NEW this round (WordPiece greedy longest-match
+    (a) the 5 entries NEW this round (WordPiece greedy longest-match
     tokenizer scoring; the deep ANALYZE profile with per-column
-    quartiles + exact heavy hitters; integer-exact BM25 retrieval;
-    planted-ground-truth dedup detection eval) — never
-    driver-checked;
+    quartiles + exact heavy hitters; integer-exact BM25 retrieval and
+    its streaming index maintenance; planted-ground-truth dedup
+    detection eval) — never driver-checked;
     (b) the 3 CDC entries whose chunk scan was rewritten O(n^2)->O(n)
     this round (split-once char array; results bit-identical, chunk
     output verified by count+crc equivalence and the local oracle
     gate) — the round-6 top finding, so the driver re-verifies them;
-    (c) the 43 oldest r3-checked entries (trending_stream ..
-    dedup_exact), oldest stamps in the ledger;
-    4 + 3 + 43 = 50. The final four r3 entries (neardup_minhash,
-    class_capped_sample, purchase_prior_click, text_features) land at
-    positions 51-54 and head the round-8 window.
+    (c) the 42 oldest r3-checked entries (trending_stream ..
+    dedup_reviews), oldest stamps in the ledger;
+    5 + 3 + 42 = 50. The final five r3 entries (dedup_exact,
+    neardup_minhash, class_capped_sample, purchase_prior_click,
+    text_features) land at positions 51-55 and head the round-8
+    window.
 
-    CYCLE PLAN (195 entries, 50-entry window): past position 50 the
-    order is round 8's queue — the 4 remaining r3 entries, then the
+    CYCLE PLAN (196 entries, 50-entry window): past position 50 the
+    order is round 8's queue — the 5 remaining r3 entries, then the
     5 entries whose PLANS changed this round with identical results
     (winnowing + winnow_fingerprint char-array rewrites, the
     empty-payload manifest gate, the all-NULL-column profile row),
     then the r4 / r5 / r6 blocks (freshest last). Every entry is
     re-proven every round by the local full gate
-    (scripts/check_oracle.py + check_vanilla.py over all 195) and by
+    (scripts/check_oracle.py + check_vanilla.py over all 196) and by
     pytest units added with each change.
     """
     return {
@@ -4018,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats_deep": q_table_stats_deep,
         "bm25_topk": q_bm25_topk,
         "dedup_eval_minhash": q_dedup_eval_minhash,
+        "bm25_maintenance_stream": q_bm25_maintenance_stream,
         # (b) the round-7 CDC O(n) rewrite: driver re-verification
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
@@ -6101,6 +6120,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": O.sql_bpe_token_counts(),
         "wordpiece_doc_scores": O.sql_wordpiece_doc_scores(),
         "bm25_topk": _sql_bm25_topk(),
+        "bm25_maintenance_stream": _sql_bm25_topk(),
         "dedup_eval_minhash": _sql_dedup_eval_minhash(),
         "sql_surface_q4": SQL_SURFACE_Q4,
         "gopher_quality": O.sql_gopher_quality(),

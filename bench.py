@@ -248,6 +248,7 @@ BENCH_EXCLUDED = {
     "pagerank_maintenance_stream": _STREAM_OVERHEAD,
     "cdc_maintenance_stream": _STREAM_OVERHEAD,
     "attributed_purchases_semi_stream": _STREAM_OVERHEAD,
+    "bm25_maintenance_stream": _STREAM_OVERHEAD,
     "topic_roundtrip_reviews": (
         "file-topic shim round trip: measures tmpdir write+read of the "
         "Kafka stand-in, i.e. local disk, not engine throughput"

@@ -143,3 +143,28 @@ def test_bm25_topk_hand_fixture(spark):
     # d1: (1*22*2*33*1000)//(10*33*2+99+270)    = 1452000//1029 = 1411
     # d2: (1*22*1*33*1000)//(330+99+180)        =  726000//609  = 1192
     assert got == [(3, 3301, 1), (1, 1411, 1), (2, 1192, 1)]
+
+
+def test_bm25_maintain_stream_equals_batch(spark):
+    """Streaming BM25 maintenance: the final epoch's top-k equals
+    batch bm25_topk over the full corpus — the query-term set,
+    document frequencies, and avgdl are all re-derived per epoch from
+    the accumulated postings, so arrival order cannot matter."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_maintain_stream,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} common common w{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    batch = [tuple(r) for r in bm25_topk(docs, k=10).collect()]
+    stream = [
+        tuple(r)
+        for r in bm25_maintain_stream(spark, docs, k=10, n_slices=3)
+        .collect()
+    ]
+    assert stream == batch and len(batch) == 10

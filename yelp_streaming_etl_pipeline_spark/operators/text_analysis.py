@@ -292,6 +292,76 @@ BM25_K = 20  # documents returned
 BM25_QUERY_TERMS = 5  # corpus-derived query size
 
 
+def _bm25_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf): the tokenize-once postings table every
+    BM25 readout derives from — per-doc length, corpus totals, query
+    terms and document frequencies are ALL re-derivable from it by
+    keyed aggregates (dl = sum tf per doc, term count = sum tf per
+    term), so it is the complete text-free state for incremental
+    maintenance."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    return words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def _bm25_from_postings(
+    postings: DataFrame,
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+) -> DataFrame:
+    """BM25 readout over an (accumulated) postings table — see
+    bm25_topk for the integer-exact scoring derivation."""
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").alias("T"), F.count("*").alias("N")
+    )
+    # A = (10 T) div N — avgdl in tenths of a token, one tiny row
+    consts = totals.select(
+        F.expr("(10 * T) div N").alias("A"), F.col("N")
+    )
+    qterms = (
+        postings.groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term")
+    )
+    tf = postings.join(F.broadcast(qterms), "term").select(
+        "doc_id", "term", "tf"
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(consts)).select(
+        "term",
+        F.length(
+            F.bin(F.expr("(2 * N + 2) div (2 * df + 1)"))
+        ).cast("long").alias("idf_q"),
+        F.col("A"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_q * 22 * tf * A * 1000) div "
+                "(10 * A * tf + 3 * A + 90 * dl)"
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("bm25_q"), F.count("*").alias("n_terms"))
+        .orderBy(F.desc("bm25_q"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     text_col: str = "text",
@@ -325,54 +395,74 @@ def bm25_topk(
     terms broadcast (n_query_terms rows), scoring touches only
     (doc, query-term) postings, and the top-k compiles to
     TakeOrderedAndProject — no global sort."""
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    totals = dl.agg(
-        F.sum("dl").alias("T"), F.count("*").alias("N")
+    return _bm25_from_postings(
+        _bm25_postings(df, text_col, id_col), n_query_terms, k
     )
-    # A = (10 T) div N — avgdl in tenths of a token, one tiny row
-    consts = totals.select(
-        F.expr("(10 * T) div N").alias("A"), F.col("N")
-    )
-    qterms = (
-        words.groupBy("term")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("term"))
-        .limit(n_query_terms)
-        .select("term")
-    )
-    tf = (
-        words.join(F.broadcast(qterms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = dfreq.crossJoin(F.broadcast(consts)).select(
-        "term",
-        F.length(
-            F.bin(F.expr("(2 * N + 2) div (2 * df + 1)"))
-        ).cast("long").alias("idf_q"),
-        F.col("A"),
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            F.expr(
-                "(idf_q * 22 * tf * A * 1000) div "
-                "(10 * A * tf + 3 * A + 90 * dl)"
-            ).alias("s"),
+
+
+def bm25_maintain_stream(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming BM25 index MAINTENANCE: documents arrive in
+    micro-batches; each doc is TOKENIZED exactly once, at arrival
+    (the text scan is the dominant cost and never re-runs) — state is
+    the compact text-free (doc_id, term, tf) postings table, appended
+    per epoch.
+
+    The readout is NOT append-only: the query-term set, document
+    frequencies, and avgdl all move with corpus-wide totals as the
+    corpus grows — a term can enter or leave the top-n query set,
+    re-ranking every document. So each epoch re-derives the top-k
+    from the accumulated postings (_bm25_from_postings — keyed
+    aggregates + broadcast joins over term/tf rows, no text), the
+    same bounded per-epoch-recompute discipline as CDC / k-core /
+    LPA maintenance, with the expensive tokenization incremental.
+
+    Per-epoch invariant asserted: postings state is append-only per
+    doc — a doc's terms arrive in exactly one epoch.
+
+    Final epoch equals batch bm25_topk over all docs, so the entry
+    shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"postings": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = _bm25_postings(batch_df, text_col, id_col).localCheckpoint(
+            eager=True
         )
+        if state["postings"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["postings"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"bm25_maintain_stream: epoch {epoch_id} re-tokenized "
+                    f"{n_overlap} already-indexed doc(s) — postings state "
+                    "must be append-only per doc"
+                )
+            acc = state["postings"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["postings"] = acc
+        state["result"] = _bm25_from_postings(acc, n_query_terms, k)
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="bm25m_",
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("s").alias("bm25_q"), F.count("*").alias("n_terms"))
-        .orderBy(F.desc("bm25_q"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return state["result"]
