@@ -3882,6 +3882,55 @@ def q_bm25_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus (operators/
+    dedup.py ngram_novelty): fraction of a document's distinct word
+    5-grams absent from the reference — the decontamination /
+    memorization diagnostic for mixing a new source into an existing
+    corpus. Deterministic split: odd doc_ids scored against the even
+    half as reference."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+def _sql_ngram_novelty(n: int = 5) -> str:
+    """Twin of q_ngram_novelty: the table-parameterized shingle CTEs
+    over the odd/even halves, md5-keyed left join, same exact ratio."""
+    s_cte = O.sql_doc_shingles_cte(n, "s_docs", "s_")
+    r_cte = O.sql_doc_shingles_cte(n, "r_docs", "r_")
+    nov = SR(
+        "1.0 - CAST(n_seen AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6
+    )
+    return f"""
+WITH s_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+r_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+{s_cte},
+{r_cte},
+sh AS (
+  SELECT doc_id, md5(g) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM s_sh)
+),
+ref AS (
+  SELECT DISTINCT md5(g) AS h
+  FROM (SELECT unnest(shingles) AS g FROM r_sh)
+),
+agg AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(ref.h) AS BIGINT) AS n_seen
+  FROM sh LEFT JOIN ref ON sh.h = ref.h
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_grams, n_seen, {nov} AS novelty FROM agg"""
+
+
 def _sql_bm25_topk(n_query_terms: int = 5, k: int = 20) -> str:
     """Twin of text_analysis.bm25_topk: identical tokenization,
     dyadic idf via length(bin(...)), the same integer rational
@@ -4004,30 +4053,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window (priority order, per VERDICT r6 directive #2 and
     the standing cycle plan):
-    (a) the 5 entries NEW this round (WordPiece greedy longest-match
+    (a) the 6 entries NEW this round (WordPiece greedy longest-match
     tokenizer scoring; the deep ANALYZE profile with per-column
     quartiles + exact heavy hitters; integer-exact BM25 retrieval and
     its streaming index maintenance; planted-ground-truth dedup
-    detection eval) — never driver-checked;
+    detection eval; n-gram novelty vs a reference corpus) — never
+    driver-checked;
     (b) the 3 CDC entries whose chunk scan was rewritten O(n^2)->O(n)
     this round (split-once char array; results bit-identical, chunk
     output verified by count+crc equivalence and the local oracle
     gate) — the round-6 top finding, so the driver re-verifies them;
-    (c) the 42 oldest r3-checked entries (trending_stream ..
-    dedup_reviews), oldest stamps in the ledger;
-    5 + 3 + 42 = 50. The final five r3 entries (dedup_exact,
-    neardup_minhash, class_capped_sample, purchase_prior_click,
-    text_features) land at positions 51-55 and head the round-8
-    window.
+    (c) the 41 oldest r3-checked entries (trending_stream ..
+    dedup_stream), oldest stamps in the ledger;
+    6 + 3 + 41 = 50. The final six r3 entries (dedup_reviews,
+    dedup_exact, neardup_minhash, class_capped_sample,
+    purchase_prior_click, text_features) land at positions 51-56 and
+    head the round-8 window.
 
-    CYCLE PLAN (196 entries, 50-entry window): past position 50 the
-    order is round 8's queue — the 5 remaining r3 entries, then the
+    CYCLE PLAN (197 entries, 50-entry window): past position 50 the
+    order is round 8's queue — the 6 remaining r3 entries, then the
     5 entries whose PLANS changed this round with identical results
     (winnowing + winnow_fingerprint char-array rewrites, the
     empty-payload manifest gate, the all-NULL-column profile row),
     then the r4 / r5 / r6 blocks (freshest last). Every entry is
     re-proven every round by the local full gate
-    (scripts/check_oracle.py + check_vanilla.py over all 196) and by
+    (scripts/check_oracle.py + check_vanilla.py over all 197) and by
     pytest units added with each change.
     """
     return {
@@ -4037,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dedup_eval_minhash": q_dedup_eval_minhash,
         "bm25_maintenance_stream": q_bm25_maintenance_stream,
+        "ngram_novelty": q_ngram_novelty,
         # (b) the round-7 CDC O(n) rewrite: driver re-verification
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
@@ -6122,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "bm25_maintenance_stream": _sql_bm25_topk(),
         "dedup_eval_minhash": _sql_dedup_eval_minhash(),
+        "ngram_novelty": _sql_ngram_novelty(),
         "sql_surface_q4": SQL_SURFACE_Q4,
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),

@@ -210,6 +210,7 @@ HEADLINE = [
     "table_stats_deep",
     "bm25_topk",
     "dedup_eval_minhash",
+    "ngram_novelty",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -829,3 +829,36 @@ def test_dedup_eval_hand_fixture(spark):
     assert (r0["n_detected"], r0["precision"], r0["recall"], r0["f1"]) == (
         0, 0.0, 0.0, 0.0,
     )
+
+
+def test_ngram_novelty_hand_fixture(spark):
+    """n=2 word-bigram novelty against an explicit reference: full
+    overlap -> 0.0, no overlap -> 1.0, half overlap -> 0.5; a
+    sub-n-word doc falls back to its whole trimmed text as the single
+    gram (word_shingles semantics)."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "a b c"), (101, "x y")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame(
+        [
+            (1, "a b c"),      # grams {a b, b c} both in ref -> 0.0
+            (2, "p q r"),      # grams {p q, q r} unseen -> 1.0
+            (3, "a b p q"),    # {a b, b p, p q}: 1 of 3 seen
+            (4, "zz"),         # sub-n: single gram "zz", unseen -> 1.0
+            (5, "x y"),        # sub-n in REF too ("x y" is its gram)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in ngram_novelty(scored, ref, n=2).collect()
+    }
+    assert (got[1]["n_grams"], got[1]["n_seen"], got[1]["novelty"]) == (2, 2, 0.0)
+    assert (got[2]["n_grams"], got[2]["n_seen"], got[2]["novelty"]) == (2, 0, 1.0)
+    assert (got[3]["n_grams"], got[3]["n_seen"]) == (3, 1)
+    assert got[3]["novelty"] == round(1 - 1 / 3, 6)
+    assert got[4]["novelty"] == 1.0
+    assert got[5]["novelty"] == 0.0  # ref's own sub-n gram matches

@@ -1417,3 +1417,59 @@ def planted_near_dup_pairs(base_ids: DataFrame, id_col: str = "doc_id") -> DataF
         (F.col("doc_id") + 2_000_000).alias("doc_b"),
     )
     return e1.unionByName(e2).unionByName(e3)
+
+
+NOVELTY_N = 5  # word n-gram width for novelty scoring
+
+
+def ngram_novelty(
+    scored: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = NOVELTY_N,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of a document's distinct word n-grams that the reference
+    has never seen — the decontamination/memorization diagnostic an
+    LLM pipeline runs when mixing a new source into an existing
+    corpus (novelty ~0 = the document is already represented; ~1 =
+    genuinely new text). Returns (doc_id, n_grams, n_seen, novelty).
+
+    word_shingles already emits DISTINCT per-doc grams (and the whole
+    trimmed text for sub-n-word docs — declared, mirrored by the
+    twin). Scale shape: one md5-keyed equi-join of the scored gram
+    table against the reference's distinct gram-hash set (shuffle
+    carries hashes, never text; AQE may broadcast a small reference),
+    then one per-doc hash aggregate."""
+    sh = scored.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    ).select("doc_id", F.md5("_g").alias("h"))
+    ref = (
+        reference.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+        )
+        .select(F.md5("_g").alias("h"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    joined = sh.join(ref, "h", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_seen").alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen",
+            stable_round(
+                F.lit(1.0)
+                - F.col("n_seen").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
