@@ -3900,6 +3900,58 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k (KMV) sample per event type (operators/
+    sampling.py bottomk_sample_by_group): the 8 events with smallest
+    md5(event_id) per type — exact-size, mergeable, growth-stable
+    sampling (the properties rate-based stratified_sample lacks);
+    one group-keyed window with WindowGroupLimit pushdown."""
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        bottomk_sample_by_group,
+    )
+
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return bottomk_sample_by_group(
+        ev, F.col("event_type"), F.col("event_id")
+    )
+
+
+def q_bottomk_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k sample maintenance (operators/sampling.py
+    bottomk_sample_maintain_stream): per epoch, prune (state ∪ fresh
+    bottom-k) back to k per group — state bounded at groups × k rows
+    forever; mergeability makes the final epoch equal the batch
+    sample regardless of arrival order, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        bottomk_sample_maintain_stream,
+    )
+
+    ev = read_events(_ensure_conf(spark), sf_dir).select(
+        "event_type", "event_id"
+    )
+    return bottomk_sample_maintain_stream(
+        _ensure_conf(spark),
+        ev,
+        F.col("event_type"),
+        F.col("event_id"),
+        order_cols=["event_id"],
+    )
+
+
+def _sql_bottomk_sample(k: int = 8) -> str:
+    """Twin of bottomk_sample_by_group over events: identical md5
+    key, identical (h, unit) tie order, rank <= k."""
+    return f"""
+SELECT g, unit, h FROM (
+  SELECT event_type AS g, event_id AS unit,
+         md5(CAST(event_id AS VARCHAR)) AS h,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= {k}"""
+
+
 def _sql_ngram_novelty(n: int = 5) -> str:
     """Twin of q_ngram_novelty: the table-parameterized shingle CTEs
     over the odd/even halves, md5-keyed left join, same exact ratio."""
@@ -4053,31 +4105,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window (priority order, per VERDICT r6 directive #2 and
     the standing cycle plan):
-    (a) the 6 entries NEW this round (WordPiece greedy longest-match
+    (a) the 8 entries NEW this round (WordPiece greedy longest-match
     tokenizer scoring; the deep ANALYZE profile with per-column
     quartiles + exact heavy hitters; integer-exact BM25 retrieval and
     its streaming index maintenance; planted-ground-truth dedup
-    detection eval; n-gram novelty vs a reference corpus) — never
-    driver-checked;
+    detection eval; n-gram novelty vs a reference corpus;
+    deterministic bottom-k/KMV sampling, batch + streaming
+    maintenance) — never driver-checked;
     (b) the 3 CDC entries whose chunk scan was rewritten O(n^2)->O(n)
     this round (split-once char array; results bit-identical, chunk
     output verified by count+crc equivalence and the local oracle
     gate) — the round-6 top finding, so the driver re-verifies them;
-    (c) the 41 oldest r3-checked entries (trending_stream ..
-    dedup_stream), oldest stamps in the ledger;
-    6 + 3 + 41 = 50. The final six r3 entries (dedup_reviews,
-    dedup_exact, neardup_minhash, class_capped_sample,
-    purchase_prior_click, text_features) land at positions 51-56 and
-    head the round-8 window.
+    (c) the 39 oldest r3-checked entries (trending_stream ..
+    issue_counts), oldest stamps in the ledger;
+    8 + 3 + 39 = 50. The final eight r3 entries (sessionize_stream ..
+    text_features) land at positions 51-58 and head the round-8
+    window.
 
-    CYCLE PLAN (197 entries, 50-entry window): past position 50 the
-    order is round 8's queue — the 6 remaining r3 entries, then the
+    CYCLE PLAN (199 entries, 50-entry window): past position 50 the
+    order is round 8's queue — the 8 remaining r3 entries, then the
     5 entries whose PLANS changed this round with identical results
     (winnowing + winnow_fingerprint char-array rewrites, the
     empty-payload manifest gate, the all-NULL-column profile row),
     then the r4 / r5 / r6 blocks (freshest last). Every entry is
     re-proven every round by the local full gate
-    (scripts/check_oracle.py + check_vanilla.py over all 197) and by
+    (scripts/check_oracle.py + check_vanilla.py over all 199) and by
     pytest units added with each change.
     """
     return {
@@ -4088,6 +4140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval_minhash": q_dedup_eval_minhash,
         "bm25_maintenance_stream": q_bm25_maintenance_stream,
         "ngram_novelty": q_ngram_novelty,
+        "bottomk_sample": q_bottomk_sample,
+        "bottomk_sample_stream": q_bottomk_sample_stream,
         # (b) the round-7 CDC O(n) rewrite: driver re-verification
         "cdc_chunk_pairs": q_cdc_chunk_pairs,
         "cdc_maintenance_stream": q_cdc_maintenance_stream,
@@ -6174,6 +6228,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_maintenance_stream": _sql_bm25_topk(),
         "dedup_eval_minhash": _sql_dedup_eval_minhash(),
         "ngram_novelty": _sql_ngram_novelty(),
+        "bottomk_sample": _sql_bottomk_sample(),
+        "bottomk_sample_stream": _sql_bottomk_sample(),
         "sql_surface_q4": SQL_SURFACE_Q4,
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),

@@ -211,6 +211,7 @@ HEADLINE = [
     "bm25_topk",
     "dedup_eval_minhash",
     "ngram_novelty",
+    "bottomk_sample",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -250,6 +251,7 @@ BENCH_EXCLUDED = {
     "cdc_maintenance_stream": _STREAM_OVERHEAD,
     "attributed_purchases_semi_stream": _STREAM_OVERHEAD,
     "bm25_maintenance_stream": _STREAM_OVERHEAD,
+    "bottomk_sample_stream": _STREAM_OVERHEAD,
     "topic_roundtrip_reviews": (
         "file-topic shim round trip: measures tmpdir write+read of the "
         "Kafka stand-in, i.e. local disk, not engine throughput"

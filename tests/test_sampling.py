@@ -206,3 +206,56 @@ def test_pps_wor_rejects_out_of_range_weight(spark):
     df2 = spark.createDataFrame([(1, 2000)], "id long, w long")
     with pytest.raises(Exception, match="weight|assert"):
         pps_wor_sample(df2, "w", "id", k=1, max_weight=1024).collect()
+
+
+def test_bottomk_sample_exact_size_and_merge_property(spark):
+    """Bottom-k: exact per-group size (k, or group size if smaller),
+    pinned deterministic picks, and MERGEABILITY — bottom-k of a
+    union equals prune(union of the halves' bottom-ks), the property
+    that makes the streaming maintenance order-independent."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        bottomk_sample_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(60)] + [("tiny", 999)],
+        "cls string, uid long",
+    )
+    got = bottomk_sample_by_group(
+        df, F.col("cls"), F.col("uid"), k=4
+    )
+    sizes = {r["g"]: r["n"] for r in got.groupBy("g").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}
+    full = sorted(map(tuple, got.collect()))
+    # merge: split by uid parity, bottom-k each half, re-prune union
+    a = bottomk_sample_by_group(
+        df.filter(F.col("uid") % 2 == 0), F.col("cls"), F.col("uid"), k=4)
+    b = bottomk_sample_by_group(
+        df.filter(F.col("uid") % 2 == 1), F.col("cls"), F.col("uid"), k=4)
+    merged = bottomk_sample_by_group(
+        a.unionByName(b), F.col("g"), F.col("unit"), k=4)
+    assert sorted(map(tuple, merged.collect())) == full
+
+
+def test_bottomk_stream_equals_batch(spark):
+    """Final epoch of the streaming maintenance equals the batch
+    sample over all data — arrival order cannot matter."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        bottomk_sample_by_group,
+        bottomk_sample_maintain_stream,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", i) for i in range(40)], "cls string, uid long"
+    )
+    batch = sorted(map(tuple, bottomk_sample_by_group(
+        df, F.col("cls"), F.col("uid"), k=3).collect()))
+    stream = sorted(map(tuple, bottomk_sample_maintain_stream(
+        spark, df, F.col("cls"), F.col("uid"), k=3, n_slices=3,
+        order_cols=["uid"]).collect()))
+    assert stream == batch and len(batch) == 6

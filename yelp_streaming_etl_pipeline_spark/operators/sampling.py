@@ -243,3 +243,102 @@ def pps_wor_sample(
         .filter(F.col("rank") <= k)
         .select("rank", "key", "weight")
     )
+
+
+BOTTOMK_K = 8  # per-group sample size
+
+
+def bottomk_sample_by_group(
+    df: DataFrame,
+    group: Column,
+    unit: Column,
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """Deterministic bottom-k (KMV) sample per group: the ``k`` rows
+    whose md5(unit) is smallest — uniform over units for a
+    hash-random key, with three properties Bernoulli/rate sampling
+    (stratified_sample) lacks:
+    - EXACT sample size per group (k, or the group size if smaller);
+    - MERGEABLE: bottom-k of a union = prune(union of bottom-ks), so
+      partitions, partial files, and stream epochs combine exactly —
+      this is the classic KMV sketch, and the k-th smallest hash
+      doubles as a distinct-count estimator;
+    - stable under growth: adding data only ever evicts, never
+      reshuffles, earlier picks.
+
+    Returns (g, unit, h) — h kept so downstream merges re-prune
+    without recomputing hashes. Ties pinned by (h, unit); one window
+    shuffle keyed by group (rank-limit pushes WindowGroupLimit, so
+    per-group state in the exec is k rows)."""
+    staged = df.select(
+        group.alias("g"),
+        unit.alias("unit"),
+        F.md5(unit.cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("g").orderBy("h", "unit")
+    return (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_sample_maintain_stream(
+    spark,
+    df: DataFrame,
+    group: Column,
+    unit: Column,
+    k: int = BOTTOMK_K,
+    n_slices: int = 3,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Streaming per-group bottom-k sample MAINTENANCE — the
+    reservoir-sampling story for streams, without reservoir
+    sampling's order-dependence: because bottom-k is mergeable
+    (see bottomk_sample_by_group), each epoch prunes
+    (state ∪ fresh-batch bottom-k) back to k per group, so state is
+    bounded at groups × k rows FOREVER and the final epoch equals the
+    batch sample over all data regardless of arrival order — the
+    entry shares the batch oracle twin.
+
+    Per-epoch invariant asserted: state never exceeds k rows per
+    group."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"best": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = bottomk_sample_by_group(batch_df, group, unit, k)
+        if state["best"] is None:
+            acc = fresh
+        else:
+            acc = bottomk_sample_by_group(
+                state["best"].unionByName(fresh),
+                F.col("g"),
+                F.col("unit"),
+                k,
+            )
+        acc = acc.localCheckpoint(eager=True)
+        over = (
+            acc.groupBy("g").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > k)
+            .limit(1)
+            .count()
+        )
+        if over:
+            raise AssertionError(
+                f"bottomk_sample_maintain_stream: epoch {epoch_id} left "
+                f"more than {k} rows in a group — prune failed"
+            )
+        state["best"] = acc
+        state["result"] = acc
+
+    replay_fold(
+        spark,
+        df,
+        fold,
+        n_slices=n_slices,
+        order_cols=order_cols,
+        prefix="bk_",
+    )
+    return state["result"]
