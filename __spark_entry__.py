@@ -3940,7 +3940,9 @@ def q_bottomk_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_bottomk_sample(k: int = 8) -> str:
     """Twin of bottomk_sample_by_group over events: identical md5
-    key, identical (h, unit) tie order, rank <= k."""
+    key, identical (h, unit) tie order, rank <= k, and the same
+    NULL-unit exclusion (Spark/DuckDB default NULL sort orders differ,
+    and NULL units must not consume sample slots)."""
     return f"""
 SELECT g, unit, h FROM (
   SELECT event_type AS g, event_id AS unit,
@@ -3949,6 +3951,7 @@ SELECT g, unit, h FROM (
            PARTITION BY event_type
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
   FROM events
+  WHERE event_id IS NOT NULL
 ) WHERE rn <= {k}"""
 
 
@@ -3986,7 +3989,9 @@ SELECT doc_id, n_grams, n_seen, {nov} AS novelty FROM agg"""
 def _sql_bm25_topk(n_query_terms: int = 5, k: int = 20) -> str:
     """Twin of text_analysis.bm25_topk: identical tokenization,
     dyadic idf via length(bin(...)), the same integer rational
-    saturation, pinned top-k order (score DESC, doc_id ASC)."""
+    saturation, pinned top-k order (score DESC, doc_id ASC), and the
+    same BM25_DL_CAP=500000 dl/tf clamp (int64-overflow guard,
+    bit-identical below the cap)."""
     return f"""
 WITH w AS (
   SELECT doc_id, term FROM (
@@ -3997,7 +4002,8 @@ WITH w AS (
   ) WHERE term <> ''
 ),
 dl AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id
+  SELECT doc_id, least(CAST(count(*) AS BIGINT), 500000) AS dl
+  FROM w GROUP BY doc_id
 ),
 tot AS (
   SELECT CAST(sum(dl) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS N
@@ -4010,7 +4016,7 @@ qterms AS (
   ) ORDER BY cnt DESC, term LIMIT {n_query_terms}
 ),
 tf AS (
-  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  SELECT doc_id, term, least(CAST(count(*) AS BIGINT), 500000) AS tf
   FROM w JOIN qterms USING (term) GROUP BY doc_id, term
 ),
 dfreq AS (

@@ -198,3 +198,16 @@ def test_pg_upsert_crash_recovery_exactly_once(spark, pg_dsn, tmp_path):
     ).splitlines()
     assert len(got) == 12  # every id landed exactly once
     assert all(line.endswith("|1") for line in got)
+
+
+def test_pg_literal_non_finite_floats():
+    """repr() of nan/inf is not a valid PG literal — they must render
+    as the quoted float8 spellings PG accepts (ADVICE r7)."""
+    from yelp_streaming_etl_pipeline_spark.sources.jdbc import _pg_literal
+
+    assert _pg_literal(float("nan")) == "'NaN'::float8"
+    assert _pg_literal(float("inf")) == "'Infinity'::float8"
+    assert _pg_literal(float("-inf")) == "'-Infinity'::float8"
+    assert _pg_literal(1.5) == "1.5"
+    assert _pg_literal(True) == "TRUE"
+    assert _pg_literal(None) == "NULL"

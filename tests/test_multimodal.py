@@ -280,3 +280,22 @@ def test_payload_chunk_manifest_empty_payload_has_no_rows(spark):
     assert audit[0]["total_bytes"] == 0
     assert audit[0]["layout_ok"]
     assert audit[1]["layout_ok"]
+
+
+def test_payload_chunk_audit_missing_manifest_flags_false(spark):
+    """A NON-empty payload with zero manifest rows must audit as
+    layout_ok = False, not NULL (ADVICE r7: the otherwise-branch
+    compared NULL left-join aggregates)."""
+    from yelp_streaming_etl_pipeline_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(0, b"x" * 100), (1, b"y" * 64)], "media_id long, payload binary"
+    )
+    # manifest only covers media 1 — media 0's manifest is missing
+    man = MM.payload_chunk_manifest(
+        media.filter("media_id = 1"), chunk_bytes=32
+    )
+    audit = {r["media_id"]: r for r in MM.payload_chunk_audit(man, media).collect()}
+    assert audit[0]["layout_ok"] is False
+    assert audit[0]["n_chunks"] == 0
+    assert audit[1]["layout_ok"] is True

@@ -259,3 +259,18 @@ def test_bottomk_stream_equals_batch(spark):
         spark, df, F.col("cls"), F.col("uid"), k=3, n_slices=3,
         order_cols=["uid"]).collect()))
     assert stream == batch and len(batch) == 6
+
+
+def test_bottomk_null_units_never_consume_slots(spark):
+    """A NULL unit hashes to NULL (sorts first in Spark ascending,
+    last in DuckDB) — excluded in both engines so it can neither
+    consume a sample slot nor diverge cross-engine (ADVICE r7)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("a", 3), ("b", None)],
+        "cls string, uid long",
+    )
+    out = SAMP.bottomk_sample_by_group(
+        df, F.col("cls"), F.col("uid"), k=3
+    ).collect()
+    assert sorted(r["unit"] for r in out) == [1, 2, 3]
+    assert all(r["g"] == "a" for r in out)  # b had only the NULL row

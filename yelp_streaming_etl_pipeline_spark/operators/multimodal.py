@@ -539,9 +539,15 @@ def payload_chunk_audit(
             ),
             F.when(F.col("_len") == 0, F.col("n_chunks").isNull())
             .otherwise(
-                (F.col("_min_off") == 0)
-                & (F.col("_max_end") == F.col("_len"))
-                & (F.col("total_bytes") == F.col("_len"))
+                # coalesce to False: a NON-empty payload with zero
+                # manifest rows has NULL aggregates here and must audit
+                # as not-ok, not NULL (silently missing manifest)
+                F.coalesce(
+                    (F.col("_min_off") == 0)
+                    & (F.col("_max_end") == F.col("_len"))
+                    & (F.col("total_bytes") == F.col("_len")),
+                    F.lit(False),
+                )
             )
             .alias("layout_ok"),
         )

@@ -274,6 +274,11 @@ def bottomk_sample_by_group(
         group.alias("g"),
         unit.alias("unit"),
         F.md5(unit.cast("string")).alias("h"),
+    ).filter(
+        # NULL units hash to NULL, which sorts NULLS FIRST in Spark's
+        # ascending window but NULLS LAST in DuckDB — and a NULL row
+        # should never consume a sample slot. Excluded in both engines.
+        F.col("unit").isNotNull()
     )
     w = Window.partitionBy("g").orderBy("h", "unit")
     return (

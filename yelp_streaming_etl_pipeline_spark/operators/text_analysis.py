@@ -290,6 +290,8 @@ def bigram_lift(
 
 BM25_K = 20  # documents returned
 BM25_QUERY_TERMS = 5  # corpus-derived query size
+BM25_DL_CAP = 500_000  # per-doc token clamp: keeps the int64 score
+# numerator below 2^63 for ANY document length (see _bm25_from_postings)
 
 
 def _bm25_postings(
@@ -316,8 +318,18 @@ def _bm25_from_postings(
     k: int = BM25_K,
 ) -> DataFrame:
     """BM25 readout over an (accumulated) postings table — see
-    bm25_topk for the integer-exact scoring derivation."""
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    bm25_topk for the integer-exact scoring derivation.
+
+    dl and tf are clamped at BM25_DL_CAP (500k tokens ≈ 2 MB of text
+    per document): with the clamp, the score numerator is bounded by
+    64 * 22 * 1000 * CAP * 10*CAP ≈ 3.5e18 < 2^63, so int64 never
+    overflows at ANY corpus size or document length. BM25's tf
+    saturation makes the clamp semantically negligible (a 500k-token
+    document scores within fixed-point resolution of an unclamped
+    one), and below the cap values are bit-identical."""
+    dl = postings.groupBy("doc_id").agg(
+        F.least(F.sum("tf"), F.lit(BM25_DL_CAP)).alias("dl")
+    )
     totals = dl.agg(
         F.sum("dl").alias("T"), F.count("*").alias("N")
     )
@@ -333,7 +345,9 @@ def _bm25_from_postings(
         .select("term")
     )
     tf = postings.join(F.broadcast(qterms), "term").select(
-        "doc_id", "term", "tf"
+        "doc_id",
+        "term",
+        F.least(F.col("tf"), F.lit(BM25_DL_CAP)).alias("tf"),
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = dfreq.crossJoin(F.broadcast(consts)).select(
@@ -387,7 +401,10 @@ def bm25_topk(
       tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) scaled by 10*A gives
       num = 22 tf A, den = 10 A tf + 3 A + 90 dl — exact longs whose
       magnitude is bounded by PER-DOC quantities (never corpus
-      totals), so no overflow at any corpus size;
+      totals), with dl/tf clamped at BM25_DL_CAP (500k tokens) so the
+      bound holds unconditionally: no int64 overflow at any corpus
+      size OR document length (clamp is bit-identical below the cap
+      and within fixed-point resolution above it — tf saturation);
     - per-term score = (idf_q * 22 tf A * 1000) div den, summed per
       doc; the 1000 is fixed-point resolution.
 

@@ -91,7 +91,17 @@ def _pg_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr() of non-finite floats emits bare nan/inf, which PG rejects
+        # as literals — use the quoted float8 spellings PG does accept.
+        if v != v:
+            return "'NaN'::float8"
+        if v == float("inf"):
+            return "'Infinity'::float8"
+        if v == float("-inf"):
+            return "'-Infinity'::float8"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     return "'" + str(v).replace("'", "''") + "'"
 
