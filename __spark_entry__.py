@@ -354,6 +354,33 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.corpus_upsert(existing, incoming).select("doc_id", "fingerprint")
 
 
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-window exact substring dedup, span discovery
+    (operators/dedup.py exact_substring_spans — the Lee-et-al.
+    duplicated-substring family in a shuffle-native bounded form):
+    every 8-token window is hashed; windows recurring >= 2 times
+    corpus-wide merge into maximal per-doc spans. Runs over the
+    near-dup corpus, whose planted exact/near copies guarantee long
+    duplicated spans. One hash-count shuffle (no pair join) + doc-
+    keyed window merge."""
+    return DD.exact_substring_spans(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id"
+    )
+
+
+def q_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level removal over the same corpus (operators/dedup.py
+    exact_substring_removal): drop every token position covered by a
+    duplicated 8-token window; per doc returns token/removed counts +
+    md5 of the surviving text. Linear: covered starts explode into
+    <= 8x constant-width position rows, survivors selected by a
+    (doc, pos) anti join and re-assembled with one doc-keyed
+    sort-aggregate."""
+    return DD.exact_substring_removal(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id"
+    )
+
+
 def q_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level dedup over the near-dup corpus: content-defined
     chunks (rolling-hash boundaries) whose exact text recurs."""
@@ -4140,6 +4167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (a) NEVER driver-checked: new this round
+        "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_removal": q_exact_substring_removal,
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "table_stats_deep": q_table_stats_deep,
         "bm25_topk": q_bm25_topk,
@@ -4468,6 +4497,99 @@ seen AS (
 SELECT f.doc_id, f.fingerprint
 FROM fresh f
 WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = f.fingerprint)"""
+
+
+def _sql_exspan_cov_ctes(L: int = 8, min_occ: int = 2) -> str:
+    """Shared CTE chain corpus -> ... -> cov(doc_id, pos) for the
+    exact-substring twins: identical tokenization (ws-trim + lower +
+    split on \\s+), identical window hashing (md5 of the space-joined
+    L-token window), duplicated iff >= min_occ occurrences."""
+    wst = O.sql_ws_trim("lower(text)")
+    gram = " || ' ' || ".join(f"words[i + {j}]" for j in range(L))
+    return f"""corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
+base AS (
+  SELECT doc_id, string_split_regex({wst}, '\\s+') AS words FROM corpus
+),
+sized AS (SELECT doc_id, words, len(words) AS nw FROM base),
+wins AS (
+  SELECT doc_id, i AS pos, md5({gram}) AS h
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, nw - {L - 1})) AS i
+    FROM sized WHERE nw >= {L}
+  )
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= {min_occ}),
+cov AS (SELECT doc_id, pos FROM wins JOIN dup USING (h))"""
+
+
+def _sql_exact_substring_spans(L: int = 8) -> str:
+    """Twin of dedup.exact_substring_spans: same lag-based equal-
+    length interval merge (new span iff pos - lag(pos) > L), same
+    1-based positions; span_id cast from DuckDB's HUGEINT sum."""
+    return f"""
+WITH {_sql_exspan_cov_ctes(L)},
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                > {L}
+              THEN 1 ELSE 0 END AS ns
+  FROM cov
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flg
+)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) + {L - 1} AS BIGINT) AS end_pos,
+       CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, span_id"""
+
+
+def _sql_exact_substring_removal(L: int = 8) -> str:
+    """Twin of dedup.exact_substring_removal: covered starts expand
+    to token positions, survivors via NOT EXISTS anti join,
+    re-assembly with an ordered string_agg; md5('') when everything
+    was duplicated."""
+    return f"""
+WITH {_sql_exspan_cov_ctes(L)},
+covpos AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id,
+           unnest(generate_series(pos, pos + {L - 1})) AS tpos
+    FROM cov
+  )
+),
+toks AS (
+  SELECT doc_id, i AS tpos, words[i] AS token
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, nw)) AS i
+    FROM sized
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.token FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covpos c
+    WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos
+  )
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(token, ' ' ORDER BY tpos)) AS cleaned_hash
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.nw AS BIGINT) AS n_tokens,
+       CAST(s.nw - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.cleaned_hash, md5('')) AS cleaned_hash
+FROM sized s LEFT JOIN reb r USING (doc_id)"""
 
 
 def _sql_duplicated_passages() -> str:
@@ -6261,6 +6383,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sql_mixture_sample(),
         "ann_quantized_topk": O.sql_ann_quantized_topk(),
         "duplicated_passages": _sql_duplicated_passages(),
+        "exact_substring_spans": _sql_exact_substring_spans(),
+        "exact_substring_removal": _sql_exact_substring_removal(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

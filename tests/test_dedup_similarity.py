@@ -862,3 +862,79 @@ def test_ngram_novelty_hand_fixture(spark):
     assert got[3]["novelty"] == round(1 - 1 / 3, 6)
     assert got[4]["novelty"] == 1.0
     assert got[5]["novelty"] == 0.0  # ref's own sub-n gram matches
+
+
+def test_exact_substring_spans_hand_fixture(spark):
+    """Two docs share a 12-token passage at different offsets: each
+    yields one merged span of 12 tokens (5 overlapping 8-windows);
+    an unrelated doc and a sub-window doc yield nothing."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, common + " unique tail one two three"),
+            (2, "prefix words here " + common + " different ending tokens"),
+            (3, "totally unrelated text with no duplicated window at all present here ok"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in DD.exact_substring_spans(df).collect()
+    }
+    assert set(spans) == {1, 2}
+    assert (spans[1]["start_pos"], spans[1]["end_pos"]) == (1, 12)
+    assert (spans[2]["start_pos"], spans[2]["end_pos"]) == (4, 15)
+    assert all(
+        r["span_tokens"] == 12 and r["n_windows"] == 5
+        for r in spans.values()
+    )
+
+
+def test_exact_substring_spans_within_doc_repeat_and_merge(spark):
+    """Within-document repetition counts toward min_occ (Lee et al.
+    semantics), and overlapping windows merge into ONE maximal span."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    eight = "a1 a2 a3 a4 a5 a6 a7 a8"
+    df = spark.createDataFrame(
+        [(1, eight + " filler x y z w v u t " + eight)],
+        "doc_id long, text string",
+    )
+    spans = DD.exact_substring_spans(df).orderBy("span_id").collect()
+    assert [(r["start_pos"], r["end_pos"]) for r in spans] == [
+        (1, 8),
+        (17, 24),
+    ]
+
+
+def test_exact_substring_removal_hand_fixture(spark):
+    """Removal drops exactly the covered positions and hashes the
+    surviving text; docs with no duplicated window keep everything;
+    an all-duplicate doc hashes to md5('')."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    common = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [
+            (1, common + " keep these three"),
+            (2, common),
+            (3, "all fresh tokens stay put here ok yes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.exact_substring_removal(df).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (11, 8)
+    assert out[1]["cleaned_hash"] == hashlib.md5(
+        b"keep these three"
+    ).hexdigest()
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (8, 8)
+    assert out[2]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+    assert (out[3]["n_tokens"], out[3]["n_removed"]) == (8, 0)
+    assert out[3]["cleaned_hash"] == hashlib.md5(
+        b"all fresh tokens stay put here ok yes"
+    ).hexdigest()

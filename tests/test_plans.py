@@ -734,3 +734,33 @@ def test_table_stats_deep_no_global_window(spark):
         assert " ASC" not in first_arg and " DESC" not in first_arg, (
             first_arg, plan[:3000],
         )
+
+
+def test_exact_substring_spans_doc_partitioned_windows_no_udf(spark):
+    # the span merge must run in doc_id-PARTITIONED windows (never an
+    # unpartitioned SinglePartition window over data-proportional
+    # covered positions), the dup test is a hash count agg (no pair
+    # join, no cartesian), and everything stays JVM-side
+    import re
+
+    df = E.q_exact_substring_spans(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )
+
+
+def test_exact_substring_removal_linear_no_udf(spark):
+    # removal is joins + aggregates only: no window at all, no
+    # cartesian, no Python UDF; exploded rows carry constant-width
+    # (doc_id, pos[, token]) — never the words array past the map side
+    df = E.q_exact_substring_removal(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan, plan[:3000]

@@ -1473,3 +1473,180 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+# ------------- suffix-window exact substring dedup (span removal) -----------
+#
+# The Lee-et-al. ("Deduplicating Training Data Makes Language Models
+# Better") exact duplicated-SUBSTRING family, in an engine-exact bounded
+# form: instead of a corpus-global suffix array (pointer-chasing,
+# memory-resident, hostile to a shuffle-based engine), every length-L
+# token window is hashed and a window is "duplicated" iff its hash
+# occurs >= min_occ times corpus-wide. Any duplicated substring of
+# >= L tokens is covered (all its L-windows recur); per document the
+# covered windows merge into maximal spans, and removal drops exactly
+# the covered token positions. Complements CDC passage dedup
+# (document-pair discovery) with span-LEVEL removal.
+#
+# Scale shape: the only global shuffle keys on the 32-char window hash
+# (a count aggregate — no pair join, so hot boilerplate windows cost
+# one combiner row, no df-cap needed); span merging and removal are
+# doc_id-partitioned window/aggregate ops. Exploded rows carry
+# (doc_id, pos, hash) — never the words array or the document text.
+
+EXSPAN_L = 8  # duplicated-substring threshold, in word tokens
+EXSPAN_MIN_OCC = 2  # corpus-wide occurrences for "duplicated"
+
+
+def _window_hash_table(
+    df: DataFrame, text_col: str, id_col: str, L: int = EXSPAN_L
+) -> DataFrame:
+    """(doc_id, pos, h): md5 of EVERY length-L token window, stride 1,
+    pos 1-based. Windows are built per document as ONE array via L
+    shifted slices + zip_with (the word_shingles discipline — never
+    element_at inside a lambda), hashed inside a transform whose
+    lambda touches only its own element, then posexploded — so the
+    per-document cost is O(n_tokens * L) and exploded rows are
+    constant-width."""
+    words = F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+        .withColumn("nw", F.size("words"))
+        .filter(F.col("nw") >= L)
+        .withColumn("m", F.col("nw") - (L - 1))
+    )
+    grams = F.slice("words", F.lit(1), F.col("m"))
+    for j in range(1, L):
+        grams = F.zip_with(
+            grams,
+            F.slice("words", F.lit(j + 1), F.col("m")),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    hashes = base.withColumn(
+        "win_h", F.transform(grams, lambda g: F.md5(g))
+    )
+    return hashes.select(
+        "doc_id", F.posexplode("win_h").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+
+
+def _covered_window_starts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+) -> DataFrame:
+    """(doc_id, pos) of every window whose hash recurs >= min_occ
+    times corpus-wide (within-document repeats count, as in Lee et
+    al.). One hash-keyed count aggregate + one equi-join back."""
+    wins = _window_hash_table(df, text_col, id_col, L)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occ)
+        .select("h")
+    )
+    return wins.join(dup, "h").select("doc_id", "pos")
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+) -> DataFrame:
+    """Maximal duplicated-substring spans per document: merge
+    overlapping-or-adjacent duplicated L-token windows into
+    (doc_id, span_id, start_pos, end_pos, span_tokens, n_windows),
+    positions 1-based in the document's whitespace token sequence.
+
+    Because every interval has the same length L, the running max of
+    span ends is always lag(pos) + L - 1, so the classic sorted
+    interval merge reduces to one lag(): a new span starts iff
+    pos - lag(pos) > L. Both window functions are doc_id-partitioned
+    (no global window)."""
+    cov = _covered_window_starts(df, text_col, id_col, L, min_occ)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = cov.withColumn(
+        "ns",
+        F.when(prev.isNull() | (F.col("pos") - prev > L), 1).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        (F.max("pos") + (L - 1)).cast("long").alias("end_pos"),
+        (F.max("pos") + (L - 1) - F.min("pos") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    )
+
+
+def exact_substring_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+) -> DataFrame:
+    """Span-level removal: drop every token position covered by a
+    duplicated window; return (doc_id, n_tokens, n_removed,
+    cleaned_hash) with cleaned_hash = md5 of the space-joined
+    surviving tokens (md5('') when everything was duplicated).
+
+    Linear by construction: covered token positions come from
+    exploding each covered window start into its L positions
+    (<= L * n_windows constant-width rows, L fixed) and
+    de-duplicating; surviving tokens are selected by a left-anti join
+    on (doc_id, position) and re-assembled with one doc_id-keyed
+    sort-aggregate. No per-token scan ever consults a per-doc span
+    LIST (which would be O(n_tokens * n_spans))."""
+    words = F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words.alias("words")
+    ).withColumn("n_tokens", F.size("words").cast("long"))
+    cov = _covered_window_starts(df, text_col, id_col, L, min_occ)
+    covpos = cov.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (L - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks = base.select(
+        "doc_id", F.posexplode("words").alias("tpos0", "token")
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "token")
+    kept = toks.join(covpos, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+                "cleaned_hash"
+            ),
+        )
+    )
