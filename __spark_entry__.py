@@ -3965,6 +3965,85 @@ def q_bottomk_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with a TOTAL budget (operators/sampling.py
+    stratified_budget_sample): 24 events allocated across event types
+    by largest-remainder proportional allocation, each stratum filled
+    with its k_g smallest md5(event_id) — exact-size, mergeable,
+    deterministic. One count agg + one group-limit window; the
+    strata-sized allocation table broadcasts."""
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        stratified_budget_sample,
+    )
+
+    ev = read_events(_ensure_conf(spark), sf_dir)
+    return stratified_budget_sample(
+        ev, F.col("event_type"), F.col("event_id")
+    )
+
+
+def q_stratified_budget_sample_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming stratified-budget sample maintenance (operators/
+    sampling.py stratified_budget_sample_maintain_stream): per-stratum
+    state is (exact count, bottom-24 rows) — both mergeable, so state
+    stays bounded at strata x 24 forever while the per-epoch readout
+    re-derives the allocation from the accumulated counts; the final
+    epoch equals the batch sample, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        stratified_budget_sample_maintain_stream,
+    )
+
+    ev = read_events(_ensure_conf(spark), sf_dir).select(
+        "event_type", "event_id"
+    )
+    return stratified_budget_sample_maintain_stream(
+        _ensure_conf(spark),
+        ev,
+        F.col("event_type"),
+        F.col("event_id"),
+        order_cols=["event_id"],
+    )
+
+
+def _sql_stratified_budget_sample(budget: int = 24) -> str:
+    """Twin of stratified_budget_sample over events: identical md5
+    rank key and NULL-unit exclusion, identical largest-remainder
+    allocation (non-negative operands, so Spark div == DuckDB //),
+    remainder ties pinned by stratum name."""
+    return f"""
+WITH staged AS (
+  SELECT event_type AS g, event_id AS unit,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events WHERE event_id IS NOT NULL
+),
+counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS w FROM staged GROUP BY g
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM counts),
+basealloc AS (
+  SELECT g, ({budget} * w) // wtot AS base,
+         ({budget} * w) % wtot AS rem
+  FROM counts CROSS JOIN tot
+),
+sb AS (SELECT CAST(sum(base) AS BIGINT) AS sbase FROM basealloc),
+alloc AS (
+  SELECT g,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+                       <= {budget} - sbase
+                     THEN 1 ELSE 0 END AS k_g
+  FROM basealloc CROSS JOIN sb
+),
+ranked AS (
+  SELECT g, unit, h,
+         row_number() OVER (PARTITION BY g ORDER BY h, unit) AS rn
+  FROM staged
+)
+SELECT r.g, r.unit, r.h
+FROM ranked r JOIN alloc a USING (g) WHERE r.rn <= a.k_g"""
+
+
 def _sql_bottomk_sample(k: int = 8) -> str:
     """Twin of bottomk_sample_by_group over events: identical md5
     key, identical (h, unit) tie order, rank <= k, and the same
@@ -4169,6 +4248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) NEVER driver-checked: new this round
         "exact_substring_spans": q_exact_substring_spans,
         "exact_substring_removal": q_exact_substring_removal,
+        "stratified_budget_sample": q_stratified_budget_sample,
+        "stratified_budget_sample_stream": (
+            q_stratified_budget_sample_stream
+        ),
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "table_stats_deep": q_table_stats_deep,
         "bm25_topk": q_bm25_topk,
@@ -6358,6 +6441,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _sql_ngram_novelty(),
         "bottomk_sample": _sql_bottomk_sample(),
         "bottomk_sample_stream": _sql_bottomk_sample(),
+        "stratified_budget_sample": _sql_stratified_budget_sample(),
+        "stratified_budget_sample_stream": _sql_stratified_budget_sample(),
         "sql_surface_q4": SQL_SURFACE_Q4,
         "gopher_quality": O.sql_gopher_quality(),
         "repetition_profile": O.sql_repetition_profile(),

@@ -764,3 +764,15 @@ def test_exact_substring_removal_linear_no_udf(spark):
     assert not A.has_python_udf(df)
     assert "CartesianProduct" not in plan
     assert "WindowExec" not in plan, plan[:3000]
+
+
+def test_stratified_budget_sample_group_limit_and_broadcast(spark):
+    # the rank window is stratum-partitioned with a constant bound
+    # (WindowGroupLimit pushdown), the allocation table broadcasts,
+    # and the only unpartitioned window runs over the strata-sized
+    # allocation table — never over event rows
+    df = E.q_stratified_budget_sample(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert A.has_broadcast_join(df), "allocation table must broadcast"

@@ -274,3 +274,102 @@ def test_bottomk_null_units_never_consume_slots(spark):
     ).collect()
     assert sorted(r["unit"] for r in out) == [1, 2, 3]
     assert all(r["g"] == "a" for r in out)  # b had only the NULL row
+
+
+def test_stratified_budget_alloc_largest_remainder(spark):
+    """60/30/10/1 rows, budget 24: floors are 14/7/2/0 (sum 23) and
+    the single extra goes to the largest remainder (stratum c)."""
+    counts = spark.createDataFrame(
+        [("a", 60), ("b", 30), ("c", 10), ("d", 1)], "g string, w long"
+    )
+    alloc = {
+        r["g"]: r["k_g"]
+        for r in SAMP.stratified_budget_alloc(counts, budget=24).collect()
+    }
+    assert alloc == {"a": 14, "b": 7, "c": 3, "d": 0}
+
+
+def test_stratified_budget_sample_exact_total_and_caps(spark):
+    """The sample holds exactly the budget when data allows, never
+    exceeds a stratum's population, and is deterministic."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("a", i) for i in range(60)]
+        + [("b", 1000 + i) for i in range(30)]
+        + [("c", 5000 + i) for i in range(10)]
+        + [("d", 9999)]
+    )
+    df = spark.createDataFrame(rows, "cls string, uid long")
+    out = SAMP.stratified_budget_sample(
+        df, F.col("cls"), F.col("uid"), budget=24
+    )
+    per = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert sum(per.values()) == 24
+    assert per == {"a": 14, "b": 7, "c": 3}
+    again = SAMP.stratified_budget_sample(
+        df, F.col("cls"), F.col("uid"), budget=24
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # budget larger than the data: every row sampled, nothing invented
+    tiny = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "cls string, uid long"
+    )
+    n = SAMP.stratified_budget_sample(
+        tiny, F.col("cls"), F.col("uid"), budget=24
+    ).count()
+    assert n == 2
+
+
+def test_stratified_budget_sample_neyman_style_weights(spark):
+    """Caller-supplied (g, w) weights steer the allocation (the
+    Neyman hook: w = n_g * sd_g scaled to integers) — a high-variance
+    small stratum out-allocates a low-variance big one."""
+    from pyspark.sql import functions as F
+
+    rows = [("big", i) for i in range(50)] + [
+        ("small", 100 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "cls string, uid long")
+    weights = spark.createDataFrame(
+        [("big", 10), ("small", 90)], "g string, w long"
+    )
+    out = SAMP.stratified_budget_sample(
+        df, F.col("cls"), F.col("uid"), budget=10, weight_counts=weights
+    )
+    per = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert per == {"big": 1, "small": 9}
+
+
+def test_stratified_budget_stream_equals_batch(spark):
+    """Mergeable counts + bottom-budget state: the final epoch equals
+    the batch sample regardless of arrival order."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"g{i % 3}", i) for i in range(45)]
+    df = spark.createDataFrame(rows, "cls string, uid long")
+    batch = sorted(
+        map(
+            tuple,
+            SAMP.stratified_budget_sample(
+                df, F.col("cls"), F.col("uid"), budget=12
+            ).collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            SAMP.stratified_budget_sample_maintain_stream(
+                spark,
+                df,
+                F.col("cls"),
+                F.col("uid"),
+                budget=12,
+                n_slices=3,
+                order_cols=["uid"],
+            ).collect(),
+        )
+    )
+    assert stream == batch and len(batch) == 12

@@ -347,3 +347,181 @@ def bottomk_sample_maintain_stream(
         prefix="bk_",
     )
     return state["result"]
+
+
+# ------------- stratified sampling under a TOTAL budget (batch+stream) ------
+
+STRAT_BUDGET = 24  # total sample budget across all strata
+
+
+def stratified_budget_alloc(
+    counts: DataFrame, budget: int = STRAT_BUDGET
+) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation of a total ``budget``
+    across strata: given (g, w) weight rows — w = stratum size for
+    proportional allocation, or any non-negative integer weight such
+    as a scaled n_g*sd_g for Neyman-style allocation — returns
+    (g, k_g) with k_g = floor(budget*w/W) plus one extra for the
+    largest remainders until the floors sum to the budget. Integer-
+    exact in both engines (non-negative operands, so Spark's
+    truncating div == DuckDB's flooring //).
+
+    The two 1-row totals broadcast; the remainder rank is an
+    unpartitioned window over the STRATA table only (bounded by the
+    number of strata, never data-proportional — the adjudicated
+    small-table window class)."""
+    tot = counts.agg(F.sum("w").alias("wtot"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "g",
+        F.expr(f"({budget} * w) div wtot").alias("base"),
+        F.expr(f"({budget} * w) % wtot").alias("rem"),
+    )
+    sb = base.agg(F.sum("base").alias("SB"))
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("g"))
+    return (
+        base.crossJoin(F.broadcast(sb))
+        .withColumn("_r", F.row_number().over(w_rank))
+        .select(
+            "g",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("_r") <= F.lit(budget) - F.col("SB"), 1
+                ).otherwise(0)
+            ).alias("k_g"),
+        )
+    )
+
+
+def stratified_budget_sample(
+    df: DataFrame,
+    stratum: Column,
+    unit: Column,
+    budget: int = STRAT_BUDGET,
+    weight_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Stratified sample of EXACTLY ``budget`` rows total (when the
+    data has them): allocate the budget across strata by largest-
+    remainder proportional allocation (or caller-supplied (g, w)
+    weights, e.g. Neyman), then take the k_g smallest md5(unit) per
+    stratum — the deterministic bottom-k primitive, so the sample is
+    mergeable, growth-stable, and shared with the streaming form.
+
+    Scale shape: one count aggregate over the data, two 1-row totals
+    + a strata-sized allocation table (broadcast into the rank
+    filter), and ONE group-keyed window whose rank<=budget constant
+    bound pushes WindowGroupLimit (per-group exec state is ``budget``
+    rows); the variable k_g cut applies after the broadcast join.
+    NULL units are excluded (same contract as
+    bottomk_sample_by_group)."""
+    staged = df.select(
+        stratum.alias("g"),
+        unit.alias("unit"),
+        F.md5(unit.cast("string")).alias("h"),
+    ).filter(F.col("unit").isNotNull())
+    counts = (
+        weight_counts
+        if weight_counts is not None
+        else staged.groupBy("g").agg(F.count("*").cast("long").alias("w"))
+    )
+    alloc = stratified_budget_alloc(counts, budget)
+    w = Window.partitionBy("g").orderBy("h", "unit")
+    ranked = (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= budget)  # constant bound -> group limit
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "g")
+        .filter(F.col("_rn") <= F.col("k_g"))
+        .select("g", "unit", "h")
+    )
+
+
+def stratified_budget_sample_maintain_stream(
+    spark,
+    df: DataFrame,
+    stratum: Column,
+    unit: Column,
+    budget: int = STRAT_BUDGET,
+    n_slices: int = 3,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Streaming stratified-budget sample MAINTENANCE — the streaming
+    reservoir/stratified story without reservoir order-dependence.
+    State per stratum is (exact count, bottom-``budget`` rows): both
+    mergeable, so each epoch folds the fresh batch in exactly
+    (counts add; rows prune back to ``budget``), and state is bounded
+    at strata x (budget + 1) rows FOREVER. The readout re-derives the
+    allocation from the accumulated counts each epoch — a stratum's
+    k_g moves as the mix drifts, and because the retained bottom-
+    ``budget`` superset covers every k_g <= budget, the final epoch
+    EQUALS the batch sample over all data regardless of arrival
+    order (shares the batch oracle twin).
+
+    Per-epoch invariant asserted: no stratum retains more than
+    ``budget`` rows."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"counts": None, "best": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        staged = batch_df.select(
+            stratum.alias("g"),
+            unit.alias("unit"),
+            F.md5(unit.cast("string")).alias("h"),
+        ).filter(F.col("unit").isNotNull())
+        fresh_counts = staged.groupBy("g").agg(
+            F.count("*").cast("long").alias("w")
+        )
+        fresh_best = bottomk_sample_by_group(
+            batch_df, stratum, unit, budget
+        )
+        if state["counts"] is None:
+            counts, best = fresh_counts, fresh_best
+        else:
+            counts = (
+                state["counts"]
+                .unionByName(fresh_counts)
+                .groupBy("g")
+                .agg(F.sum("w").cast("long").alias("w"))
+            )
+            best = bottomk_sample_by_group(
+                state["best"].unionByName(fresh_best),
+                F.col("g"),
+                F.col("unit"),
+                budget,
+            )
+        counts = counts.localCheckpoint(eager=True)
+        best = best.localCheckpoint(eager=True)
+        over = (
+            best.groupBy("g")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > budget)
+            .limit(1)
+            .count()
+        )
+        if over:
+            raise AssertionError(
+                f"stratified_budget_sample_maintain_stream: epoch "
+                f"{epoch_id} left more than {budget} rows in a stratum"
+            )
+        alloc = stratified_budget_alloc(counts, budget)
+        w = Window.partitionBy("g").orderBy("h", "unit")
+        state["counts"] = counts
+        state["best"] = best
+        state["result"] = (
+            best.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(alloc), "g")
+            .filter(F.col("_rn") <= F.col("k_g"))
+            .select("g", "unit", "h")
+        )
+
+    replay_fold(
+        spark,
+        df,
+        fold,
+        n_slices=n_slices,
+        order_cols=order_cols,
+        prefix="sb_",
+    )
+    return state["result"]
