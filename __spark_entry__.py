@@ -381,6 +381,26 @@ def q_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact-substring span maintenance (operators/dedup.py
+    exact_substring_maintain_stream): each arriving doc is window-
+    hashed once into text-free (doc_id, pos, h) state; duplication is
+    corpus-global, so the span readout is re-derived per epoch from
+    the accumulated table (retro-flagging earlier docs when a twin
+    arrives). Final epoch equals batch exact_substring_spans, sharing
+    its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_maintain_stream,
+    )
+
+    return exact_substring_maintain_stream(
+        _ensure_conf(spark),
+        _doc_corpus_cpu(spark, sf_dir).select("doc_id", "text"),
+    )
+
+
 def q_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level dedup over the near-dup corpus: content-defined
     chunks (rolling-hash boundaries) whose exact text recurs."""
@@ -4252,6 +4272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_budget_sample_stream": (
             q_stratified_budget_sample_stream
         ),
+        "exact_substring_maintenance_stream": (
+            q_exact_substring_maintenance_stream
+        ),
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "table_stats_deep": q_table_stats_deep,
         "bm25_topk": q_bm25_topk,
@@ -6470,6 +6493,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicated_passages": _sql_duplicated_passages(),
         "exact_substring_spans": _sql_exact_substring_spans(),
         "exact_substring_removal": _sql_exact_substring_removal(),
+        "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -938,3 +938,33 @@ def test_exact_substring_removal_hand_fixture(spark):
     assert out[3]["cleaned_hash"] == hashlib.md5(
         b"all fresh tokens stay put here ok yes"
     ).hexdigest()
+
+
+def test_exact_substring_stream_equals_batch_with_retroflag(spark):
+    """Maintenance semantics: doc 1 (epoch 1) only becomes covered
+    when its twin doc 9 arrives in a later epoch — the per-epoch
+    re-derivation retro-flags it; final epoch equals batch."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    common = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    rows = [
+        (1, common + " early doc tail"),
+        (4, "middle filler document with fresh tokens only here"),
+        (9, "late twin prefix " + common),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = sorted(
+        map(tuple, DD.exact_substring_spans(df).collect())
+    )
+    stream = sorted(
+        map(
+            tuple,
+            DD.exact_substring_maintain_stream(
+                spark, df, n_slices=3
+            ).collect(),
+        )
+    )
+    assert stream == batch
+    assert {r[0] for r in batch} == {1, 9}  # both twins flagged

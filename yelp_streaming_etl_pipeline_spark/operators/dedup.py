@@ -1540,7 +1540,17 @@ def _covered_window_starts(
     """(doc_id, pos) of every window whose hash recurs >= min_occ
     times corpus-wide (within-document repeats count, as in Lee et
     al.). One hash-keyed count aggregate + one equi-join back."""
-    wins = _window_hash_table(df, text_col, id_col, L)
+    return _cov_from_window_table(
+        _window_hash_table(df, text_col, id_col, L), min_occ
+    )
+
+
+def _cov_from_window_table(
+    wins: DataFrame, min_occ: int = EXSPAN_MIN_OCC
+) -> DataFrame:
+    """(doc_id, pos) covered starts from an (accumulated) window-hash
+    table — the readout half of _covered_window_starts, shared with
+    the streaming maintenance form."""
     dup = (
         wins.groupBy("h")
         .agg(F.count("*").alias("occ"))
@@ -1548,6 +1558,30 @@ def _covered_window_starts(
         .select("h")
     )
     return wins.join(dup, "h").select("doc_id", "pos")
+
+
+def _spans_from_cov(cov: DataFrame, L: int = EXSPAN_L) -> DataFrame:
+    """Merge covered window starts into maximal spans — see
+    exact_substring_spans for the lag-based equal-length interval
+    merge derivation."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = cov.withColumn(
+        "ns",
+        F.when(prev.isNull() | (F.col("pos") - prev > L), 1).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        (F.max("pos") + (L - 1)).cast("long").alias("end_pos"),
+        (F.max("pos") + (L - 1) - F.min("pos") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    )
 
 
 def exact_substring_spans(
@@ -1567,25 +1601,78 @@ def exact_substring_spans(
     interval merge reduces to one lag(): a new span starts iff
     pos - lag(pos) > L. Both window functions are doc_id-partitioned
     (no global window)."""
-    cov = _covered_window_starts(df, text_col, id_col, L, min_occ)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev = F.lag("pos").over(w)
-    flagged = cov.withColumn(
-        "ns",
-        F.when(prev.isNull() | (F.col("pos") - prev > L), 1).otherwise(0),
+    return _spans_from_cov(
+        _covered_window_starts(df, text_col, id_col, L, min_occ), L
     )
-    spans = flagged.withColumn(
-        "span_id",
-        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+
+
+def exact_substring_maintain_stream(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming exact-substring span MAINTENANCE: documents arrive
+    in micro-batches; each doc is tokenized + window-hashed exactly
+    once, at arrival (the O(n_tokens * L) text scan is the dominant
+    cost and never re-runs) — state is the compact text-free
+    (doc_id, pos, h) window-hash table, appended per epoch.
+
+    The readout is NOT append-only: duplication is a corpus-GLOBAL
+    predicate (a window unique today becomes duplicated the moment
+    its twin arrives, retro-flagging the earlier document), so each
+    epoch re-derives the duplicated-hash set and the span merge from
+    the accumulated table — keyed count + join + doc-partitioned
+    windows over hashes, never text. Same bounded per-epoch-recompute
+    discipline as CDC / BM25 maintenance.
+
+    Per-epoch invariant asserted: window state is append-only per doc
+    — a doc's windows arrive in exactly one epoch.
+
+    Final epoch equals batch exact_substring_spans over all docs, so
+    the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"wins": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = _window_hash_table(
+            batch_df, text_col, id_col, L
+        ).localCheckpoint(eager=True)
+        if state["wins"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["wins"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"exact_substring_maintain_stream: epoch {epoch_id} "
+                    f"re-windowed {n_overlap} already-seen doc(s) — "
+                    "window state must be append-only per doc"
+                )
+            acc = state["wins"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["wins"] = acc
+        state["result"] = _spans_from_cov(
+            _cov_from_window_table(acc, min_occ), L
+        )
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="exs_",
     )
-    return spans.groupBy("doc_id", "span_id").agg(
-        F.min("pos").cast("long").alias("start_pos"),
-        (F.max("pos") + (L - 1)).cast("long").alias("end_pos"),
-        (F.max("pos") + (L - 1) - F.min("pos") + 1)
-        .cast("long")
-        .alias("span_tokens"),
-        F.count("*").alias("n_windows"),
-    )
+    return state["result"]
 
 
 def exact_substring_removal(
