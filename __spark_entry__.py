@@ -401,6 +401,24 @@ def q_exact_substring_maintenance_stream(
     )
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance scores (operators/corpus.py
+    dsir_importance, Xie et al. 2023): rank the even-doc_id half of
+    documents by target-likeness against the odd-doc_id half —
+    integer-exact dyadic log-likelihood ratios over a 1024-bucket
+    hashed uni+bigram space; bucket weight tables broadcast, the only
+    data-sized shuffle keys on doc_id."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus import (
+        dsir_importance,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return dsir_importance(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level dedup over the near-dup corpus: content-defined
     chunks (rolling-hash boundaries) whose exact text recurs."""
@@ -4275,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_maintenance_stream": (
             q_exact_substring_maintenance_stream
         ),
+        "dsir_importance": q_dsir_importance,
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "table_stats_deep": q_table_stats_deep,
         "bm25_topk": q_bm25_topk,
@@ -4603,6 +4622,67 @@ seen AS (
 SELECT f.doc_id, f.fingerprint
 FROM fresh f
 WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = f.fingerprint)"""
+
+
+def _sql_dsir_importance(n_buckets: int = 1024) -> str:
+    """Twin of corpus.dsir_importance over the odd/even documents
+    halves: identical md5 bucketing, identical dyadic log2
+    (length(bin(greatest((x << 16) // y, 1))) - 17), identical add-1
+    smoothing and factored corpus-size constant."""
+    from yelp_streaming_etl_pipeline_spark.operators.sampling import (
+        sql_hash_bucket,
+    )
+
+    wst = O.sql_ws_trim("lower(text)")
+    bucket = sql_hash_bucket("g", n_buckets)
+    s = 1 << 16
+
+    def grams(side: str) -> str:
+        return f"""{side}_grams AS (
+  SELECT doc_id, {bucket} AS b FROM (
+    SELECT doc_id,
+           unnest(list_concat(words,
+             [words[i] || ' ' || words[i + 1]
+              FOR i IN generate_series(1, len(words) - 1)])) AS g
+    FROM (
+      SELECT doc_id, string_split_regex({wst}, '\\s+') AS words
+      FROM {side}_docs
+    )
+  )
+)"""
+
+    return f"""
+WITH t_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+r_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+{grams("t")},
+{grams("r")},
+ctab AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM t_grams GROUP BY b),
+crab AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM r_grams GROUP BY b),
+tot AS (
+  SELECT (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) FROM ctab) AS tt,
+         (SELECT coalesce(CAST(sum(cr) AS BIGINT), 0) FROM crab) AS rr
+),
+wts AS (
+  SELECT crab.b,
+         CAST(length(bin(greatest(
+           ((coalesce(ctab.ct, 0) + 1) * {s}) // (crab.cr + 1), 1)))
+           AS BIGINT) - 17 AS w
+  FROM crab LEFT JOIN ctab ON crab.b = ctab.b
+),
+konst AS (
+  SELECT CAST(length(bin(greatest(
+           ((rr + {n_buckets}) * {s}) // (tt + {n_buckets}), 1)))
+           AS BIGINT) - 17 AS cq
+  FROM tot
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM r_grams JOIN wts USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       CAST(sw + n_grams * cq AS BIGINT) AS dsir_score
+FROM agg CROSS JOIN konst"""
 
 
 def _sql_exspan_cov_ctes(L: int = 8, min_occ: int = 2) -> str:
@@ -6494,6 +6574,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_spans": _sql_exact_substring_spans(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
+        "dsir_importance": _sql_dsir_importance(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -216,6 +216,7 @@ HEADLINE = [
     "exact_substring_spans",
     "exact_substring_removal",
     "stratified_budget_sample",
+    "dsir_importance",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -397,6 +398,7 @@ def longdoc_probe(spark) -> dict[str, float | int]:
         with_lang_id,
     )
     from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
     from yelp_streaming_etl_pipeline_spark.operators import (
         corpus_quality as CQ,
     )
@@ -452,6 +454,10 @@ def longdoc_probe(spark) -> dict[str, float | int]:
         "exact_substring_spans": lambda: DD.exact_substring_spans(docs),
         "exact_substring_removal": lambda: DD.exact_substring_removal(
             docs
+        ),
+        "dsir_importance": lambda: CP.dsir_importance(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
         ),
     }
     out: dict[str, float | int] = {

@@ -206,3 +206,49 @@ def test_streaming_ingest_upsert_dedups_across_batches(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(corpus_dir).count() == 3
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """DSIR hand fixture: raw docs sharing the target's vocabulary
+    must out-score off-domain docs; dsir_topk selects exactly them."""
+    from pyspark.sql import functions as F
+
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    target = spark.createDataFrame(
+        [(i, "the dog runs fast and the dog barks loud") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (101, "the dog barks loud near the park"),
+            (102, "the cat sleeps all day on the mat"),
+            (103, "dog runs fast dog barks dog dog"),
+            (104, "quantum flux capacitors reverse polarity now"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["dsir_score"]
+        for r in CP.dsir_importance(raw, target).collect()
+    }
+    assert set(scores) == {101, 102, 103, 104}
+    assert min(scores[101], scores[103]) > max(scores[102], scores[104])
+    top = [r["doc_id"] for r in CP.dsir_topk(raw, target, k=2).collect()]
+    assert sorted(top) == [101, 103]
+
+
+def test_dsir_importance_deterministic_and_integer(spark):
+    """Scores are exact integers, stable across recomputation."""
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 5} filler text number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = docs.filter("doc_id % 2 = 0")
+    tgt = docs.filter("doc_id % 2 = 1")
+    a = sorted(map(tuple, CP.dsir_importance(raw, tgt).collect()))
+    b = sorted(map(tuple, CP.dsir_importance(raw, tgt).collect()))
+    assert a == b and len(a) == 10
+    assert all(isinstance(r[2], int) for r in a)

@@ -776,3 +776,13 @@ def test_stratified_budget_sample_group_limit_and_broadcast(spark):
     assert not A.has_python_udf(df)
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert A.has_broadcast_join(df), "allocation table must broadcast"
+
+
+def test_dsir_importance_broadcast_weights_no_udf(spark):
+    # the 1024-row bucket weight map and 1-row constant must
+    # broadcast; the gram stream is never pair-joined; JVM-side only
+    df = E.q_dsir_importance(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert A.has_broadcast_join(df), "bucket weights must broadcast"

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.lang_trigrams import with_trigram_lang_id
+from ..functions.text_features import ws_trim
 from .dedup import word_shingles
 from .text_analysis import bpe_token_count, doc_fingerprint, text_quality_score
 
@@ -269,3 +270,154 @@ def training_corpus(
     return token_budget_pack(
         clean, text_col, id_col, shard_budget, carry_cols=("quality_score",)
     ).select("shard_id", id_col, "tokens", "cum_tokens", "quality_score")
+
+
+# --------- hashed n-gram importance weighting (DSIR-style selection) --------
+
+DSIR_BUCKETS = 1024  # hashed feature space (uni+bigrams share it)
+_DSIR_SCALE_BITS = 16  # fixed-point resolution of the dyadic log2
+
+
+def _hashed_gram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, b): one row per token OCCURRENCE — word unigrams and
+    bigrams hashed into a shared n_buckets-dim feature space (the
+    DSIR representation). Grams are built per doc as arrays via
+    shifted slices + zip_with (never element_at in a lambda) and
+    exploded as constant-width bucket ints — the shuffle never
+    carries text."""
+    from .sampling import hash_bucket
+
+    words = F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+        .withColumn("nw", F.size("words"))
+        .withColumn("m", F.greatest(F.col("nw") - 1, F.lit(0)))
+    )
+    bigrams = F.zip_with(
+        F.slice("words", F.lit(1), F.col("m")),
+        F.slice("words", F.lit(2), F.col("m")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = base.withColumn(
+        "grams", F.concat(F.col("words"), bigrams)
+    )
+    return grams.select(
+        "doc_id", F.explode("grams").alias("g")
+    ).select("doc_id", hash_bucket(F.col("g"), n_buckets).alias("b"))
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) scoring: rank RAW-corpus documents by how much more likely
+    their hashed n-gram features are under the TARGET distribution
+    than under the raw distribution — the standard recipe for
+    steering a web-scale crawl toward a curated domain before
+    training. Returns (doc_id, n_grams, dsir_score), score =
+    sum over the doc's gram occurrences of
+    floor(log2((c_t(b)+1)/(c_r(b)+1))) + n_grams *
+    floor(log2((R+B)/(T+B))) — the add-1-smoothed log-likelihood
+    ratio with the corpus-size term factored out as a constant.
+
+    Integer-exact in both engines (no float log anywhere — same
+    dyadic discipline as BM25): each floor(log2(x/y)) is
+    bitlen(greatest((x << 16) div y, 1)) - 17, exact for ratios in
+    [2^-16, 2^47) and saturating at the ends; x << 16 stays below
+    2^63 for corpora under 2^46 gram occurrences (~10^13 tokens,
+    documented bound).
+
+    Scale shape: two hash aggregates build the bucket count tables
+    (n_buckets rows each — broadcast), the raw gram stream joins the
+    broadcast weight map, and one per-doc aggregate finishes; the
+    only data-sized shuffle keys on doc_id."""
+    t_grams = _hashed_gram_buckets(target, text_col, id_col, n_buckets)
+    r_grams = _hashed_gram_buckets(raw, text_col, id_col, n_buckets)
+    c_t = t_grams.groupBy("b").agg(F.count("*").alias("ct"))
+    c_r = r_grams.groupBy("b").agg(F.count("*").alias("cr"))
+    tot = (
+        c_t.agg(F.sum("ct").alias("tt"))
+        .crossJoin(c_r.agg(F.sum("cr").alias("rr")))
+        .select(
+            F.coalesce("tt", F.lit(0)).alias("tt"),
+            F.coalesce("rr", F.lit(0)).alias("rr"),
+        )
+    )
+    s = _DSIR_SCALE_BITS
+    # only buckets PRESENT in raw can be hit by a raw gram
+    weights = (
+        c_r.join(c_t, "b", "left")
+        .select(
+            "b",
+            (
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.expr(
+                                f"((coalesce(ct, 0) + 1) * {1 << s}) "
+                                "div (cr + 1)"
+                            ),
+                            F.lit(1),
+                        )
+                    )
+                ).cast("long")
+                - F.lit(s + 1)
+            ).alias("w"),
+        )
+    )
+    const = tot.select(
+        (
+            F.length(
+                F.bin(
+                    F.greatest(
+                        F.expr(
+                            f"((rr + {n_buckets}) * {1 << s}) "
+                            f"div (tt + {n_buckets})"
+                        ),
+                        F.lit(1),
+                    )
+                )
+            ).cast("long")
+            - F.lit(s + 1)
+        ).alias("cq")
+    )
+    return (
+        r_grams.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("w").alias("_sw"),
+        )
+        .crossJoin(F.broadcast(const))
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("_sw") + F.col("n_grams") * F.col("cq"))
+            .cast("long")
+            .alias("dsir_score"),
+        )
+    )
+
+
+def dsir_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The k raw documents most target-like under the DSIR score
+    (ties pinned by doc_id) — the selection step; compiles to
+    TakeOrderedAndProject, never a global sort."""
+    return (
+        dsir_importance(raw, target, text_col, id_col, n_buckets)
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(k)
+    )
