@@ -4253,102 +4253,55 @@ FROM ne CROSS JOIN nd CROSS JOIN tp"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Round-7 window (priority order, per VERDICT r6 directive #2 and
+    Round-8 window (priority order, per VERDICT r7 directive #1 and
     the standing cycle plan):
-    (a) the 8 entries NEW this round (WordPiece greedy longest-match
-    tokenizer scoring; the deep ANALYZE profile with per-column
-    quartiles + exact heavy hitters; integer-exact BM25 retrieval and
-    its streaming index maintenance; planted-ground-truth dedup
-    detection eval; n-gram novelty vs a reference corpus;
-    deterministic bottom-k/KMV sampling, batch + streaming
-    maintenance) — never driver-checked;
-    (b) the 3 CDC entries whose chunk scan was rewritten O(n^2)->O(n)
-    this round (split-once char array; results bit-identical, chunk
-    output verified by count+crc equivalence and the local oracle
-    gate) — the round-6 top finding, so the driver re-verifies them;
-    (c) the 39 oldest r3-checked entries (trending_stream ..
-    issue_counts), oldest stamps in the ledger;
-    8 + 3 + 39 = 50. The final eight r3 entries (sessionize_stream ..
-    text_features) land at positions 51-58 and head the round-8
-    window.
+    (a) the 6 entries NEW this round (suffix-window exact-substring
+    span dedup, span-level removal, and its streaming maintenance;
+    stratified sampling under a total budget, batch + streaming;
+    DSIR hashed n-gram importance weighting) — never driver-checked;
+    (b) the 4 entries whose PLANS changed this round with identical
+    results (BM25 batch + maintenance gained the BM25_DL_CAP int64
+    clamp; the bottom-k pair gained the NULL-unit exclusion — both
+    ADVICE r7 closures, re-proven by the local oracle gate);
+    (c) the 8 oldest-stamped entries (driver-checked r3:
+    sessionize_stream .. text_features — the judge independently
+    re-verified all 8 green in the r7 session);
+    (d) the 8 round-7 plan rewrites with identical results
+    (winnowing / winnow_fingerprint / repetition_profile /
+    quality_classifier char-array + HOF fixes, text_analysis,
+    gopher_quality, the empty-payload manifest gate, the all-NULL
+    profile row) — VERDICT r7: rewritten plans deserve a stamp;
+    (e) the 24 oldest r4-checked entries (distinct_daily_users ..
+    sql_surface_q21).
+    6 + 4 + 8 + 8 + 24 = 50.
 
-    CYCLE PLAN (199 entries, 50-entry window): past position 50 the
-    order is round 8's queue — the 8 remaining r3 entries, then the
-    5 entries whose PLANS changed this round with identical results
-    (winnowing + winnow_fingerprint char-array rewrites, the
-    empty-payload manifest gate, the all-NULL-column profile row),
-    then the r4 / r5 / r6 blocks (freshest last). Every entry is
-    re-proven every round by the local full gate
-    (scripts/check_oracle.py + check_vanilla.py over all 199) and by
-    pytest units added with each change.
+    CYCLE PLAN (205 entries, 50-entry window): past position 50 the
+    order is round 9's queue — the remaining r4 block, then r5 / r6
+    blocks, with the 45 entries the driver checked in round 7
+    (freshest stamps) last. Every entry is re-proven every round by
+    the local full gate (scripts/check_oracle.py + check_vanilla.py
+    over all 205) and by pytest units added with each change.
     """
     return {
-        # (a) NEVER driver-checked: new this round
+        # (a) NEVER driver-checked: new this round (suffix-window
+        # exact-substring dedup batch/removal/streaming, stratified
+        # budget sampling batch/streaming, DSIR importance)
         "exact_substring_spans": q_exact_substring_spans,
         "exact_substring_removal": q_exact_substring_removal,
         "stratified_budget_sample": q_stratified_budget_sample,
-        "stratified_budget_sample_stream": (
-            q_stratified_budget_sample_stream
-        ),
+        "stratified_budget_sample_stream": q_stratified_budget_sample_stream,
         "exact_substring_maintenance_stream": (
             q_exact_substring_maintenance_stream
         ),
         "dsir_importance": q_dsir_importance,
-        "wordpiece_doc_scores": q_wordpiece_doc_scores,
-        "table_stats_deep": q_table_stats_deep,
+        # (b) plans changed this round, results identical (BM25
+        # dl/tf int64 clamp; bottom-k NULL-unit exclusion)
         "bm25_topk": q_bm25_topk,
-        "dedup_eval_minhash": q_dedup_eval_minhash,
         "bm25_maintenance_stream": q_bm25_maintenance_stream,
-        "ngram_novelty": q_ngram_novelty,
         "bottomk_sample": q_bottomk_sample,
         "bottomk_sample_stream": q_bottomk_sample_stream,
-        # (b) the round-7 CDC O(n) rewrite: driver re-verification
-        "cdc_chunk_pairs": q_cdc_chunk_pairs,
-        "cdc_maintenance_stream": q_cdc_maintenance_stream,
-        "duplicated_passages": q_duplicated_passages,
-        # (c) stale-r3 block, oldest stamps (driver-checked r3; green
+        # (c) the 8 oldest-stamped entries (driver-checked r3; green
         # in every local full gate since)
-        "trending_stream": q_trending_stream,
-        "io_roundtrip_formats": q_io_roundtrip_formats,
-        "pii_profile": q_pii_profile,
-        "pii_redact": q_pii_redact,
-        "zorder_layout": q_zorder_layout,
-        "frame_sample_plan": q_frame_sample_plan,
-        "hll_set_ops": q_hll_set_ops,
-        "cms_join_size": q_cms_join_size,
-        "embedding_project": q_embedding_project,
-        "semantic_dedup": q_semantic_dedup,
-        "kmeans_clusters": q_kmeans_clusters,
-        "hard_negatives": q_hard_negatives,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "quality_classifier": q_quality_classifier,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "event_funnel": q_event_funnel,
-        "enriched_events_stream": q_enriched_events_stream,
-        "user_cohorts": q_user_cohorts,
-        "hll_registers_stream": q_hll_registers_stream,
-        "hll_by_type": q_hll_by_type,
-        "attributed_purchases_outer_stream": (
-            q_attributed_purchases_outer_stream
-        ),
-        "sql_surface_q4": q_sql_surface_q4,
-        "user_value_ewma": q_user_value_ewma,
-        "bpe_token_counts": q_bpe_token_counts,
-        "event_zscores": q_event_zscores,
-        "bpe_merges": q_bpe_merges,
-        "review_stats": q_review_stats,
-        "review_stats_overall": q_review_stats_overall,
-        "acceptance_summary": q_acceptance_summary,
-        "props_extract": q_props_extract,
-        "sessionize_events": q_sessionize_events,
-        "token_budget_pack": q_token_budget_pack,
-        "training_corpus": q_training_corpus,
-        "windowed_events_stream": q_windowed_events_stream,
-        "attributed_purchases_stream": q_attributed_purchases_stream,
-        "lang_id": q_lang_id,
-        "clean_reviews": q_clean_reviews,
-        "quality_issues": q_quality_issues,
-        "issue_counts": q_issue_counts,
         "sessionize_stream": q_sessionize_stream,
         "dedup_stream": q_dedup_stream,
         "dedup_reviews": q_dedup_reviews,
@@ -4357,12 +4310,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "text_features": q_text_features,
-        # (d) plan changed this round, results identical (winnowing /
-        # winnow_fingerprint char-array fix, empty-payload gate,
-        # all-NULL profile row): re-proven locally, heads the r8 queue
+        # (d) round-7 plan rewrites with identical results (char-array
+        # HOF fixes, empty-payload gate, all-NULL profile row) - the
+        # VERDICT r7 directive: rewritten plans deserve a driver stamp
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnow_neardup": q_winnow_neardup,
         "text_analysis": q_text_analysis,
+        "repetition_profile": q_repetition_profile,
+        "quality_classifier": q_quality_classifier,
+        "gopher_quality": q_gopher_quality,
         "payload_chunk_manifest": q_payload_chunk_manifest,
         "table_stats_profile": q_table_stats_profile,
         # (e) r4 block, then r5, then r6 (freshest last)
@@ -4470,9 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
         "events_resample_ffill": q_events_resample_ffill,
         "cusum_changepoints": q_cusum_changepoints,
-        "attributed_purchases_semi_stream": (
-            q_attributed_purchases_semi_stream
-        ),
+        "attributed_purchases_semi_stream": q_attributed_purchases_semi_stream,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "customer_quartiles": q_customer_quartiles,
         "audio_meta_audit": q_audio_meta_audit,
@@ -4483,8 +4437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": q_numeric_profile,
         "pricing_summary": q_pricing_summary,
         "cube_revenue": q_cube_revenue,
-        "gopher_quality": q_gopher_quality,
-        "repetition_profile": q_repetition_profile,
         "doc_chunks": q_doc_chunks,
         "bloom_registers": q_bloom_registers,
         "bloom_probe": q_bloom_probe,
@@ -4510,6 +4462,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "supplier_running_revenue": q_supplier_running_revenue,
         "rollup_revenue": q_rollup_revenue,
+        # (f) driver-checked round 7 (freshest stamps)
+        "wordpiece_doc_scores": q_wordpiece_doc_scores,
+        "table_stats_deep": q_table_stats_deep,
+        "dedup_eval_minhash": q_dedup_eval_minhash,
+        "ngram_novelty": q_ngram_novelty,
+        "cdc_chunk_pairs": q_cdc_chunk_pairs,
+        "cdc_maintenance_stream": q_cdc_maintenance_stream,
+        "duplicated_passages": q_duplicated_passages,
+        "trending_stream": q_trending_stream,
+        "io_roundtrip_formats": q_io_roundtrip_formats,
+        "pii_profile": q_pii_profile,
+        "pii_redact": q_pii_redact,
+        "zorder_layout": q_zorder_layout,
+        "frame_sample_plan": q_frame_sample_plan,
+        "hll_set_ops": q_hll_set_ops,
+        "cms_join_size": q_cms_join_size,
+        "embedding_project": q_embedding_project,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans_clusters": q_kmeans_clusters,
+        "hard_negatives": q_hard_negatives,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "event_funnel": q_event_funnel,
+        "enriched_events_stream": q_enriched_events_stream,
+        "user_cohorts": q_user_cohorts,
+        "hll_registers_stream": q_hll_registers_stream,
+        "hll_by_type": q_hll_by_type,
+        "attributed_purchases_outer_stream": (
+            q_attributed_purchases_outer_stream
+        ),
+        "sql_surface_q4": q_sql_surface_q4,
+        "user_value_ewma": q_user_value_ewma,
+        "bpe_token_counts": q_bpe_token_counts,
+        "event_zscores": q_event_zscores,
+        "bpe_merges": q_bpe_merges,
+        "review_stats": q_review_stats,
+        "review_stats_overall": q_review_stats_overall,
+        "acceptance_summary": q_acceptance_summary,
+        "props_extract": q_props_extract,
+        "sessionize_events": q_sessionize_events,
+        "token_budget_pack": q_token_budget_pack,
+        "training_corpus": q_training_corpus,
+        "windowed_events_stream": q_windowed_events_stream,
+        "attributed_purchases_stream": q_attributed_purchases_stream,
+        "lang_id": q_lang_id,
+        "clean_reviews": q_clean_reviews,
+        "quality_issues": q_quality_issues,
+        "issue_counts": q_issue_counts,
     }
 
 
