@@ -353,8 +353,11 @@ def calibration(spark) -> dict[str, float]:
         li.selectExpr("sum(l_extendedprice)", "count(*)").collect()
         scan.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        spark.range(1_500_000_000).selectExpr(
-            "sum(id % 9973)", "sum((id * 2654435761) % 7919)"
+        # id is reduced mod 2^20-ish BEFORE the multiply so the
+        # product stays under 2^63 at any range size (ANSI overflow)
+        spark.range(6_000_000_000).selectExpr(
+            "sum(id % 9973)",
+            "sum(((id % 1048573) * 2654435761) % 7919)",
         ).collect()
         cpu_h.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
@@ -491,19 +494,19 @@ ISOLATED_REPROBE = [
 
 def isolated_reprobe(spark, qs) -> dict[str, float]:
     """Steady-state per-query seconds measured BEFORE the headline
-    suite has touched the session: 1 cold pass (discarded) + 3 steady
-    passes, median — the same methodology as run_suite, minus the
-    159-query context."""
+    suite has touched the session: 2 warmup passes (discarded — JIT
+    is still compiling on the first) + 3 steady passes, median — the
+    same methodology as run_suite, minus the 160+-query context."""
     out: dict[str, float] = {}
     for name in ISOLATED_REPROBE:
         times = []
-        for i in range(4):
+        for i in range(5):
             _jvm_gc(spark)
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-            if i > 0:
+            if i > 1:
                 times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 3)
     return out

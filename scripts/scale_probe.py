@@ -132,6 +132,15 @@ PROBES = [
     # two-pass + ndv-sized-intermediate claim gets checked at 10x too
     ("orders_lineitem_q12", "sql_surface_q12", REP_FACT),
     ("table_stats_deep", "table_stats_deep", REP_FACT),
+    # round-8: the new families. exact_substring_removal is probe-safe
+    # under exact-copy replication (unlike cdc_chunk_pairs) because
+    # duplication is a per-window COUNT predicate, not a pair join —
+    # replicas make more windows duplicated but the row volume stays
+    # linear through cov/anti-join/reassembly. dsir's bucket tables
+    # are fixed at 1024 regardless of corpus size.
+    ("exact_substring_removal", "exact_substring_removal", REP_DOCS),
+    ("dsir_importance", "dsir_importance", REP_DOCS),
+    ("stratified_budget_sample", "stratified_budget_sample", REP_EVENTS),
 ]
 
 
