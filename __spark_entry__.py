@@ -401,6 +401,21 @@ def q_exact_substring_maintenance_stream(
     )
 
 
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi tokenization scores
+    (operators/tokenizer.py unigram_lm_scores): optimal-DP
+    segmentation of every distinct word under dyadic log2-frequency
+    piece weights — the Viterbi counterpart of the greedy WordPiece
+    entry, completing the tokenizer family. All DP work runs over the
+    distinct-word table with a constant 4-slot fold accumulator; the
+    piece inventory broadcasts."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        unigram_lm_scores,
+    )
+
+    return unigram_lm_scores(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed n-gram importance scores (operators/corpus.py
     dsir_importance, Xie et al. 2023): rank the even-doc_id half of
@@ -4255,10 +4270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-8 window (priority order, per VERDICT r7 directive #1 and
     the standing cycle plan):
-    (a) the 6 entries NEW this round (suffix-window exact-substring
+    (a) the 7 entries NEW this round (suffix-window exact-substring
     span dedup, span-level removal, and its streaming maintenance;
     stratified sampling under a total budget, batch + streaming;
-    DSIR hashed n-gram importance weighting) — never driver-checked;
+    DSIR hashed n-gram importance weighting; unigram-LM Viterbi
+    tokenization scores) — never driver-checked;
     (b) the 4 entries whose PLANS changed this round with identical
     results (BM25 batch + maintenance gained the BM25_DL_CAP int64
     clamp; the bottom-k pair gained the NULL-unit exclusion — both
@@ -4271,16 +4287,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quality_classifier char-array + HOF fixes, text_analysis,
     gopher_quality, the empty-payload manifest gate, the all-NULL
     profile row) — VERDICT r7: rewritten plans deserve a stamp;
-    (e) the 24 oldest r4-checked entries (distinct_daily_users ..
-    sql_surface_q21).
-    6 + 4 + 8 + 8 + 24 = 50.
+    (e) the 23 oldest r4-checked entries (distinct_daily_users ..
+    sql_surface_q2).
+    7 + 4 + 8 + 8 + 23 = 50.
 
-    CYCLE PLAN (205 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (206 entries, 50-entry window): past position 50 the
     order is round 9's queue — the remaining r4 block, then r5 / r6
     blocks, with the 45 entries the driver checked in round 7
     (freshest stamps) last. Every entry is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 205) and by pytest units added with each change.
+    over all 206) and by pytest units added with each change.
     """
     return {
         # (a) NEVER driver-checked: new this round (suffix-window
@@ -4294,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_exact_substring_maintenance_stream
         ),
         "dsir_importance": q_dsir_importance,
+        "unigram_lm_scores": q_unigram_lm_scores,
         # (b) plans changed this round, results identical (BM25
         # dl/tf int64 clamp; bottom-k NULL-unit exclusion)
         "bm25_topk": q_bm25_topk,
@@ -6575,6 +6592,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),
+        "unigram_lm_scores": O.sql_unigram_lm_scores(),
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -217,6 +217,7 @@ HEADLINE = [
     "exact_substring_removal",
     "stratified_budget_sample",
     "dsir_importance",
+    "unigram_lm_scores",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -462,6 +463,7 @@ def longdoc_probe(spark) -> dict[str, float | int]:
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("doc_id") % 2 == 1),
         ),
+        "unigram_lm_scores": lambda: TK.unigram_lm_scores(docs),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),

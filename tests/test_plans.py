@@ -786,3 +786,15 @@ def test_dsir_importance_broadcast_weights_no_udf(spark):
     assert not A.has_python_udf(df)
     assert "CartesianProduct" not in plan
     assert A.has_broadcast_join(df), "bucket weights must broadcast"
+
+
+def test_unigram_lm_scores_no_udf_takeordered_vocab(spark):
+    # all DP work is Column algebra over the distinct-word table; the
+    # multigram vocab top-k is a TakeOrdered, never a global sort;
+    # the piece inventory broadcasts into the candidate join
+    df = E.q_unigram_lm_scores(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "rangepartitioning" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert A.has_broadcast_join(df), "piece inventory must broadcast"

@@ -250,3 +250,68 @@ def test_wordpiece_doc_scores_end_to_end(spark):
     # cat/sat/dog once -> weight 1; doc1 = 2+1+1, doc2 = 2+2+1
     assert got[1]["lm_score_q"] == 4
     assert got[2]["lm_score_q"] == 5
+
+
+def test_unigram_viterbi_matches_bruteforce(spark):
+    """The engine's 4-slot DP fold must equal a brute-force optimal
+    segmentation (max score, tiebreak fewer pieces) computed in
+    Python from the same vocab and dyadic weights — for EVERY word
+    in a corpus crafted so multi-piece splits beat whole-word pieces."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    text = " ".join(["aabbb"] + ["aa"] * 60 + ["bbb"] * 60 + ["xy"] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    words = TK.word_freq_table(docs)
+    vocab = TK.unigram_vocab(words)
+    vrows = vocab.collect()
+    q = {r["piece"]: r["q"] for r in vrows}
+    T = sum(r["cnt"] for r in vrows)
+    Q = len(bin(T)) - 2  # bitlen
+
+    def brute(w):
+        # dp over prefix lengths: (score, -pieces) lexicographic max
+        best = {0: (0, 0)}
+        for e in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(4, e) + 1):
+                piece = w[e - l:e]
+                if piece in q and (e - l) in best:
+                    s, p = best[e - l]
+                    cands.append((s + q[piece] - Q, p - 1))
+            if cands:
+                best[e] = max(cands)
+        s, p = best[len(w)]
+        return s, -p
+
+    got = {
+        r["w"]: (r["lm_score_q"], r["n_pieces"])
+        for r in TK.unigram_word_stats(words, vocab).collect()
+    }
+    for w in ["aabbb", "aa", "bbb", "xy"]:
+        assert got[w] == brute(w), (w, got[w], brute(w))
+    # the crafted word must actually exercise a multi-piece optimum
+    assert got["aabbb"][1] >= 2
+
+
+def test_unigram_lm_scores_doc_rollup(spark):
+    """Doc scores are the sum of per-word stats over word
+    OCCURRENCES (not distinct words)."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bbb"), (2, "aa")], "doc_id long, text string"
+    )
+    words = TK.word_freq_table(docs)
+    vocab = TK.unigram_vocab(words)
+    stats = {
+        r["w"]: r for r in TK.unigram_word_stats(words, vocab).collect()
+    }
+    out = {r["doc_id"]: r for r in TK.unigram_lm_scores(docs).collect()}
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_pieces"] == (
+        2 * stats["aa"]["n_pieces"] + stats["bbb"]["n_pieces"]
+    )
+    assert out[1]["lm_score_q"] == (
+        2 * stats["aa"]["lm_score_q"] + stats["bbb"]["lm_score_q"]
+    )
+    assert out[2]["n_words"] == 1

@@ -535,3 +535,203 @@ def wordpiece_doc_scores(
             F.sum("lm_score_q").alias("lm_score_q"),
         )
     )
+
+
+# ---------- unigram-LM (SentencePiece-style) Viterbi segmentation ----------
+
+UV_VOCAB_K = 256  # multigram vocab size (every single char is always in)
+UV_NEG = -1_000_000_000  # invalid-piece sentinel; dominates any real score
+_UV_PACK = 256  # (score, pieces) pack radix; > WP_MAX_WORD piece count
+
+
+def unigram_vocab(
+    words: DataFrame, k: int = UV_VOCAB_K, maxlen: int = WP_MAXLEN
+) -> DataFrame:
+    """(piece, q, cnt): a unigram-LM piece inventory — EVERY single
+    character of the corpus (full coverage, the base-alphabet
+    discipline a real SentencePiece model keeps so any word is
+    segmentable) plus the top-``k`` 2..maxlen-grams by frequency
+    (count DESC, piece ASC, a TakeOrdered). q = length(bin(cnt)) is
+    the integer log2-frequency weight — same dyadic quantization as
+    wordpiece_vocab, so both engines agree exactly."""
+    short = words.filter(F.length("w") <= WP_MAX_WORD)
+    grams = (
+        _wp_candidates(short.select("w"), maxlen)
+        .join(short.select("w", "f"), "w")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+    )
+    multi = (
+        grams.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(k)
+    )
+    return (
+        grams.filter(F.length("piece") == 1)
+        .unionByName(multi)
+        .select(
+            "piece",
+            F.length(F.bin(F.col("cnt"))).cast("long").alias("q"),
+            "cnt",
+        )
+    )
+
+
+def unigram_word_stats(
+    words: DataFrame, vocab: DataFrame, maxlen: int = WP_MAXLEN
+) -> DataFrame:
+    """VITERBI-optimal segmentation of every distinct word under the
+    dyadic unigram LM: maximize sum over pieces of (q(piece) - Q),
+    Q = length(bin(sum cnt over the vocab)) — i.e. the quantized
+    log2 p(piece) = log2(cnt) - log2(T) — tie-broken toward FEWER
+    pieces. This is the optimal-DP counterpart of the greedy
+    longest-match in wordpiece_word_stats (real unigram-LM tokenizers
+    are Viterbi, not greedy; the two differ whenever a long greedy
+    match forces a bad remainder).
+
+    Engine-exact mechanics: per (word, end-position) the four
+    contributions p_l = (q - Q)*256 - 1 (l = 1..maxlen; -1 charges
+    one piece, 256 > any piece count so max() orders (score, -pieces)
+    lexicographically; invalid pieces get UV_NEG). The DP
+    dp[e] = max_l(dp[e-l] + p_l(e)) folds left-to-right with a
+    CONSTANT 4-slot accumulator (d1..d4 = dp[e-4..e-1] — never a
+    word- or doc-sized acc, the F.aggregate deep-copy discipline).
+    Single-char coverage by unigram_vocab makes every word reachable,
+    so no unk path exists below WP_MAX_WORD. The rotation
+    (d1,d2,d3,d4) <- (d2,d3,d4,new) reads every field before any is
+    rewritten — circular under DuckDB list_reduce's in-place
+    mutation, so the TWIN derives the same dp via a recursive CTE
+    bounded at WP_MAX_WORD iterations (values identical, mechanism
+    declared divergent).
+
+    Returns (w, n_pieces, lm_score_q, is_long); words over
+    WP_MAX_WORD chars mirror the wordpiece [UNK] discipline
+    (1 piece, score 0)."""
+    short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
+    qtot = vocab.agg(
+        F.length(F.bin(F.sum("cnt"))).cast("long").alias("Qc")
+    )
+    pw = (
+        _wp_candidates(short, maxlen)
+        .join(F.broadcast(vocab.select("piece", "q")), "piece", "left")
+        .crossJoin(F.broadcast(qtot))
+        .select(
+            "w",
+            (F.col("i") + F.col("l") - 1).alias("e"),
+            "l",
+            F.when(
+                F.col("q").isNotNull(),
+                (F.col("q") - F.col("Qc")) * _UV_PACK - 1,
+            )
+            .otherwise(F.lit(UV_NEG))
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    agg_p = [
+        F.coalesce(
+            F.max(F.when(F.col("l") == n, F.col("p"))),
+            F.lit(UV_NEG).cast("long"),
+        ).alias(f"p{n}")
+        for n in range(1, maxlen + 1)
+    ]
+    byend = pw.groupBy("w", "e").agg(*agg_p)
+    elems = byend.groupBy("w").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("e").cast("int").alias("e"),
+                    *[F.col(f"p{n}") for n in range(1, maxlen + 1)],
+                )
+            )
+        ).alias("es")
+    )
+    neg = F.lit(UV_NEG).cast("long")
+    seed = F.struct(
+        neg.alias("d1"),
+        neg.alias("d2"),
+        neg.alias("d3"),
+        F.lit(0).cast("long").alias("d4"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            acc["d2"].alias("d1"),
+            acc["d3"].alias("d2"),
+            acc["d4"].alias("d3"),
+            F.greatest(
+                acc["d4"] + x["p1"],
+                acc["d3"] + x["p2"],
+                acc["d2"] + x["p3"],
+                acc["d1"] + x["p4"],
+            ).alias("d4"),
+        )
+
+    folded = elems.select(
+        "w", F.aggregate("es", seed, step)["d4"].alias("packed")
+    )
+    pieces = F.lit(_UV_PACK) - F.pmod(F.col("packed"), F.lit(_UV_PACK))
+    seg = folded.select(
+        "w",
+        pieces.cast("long").alias("n_pieces"),
+        # exact division (packed + pieces is a multiple of the radix),
+        # so truncating div == flooring // on the negative scores
+        F.expr(
+            f"(packed + ({_UV_PACK} - pmod(packed, {_UV_PACK})))"
+            f" div {_UV_PACK}"
+        )
+        .cast("long")
+        .alias("lm_score_q"),
+        F.lit(False).alias("is_long"),
+    )
+    longw = (
+        words.select("w")
+        .filter(F.length("w") > WP_MAX_WORD)
+        .select(
+            "w",
+            F.lit(1).cast("long").alias("n_pieces"),
+            F.lit(0).cast("long").alias("lm_score_q"),
+            F.lit(True).alias("is_long"),
+        )
+    )
+    return seg.unionByName(longw)
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = UV_VOCAB_K,
+    maxlen: int = WP_MAXLEN,
+) -> DataFrame:
+    """Per-document unigram-LM (SentencePiece-style) Viterbi
+    tokenization scores against a corpus-derived piece inventory:
+    (doc_id, n_words, n_pieces, n_long_words, lm_score_q) — the
+    optimal-segmentation counterpart of wordpiece_doc_scores,
+    completing the tokenizer family (BPE char/byte learners, greedy
+    WordPiece, Viterbi unigram).
+
+    100 TB shape: identical to wordpiece_doc_scores — two corpus
+    passes (word-frequency aggregate + doc-word join); ALL DP work
+    runs over the distinct-word table, the piece inventory broadcasts,
+    and the per-word fold is O(WP_MAX_WORD) integer ops with a
+    constant 4-slot accumulator."""
+    words = word_freq_table(docs, text_col, "char")
+    vocab = unigram_vocab(words, k, maxlen)
+    stats = unigram_word_stats(words, vocab, maxlen)
+    doc_w = _doc_words(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        "char",
+        ["doc_id"],
+    )
+    return (
+        doc_w.join(stats, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum(F.col("is_long").cast("long")).alias("n_long_words"),
+            F.sum("lm_score_q").alias("lm_score_q"),
+        )
+    )

@@ -1900,6 +1900,114 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
 FROM {prev}"""
 
 
+def sql_unigram_lm_scores(
+    k: int = 256, maxlen: int = 4, max_word: int = 32
+) -> str:
+    """Twin of tokenizer.unigram_lm_scores: identical piece inventory
+    (every 1-gram + top-k multigrams, count DESC piece ASC), identical
+    dyadic weights and (score*256 - pieces) pack. The Viterbi DP is
+    derived via a RECURSIVE CTE over end positions (bounded at
+    max_word iterations) instead of a fold: the 4-slot rotation reads
+    every accumulator field before rewriting any, which is circular
+    under list_reduce's in-place mutation — values identical,
+    mechanism declared divergent (see unigram_word_stats)."""
+    neg = -1_000_000_000
+    pack = 256
+    words = _sql_bpe_words("char").format(ids="")
+    dw = _sql_bpe_words("char").format(ids="doc_id,")
+    return f"""
+WITH RECURSIVE wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM ({words}
+  GROUP BY w
+),
+shortw AS (SELECT w, f FROM wf WHERE length(w) <= {max_word}),
+cand AS (
+  SELECT w, i, l,
+         substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+  FROM (
+    SELECT w, i,
+           unnest(generate_series(1, least({maxlen}, length(w) - i + 1)))
+             AS l
+    FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+          FROM shortw)
+  )
+),
+gramcnt AS (
+  SELECT c.piece, CAST(sum(s.f) AS BIGINT) AS cnt
+  FROM cand c JOIN shortw s USING (w) GROUP BY c.piece
+),
+vocab AS (
+  SELECT piece, cnt FROM gramcnt WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM gramcnt WHERE length(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT {k}
+  )
+),
+vq AS (SELECT piece, CAST(length(bin(cnt)) AS BIGINT) AS q FROM vocab),
+qq AS (
+  SELECT CAST(length(bin(CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS qc
+  FROM vocab
+),
+pw AS (
+  SELECT c.w, c.i + c.l - 1 AS e, c.l,
+         CASE WHEN v.q IS NOT NULL
+              THEN (v.q - qq.qc) * {pack} - 1
+              ELSE CAST({neg} AS BIGINT) END AS p
+  FROM cand c LEFT JOIN vq v USING (piece) CROSS JOIN qq
+),
+byend AS (
+  SELECT w, e,
+         coalesce(max(CASE WHEN l = 1 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p1,
+         coalesce(max(CASE WHEN l = 2 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p2,
+         coalesce(max(CASE WHEN l = 3 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p3,
+         coalesce(max(CASE WHEN l = 4 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p4
+  FROM pw GROUP BY w, e
+),
+dp AS (
+  SELECT w, CAST(0 AS BIGINT) AS e,
+         CAST({neg} AS BIGINT) AS d1, CAST({neg} AS BIGINT) AS d2,
+         CAST({neg} AS BIGINT) AS d3, CAST(0 AS BIGINT) AS d4,
+         CAST(length(w) AS BIGINT) AS len
+  FROM shortw
+  UNION ALL
+  SELECT dp.w, dp.e + 1, dp.d2, dp.d3, dp.d4,
+         greatest(dp.d4 + b.p1, dp.d3 + b.p2,
+                  dp.d2 + b.p3, dp.d1 + b.p4),
+         dp.len
+  FROM dp JOIN byend b ON b.w = dp.w AND b.e = dp.e + 1
+  WHERE dp.e < dp.len
+),
+seg0 AS (SELECT w, d4 AS packed FROM dp WHERE e = len),
+seg AS (
+  SELECT w,
+         CAST({pack} - ((packed % {pack}) + {pack}) % {pack}
+              AS BIGINT) AS n_pieces,
+         CAST((packed + ({pack} - ((packed % {pack}) + {pack})
+                         % {pack})) // {pack} AS BIGINT) AS lm_score_q,
+         false AS is_long
+  FROM seg0
+  UNION ALL
+  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), true
+  FROM wf WHERE length(w) > {max_word}
+),
+dw AS (
+  SELECT doc_id, w FROM ({dw}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN is_long THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_words,
+       CAST(sum(lm_score_q) AS BIGINT) AS lm_score_q
+FROM dw JOIN seg USING (w)
+GROUP BY doc_id"""
+
+
 def _sql_bpe_words(alphabet: str) -> str:
     """Word extraction under the alphabet's rules (twin of
     tokenizer._doc_words): char = lowercased ASCII-alpha gate;
