@@ -401,6 +401,21 @@ def q_exact_substring_maintenance_stream(
     )
 
 
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step (operators/corpus.py dsir_topk): the 50
+    most target-like raw documents by importance score, ties pinned by
+    doc_id — compiles to TakeOrderedAndProject over the scored table."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus import (
+        dsir_topk,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return dsir_topk(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) Viterbi tokenization scores
     (operators/tokenizer.py unigram_lm_scores): optimal-DP
@@ -4270,11 +4285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-8 window (priority order, per VERDICT r7 directive #1 and
     the standing cycle plan):
-    (a) the 7 entries NEW this round (suffix-window exact-substring
+    (a) the 8 entries NEW this round (suffix-window exact-substring
     span dedup, span-level removal, and its streaming maintenance;
     stratified sampling under a total budget, batch + streaming;
-    DSIR hashed n-gram importance weighting; unigram-LM Viterbi
-    tokenization scores) — never driver-checked;
+    DSIR hashed n-gram importance weighting + its top-k selection;
+    unigram-LM Viterbi tokenization scores) — never driver-checked;
     (b) the 4 entries whose PLANS changed this round with identical
     results (BM25 batch + maintenance gained the BM25_DL_CAP int64
     clamp; the bottom-k pair gained the NULL-unit exclusion — both
@@ -4287,16 +4302,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quality_classifier char-array + HOF fixes, text_analysis,
     gopher_quality, the empty-payload manifest gate, the all-NULL
     profile row) — VERDICT r7: rewritten plans deserve a stamp;
-    (e) the 23 oldest r4-checked entries (distinct_daily_users ..
-    sql_surface_q2).
-    7 + 4 + 8 + 8 + 23 = 50.
+    (e) the 22 oldest r4-checked entries (distinct_daily_users ..
+    sql_surface_q13).
+    8 + 4 + 8 + 8 + 22 = 50.
 
-    CYCLE PLAN (206 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (207 entries, 50-entry window): past position 50 the
     order is round 9's queue — the remaining r4 block, then r5 / r6
     blocks, with the 45 entries the driver checked in round 7
     (freshest stamps) last. Every entry is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 206) and by pytest units added with each change.
+    over all 207) and by pytest units added with each change.
     """
     return {
         # (a) NEVER driver-checked: new this round (suffix-window
@@ -4311,6 +4326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dsir_importance": q_dsir_importance,
         "unigram_lm_scores": q_unigram_lm_scores,
+        "dsir_topk": q_dsir_topk,
         # (b) plans changed this round, results identical (BM25
         # dl/tf int64 clamp; bottom-k NULL-unit exclusion)
         "bm25_topk": q_bm25_topk,
@@ -6593,6 +6609,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),
         "unigram_lm_scores": O.sql_unigram_lm_scores(),
+        "dsir_topk": _sql_dsir_importance()
+        + "\nORDER BY dsir_score DESC, doc_id LIMIT 50",
         "events_hourly": _sql_events_hourly(),
         "distinct_daily_users": _sql_distinct_daily_users(),
         "event_type_pivot": _sql_event_type_pivot(),

@@ -218,6 +218,7 @@ HEADLINE = [
     "stratified_budget_sample",
     "dsir_importance",
     "unigram_lm_scores",
+    "dsir_topk",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
