@@ -401,6 +401,122 @@ def q_exact_substring_maintenance_stream(
     )
 
 
+def q_exact_substring_spans_bytes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BYTE-level exact-substring span discovery (operators/dedup.py
+    exact_substring_spans_bytes): every 32-byte window of the raw
+    UTF-8 encoding is hashed (no tokenization / lowering — the form
+    Lee et al. run over raw training bytes, catching duplicated
+    markup and whitespace runs the word tokenizer normalizes away);
+    windows recurring >= 2 times corpus-wide merge into maximal
+    per-doc spans with 1-based byte offsets. Same shuffle shape as
+    the token variant: one hash-count aggregate, no pair join."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_spans_bytes,
+    )
+
+    return exact_substring_spans_bytes(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id"
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup (operators/dedup.py
+    paragraph_dedup): documents are stitched into multi-paragraph
+    'pages' (3 docs per page, blank-line separated; doc 0's text
+    appended to every even page as a repeated boilerplate footer —
+    the fixture texts carry no newlines, so the corpus is built, and
+    mirrored exactly in the twin). Duplicate paragraphs drop
+    corpus-wide keeping the smallest (doc_id, pos) occurrence — the
+    keep-first rank is a hash-PARTITIONED window, never a global
+    sort."""
+    d = _t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = (
+        d.groupBy(F.expr("doc_id div 3").alias("page_id"))
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+    )
+    footer = d.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("ftext")
+    )
+    corpus = pages.crossJoin(F.broadcast(footer)).select(
+        F.col("page_id").alias("doc_id"),
+        F.when(
+            F.col("page_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\n\n"), F.col("ftext")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return DD.paragraph_dedup(corpus)
+
+
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM cross-entropy quality scores
+    (operators/corpus_quality.py bigram_lm_scores, Wenzek et al.
+    2020): rank the even-doc_id half of documents by
+    millibits-per-bigram under a bigram model counted from the
+    odd-doc_id half — the dyadic-integer form of the perplexity gate
+    CCNet / RedPajama / FineWeb run before training. Two count
+    aggregates build the model; the scored bigram stream equi-joins
+    it; one doc-keyed aggregate finishes."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_scores,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return bigram_lm_scores(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+def q_bigram_lm_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming bigram-LM model maintenance (operators/
+    corpus_quality.py bigram_lm_maintain_stream): the reference half
+    arrives in micro-batches, each doc bigram-extracted once into the
+    distinct-bigram count state (bounded by bigram vocabulary, not
+    corpus length; mass conservation asserted per epoch); weights and
+    the OOV floor re-derive per epoch because corpus totals move them.
+    Final epoch equals batch bigram_lm_scores, sharing its twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_maintain_stream,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return bigram_lm_maintain_stream(
+        _ensure_conf(spark),
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+def q_unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM hard-EM (Viterbi-EM) refinement pass
+    (operators/tokenizer.py unigram_em_refine — SentencePiece's
+    estimate-then-prune step in engine-exact integer form): Viterbi
+    paths are RECOVERED per distinct word (full-dp fold + argmax
+    self-join + bounded backtrace fold), integer piece usage is
+    accumulated along them, and multigram pieces the optimal
+    segmentations never touch are pruned; weights re-quantize on the
+    same dyadic log2 scheme as the seed inventory."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        unigram_em_refine,
+    )
+
+    return unigram_em_refine(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR selection step (operators/corpus.py dsir_topk): the 50
     most target-like raw documents by importance score, ties pinned by
@@ -3442,6 +3558,65 @@ def q_pagerank_maintenance_stream(
     return _decode_nodes(pagerank_maintain_stream(spark, pairs))
 
 
+def q_pagerank_weighted_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming WEIGHTED PageRank maintenance (operators/graph.py
+    pagerank_weighted_maintain_stream): raw customer-supplier pair
+    occurrences (the orders x lineitem join rows, duplicates =
+    interaction strength) arrive in three micro-batches; state is the
+    distinct-pair multiplicity table merged by union+sum (weight-mass
+    conservation asserted), and each epoch re-runs the weighted
+    PageRank. Final epoch equals batch pagerank_weighted, sharing its
+    twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        _decode_nodes, pagerank_weighted_maintain_stream,
+    )
+
+    spark = _ensure_conf(spark)
+    occ = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+    )
+    return _decode_nodes(pagerank_weighted_maintain_stream(spark, occ))
+
+
+def q_personalized_pagerank_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming PERSONALIZED PageRank maintenance (operators/graph.py
+    personalized_pagerank_maintain_stream): the distinct pair stream
+    accumulates while rank mass flows from the fixed every-50th-
+    customer seed set; epochs whose accumulated nodes contain no seed
+    emit an empty table (declared), and the seed share re-normalizes
+    as seeds enter. Final epoch equals batch personalized_pagerank,
+    sharing its twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        _decode_nodes, bipartite_pairs,
+        personalized_pagerank_maintain_stream,
+    )
+
+    spark = _ensure_conf(spark)
+    pairs = bipartite_pairs(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return _decode_nodes(
+        personalized_pagerank_maintain_stream(spark, pairs, seeds)
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_streaming_etl_pipeline_spark.operators.clustering import (
         kmeans_lloyd,
@@ -4302,9 +4477,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quality_classifier char-array + HOF fixes, text_analysis,
     gopher_quality, the empty-payload manifest gate, the all-NULL
     profile row) — VERDICT r7: rewritten plans deserve a stamp;
-    (e) the 22 oldest r4-checked entries (distinct_daily_users ..
-    sql_surface_q13).
-    8 + 4 + 8 + 8 + 22 = 50.
+    (e) the oldest r4-checked entries (distinct_daily_users ..).
+    Entries added AFTER the round-8 rotation (byte-level
+    exact-substring spans, unigram-LM hard-EM refinement, CCNet
+    bigram-LM cross-entropy batch + streaming maintenance, CCNet
+    paragraph-level dedup, weighted + personalized PageRank
+    maintenance) head the window as (a0), displacing the tail of (e)
+    — 7 + 8 + 4 + 8 + 8 + 15 = 50.
 
     CYCLE PLAN (207 entries, 50-entry window): past position 50 the
     order is round 9's queue — the remaining r4 block, then r5 / r6
@@ -4314,6 +4493,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over all 207) and by pytest units added with each change.
     """
     return {
+        # (a0) NEVER driver-checked: newest additions (byte-level
+        # exact-substring spans; unigram-LM hard-EM refinement)
+        "exact_substring_spans_bytes": q_exact_substring_spans_bytes,
+        "unigram_em_refine": q_unigram_em_refine,
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "bigram_lm_maintenance_stream": q_bigram_lm_maintenance_stream,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pagerank_weighted_maintenance_stream": (
+            q_pagerank_weighted_maintenance_stream
+        ),
+        "personalized_pagerank_maintenance_stream": (
+            q_personalized_pagerank_maintenance_stream
+        ),
         # (a) NEVER driver-checked: new this round (suffix-window
         # exact-substring dedup batch/removal/streaming, stratified
         # budget sampling batch/streaming, DSIR importance)
@@ -4767,6 +4959,172 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        CAST(min(pos) AS BIGINT) AS start_pos,
        CAST(max(pos) + {L - 1} AS BIGINT) AS end_pos,
        CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, span_id"""
+
+
+def _sql_paragraph_dedup() -> str:
+    """Twin of dedup.paragraph_dedup over the stitched-pages corpus:
+    identical page construction (3 docs per page joined by blank
+    lines, doc 0's text appended to even pages), identical normalized
+    paragraph hash, identical keep-first (doc_id, pos) rank."""
+    norm = (
+        "md5(regexp_replace(lower("
+        + O.sql_ws_trim("para")
+        + "), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id // 3 AS page_id,
+         string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY doc_id // 3
+),
+footer AS (SELECT text AS ftext FROM documents WHERE doc_id = 0),
+corpus AS (
+  SELECT page_id AS doc_id,
+         CASE WHEN page_id % 2 = 0
+              THEN text || chr(10) || chr(10) || ftext
+              ELSE text END AS text
+  FROM pages CROSS JOIN footer
+),
+paras AS (
+  SELECT doc_id, pos, para, {norm} AS ph
+  FROM (
+    SELECT doc_id, i AS pos, ps[i] AS para
+    FROM (
+      SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+      FROM (
+        SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        FROM corpus
+      )
+    )
+  ) WHERE trim(para) <> ''
+),
+ranked AS (
+  SELECT doc_id, pos, para, ph,
+         row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(para, chr(10) || chr(10) ORDER BY pos))
+           AS cleaned_hash
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+  FROM paras GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_paras,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(b.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.cleaned_hash, md5('')) AS cleaned_hash
+FROM base b LEFT JOIN reb r USING (doc_id)"""
+
+
+def _sql_bigram_lm_scores() -> str:
+    """Twin of corpus_quality.bigram_lm_scores over the even/odd
+    documents split: identical normalization (lower + ws-collapse),
+    identical dyadic weights q = bitlen(cb) - bitlen(cu), identical
+    OOV floor -bitlen(TB); millibits division is (//) on non-negative
+    operands, matching Spark's truncating div."""
+    norm = O.sql_norm_text("text")
+    ws = (
+        f"CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({norm}, ' ') END"
+    )
+    bg = """
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+    FROM {src} WHERE len(ws) >= 2
+  )"""
+    return f"""
+WITH rws AS (
+  SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 1
+),
+sws AS (
+  SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 0
+),
+rbg AS ({bg.format(src='rws')}),
+sbg AS ({bg.format(src='sws')}),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+  FROM rbg GROUP BY w1, w2
+),
+uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM rbg GROUP BY w1),
+wts AS (
+  SELECT b.w1, b.w2,
+         CAST(length(bin(b.cb)) - length(bin(u.cu)) AS BIGINT) AS q
+  FROM big b JOIN uni u USING (w1)
+),
+tb AS (
+  SELECT CAST(-length(bin(greatest(count(*), 1))) AS BIGINT) AS q_oov
+  FROM rbg
+),
+j AS (
+  SELECT s.doc_id, coalesce(w.q, tb.q_oov) AS q, w.q AS q_raw
+  FROM sbg s
+  LEFT JOIN wts w ON s.w1 = w.w1 AND s.w2 = w.w2
+  CROSS JOIN tb
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN q_raw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(sum(q) AS BIGINT) AS lm_q_sum,
+       CAST(((-CAST(sum(q) AS BIGINT)) * 1000)
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS mbits_per_bigram
+FROM j GROUP BY doc_id"""
+
+
+def _sql_exact_substring_spans_bytes(L: int = 32, min_occ: int = 2) -> str:
+    """Twin of dedup.exact_substring_spans_bytes: windows are keyed by
+    the hex image of the L raw UTF-8 bytes at each 1-based byte offset
+    (substr over the ASCII hex string at 2i-1, length 2L — the same
+    byte<->hex-pair map the BPE byte twins pin), duplicated iff
+    >= min_occ occurrences; the span merge is the same single-lag
+    equal-length interval rule as the token twin. Spark keys on md5 of
+    the raw byte window instead of its hex image — an internal
+    mechanism divergence with identical grouping."""
+    return f"""
+WITH corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
+b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM corpus
+),
+wins AS (
+  SELECT doc_id, i AS pos, substr(hx, 2 * i - 1, {2 * L}) AS wkey
+  FROM (
+    SELECT doc_id, hx,
+           unnest(generate_series(1, nb - {L - 1})) AS i
+    FROM b WHERE nb >= {L}
+  )
+),
+dup AS (
+  SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= {min_occ}
+),
+cov AS (SELECT doc_id, pos FROM wins JOIN dup USING (wkey)),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                > {L}
+              THEN 1 ELSE 0 END AS ns
+  FROM cov
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flg
+)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(min(pos) AS BIGINT) AS start_byte,
+       CAST(max(pos) + {L - 1} AS BIGINT) AS end_byte,
+       CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_bytes,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, span_id"""
 
@@ -6605,6 +6963,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized_topk": O.sql_ann_quantized_topk(),
         "duplicated_passages": _sql_duplicated_passages(),
         "exact_substring_spans": _sql_exact_substring_spans(),
+        "exact_substring_spans_bytes": _sql_exact_substring_spans_bytes(),
+        "unigram_em_refine": O.sql_unigram_em_refine(),
+        "bigram_lm_scores": _sql_bigram_lm_scores(),
+        "bigram_lm_maintenance_stream": _sql_bigram_lm_scores(),
+        "paragraph_dedup": _sql_paragraph_dedup(),
+        "pagerank_weighted_maintenance_stream": (
+            O.sql_pagerank_weighted_bipartite()
+        ),
+        "personalized_pagerank_maintenance_stream": (
+            O.sql_personalized_pagerank_bipartite()
+        ),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),

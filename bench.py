@@ -465,6 +465,18 @@ def longdoc_probe(spark) -> dict[str, float | int]:
             docs.filter(F.col("doc_id") % 2 == 1),
         ),
         "unigram_lm_scores": lambda: TK.unigram_lm_scores(docs),
+        # round-8 late additions: byte-level windows are the heaviest
+        # per-byte text op in the repo (n_bytes md5s per doc) and the
+        # EM refinement re-runs the DP with full path recovery —
+        # both must stay linear in document length
+        "exact_substring_spans_bytes": lambda: (
+            DD.exact_substring_spans_bytes(docs)
+        ),
+        "unigram_em_refine": lambda: TK.unigram_em_refine(docs),
+        "bigram_lm_scores": lambda: CQ.bigram_lm_scores(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),
@@ -492,6 +504,12 @@ ISOLATED_REPROBE = [
     "cosupply_communities",
     "pagerank_weighted",
     "table_stats_profile",
+    # round-8 extension (VERDICT r7 / round-9 queue #2): the two
+    # slowest remaining iterative entries join the code-tracking
+    # signal, so every iteration-heavy family has a suite-context-free
+    # number
+    "cosupply_triangles",
+    "pq_codebooks_kmeans",
 ]
 
 

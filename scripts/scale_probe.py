@@ -141,6 +141,21 @@ PROBES = [
     ("exact_substring_removal", "exact_substring_removal", REP_DOCS),
     ("dsir_importance", "dsir_importance", REP_DOCS),
     ("stratified_budget_sample", "stratified_budget_sample", REP_EVENTS),
+    # round-8 late additions: byte windows share removal's probe
+    # safety (per-window COUNT, no pair join); the EM refinement's DP
+    # runs over DISTINCT words (constant under exact-copy replication)
+    # — only the word-frequency aggregate and doc-word join grow 10x,
+    # so a strongly sub-linear ratio is the EXPECTED signature
+    ("exact_substring_spans_bytes", "exact_substring_spans_bytes", REP_DOCS),
+    ("unigram_em_refine", "unigram_em_refine", REP_DOCS),
+    # bigram-LM model tables are distinct-bigram-sized (constant under
+    # exact-copy replication); only the count aggregates and the
+    # scored-stream join grow 10x
+    ("bigram_lm_scores", "bigram_lm_scores", REP_DOCS),
+    # replication multiplies pages AND makes every paragraph a hot
+    # duplicate — the keep-first rank must stay linear because each
+    # hash partition grows by the replication factor only
+    ("paragraph_dedup", "paragraph_dedup", REP_DOCS),
 ]
 
 

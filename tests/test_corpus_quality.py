@@ -326,3 +326,96 @@ class TestBoilerplateLines:
             ).collect()
         }
         assert out2[0]["clean_text"] == ""  # df = 60% > 50 -> dropped
+
+
+def test_bigram_lm_scores_hand_fixture(spark):
+    """Known tiny model: ref bigrams (a,b)x3, (b,a)x1, (b,c)x1 ->
+    cu(a)=3, cu(b)=2, TB=5, q_oov=-3; dyadic weights and the
+    millibit division verified by hand; sub-2-word docs unscored."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame(
+        [(10, "a b a"), (11, "a z b"), (12, "hello"), (13, "c a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in bigram_lm_scores(ref, scored).collect()
+    }
+    assert set(got) == {10, 11, 13}  # doc 12 has < 2 words
+    # (a,b): q = bitlen(3)-bitlen(3) = 0; (b,a): bitlen(1)-bitlen(2) = -1
+    assert (
+        got[10]["n_bigrams"], got[10]["n_oov"], got[10]["lm_q_sum"],
+        got[10]["mbits_per_bigram"],
+    ) == (2, 0, -1, 500)
+    # both bigrams OOV at -3 each
+    assert (
+        got[11]["n_bigrams"], got[11]["n_oov"], got[11]["lm_q_sum"],
+        got[11]["mbits_per_bigram"],
+    ) == (2, 2, -6, 3000)
+    assert (
+        got[13]["n_bigrams"], got[13]["n_oov"], got[13]["lm_q_sum"],
+    ) == (1, 1, -3)
+
+
+def test_bigram_lm_scores_reference_likeness_orders(spark):
+    """A document made of reference phrases must score fewer
+    millibits/bigram than shuffled-vocabulary noise."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),
+            (101, "dog the over brown quick zebra fox lazy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["mbits_per_bigram"]
+        for r in bigram_lm_scores(ref, scored).collect()
+    }
+    assert got[100] < got[101]
+
+
+def test_bigram_lm_stream_equals_batch(spark):
+    """Maintenance over a 3-slice replay of the reference must equal
+    the batch scorer at the final epoch (weights/OOV floor re-derive
+    as corpus totals move)."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_maintain_stream,
+        bigram_lm_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown cat naps under the warm sun"),
+            (3, "a slow green turtle walks past the quick fox"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [(10, "the quick brown fox"), (11, "zeta xi upsilon tau")],
+        "doc_id long, text string",
+    )
+    batch = sorted(map(tuple, bigram_lm_scores(ref, scored).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            bigram_lm_maintain_stream(
+                spark, ref, scored, n_slices=3
+            ).collect(),
+        )
+    )
+    assert stream == batch
+    assert len(batch) == 2

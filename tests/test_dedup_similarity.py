@@ -968,3 +968,104 @@ def test_exact_substring_stream_equals_batch_with_retroflag(spark):
     )
     assert stream == batch
     assert {r[0] for r in batch} == {1, 9}  # both twins flagged
+
+
+def test_exact_substring_spans_bytes_hand_fixture(spark):
+    """Two docs share a 36-byte passage at different BYTE offsets —
+    one behind a 2-byte multibyte char ('ö'), one behind a 1-byte
+    ASCII prefix: spans report 1-based byte offsets into the UTF-8
+    encoding, not character offsets."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    s = "0123456789abcdefghijklmnopqrstuvwxyz"  # 36 distinct bytes
+    df = spark.createDataFrame(
+        [
+            (1, "ö" + s + "!!"),  # 'ö' is 2 UTF-8 bytes -> s at byte 3
+            (2, "#" + s + "**"),  # '#' is 1 byte        -> s at byte 2
+            (3, "completely different content with no shared window."),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in DD.exact_substring_spans_bytes(df).collect()
+    }
+    assert set(spans) == {1, 2}
+    assert (spans[1]["start_byte"], spans[1]["end_byte"]) == (3, 38)
+    assert (spans[2]["start_byte"], spans[2]["end_byte"]) == (2, 37)
+    # 36-byte span = 5 overlapping 32-byte windows
+    assert all(
+        r["span_bytes"] == 36 and r["n_windows"] == 5
+        for r in spans.values()
+    )
+
+
+def test_exact_substring_spans_bytes_case_sensitive_no_normalize(spark):
+    """Unlike the token variant, byte windows are raw: case differences
+    break the match (no lowering, no whitespace collapse)."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    up = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    df = spark.createDataFrame(
+        [(1, "x " + up + " y"), (2, "z " + up.lower() + " w")],
+        "doc_id long, text string",
+    )
+    assert DD.exact_substring_spans_bytes(df).count() == 0
+    # the token variant WOULD match these after lowering (9 tokens
+    # of 1 word each < L=8 windows though — so assert via the byte
+    # variant on an exact-case twin instead)
+    df2 = spark.createDataFrame(
+        [(1, "x " + up + " y"), (2, "z " + up + " w")],
+        "doc_id long, text string",
+    )
+    assert DD.exact_substring_spans_bytes(df2).count() == 2
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """Duplicate paragraphs drop corpus-wide keeping the smallest
+    (doc_id, pos); the hash is over NORMALIZED text (case/whitespace
+    folded) but survivors re-join with their RAW text; docs with no
+    non-empty paragraph emit nothing."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha para\n\nShared para\n\nBeta para"),
+            (2, "Shared para\n\nGamma para"),
+            (3, "shared   PARA\n\ndelta"),
+            (4, "\n\n   \n\n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in DD.paragraph_dedup(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_paras"], got[1]["n_kept"], got[1]["n_dropped"]) == (
+        3, 3, 0,
+    )
+    assert (got[2]["n_paras"], got[2]["n_kept"], got[2]["n_dropped"]) == (
+        2, 1, 1,
+    )
+    assert got[2]["cleaned_hash"] == hashlib.md5(b"Gamma para").hexdigest()
+    assert (got[3]["n_paras"], got[3]["n_kept"], got[3]["n_dropped"]) == (
+        2, 1, 1,
+    )
+    assert got[3]["cleaned_hash"] == hashlib.md5(b"delta").hexdigest()
+
+
+def test_paragraph_dedup_all_duplicate_doc(spark):
+    """A doc made entirely of already-seen paragraphs keeps nothing
+    and hashes to md5('')."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "one\n\ntwo"), (2, "one\n\ntwo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in DD.paragraph_dedup(df).collect()}
+    assert (got[2]["n_kept"], got[2]["n_dropped"]) == (0, 2)
+    assert got[2]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+    assert got[1]["n_kept"] == 2

@@ -532,3 +532,72 @@ def test_pagerank_maintain_stream_matches_batch(spark):
     }
     assert got == batch
     assert got[1] > got[3]  # the hub outranks a degree-2 node
+
+
+def test_pagerank_weighted_maintain_stream_matches_batch(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        pagerank, pagerank_weighted_maintain_stream, _symmetrize_w,
+    )
+    from pyspark.sql import functions as F
+
+    # occurrences WITH duplicates: (1,2) x3 across different batches —
+    # the multiplicity merge must accumulate weight across epochs and
+    # the final epoch must equal batch weighted pagerank
+    occ = [(1, 2), (1, 2), (1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (1, 4)]
+    df = spark.createDataFrame(occ, "a long, b long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_weighted_maintain_stream(
+            spark, df, n_slices=3
+        ).collect()
+    }
+    counts = df.groupBy("a", "b").agg(F.count("*").cast("long").alias("w"))
+    batch = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(_symmetrize_w(counts), weight_col="w").collect()
+    }
+    assert got == batch
+    assert len(got) == 4
+
+
+def test_personalized_pagerank_maintain_stream_matches_batch(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        _symmetrize, pagerank, personalized_pagerank_maintain_stream,
+    )
+
+    # seed node 90 appears only in the LAST slice (pairs sorted by
+    # (a,b)) — earlier epochs must emit the declared empty table and
+    # the final epoch must equal batch personalized pagerank
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (90, 1), (90, 5)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    seeds = spark.createDataFrame([(90,)], "node long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank_maintain_stream(
+            spark, df, seeds, n_slices=3
+        ).collect()
+    }
+    batch = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(_symmetrize(df), seeds=seeds).collect()
+    }
+    assert got == batch
+    # mass reaches the whole component from the seed; the seed itself
+    # retains its teleport share
+    assert got[90] > 0 and all(v > 0 for v in got.values())
+
+
+def test_personalized_pagerank_maintain_stream_seedless_is_empty(spark):
+    from yelp_streaming_etl_pipeline_spark.operators.graph import (
+        personalized_pagerank_maintain_stream,
+    )
+
+    # a seed that never joins the graph: every epoch (including the
+    # final) emits the declared empty rank table
+    df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    seeds = spark.createDataFrame([(999,)], "node long")
+    out = personalized_pagerank_maintain_stream(
+        spark, df, seeds, n_slices=2
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_fp"]

@@ -798,3 +798,63 @@ def test_unigram_lm_scores_no_udf_takeordered_vocab(spark):
     assert "rangepartitioning" not in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert A.has_broadcast_join(df), "piece inventory must broadcast"
+
+
+def test_exact_substring_spans_bytes_doc_windows_no_udf(spark):
+    # same discipline as the token variant: doc-partitioned span-merge
+    # windows only, hash-count dup test (no pair join / cartesian),
+    # JVM-side end to end
+    import re
+
+    df = E.q_exact_substring_spans_bytes(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )
+
+
+def test_unigram_em_refine_no_udf_no_window(spark):
+    # path recovery is joins + bounded folds over the distinct-word
+    # table: no Python UDF, no cartesian (the 1-row Qc constant joins
+    # as a broadcast nested loop), the multigram vocab top-k stays a
+    # TakeOrdered, and no window function appears anywhere
+    df = E.q_unigram_em_refine(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "WindowExec" not in plan, plan[:3000]
+
+
+def test_bigram_lm_scores_no_udf_no_window(spark):
+    # model counts are plain aggregates; the scored stream equi-joins
+    # the weight table (no pair join / cartesian — the 1-row OOV
+    # constant broadcasts as a nested loop); no window, JVM-side only
+    df = E.q_bigram_lm_scores(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan, plan[:3000]
+
+
+def test_paragraph_dedup_hash_partitioned_window_no_udf(spark):
+    # the keep-first rank must run in ph-PARTITIONED windows (hot
+    # boilerplate paragraphs are one partition each, never a global
+    # sort); the footer crossJoin broadcasts; JVM-side only
+    import re
+
+    df = E.q_paragraph_dedup(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )

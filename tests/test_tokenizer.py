@@ -315,3 +315,94 @@ def test_unigram_lm_scores_doc_rollup(spark):
         2 * stats["aa"]["lm_score_q"] + stats["bbb"]["lm_score_q"]
     )
     assert out[2]["n_words"] == 1
+
+
+def test_unigram_viterbi_pieces_match_bruteforce_paths(spark):
+    """Path recovery must equal the brute-force Viterbi path (max
+    score, fewer-pieces tiebreak, LONGEST-piece backtrace) piece by
+    piece — multiset compare per distinct word."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    text = " ".join(["aabbb"] + ["aa"] * 60 + ["bbb"] * 60 + ["xy"] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    words = TK.word_freq_table(docs)
+    vocab = TK.unigram_vocab(words)
+    vrows = vocab.collect()
+    q = {r["piece"]: r["q"] for r in vrows}
+    T = sum(r["cnt"] for r in vrows)
+    Q = len(bin(T)) - 2
+
+    def brute_path(w):
+        best = {0: (0, 0)}
+        for e in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(4, e) + 1):
+                piece = w[e - l:e]
+                if piece in q and (e - l) in best:
+                    s, p = best[e - l]
+                    cands.append((s + q[piece] - Q, p - 1))
+            if cands:
+                best[e] = max(cands)
+        pieces = []
+        e = len(w)
+        while e > 0:
+            lp = max(
+                l
+                for l in range(1, min(4, e) + 1)
+                if w[e - l:e] in q
+                and (e - l) in best
+                and (
+                    best[e - l][0] + q[w[e - l:e]] - Q,
+                    best[e - l][1] - 1,
+                )
+                == best[e]
+            )
+            pieces.append(w[e - lp:e])
+            e -= lp
+        return sorted(pieces)
+
+    got: dict = {}
+    for r in TK.unigram_viterbi_pieces(words, vocab).collect():
+        got.setdefault(r["w"], []).append(r["piece"])
+    assert set(got) == {"aabbb", "aa", "bbb", "xy"}
+    for w, pieces in got.items():
+        assert sorted(pieces) == brute_path(w), (w, sorted(pieces))
+
+
+def test_unigram_em_refine_invariants(spark):
+    """Conservation + prune semantics: total Viterbi usage equals
+    sum(f * n_pieces) over short words; single-char pieces are never
+    pruned; multigrams are kept iff usage >= min_cnt; q_new is the
+    dyadic bitlen of usage (0 when unused)."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ate the bone"),
+            (3, "aa aabbb bbb aa"),
+            (4, "xy xy quartz"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = TK.unigram_em_refine(docs).collect()
+    words = TK.word_freq_table(docs)
+    vocab = TK.unigram_vocab(words)
+    stats = TK.unigram_word_stats(words, vocab).collect()
+    wf = {r["w"]: r["f"] for r in words.collect()}
+    expect_total = sum(
+        wf[r["w"]] * r["n_pieces"] for r in stats if not r["is_long"]
+    )
+    assert sum(r["vit_cnt"] for r in ref) == expect_total
+    assert any(r["plen"] >= 2 and not r["kept"] for r in ref) or all(
+        r["vit_cnt"] >= 1 for r in ref if r["plen"] >= 2
+    )
+    for r in ref:
+        if r["plen"] == 1:
+            assert r["kept"]
+        else:
+            assert r["kept"] == (r["vit_cnt"] >= TK.UV_EM_MIN_CNT)
+        if r["vit_cnt"] > 0:
+            assert r["q_new"] == len(bin(r["vit_cnt"])) - 2
+        else:
+            assert r["q_new"] == 0

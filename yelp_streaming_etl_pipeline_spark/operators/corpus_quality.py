@@ -529,3 +529,202 @@ def drop_boilerplate_lines(
             .alias("n_dropped"),
         )
     )
+
+
+# ---------------- CCNet-style bigram-LM cross-entropy filter ----------------
+#
+# Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data") rank web documents by the perplexity
+# of a language model trained on a curated reference corpus and keep
+# the low-perplexity head — THE standard LM-quality gate in web-scale
+# training-data pipelines (CCNet, RedPajama, FineWeb all run one).
+# Here the LM is a bigram model over the reference corpus and every
+# log2 is the dyadic bitlen quantization the BM25/DSIR/unigram-LM
+# family already pins, so both engines agree bit for bit:
+#   q(w2|w1) = bitlen(cb(w1,w2)) - bitlen(cu(w1))   (<= 0 always,
+#              since a bigram count never exceeds its prefix count)
+#   OOV bigram -> -bitlen(TB), TB = total reference bigrams (the
+#              ~log2(1/TB) floor probability)
+# Cross-entropy in millibits/bigram = (-sum q) * 1000 div n_bigrams —
+# non-negative operands, so truncating div == flooring // on both
+# engines.
+
+
+def _doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2): every ADJACENT word pair of the normalized
+    text, in order of occurrence (not distinct — LM counts are over
+    occurrences). Built per document as two shifted slices of the
+    split-once word array zipped into structs — the constant-width
+    shingle discipline; docs under 2 words emit nothing."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        norm_words(F.col(text_col)).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    pairs = F.zip_with(
+        F.slice("ws", 1, F.size("ws") - 1),
+        F.slice("ws", 2, F.size("ws") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return base.select(
+        "doc_id", F.explode(pairs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_lm_scores(
+    reference: DataFrame,
+    scored: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents by bigram-LM cross-entropy under a REFERENCE
+    corpus model (the CCNet quality gate; see the section comment for
+    the exact dyadic quantization). Returns one row per scored doc
+    with >= 1 bigram: (doc_id, n_bigrams, n_oov, lm_q_sum,
+    mbits_per_bigram) — lm_q_sum the summed quantized log2
+    conditional likelihood (<= 0), mbits_per_bigram the integer
+    millibits-per-bigram cross-entropy (lower = more reference-like;
+    CCNet keeps the low-perplexity head). Sub-2-word docs are
+    unscored, as in CCNet's paragraph gate.
+
+    100 TB shape: the reference model is two count aggregates keyed
+    by (w1, w2) and (w1); the prefix table joins the bigram table on
+    w1 (both reference-sized); the scored bigram stream equi-joins
+    the weight table on (w1, w2) — a plain shuffle join AQE will
+    broadcast when the reference is small — and one doc_id-keyed
+    aggregate finishes. No pair join, no window, no float log."""
+    counts = (
+        _doc_bigrams(reference, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    return _bigram_lm_readout(
+        counts, _doc_bigrams(scored, text_col, id_col)
+    )
+
+
+def _bigram_lm_readout(counts: DataFrame, sbg: DataFrame) -> DataFrame:
+    """Score the (doc_id, w1, w2) bigram stream ``sbg`` against the
+    reference model held ONLY as the distinct-bigram count table
+    ``counts`` (w1, w2, cb) — prefix totals and the OOV floor derive
+    from it, so it is the one piece of state the streaming form has
+    to maintain."""
+    uni = counts.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu")
+    )
+    wts = counts.join(uni, "w1").select(
+        "w1",
+        "w2",
+        (
+            F.length(F.bin(F.col("cb"))) - F.length(F.bin(F.col("cu")))
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    tb = counts.agg(
+        (-F.length(F.bin(F.greatest(F.sum("cb"), F.lit(1)))))
+        .cast("long")
+        .alias("q_oov")
+    )
+    joined = sbg.join(wts, ["w1", "w2"], "left").crossJoin(
+        F.broadcast(tb)
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("q").isNull().cast("long")).alias("n_oov"),
+            F.sum(F.coalesce(F.col("q"), F.col("q_oov")))
+            .cast("long")
+            .alias("lm_q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            "lm_q_sum",
+            F.expr("((-lm_q_sum) * 1000) div n_bigrams")
+            .cast("long")
+            .alias("mbits_per_bigram"),
+        )
+    )
+
+
+def bigram_lm_maintain_stream(
+    spark,
+    reference: DataFrame,
+    scored: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming bigram-LM MAINTENANCE: the reference corpus arrives
+    in micro-batches; each document is bigram-extracted exactly once,
+    at arrival (the text scan is the dominant cost and never re-runs)
+    — state is the distinct-bigram count table (w1, w2, cb), bounded
+    by the reference's observed bigram VOCABULARY, not its length,
+    and merged per epoch with one union + sum aggregate.
+
+    The readout is NOT append-only: the dyadic weights and the OOV
+    floor move with corpus totals as the model grows (one more
+    occurrence can flip a bitlen), re-scoring every scored document —
+    so each epoch re-derives the weight tables from the accumulated
+    counts, the same bounded per-epoch-recompute discipline as BM25 /
+    CDC maintenance. The scored corpus is fixed and extracted once.
+
+    Per-epoch invariant asserted: total bigram mass in state equals
+    the sum of arrived batch masses (count conservation through the
+    merge).
+
+    Final epoch equals batch bigram_lm_scores over the whole
+    reference, so the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    sbg = _doc_bigrams(scored, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    state: dict = {"counts": None, "mass": 0, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = (
+            _doc_bigrams(batch_df, text_col, id_col)
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("long").alias("cb"))
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver pulls: two 1-row mass scalars per epoch
+        state["mass"] += (
+            fresh.agg(F.coalesce(F.sum("cb"), F.lit(0))).collect()[0][0]
+        )
+        if state["counts"] is None:
+            acc = fresh
+        else:
+            acc = (
+                state["counts"]
+                .unionByName(fresh)
+                .groupBy("w1", "w2")
+                .agg(F.sum("cb").cast("long").alias("cb"))
+                .localCheckpoint(eager=True)
+            )
+        acc_mass = (
+            acc.agg(F.coalesce(F.sum("cb"), F.lit(0))).collect()[0][0]
+        )
+        if acc_mass != state["mass"]:
+            raise AssertionError(
+                f"bigram_lm_maintain_stream: epoch {epoch_id} state "
+                f"mass {acc_mass} != arrived mass {state['mass']} — "
+                "the count merge must conserve bigram mass"
+            )
+        state["counts"] = acc
+        state["result"] = _bigram_lm_readout(acc, sbg)
+
+    replay_fold(
+        spark,
+        reference.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="blm_",
+    )
+    return state["result"]

@@ -1675,6 +1675,83 @@ def exact_substring_maintain_stream(
     return state["result"]
 
 
+EXSPAN_BL = 32  # byte-level duplicated-substring threshold, in BYTES
+
+
+def _byte_window_hash_table(
+    df: DataFrame, text_col: str, id_col: str, L: int = EXSPAN_BL
+) -> DataFrame:
+    """(doc_id, pos, h): md5 of EVERY length-L BYTE window of the raw
+    UTF-8 encoding, stride 1, pos = 1-based byte offset. Unlike the
+    token variant there is no tokenization, lowering, or whitespace
+    collapse — byte windows are case- and layout-sensitive, the form
+    Lee et al. run over raw training bytes (catches duplicated markup
+    / code / whitespace runs the word tokenizer normalizes away).
+
+    Per-document cost is O(n_bytes * L) with NO quadratic risk: the
+    encode() runs once into a bound column and substr on BINARY is a
+    direct byte-offset slice (O(L) per window — binary is fixed-width
+    addressable, unlike STRING substr's O(pos) UTF-8 walk), so the
+    transform lambda touches only its own O(L) slice. Exploded rows
+    are constant-width (doc_id, pos, hash) — never the payload."""
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.encode(F.col(text_col), "UTF-8").alias("b"),
+        )
+        .withColumn("nb", F.length("b"))
+        .filter(F.col("nb") >= L)
+        .withColumn("m", (F.col("nb") - (L - 1)).cast("int"))
+    )
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("m")),
+                lambda i: F.md5(F.col("b").substr(i, F.lit(L))),
+            )
+        ).alias("pos0", "h"),
+    )
+    return wins.select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+
+
+def exact_substring_spans_bytes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = EXSPAN_BL,
+    min_occ: int = EXSPAN_MIN_OCC,
+) -> DataFrame:
+    """BYTE-level maximal duplicated-substring spans — the raw-bytes
+    variant of exact_substring_spans (Lee et al. run their suffix-array
+    pass over bytes, not word tokens): every L-byte window whose hash
+    recurs >= min_occ times corpus-wide is covered; covered windows
+    merge into maximal per-document spans via the same single-lag
+    equal-length interval merge. Returns (doc_id, span_id, start_byte,
+    end_byte, span_bytes, n_windows), offsets 1-based in the UTF-8
+    byte sequence — directly usable to slice the original encoded
+    payload.
+
+    Scale shape identical to the token form: one global shuffle keyed
+    on the window hash (count aggregate, no pair join), then
+    doc-partitioned merge windows; state rows carry hashes, never
+    bytes."""
+    spans = _spans_from_cov(
+        _cov_from_window_table(
+            _byte_window_hash_table(df, text_col, id_col, L), min_occ
+        ),
+        L,
+    )
+    return spans.select(
+        "doc_id",
+        "span_id",
+        F.col("start_pos").alias("start_byte"),
+        F.col("end_pos").alias("end_byte"),
+        F.col("span_tokens").alias("span_bytes"),
+        "n_windows",
+    )
+
+
 def exact_substring_removal(
     df: DataFrame,
     text_col: str = "text",
@@ -1736,4 +1813,73 @@ def exact_substring_removal(
                 "cleaned_hash"
             ),
         )
+    )
+
+
+# ---------------- CCNet paragraph-level dedup (keep-first) ----------------
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet's FIRST dedup step (Wenzek et al. 2020, before LM
+    scoring): drop duplicate PARAGRAPHS corpus-wide, keeping only the
+    first occurrence — paragraphs compare by the md5 of their
+    normalized text (lowercased, whitespace-collapsed), and "first"
+    is the smallest (doc_id, pos), so the verdict is deterministic
+    and order-free. Returns (doc_id, n_paras, n_kept, n_dropped,
+    cleaned_hash) with cleaned_hash = md5 of the surviving paragraphs
+    re-joined by blank lines in their original order (md5('') when
+    every paragraph was a repeat); docs with no non-empty paragraph
+    emit nothing.
+
+    100 TB shape: one shuffle keyed by the 128-bit paragraph hash for
+    the keep-first rank (a hash-PARTITIONED window — hot boilerplate
+    paragraphs are one partition each, never a global sort), then a
+    doc-keyed sort-aggregate reassembles survivors. Paragraph text
+    rides only the doc-keyed path; the hash path could drop it
+    entirely under a two-pass variant if paragraphs were huge."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\n\n")).alias(
+                "pos0", "para"
+            ),
+        )
+        .filter(F.trim(F.col("para")) != "")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "para",
+            content_hash(F.col("para")).alias("ph"),
+        )
+    )
+    w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    base = paras.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras")
+    )
+    return base.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+            "cleaned_hash"
+        ),
     )

@@ -1028,3 +1028,173 @@ def pagerank_maintain_stream(
         prefix="prm_",
     )
     return state["result"]
+
+
+def _symmetrize_w(counts: DataFrame) -> DataFrame:
+    """Weighted symmetrization of an (a, b, w) multiplicity table."""
+    return counts.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        counts.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+        )
+    )
+
+
+def pagerank_weighted_maintain_stream(
+    spark,
+    pair_occurrences: DataFrame,
+    iters: int = PR_ITERS,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming WEIGHTED PageRank maintenance: raw interaction
+    OCCURRENCES (one ``(a, b)`` row per event, duplicates meaningful)
+    arrive in micro-batches; state is the distinct-pair multiplicity
+    table (a, b, w) — bounded by the number of distinct pairs, not
+    occurrence volume — merged per epoch with one union + sum
+    aggregate, the same compact-count-state discipline as the
+    bigram-LM model. Each epoch symmetrizes the weighted table and
+    re-runs the fixed-``iters`` weighted PageRank (per-epoch
+    recompute is the only batch-exact strategy — the weights move
+    every split ratio, so there is no warm start that preserves the
+    batch contract).
+
+    Per-epoch invariants ASSERTED:
+    - weight-mass conservation: sum(w) equals the occurrences
+      arrived so far (the count merge lost nothing);
+    - totality: one rank row per accumulated node;
+    - rank-mass conservation: sum(rank_fp) <= PR_SCALE.
+
+    Final epoch equals batch ``pagerank(weight_col='w')`` over the
+    full multiplicity aggregate, so the entry shares the batch
+    weighted twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"counts": None, "occ": 0, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        state["occ"] += b.count()
+        fresh = (
+            b.groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        if state["counts"] is None:
+            acc = fresh
+        else:
+            acc = (
+                state["counts"]
+                .unionByName(fresh)
+                .groupBy("a", "b")
+                .agg(F.sum("w").cast("long").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+        mass = acc.agg(F.coalesce(F.sum("w"), F.lit(0))).collect()[0][0]
+        if mass != state["occ"]:
+            raise AssertionError(
+                f"pagerank_weighted_maintain_stream: epoch {epoch_id} "
+                f"state weight mass {mass} != arrived occurrences "
+                f"{state['occ']} — the count merge must conserve mass"
+            )
+        state["counts"] = acc
+        pr = pagerank(_symmetrize_w(acc), iters=iters, weight_col="w")
+        n_nodes = (
+            acc.select(F.col("a").alias("n"))
+            .unionAll(acc.select(F.col("b").alias("n")))
+            .distinct()
+            .count()
+        )
+        if pr.count() != n_nodes:
+            raise AssertionError(
+                f"pagerank_weighted_maintain_stream: epoch {epoch_id} "
+                "rank table must stay total"
+            )
+        rmass = pr.agg(F.sum("rank_fp")).collect()[0][0]
+        if rmass > PR_SCALE:
+            raise AssertionError(
+                f"pagerank_weighted_maintain_stream: epoch {epoch_id} "
+                f"rank mass {rmass} exceeds PR_SCALE"
+            )
+        state["result"] = pr
+
+    replay_fold(
+        spark,
+        pair_occurrences.select("a", "b"),
+        fold,
+        n_slices=n_slices,
+        order_cols=["a", "b"],
+        prefix="prwm_",
+    )
+    return state["result"]
+
+
+def personalized_pagerank_maintain_stream(
+    spark,
+    pairs: DataFrame,
+    seeds: DataFrame,
+    iters: int = PR_ITERS,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming PERSONALIZED PageRank maintenance: the distinct-pair
+    stream accumulates exactly as in pagerank_maintain_stream, but
+    rank mass flows from a FIXED seed set (a ``node`` column). The
+    seed basis is corpus-global — a new epoch can add seed nodes to
+    the graph, re-normalizing every share — so per-epoch recompute
+    from the accumulated pairs is again the only batch-exact
+    strategy.
+
+    Early epochs may contain NO seed node yet (the personalized mass
+    would be 0/0): those epochs emit an EMPTY rank table — declared,
+    and asserted to happen only while the accumulated node set is
+    seed-free. Final epoch (all pairs present, seed set intersects by
+    the batch entry's construction) equals batch
+    ``pagerank(seeds=...)``, sharing the personalized twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"pairs": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        acc = (
+            b
+            if state["pairs"] is None
+            else state["pairs"].unionByName(b).localCheckpoint(eager=True)
+        )
+        state["pairs"] = acc
+        nodes = (
+            acc.select(F.col("a").alias("node"))
+            .unionAll(acc.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        n_seed = nodes.join(
+            seeds.select("node").distinct(), "node"
+        ).count()
+        if n_seed == 0:
+            state["result"] = nodes.filter(F.lit(False)).select(
+                "node", F.lit(0).cast("long").alias("rank_fp")
+            )
+            return
+        pr = pagerank(_symmetrize(acc), iters=iters, seeds=seeds)
+        if pr.count() != nodes.count():
+            raise AssertionError(
+                f"personalized_pagerank_maintain_stream: epoch "
+                f"{epoch_id} rank table must stay total"
+            )
+        mass = pr.agg(F.sum("rank_fp")).collect()[0][0]
+        if mass > PR_SCALE:
+            raise AssertionError(
+                f"personalized_pagerank_maintain_stream: epoch "
+                f"{epoch_id} rank mass {mass} exceeds PR_SCALE"
+            )
+        state["result"] = pr
+
+    replay_fold(
+        spark,
+        pairs.select("a", "b"),
+        fold,
+        n_slices=n_slices,
+        order_cols=["a", "b"],
+        prefix="pppm_",
+    )
+    return state["result"]

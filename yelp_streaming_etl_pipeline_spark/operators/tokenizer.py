@@ -577,6 +577,59 @@ def unigram_vocab(
     )
 
 
+def _uv_pw(
+    short: DataFrame, vocab: DataFrame, maxlen: int
+) -> DataFrame:
+    """(w, e, l, p): packed per-candidate DP contributions — for every
+    candidate piece of length l ending at position e of word w,
+    p = (q - Q) * 256 - 1 if the piece is in the inventory, else the
+    UV_NEG sentinel. Shared by the score fold (unigram_word_stats) and
+    the path recovery (unigram_viterbi_pieces)."""
+    qtot = vocab.agg(
+        F.length(F.bin(F.sum("cnt"))).cast("long").alias("Qc")
+    )
+    return (
+        _wp_candidates(short, maxlen)
+        .join(F.broadcast(vocab.select("piece", "q")), "piece", "left")
+        .crossJoin(F.broadcast(qtot))
+        .select(
+            "w",
+            (F.col("i") + F.col("l") - 1).alias("e"),
+            "l",
+            F.when(
+                F.col("q").isNotNull(),
+                (F.col("q") - F.col("Qc")) * _UV_PACK - 1,
+            )
+            .otherwise(F.lit(UV_NEG))
+            .cast("long")
+            .alias("p"),
+        )
+    )
+
+
+def _uv_elems(pw: DataFrame, maxlen: int) -> DataFrame:
+    """(w, es): per-word e-sorted DP element array, one struct per end
+    position with the best contribution p1..p{maxlen} per length."""
+    agg_p = [
+        F.coalesce(
+            F.max(F.when(F.col("l") == n, F.col("p"))),
+            F.lit(UV_NEG).cast("long"),
+        ).alias(f"p{n}")
+        for n in range(1, maxlen + 1)
+    ]
+    byend = pw.groupBy("w", "e").agg(*agg_p)
+    return byend.groupBy("w").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("e").cast("int").alias("e"),
+                    *[F.col(f"p{n}") for n in range(1, maxlen + 1)],
+                )
+            )
+        ).alias("es")
+    )
+
+
 def unigram_word_stats(
     words: DataFrame, vocab: DataFrame, maxlen: int = WP_MAXLEN
 ) -> DataFrame:
@@ -608,44 +661,8 @@ def unigram_word_stats(
     WP_MAX_WORD chars mirror the wordpiece [UNK] discipline
     (1 piece, score 0)."""
     short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
-    qtot = vocab.agg(
-        F.length(F.bin(F.sum("cnt"))).cast("long").alias("Qc")
-    )
-    pw = (
-        _wp_candidates(short, maxlen)
-        .join(F.broadcast(vocab.select("piece", "q")), "piece", "left")
-        .crossJoin(F.broadcast(qtot))
-        .select(
-            "w",
-            (F.col("i") + F.col("l") - 1).alias("e"),
-            "l",
-            F.when(
-                F.col("q").isNotNull(),
-                (F.col("q") - F.col("Qc")) * _UV_PACK - 1,
-            )
-            .otherwise(F.lit(UV_NEG))
-            .cast("long")
-            .alias("p"),
-        )
-    )
-    agg_p = [
-        F.coalesce(
-            F.max(F.when(F.col("l") == n, F.col("p"))),
-            F.lit(UV_NEG).cast("long"),
-        ).alias(f"p{n}")
-        for n in range(1, maxlen + 1)
-    ]
-    byend = pw.groupBy("w", "e").agg(*agg_p)
-    elems = byend.groupBy("w").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("e").cast("int").alias("e"),
-                    *[F.col(f"p{n}") for n in range(1, maxlen + 1)],
-                )
-            )
-        ).alias("es")
-    )
+    pw = _uv_pw(short, vocab, maxlen)
+    elems = _uv_elems(pw, maxlen)
     neg = F.lit(UV_NEG).cast("long")
     seed = F.struct(
         neg.alias("d1"),
@@ -734,4 +751,200 @@ def unigram_lm_scores(
             F.sum(F.col("is_long").cast("long")).alias("n_long_words"),
             F.sum("lm_score_q").alias("lm_score_q"),
         )
+    )
+
+
+# ------------- unigram-LM hard-EM (Viterbi-EM) refinement pass -------------
+
+UV_EM_MIN_CNT = 1  # multigram pieces below this Viterbi usage are pruned
+
+
+def unigram_viterbi_pieces(
+    words: DataFrame, vocab: DataFrame, maxlen: int = WP_MAXLEN
+) -> DataFrame:
+    """(w, piece): the pieces of the VITERBI-optimal segmentation of
+    every distinct short word — the path-RECOVERY counterpart of
+    unigram_word_stats (which folds out only the packed score).
+
+    Mechanics, all bounded by WP_MAX_WORD = 32 (never document- or
+    corpus-sized):
+    - forward pass: the same (score*256 - pieces) packed DP, but the
+      fold keeps the FULL dp array (<= 36 longs, seeded with three
+      UV_NEG pad slots so dp[e-1..e-4] are always addressable via
+      element_at(acc, -1..-4); the per-step concat copies <= 36 longs
+      — a constant, not the accumulator-deep-copy trap);
+    - argmax recovery: dp is exploded to (w, e, dp) and every
+      candidate (w, e, l, p) self-joins dp at e and e-l; l is on the
+      optimal path iff dp[e] = dp[e-l] + p (always true for >= 1
+      length per reachable e); ties take the LONGEST l — the packed
+      score already makes (score, n_pieces) ties exact, so max(l) is
+      the deterministic tie-break both engines share;
+    - backtrace: per word, the (e -> l) picks collect into a <= 32
+      entry map and a fixed WP_MAX_WORD-step fold walks e from
+      length(w) to 0, emitting (start, len) slices; pieces substr out
+      AFTER the fold (string substr is O(e) per step but e <= 32 — a
+      constant).
+
+    The recovered path's piece count and summed weight equal
+    unigram_word_stats' n_pieces / lm_score_q exactly (asserted in
+    tests) — the two entries are views of the same DP."""
+    short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
+    pw = _uv_pw(short, vocab, maxlen)
+    elems = _uv_elems(pw, maxlen)
+    neg = F.lit(UV_NEG).cast("long")
+    seed = F.array(neg, neg, neg, F.lit(0).cast("long"))
+    folded = elems.select(
+        "w",
+        F.aggregate(
+            "es",
+            seed,
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.element_at(acc, -1) + x["p1"],
+                        F.element_at(acc, -2) + x["p2"],
+                        F.element_at(acc, -3) + x["p3"],
+                        F.element_at(acc, -4) + x["p4"],
+                    )
+                ),
+            ),
+        ).alias("dparr"),
+    )
+    dpfull = folded.select(
+        "w",
+        F.posexplode(
+            F.slice("dparr", 4, F.size("dparr") - 3)
+        ).alias("e0", "dp"),
+    ).select("w", F.col("e0").cast("long").alias("e"), "dp")
+    pick = (
+        pw.alias("c")
+        .join(
+            dpfull.alias("de"),
+            (F.col("c.w") == F.col("de.w"))
+            & (F.col("c.e") == F.col("de.e")),
+        )
+        .join(
+            dpfull.alias("dl"),
+            (F.col("c.w") == F.col("dl.w"))
+            & (F.col("dl.e") == F.col("c.e") - F.col("c.l")),
+        )
+        .filter(F.col("de.dp") == F.col("dl.dp") + F.col("c.p"))
+        .groupBy(F.col("c.w").alias("w"), F.col("c.e").alias("e"))
+        .agg(F.max("c.l").alias("lp"))
+    )
+    pickmap = pick.groupBy("w").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("e").cast("int").alias("k"),
+                    F.col("lp").cast("int").alias("v"),
+                )
+            )
+        ).alias("pm")
+    )
+    lp_at = lambda e: F.element_at("pm", e)  # noqa: E731
+    bt = pickmap.select(
+        "w",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(WP_MAX_WORD)),
+            F.struct(
+                F.length("w").cast("int").alias("e"),
+                F.array().cast("array<struct<s:int,l:int>>").alias("ps"),
+            ),
+            lambda acc, _: F.when(
+                acc["e"] > 0,
+                F.struct(
+                    (acc["e"] - lp_at(acc["e"])).cast("int").alias("e"),
+                    F.concat(
+                        acc["ps"],
+                        F.array(
+                            F.struct(
+                                (acc["e"] - lp_at(acc["e"]) + 1)
+                                .cast("int")
+                                .alias("s"),
+                                lp_at(acc["e"]).cast("int").alias("l"),
+                            )
+                        ),
+                    ).alias("ps"),
+                ),
+            ).otherwise(acc),
+        ).alias("acc"),
+    )
+    return bt.select(
+        "w",
+        F.explode(
+            F.transform(
+                F.col("acc")["ps"],
+                lambda s: F.col("w").substr(s["s"], s["l"]),
+            )
+        ).alias("piece"),
+    )
+
+
+def unigram_em_refine(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = UV_VOCAB_K,
+    maxlen: int = WP_MAXLEN,
+    min_cnt: int = UV_EM_MIN_CNT,
+) -> DataFrame:
+    """One hard-EM (Viterbi-EM) refinement pass over the unigram-LM
+    piece inventory — SentencePiece's estimate-then-prune step in
+    engine-exact integer form. E-step: Viterbi-segment every distinct
+    word under the seed inventory (unigram_viterbi_pieces) and
+    accumulate INTEGER piece usage — the sum of word frequencies along
+    the optimal paths, hard EM's expected counts. M-step: re-quantize
+    each piece's weight from its usage (q_new = floor(log2 cnt) + 1,
+    the seed's dyadic scheme) and PRUNE multigram pieces whose usage
+    falls below ``min_cnt`` — pieces the optimal segmentations never
+    (or rarely) touch, exactly the mass SentencePiece's EM loop sheds
+    each round. Single-character pieces are never pruned (the
+    base-alphabet coverage discipline keeps every word segmentable).
+    Words over WP_MAX_WORD chars are [UNK] and contribute no usage,
+    mirroring unigram_word_stats.
+
+    Returns one row per SEED piece: (piece, plen, cnt0, q0, vit_cnt,
+    q_new, kept) — cnt0/q0 the seed corpus count and weight, vit_cnt
+    the Viterbi usage, q_new its dyadic re-quantization (0 when
+    unused), kept the prune verdict.
+
+    100 TB shape: two corpus passes (word-frequency aggregate feeds
+    everything); ALL DP/backtrace work runs over the distinct-word
+    table with constant per-word cost; the piece inventory (alphabet +
+    k multigrams) broadcasts; the usage aggregate shuffles one row per
+    (piece) — bounded by the inventory size."""
+    words = word_freq_table(docs, text_col, "char")
+    vocab = unigram_vocab(words, k, maxlen)
+    usage = (
+        unigram_viterbi_pieces(words, vocab, maxlen)
+        .join(words.select("w", "f"), "w")
+        .groupBy("piece")
+        .agg(F.sum("f").cast("long").alias("vit_cnt"))
+    )
+    refined = vocab.join(usage, "piece", "left").select(
+        "piece",
+        F.length("piece").cast("long").alias("plen"),
+        F.col("cnt").cast("long").alias("cnt0"),
+        F.col("q").cast("long").alias("q0"),
+        F.coalesce(F.col("vit_cnt"), F.lit(0)).cast("long").alias(
+            "vit_cnt"
+        ),
+    )
+    return refined.select(
+        "piece",
+        "plen",
+        "cnt0",
+        "q0",
+        "vit_cnt",
+        F.when(
+            F.col("vit_cnt") > 0, F.length(F.bin(F.col("vit_cnt")))
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("q_new"),
+        (
+            (F.col("plen") == 1) | (F.col("vit_cnt") >= min_cnt)
+        ).alias("kept"),
     )

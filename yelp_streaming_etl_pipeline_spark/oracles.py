@@ -1900,10 +1900,9 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
 FROM {prev}"""
 
 
-def sql_unigram_lm_scores(
-    k: int = 256, maxlen: int = 4, max_word: int = 32
-) -> str:
-    """Twin of tokenizer.unigram_lm_scores: identical piece inventory
+def _sql_uv_ctes(k: int, maxlen: int, max_word: int) -> str:
+    """Shared CTE chain wf -> ... -> dp for the unigram-LM twins
+    (caller must open with WITH RECURSIVE): identical piece inventory
     (every 1-gram + top-k multigrams, count DESC piece ASC), identical
     dyadic weights and (score*256 - pieces) pack. The Viterbi DP is
     derived via a RECURSIVE CTE over end positions (bounded at
@@ -1914,9 +1913,7 @@ def sql_unigram_lm_scores(
     neg = -1_000_000_000
     pack = 256
     words = _sql_bpe_words("char").format(ids="")
-    dw = _sql_bpe_words("char").format(ids="doc_id,")
-    return f"""
-WITH RECURSIVE wf AS (
+    return f"""wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM ({words}
   GROUP BY w
 ),
@@ -1981,7 +1978,19 @@ dp AS (
          dp.len
   FROM dp JOIN byend b ON b.w = dp.w AND b.e = dp.e + 1
   WHERE dp.e < dp.len
-),
+)"""
+
+
+def sql_unigram_lm_scores(
+    k: int = 256, maxlen: int = 4, max_word: int = 32
+) -> str:
+    """Twin of tokenizer.unigram_lm_scores over the shared _sql_uv_ctes
+    DP chain; see that helper for the declared mechanism divergence."""
+    neg = -1_000_000_000
+    pack = 256
+    dw = _sql_bpe_words("char").format(ids="doc_id,")
+    return f"""
+WITH RECURSIVE {_sql_uv_ctes(k, maxlen, max_word)},
 seg0 AS (SELECT w, d4 AS packed FROM dp WHERE e = len),
 seg AS (
   SELECT w,
@@ -2006,6 +2015,60 @@ SELECT doc_id,
        CAST(sum(lm_score_q) AS BIGINT) AS lm_score_q
 FROM dw JOIN seg USING (w)
 GROUP BY doc_id"""
+
+
+def sql_unigram_em_refine(
+    k: int = 256, maxlen: int = 4, max_word: int = 32, min_cnt: int = 1
+) -> str:
+    """Twin of tokenizer.unigram_em_refine: the shared _sql_uv_ctes
+    forward DP, then argmax recovery as a NON-recursive self-join
+    (dpfull at e and e-l; l on the path iff dp[e] = dp[e-l] + p, ties
+    to max(l) — the same deterministic rule as Spark's pick table) and
+    the backtrace as a second RECURSIVE CTE walking e from length(w)
+    to 0 emitting one piece per step. Usage = sum of word frequencies
+    over the emitted pieces; prune verdict and dyadic re-quantization
+    mirror the operator exactly."""
+    return f"""
+WITH RECURSIVE {_sql_uv_ctes(k, maxlen, max_word)},
+dpfull AS (SELECT w, e, d4 AS dp FROM dp),
+pick AS (
+  SELECT p.w, p.e, max(p.l) AS lp
+  FROM pw p
+  JOIN dpfull de ON de.w = p.w AND de.e = p.e
+  JOIN dpfull dl ON dl.w = p.w AND dl.e = p.e - p.l
+  WHERE de.dp = dl.dp + p.p
+  GROUP BY p.w, p.e
+),
+bt AS (
+  SELECT w, CAST(length(w) AS BIGINT) AS e,
+         CAST(NULL AS VARCHAR) AS piece
+  FROM shortw
+  UNION ALL
+  SELECT bt.w, bt.e - pk.lp,
+         substr(bt.w, CAST(bt.e - pk.lp + 1 AS INTEGER),
+                CAST(pk.lp AS INTEGER))
+  FROM bt JOIN pick pk ON pk.w = bt.w AND pk.e = bt.e
+  WHERE bt.e > 0
+),
+usage AS (
+  SELECT b.piece, CAST(sum(s.f) AS BIGINT) AS vit_cnt
+  FROM bt b JOIN shortw s USING (w)
+  WHERE b.piece IS NOT NULL
+  GROUP BY b.piece
+)
+SELECT v.piece,
+       CAST(length(v.piece) AS BIGINT) AS plen,
+       v.cnt AS cnt0,
+       vq.q AS q0,
+       CAST(coalesce(u.vit_cnt, 0) AS BIGINT) AS vit_cnt,
+       CASE WHEN coalesce(u.vit_cnt, 0) > 0
+            THEN CAST(length(bin(coalesce(u.vit_cnt, 0))) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS q_new,
+       (length(v.piece) = 1 OR coalesce(u.vit_cnt, 0) >= {min_cnt})
+         AS kept
+FROM vocab v
+JOIN vq USING (piece)
+LEFT JOIN usage u ON u.piece = v.piece"""
 
 
 def _sql_bpe_words(alphabet: str) -> str:
