@@ -421,16 +421,49 @@ def q_exact_substring_spans_bytes(
     )
 
 
-def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet paragraph-level dedup (operators/dedup.py
-    paragraph_dedup): documents are stitched into multi-paragraph
-    'pages' (3 docs per page, blank-line separated; doc 0's text
-    appended to every even page as a repeated boilerplate footer —
-    the fixture texts carry no newlines, so the corpus is built, and
-    mirrored exactly in the twin). Duplicate paragraphs drop
-    corpus-wide keeping the smallest (doc_id, pos) occurrence — the
-    keep-first rank is a hash-PARTITIONED window, never a global
-    sort."""
+def q_exact_substring_removal_bytes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-level span removal (operators/dedup.py
+    exact_substring_removal_bytes): drop every byte position covered
+    by a duplicated 32-byte window; per doc returns byte/removed
+    counts + md5 of the hex image of the surviving bytes. Linear:
+    per-byte hex pairs come from the split-once char array (never
+    per-position substr), survivors via a (doc, pos) anti join,
+    reassembly one doc-keyed sort-aggregate."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_removal_bytes,
+    )
+
+    return exact_substring_removal_bytes(
+        _doc_corpus_cpu(spark, sf_dir), "text", "doc_id"
+    )
+
+
+def q_paragraph_dedup_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CCNet paragraph dedup (operators/dedup.py
+    paragraph_dedup_maintain_stream): the stitched-pages corpus
+    arrives in page_id order, making keep-first append-only — each
+    epoch keeps only paragraphs whose normalized hash is absent from
+    the text-free seen-hash state (within-batch ties ranked first),
+    emits its docs' results once, and asserts ordered arrival. Final
+    epoch equals batch paragraph_dedup, sharing its twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        paragraph_dedup_maintain_stream,
+    )
+
+    return paragraph_dedup_maintain_stream(
+        _ensure_conf(spark), _pages_corpus(spark, sf_dir)
+    )
+
+
+def _pages_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitched multi-paragraph 'pages': 3 docs per page joined by
+    blank lines, doc 0's text appended to every even page as a
+    repeated boilerplate footer (the fixture texts carry no newlines;
+    mirrored exactly in _sql_paragraph_dedup)."""
     d = _t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
     pages = (
         d.groupBy(F.expr("doc_id div 3").alias("page_id"))
@@ -447,7 +480,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer = d.filter(F.col("doc_id") == 0).select(
         F.col("text").alias("ftext")
     )
-    corpus = pages.crossJoin(F.broadcast(footer)).select(
+    return pages.crossJoin(F.broadcast(footer)).select(
         F.col("page_id").alias("doc_id"),
         F.when(
             F.col("page_id") % 2 == 0,
@@ -456,7 +489,19 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return DD.paragraph_dedup(corpus)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup (operators/dedup.py
+    paragraph_dedup): documents are stitched into multi-paragraph
+    'pages' (3 docs per page, blank-line separated; doc 0's text
+    appended to every even page as a repeated boilerplate footer —
+    the fixture texts carry no newlines, so the corpus is built, and
+    mirrored exactly in the twin). Duplicate paragraphs drop
+    corpus-wide keeping the smallest (doc_id, pos) occurrence — the
+    keep-first rank is a hash-PARTITIONED window, never a global
+    sort."""
+    return DD.paragraph_dedup(_pages_corpus(spark, sf_dir))
 
 
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +544,38 @@ def q_bigram_lm_maintenance_stream(
         d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
         d.filter(F.col("doc_id") % 2 == 0),
     )
+
+
+def q_lm_filter_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating characteristic of the CCNet bigram-LM filter against
+    PLANTED corruption (operators/corpus_quality.py score_roc_table
+    over bigram_lm_scores): even docs are scored both clean and in a
+    word-REVERSED variant (bigram-OOV garbage the LM must flag,
+    id + 10M) against the odd-doc model; per 8-millibit threshold the
+    confusion counts of 'flag BAD iff mbits >= thr' are integer-exact
+    and the sweep window runs over the <= 1024-row bin table only —
+    the calibration table a pipeline reads before picking its
+    perplexity cut."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_scores, norm_words, score_roc_table,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 1)
+    clean = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    corrupted = clean.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(norm_words(F.col("text")), lambda w: F.reverse(w)),
+        ).alias("text"),
+    )
+    scored = bigram_lm_scores(ref, clean.unionByName(corrupted))
+    labeled = scored.select(
+        "mbits_per_bigram",
+        (F.col("doc_id") >= 10_000_000).alias("is_bad"),
+    )
+    return score_roc_table(labeled, "mbits_per_bigram", "is_bad")
 
 
 def q_unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1283,6 +1360,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(_doc_corpus_cpu(spark, sf_dir), "text", "doc_id")
+
+
+def q_simhash_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SimHash near-dup maintenance (operators/dedup.py
+    simhash_maintain_stream): each arriving doc is signature-hashed
+    once into text-free (doc_id, simhash) state (append-only per doc,
+    asserted); the band-join + exact-Hamming readout is corpus-global
+    so it re-derives per epoch, retro-pairing earlier docs. Final
+    epoch equals batch simhash_pairs, sharing its twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        simhash_maintain_stream,
+    )
+
+    return simhash_maintain_stream(
+        _ensure_conf(spark),
+        _doc_corpus_cpu(spark, sf_dir).select("doc_id", "text"),
+    )
 
 
 def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4481,9 +4577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Entries added AFTER the round-8 rotation (byte-level
     exact-substring spans, unigram-LM hard-EM refinement, CCNet
     bigram-LM cross-entropy batch + streaming maintenance, CCNet
-    paragraph-level dedup, weighted + personalized PageRank
-    maintenance) head the window as (a0), displacing the tail of (e)
-    — 7 + 8 + 4 + 8 + 8 + 15 = 50.
+    paragraph-level dedup batch + streaming, byte-level span removal,
+    weighted + personalized PageRank maintenance, the LM-filter ROC
+    calibration sweep, SimHash streaming maintenance) head the window
+    as (a0), displacing the tail of (e) —
+    11 + 8 + 4 + 8 + 8 + 11 = 50.
 
     CYCLE PLAN (207 entries, 50-entry window): past position 50 the
     order is round 9's queue — the remaining r4 block, then r5 / r6
@@ -4506,6 +4604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank_maintenance_stream": (
             q_personalized_pagerank_maintenance_stream
         ),
+        "exact_substring_removal_bytes": q_exact_substring_removal_bytes,
+        "paragraph_dedup_maintenance_stream": (
+            q_paragraph_dedup_maintenance_stream
+        ),
+        "lm_filter_roc": q_lm_filter_roc,
+        "simhash_maintenance_stream": q_simhash_maintenance_stream,
         # (a) NEVER driver-checked: new this round (suffix-window
         # exact-substring dedup batch/removal/streaming, stratified
         # budget sampling batch/streaming, DSIR importance)
@@ -5022,30 +5126,33 @@ SELECT b.doc_id, b.n_paras,
 FROM base b LEFT JOIN reb r USING (doc_id)"""
 
 
-def _sql_bigram_lm_scores() -> str:
-    """Twin of corpus_quality.bigram_lm_scores over the even/odd
-    documents split: identical normalization (lower + ws-collapse),
-    identical dyadic weights q = bitlen(cb) - bitlen(cu), identical
-    OOV floor -bitlen(TB); millibits division is (//) on non-negative
-    operands, matching Spark's truncating div."""
+def _sql_blm_ws() -> str:
+    """Normalized word-array expression over a column named text."""
     norm = O.sql_norm_text("text")
-    ws = (
+    return (
         f"CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
         f"ELSE string_split({norm}, ' ') END"
     )
+
+
+def _sql_bigram_lm_core(sws_sql: str) -> str:
+    """Shared CTE chain rws/sws/.../scores for the bigram-LM twins:
+    identical normalization (lower + ws-collapse), identical dyadic
+    weights q = bitlen(cb) - bitlen(cu), identical OOV floor
+    -bitlen(TB); millibits division is (//) on non-negative operands,
+    matching Spark's truncating div. ``sws_sql`` supplies the scored
+    (doc_id, ws) set; the reference model is always the odd half."""
+    ws = _sql_blm_ws()
     bg = """
   SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
   FROM (
     SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
     FROM {src} WHERE len(ws) >= 2
   )"""
-    return f"""
-WITH rws AS (
+    return f"""rws AS (
   SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 1
 ),
-sws AS (
-  SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 0
-),
+sws AS ({sws_sql}),
 rbg AS ({bg.format(src='rws')}),
 sbg AS ({bg.format(src='sws')}),
 big AS (
@@ -5067,28 +5174,103 @@ j AS (
   FROM sbg s
   LEFT JOIN wts w ON s.w1 = w.w1 AND s.w2 = w.w2
   CROSS JOIN tb
+),
+scores AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN q_raw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(sum(q) AS BIGINT) AS lm_q_sum,
+         CAST(((-CAST(sum(q) AS BIGINT)) * 1000)
+              // CAST(count(*) AS BIGINT) AS BIGINT) AS mbits_per_bigram
+  FROM j GROUP BY doc_id
+)"""
+
+
+def _sql_bigram_lm_scores() -> str:
+    """Twin of corpus_quality.bigram_lm_scores over the even/odd
+    documents split (see _sql_bigram_lm_core)."""
+    sws = (
+        f"SELECT doc_id, {_sql_blm_ws()} AS ws FROM documents "
+        f"WHERE doc_id % 2 = 0"
+    )
+    return f"""
+WITH {_sql_bigram_lm_core(sws)}
+SELECT doc_id, n_bigrams, n_oov, lm_q_sum, mbits_per_bigram
+FROM scores"""
+
+
+def _sql_lm_filter_roc(step: int = 8, n_bins: int = 1024) -> str:
+    """Twin of the lm_filter_roc entry: the scored set is the even
+    docs plus a word-REVERSED copy of each (id + 10M — bigram-OOV
+    garbage the LM must flag); per 8-millibit threshold the confusion
+    counts of 'flag BAD iff mbits >= thr' sweep out of one bounded
+    bin table, mirroring corpus_quality.score_roc_table."""
+    ws = _sql_blm_ws()
+    sws = f"""
+  SELECT doc_id, ws FROM (
+    SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 0
+  )
+  UNION ALL
+  SELECT doc_id + 10000000, list_transform(ws, x -> reverse(x)) AS ws
+  FROM (
+    SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 0
+  )"""
+    prec = O.sql_stable_round(
+        "CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 6
+    )
+    rec = O.sql_stable_round("CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)", 6)
+    f1 = O.sql_stable_round(
+        "CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + (pp - tp) AS DOUBLE)",
+        6,
+    )
+    return f"""
+WITH {_sql_bigram_lm_core(sws)},
+lab AS (
+  SELECT mbits_per_bigram AS s, doc_id >= 10000000 AS y FROM scores
+),
+binned AS (
+  SELECT CAST(least({n_bins - 1}, s // {step}) AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM lab GROUP BY 1
+),
+tot AS (
+  SELECT CAST(coalesce(sum(n_pos), 0) AS BIGINT) AS pp,
+         CAST(coalesce(sum(n_neg), 0) AS BIGINT) AS nn
+  FROM binned
+),
+swp AS (
+  SELECT CAST((bin + 1) * {step} AS BIGINT) AS thr_score,
+         CAST(coalesce(sum(n_pos) OVER (
+           ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tp,
+         CAST(coalesce(sum(n_neg) OVER (
+           ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS fp
+  FROM binned
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(CASE WHEN q_raw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_oov,
-       CAST(sum(q) AS BIGINT) AS lm_q_sum,
-       CAST(((-CAST(sum(q) AS BIGINT)) * 1000)
-            // CAST(count(*) AS BIGINT) AS BIGINT) AS mbits_per_bigram
-FROM j GROUP BY doc_id"""
+SELECT thr_score, tp, fp,
+       CAST(pp - tp AS BIGINT) AS fn,
+       CAST(nn - fp AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0 THEN {prec} END AS precision,
+       CASE WHEN pp > 0 THEN {rec} END AS recall,
+       CASE WHEN 2 * tp + fp + (pp - tp) > 0 THEN {f1} END AS f1
+FROM swp CROSS JOIN tot"""
 
 
-def _sql_exact_substring_spans_bytes(L: int = 32, min_occ: int = 2) -> str:
-    """Twin of dedup.exact_substring_spans_bytes: windows are keyed by
-    the hex image of the L raw UTF-8 bytes at each 1-based byte offset
+def _sql_exspan_bytes_cov_ctes(L: int = 32, min_occ: int = 2) -> str:
+    """Shared CTE chain corpus -> b -> wins -> dup -> cov for the
+    byte-level exact-substring twins: windows are keyed by the hex
+    image of the L raw UTF-8 bytes at each 1-based byte offset
     (substr over the ASCII hex string at 2i-1, length 2L — the same
     byte<->hex-pair map the BPE byte twins pin), duplicated iff
-    >= min_occ occurrences; the span merge is the same single-lag
-    equal-length interval rule as the token twin. Spark keys on md5 of
-    the raw byte window instead of its hex image — an internal
-    mechanism divergence with identical grouping."""
-    return f"""
-WITH corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
+    >= min_occ occurrences. Spark keys on md5 of the raw byte window
+    instead of its hex image — an internal mechanism divergence with
+    identical grouping."""
+    return f"""corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
 b AS (
   SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb
@@ -5105,7 +5287,15 @@ wins AS (
 dup AS (
   SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= {min_occ}
 ),
-cov AS (SELECT doc_id, pos FROM wins JOIN dup USING (wkey)),
+cov AS (SELECT doc_id, pos FROM wins JOIN dup USING (wkey))"""
+
+
+def _sql_exact_substring_spans_bytes(L: int = 32, min_occ: int = 2) -> str:
+    """Twin of dedup.exact_substring_spans_bytes over the shared byte
+    cov chain; the span merge is the same single-lag equal-length
+    interval rule as the token twin."""
+    return f"""
+WITH {_sql_exspan_bytes_cov_ctes(L, min_occ)},
 flg AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -5127,6 +5317,47 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_bytes,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, span_id"""
+
+
+def _sql_exact_substring_removal_bytes(L: int = 32, min_occ: int = 2) -> str:
+    """Twin of dedup.exact_substring_removal_bytes: covered starts
+    expand to byte positions, survivors via NOT EXISTS over the
+    per-byte hex-pair table, re-assembly with an ordered string_agg
+    over hex pairs (Spark and DuckDB share the uppercase-hex byte
+    map); md5('') when everything was duplicated or the text is
+    empty."""
+    return f"""
+WITH {_sql_exspan_bytes_cov_ctes(L, min_occ)},
+covpos AS (
+  SELECT DISTINCT doc_id, bpos FROM (
+    SELECT doc_id,
+           unnest(generate_series(pos, pos + {L - 1})) AS bpos
+    FROM cov
+  )
+),
+bts AS (
+  SELECT doc_id, i AS bpos, substr(hx, 2 * i - 1, 2) AS hp
+  FROM (
+    SELECT doc_id, hx, unnest(generate_series(1, nb)) AS i
+    FROM b WHERE nb >= 1
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.bpos, t.hp FROM bts t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covpos c
+    WHERE c.doc_id = t.doc_id AND c.bpos = t.bpos
+  )
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(hp, '' ORDER BY bpos)) AS cleaned_hash
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.nb AS BIGINT) AS n_bytes,
+       CAST(s.nb - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.cleaned_hash, md5('')) AS cleaned_hash
+FROM b s LEFT JOIN reb r USING (doc_id)"""
 
 
 def _sql_exact_substring_removal(L: int = 8) -> str:
@@ -6974,6 +7205,12 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank_maintenance_stream": (
             O.sql_personalized_pagerank_bipartite()
         ),
+        "exact_substring_removal_bytes": (
+            _sql_exact_substring_removal_bytes()
+        ),
+        "paragraph_dedup_maintenance_stream": _sql_paragraph_dedup(),
+        "lm_filter_roc": _sql_lm_filter_roc(),
+        "simhash_maintenance_stream": O.sql_simhash_pairs(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),

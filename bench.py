@@ -477,6 +477,9 @@ def longdoc_probe(spark) -> dict[str, float | int]:
             docs.filter(F.col("doc_id") % 2 == 1),
             docs.filter(F.col("doc_id") % 2 == 0),
         ),
+        "exact_substring_removal_bytes": lambda: (
+            DD.exact_substring_removal_bytes(docs)
+        ),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),

@@ -156,6 +156,8 @@ PROBES = [
     # duplicate — the keep-first rank must stay linear because each
     # hash partition grows by the replication factor only
     ("paragraph_dedup", "paragraph_dedup", REP_DOCS),
+    ("exact_substring_removal_bytes", "exact_substring_removal_bytes",
+     REP_DOCS),
 ]
 
 

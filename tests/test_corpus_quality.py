@@ -419,3 +419,49 @@ def test_bigram_lm_stream_equals_batch(spark):
     )
     assert stream == batch
     assert len(batch) == 2
+
+
+def test_score_roc_table_hand_fixture(spark):
+    """Hand-checked confusion counts: 4 docs in 4 bins (step 8), flag
+    BAD iff score >= thr; the per-threshold counts, single-ratio f1,
+    and the NULL precision at the empty top threshold all match."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        score_roc_table,
+    )
+
+    df = spark.createDataFrame(
+        [(5, False), (9, False), (17, True), (25, True)],
+        "s long, y boolean",
+    )
+    got = {
+        r["thr_score"]: r
+        for r in score_roc_table(df, "s", "y").collect()
+    }
+    assert set(got) == {8, 16, 24, 32}
+    assert (got[8]["tp"], got[8]["fp"], got[8]["fn"], got[8]["tn"]) == (
+        2, 1, 0, 1,
+    )
+    assert got[8]["precision"] == round(2 / 3, 6)
+    assert got[8]["recall"] == 1.0
+    assert got[8]["f1"] == 0.8
+    assert (got[16]["tp"], got[16]["fp"]) == (2, 0)
+    assert got[16]["f1"] == 1.0
+    assert (got[24]["tp"], got[24]["fn"]) == (1, 1)
+    assert got[24]["f1"] == round(2 / 3, 6)
+    assert got[32]["tp"] == 0 and got[32]["precision"] is None
+    assert got[32]["recall"] == 0.0
+
+
+def test_score_roc_table_clamps_to_last_bin(spark):
+    """Scores past the bin range clamp into the final bin instead of
+    overflowing the bounded table."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        ROC_BINS, ROC_STEP, score_roc_table,
+    )
+
+    df = spark.createDataFrame(
+        [(10, False), (10 ** 9, True)], "s long, y boolean"
+    )
+    rows = score_roc_table(df, "s", "y").collect()
+    assert len(rows) == 2
+    assert max(r["thr_score"] for r in rows) == ROC_BINS * ROC_STEP

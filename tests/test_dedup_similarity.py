@@ -1069,3 +1069,97 @@ def test_paragraph_dedup_all_duplicate_doc(spark):
     assert (got[2]["n_kept"], got[2]["n_dropped"]) == (0, 2)
     assert got[2]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
     assert got[1]["n_kept"] == 2
+
+
+def test_exact_substring_removal_bytes_hand_fixture(spark):
+    """Removal drops exactly the covered BYTE positions; the cleaned
+    hash is md5 of the uppercase-hex image of the surviving bytes;
+    docs shorter than one window keep everything."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    s = "0123456789abcdefghijklmnopqrstuvwxyz"  # 36 distinct bytes
+    d1 = "ö" + s + "!!"
+    d2 = "#" + s + "**"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "tiny")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in DD.exact_substring_removal_bytes(df).collect()
+    }
+
+    def hx(txt):
+        return txt.encode("utf-8").hex().upper()
+
+    # doc 1: bytes 3..38 covered ('ö' = 2 bytes) -> survivors are the
+    # first 2 bytes and the trailing '!!'
+    assert (got[1]["n_bytes"], got[1]["n_removed"]) == (40, 36)
+    assert got[1]["cleaned_hash"] == hashlib.md5(
+        hx("ö").encode() + hx("!!").encode()
+    ).hexdigest()
+    assert (got[2]["n_bytes"], got[2]["n_removed"]) == (39, 36)
+    assert got[2]["cleaned_hash"] == hashlib.md5(
+        hx("#").encode() + hx("**").encode()
+    ).hexdigest()
+    # below one window: nothing covered, full hex survives
+    assert (got[3]["n_bytes"], got[3]["n_removed"]) == (4, 0)
+    assert got[3]["cleaned_hash"] == hashlib.md5(
+        hx("tiny").encode()
+    ).hexdigest()
+
+
+def test_paragraph_dedup_stream_equals_batch(spark):
+    """Doc-id-ordered arrival makes keep-first append-only: the
+    maintained results must equal batch paragraph_dedup, including a
+    cross-epoch duplicate (doc 9 repeats doc 1's paragraph)."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\n\nshared footer"),
+            (2, "beta two\n\ngamma three"),
+            (5, "delta four\n\nbeta two"),
+            (9, "shared footer\n\nepsilon five"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = sorted(map(tuple, DD.paragraph_dedup(df).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            DD.paragraph_dedup_maintain_stream(
+                spark, df, n_slices=3
+            ).collect(),
+        )
+    )
+    assert stream == batch
+    got = {r[0]: r for r in batch}
+    assert got[9][3] == 1  # its copy of doc 1's paragraph dropped
+    assert got[5][3] == 1  # its copy of doc 2's paragraph dropped
+
+
+def test_simhash_stream_equals_batch_with_retropair(spark):
+    """Maintenance over a 3-slice replay must equal batch
+    simhash_pairs at the final epoch, including a retro-pair: a
+    late-arriving twin (doc 9) of an early doc (doc 1)."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, text + "alpha"),
+        (4, "completely different content about spark shuffles here"),
+        (6, "another unrelated document with its own tokens entirely"),
+        (9, text + "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = sorted(map(tuple, DD.simhash_pairs(df, "text", "doc_id").collect()))
+    stream = sorted(
+        map(
+            tuple,
+            DD.simhash_maintain_stream(spark, df, n_slices=3).collect(),
+        )
+    )
+    assert stream == batch
+    assert any(r[0] == 1 and r[1] == 9 for r in batch)  # retro-pair found

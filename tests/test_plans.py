@@ -858,3 +858,23 @@ def test_paragraph_dedup_hash_partitioned_window_no_udf(spark):
         assert " ASC" not in first_arg and " DESC" not in first_arg, (
             first_arg, plan[:3000],
         )
+
+
+def test_exact_substring_removal_bytes_linear_no_udf(spark):
+    # joins + aggregates only (no window), no cartesian, JVM-side;
+    # per-byte rows are constant-width (doc_id, bpos, hex pair)
+    df = E.q_exact_substring_removal_bytes(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan, plan[:3000]
+
+
+def test_lm_filter_roc_no_udf_bounded_window(spark):
+    # the LM scoring is joins + aggregates; the only window is the
+    # cumulative sweep over the <= 1024-row bin table (the adjudicated
+    # bounded small-table class); JVM-side only, no cartesian product
+    df = E.q_lm_filter_roc(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan

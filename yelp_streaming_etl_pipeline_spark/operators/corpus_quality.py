@@ -728,3 +728,86 @@ def bigram_lm_maintain_stream(
         prefix="blm_",
     )
     return state["result"]
+
+
+# ---------------- threshold-sweep filter evaluation (ROC table) ----------------
+
+ROC_STEP = 8  # score units per bin
+ROC_BINS = 1024  # bin count cap — the window below is CONSTANT-bounded
+
+
+def score_roc_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    step: int = ROC_STEP,
+    n_bins: int = ROC_BINS,
+) -> DataFrame:
+    """Operating-characteristic table of an INTEGER badness score
+    against boolean ground-truth labels — the calibration sweep a
+    pipeline runs before picking a filter threshold (CCNet keeps the
+    low-perplexity head; WHERE to cut is an eval question). For every
+    occupied score bin b the row reports the confusion counts of the
+    rule "flag BAD iff score >= thr_score", thr_score = (b+1)*step —
+    exactly the docs in bins > b, so the sweep is integer-exact.
+
+    Scale shape: one groupBy(bin) count aggregate (<= n_bins rows, a
+    CONSTANT — scores clamp into the last bin), then cumulative sums
+    over the bounded bin table (the adjudicated small-table window
+    class, never data-proportional) crossed with a broadcast 1-row
+    total. Returns (thr_score, tp, fp, fn, tn, precision, recall,
+    f1); f1 via the single exact ratio 2tp/(2tp+fp+fn)."""
+    y = F.col(label_col).cast("boolean")
+    binned = (
+        df.select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"{score_col} div {step}"),
+            )
+            .cast("long")
+            .alias("bin"),
+            y.alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("y").cast("long")).alias("n_pos"),
+            F.sum((~F.col("y")).cast("long")).alias("n_neg"),
+        )
+    )
+    tot = binned.agg(
+        F.coalesce(F.sum("n_pos"), F.lit(0)).alias("pp"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).alias("nn"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("bin") + 1) * step).cast("long").alias("thr_score"),
+            F.coalesce(F.sum("n_pos").over(w), F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+            .cast("long")
+            .alias("fp"),
+            F.col("pp"),
+            F.col("nn"),
+        )
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = (F.col("pp") - tp).cast("long")
+    tn = (F.col("nn") - fp).cast("long")
+    safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, stable_round(num.cast("double") / den.cast("double"), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return swept.select(
+        "thr_score",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        safe(tp, tp + fp).alias("precision"),
+        safe(tp, F.col("pp")).alias("recall"),
+        safe(2 * tp, 2 * tp + fp + fn).alias("f1"),
+    )

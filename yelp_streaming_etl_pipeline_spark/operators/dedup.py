@@ -542,6 +542,71 @@ def simhash_pairs(
     )
 
 
+def simhash_maintain_stream(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    hot_threshold: int = SIMHASH_HOT_BUCKET,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming SimHash near-dup MAINTENANCE — the last dedup family
+    to gain one: each arriving document is signature-hashed exactly
+    once, at arrival (the per-doc token-hash bit sums are the dominant
+    cost and never re-run) — state is the compact text-free
+    (doc_id, simhash) table, appended per epoch (append-only per doc,
+    asserted).
+
+    The pair readout is corpus-GLOBAL (a new document pairs with any
+    earlier one sharing a band chunk — retro-pairing, as in the
+    exact-substring and CDC maintenance), so each epoch re-derives
+    banded candidates + exact Hamming verification from the
+    accumulated signature table — band-keyed equi-joins over 64-bit
+    signatures with the same hot-bucket sub-banding as batch, never
+    text. Final epoch equals batch simhash_pairs over all docs, so
+    the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"sigs": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = simhash_table(batch_df, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+        if state["sigs"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["sigs"].select("doc_id")
+                .join(fresh.select("doc_id"), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"simhash_maintain_stream: epoch {epoch_id} "
+                    f"re-hashed {n_overlap} already-seen doc(s) — "
+                    "signature state must be append-only per doc"
+                )
+            acc = state["sigs"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["sigs"] = acc
+        state["result"] = _simhash_candidates(
+            _simhash_banded(acc), hot_threshold
+        ).filter(F.col("hamming") <= max_hamming)
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="shm_",
+    )
+    return state["result"]
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -1816,6 +1881,91 @@ def exact_substring_removal(
     )
 
 
+def exact_substring_removal_bytes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = EXSPAN_BL,
+    min_occ: int = EXSPAN_MIN_OCC,
+) -> DataFrame:
+    """BYTE-level span removal — the raw-bytes counterpart of
+    exact_substring_removal: drop every byte position covered by a
+    duplicated L-byte window and hash what survives. Returns
+    (doc_id, n_bytes, n_removed, cleaned_hash) with cleaned_hash =
+    md5 of the HEX image of the surviving bytes in order (the pinned
+    byte<->hex-pair map both engines share); md5('') when everything
+    was duplicated or the text is empty; docs shorter than one window
+    have no duplicated window and keep every byte.
+
+    Linear by construction, mirroring the token form: covered starts
+    explode into <= L constant-width position rows each; surviving
+    positions are selected by a (doc, pos) anti join against the
+    exploded PER-BYTE hex-pair table (built from the split-once hex
+    char array — never per-position substr on a string); reassembly
+    is one doc-keyed sort-aggregate."""
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.hex(F.encode(F.col(text_col), "UTF-8")).alias("hx"),
+        )
+        .withColumn("nb", (F.length("hx") / 2).cast("long"))
+    )
+    cov = _cov_from_window_table(
+        _byte_window_hash_table(df, text_col, id_col, L), min_occ
+    )
+    covpos = cov.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (L - 1))
+        ).alias("bpos"),
+    ).distinct()
+    # per-byte hex pairs from two shifted slices of the split-once
+    # char array, taking every second (byte-aligned) offset
+    chars = F.split(F.col("hx"), "(?!^)")
+    # nb >= 1 guard: F.sequence(1, 0) would DESCEND ([1, 0]), turning
+    # an empty doc into garbage element_at lookups
+    paired = base.filter(F.col("nb") >= 1).withColumn("cs", chars).select(
+        "doc_id",
+        "nb",
+        F.transform(
+            F.sequence(F.lit(1), F.col("nb").cast("int")),
+            lambda i: F.concat(
+                F.element_at("cs", i * 2 - 1), F.element_at("cs", i * 2)
+            ),
+        ).alias("hps"),
+    )
+    bts = paired.select(
+        "doc_id", F.posexplode("hps").alias("bpos0", "hp")
+    ).select("doc_id", (F.col("bpos0") + 1).alias("bpos"), "hp")
+    kept = bts.join(covpos, ["doc_id", "bpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bpos", "hp"))),
+                    lambda s: s["hp"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    return (
+        base.select("doc_id", F.col("nb").alias("n_bytes"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            (F.col("n_bytes") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+                "cleaned_hash"
+            ),
+        )
+    )
+
+
 # ---------------- CCNet paragraph-level dedup (keep-first) ----------------
 
 
@@ -1839,7 +1989,14 @@ def paragraph_dedup(
     doc-keyed sort-aggregate reassembles survivors. Paragraph text
     rides only the doc-keyed path; the hash path could drop it
     entirely under a two-pass variant if paragraphs were huge."""
-    paras = (
+    paras = _paragraphs(df, text_col, id_col)
+    return _paragraph_result(paras, _keep_first(paras))
+
+
+def _paragraphs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos, para, ph): non-empty paragraphs with their
+    1-based position and normalized content hash."""
+    return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(F.split(F.col(text_col), r"\n\n")).alias(
@@ -1854,9 +2011,20 @@ def paragraph_dedup(
             content_hash(F.col("para")).alias("ph"),
         )
     )
+
+
+def _keep_first(paras: DataFrame) -> DataFrame:
+    """The smallest-(doc_id, pos) occurrence per paragraph hash — a
+    hash-PARTITIONED rank, never a global sort."""
     w = Window.partitionBy("ph").orderBy("doc_id", "pos")
-    ranked = paras.withColumn("rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("rn") == 1)
+    return paras.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+
+
+def _paragraph_result(paras: DataFrame, kept: DataFrame) -> DataFrame:
+    """Per-doc readout: paragraph counts + md5 of the surviving
+    paragraphs re-joined by blank lines in original order."""
     reb = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.md5(
@@ -1883,3 +2051,81 @@ def paragraph_dedup(
             "cleaned_hash"
         ),
     )
+
+
+def paragraph_dedup_maintain_stream(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming CCNet paragraph dedup — the sharded form CCNet
+    actually runs: documents arrive in doc_id order (replay_fold's
+    determinism contract: 'first occurrence wins' folds see
+    occurrences in global order), which makes keep-first APPEND-ONLY
+    — an arriving paragraph survives iff its normalized hash is not
+    already in the seen-hash state, and no later arrival can
+    retro-displace an earlier winner. State is the text-free hash set
+    plus the already-emitted per-doc results; each epoch does
+    delta-only work (within-batch ties resolve by the same
+    (doc_id, pos) rank BEFORE consulting the state, so a batch
+    containing both copies keeps exactly the first).
+
+    Ordered-arrival precondition ASSERTED per epoch: every arriving
+    doc_id exceeds the largest already processed.
+
+    Final epoch equals batch paragraph_dedup over all docs, so the
+    entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"seen": None, "max_id": None, "results": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        paras = _paragraphs(batch_df, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+        lo_hi = batch_df.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).collect()[0]
+        if state["max_id"] is not None and lo_hi["lo"] is not None:
+            if lo_hi["lo"] <= state["max_id"]:
+                raise AssertionError(
+                    f"paragraph_dedup_maintain_stream: epoch {epoch_id} "
+                    f"doc_id {lo_hi['lo']} arrived after "
+                    f"{state['max_id']} — keep-first is append-only "
+                    "under ordered arrival only"
+                )
+        if lo_hi["hi"] is not None:
+            state["max_id"] = (
+                lo_hi["hi"]
+                if state["max_id"] is None
+                else max(state["max_id"], lo_hi["hi"])
+            )
+        kept = _keep_first(paras)
+        if state["seen"] is not None:
+            kept = kept.join(state["seen"], "ph", "left_anti")
+        res = _paragraph_result(paras, kept).localCheckpoint(eager=True)
+        fresh_hashes = paras.select("ph").distinct()
+        state["seen"] = (
+            fresh_hashes
+            if state["seen"] is None
+            else state["seen"].unionByName(fresh_hashes).distinct()
+        ).localCheckpoint(eager=True)
+        state["results"] = (
+            res
+            if state["results"] is None
+            else state["results"].unionByName(res).localCheckpoint(
+                eager=True
+            )
+        )
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="pgd_",
+    )
+    return state["results"]

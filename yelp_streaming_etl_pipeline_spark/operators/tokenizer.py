@@ -789,7 +789,12 @@ def unigram_viterbi_pieces(
     unigram_word_stats' n_pieces / lm_score_q exactly (asserted in
     tests) — the two entries are views of the same DP."""
     short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
-    pw = _uv_pw(short, vocab, maxlen)
+    # pw and dpfull are each consumed TWICE (elems + pick; pick's two
+    # sides) and sit upstream of the corpus-wide word aggregate —
+    # materialize them once (both are distinct-word-table-sized,
+    # bounded by vocabulary, so the checkpoint is small at any corpus
+    # scale) instead of recomputing the whole chain per consumer
+    pw = _uv_pw(short, vocab, maxlen).localCheckpoint(eager=True)
     elems = _uv_elems(pw, maxlen)
     neg = F.lit(UV_NEG).cast("long")
     seed = F.array(neg, neg, neg, F.lit(0).cast("long"))
@@ -816,7 +821,9 @@ def unigram_viterbi_pieces(
         F.posexplode(
             F.slice("dparr", 4, F.size("dparr") - 3)
         ).alias("e0", "dp"),
-    ).select("w", F.col("e0").cast("long").alias("e"), "dp")
+    ).select(
+        "w", F.col("e0").cast("long").alias("e"), "dp"
+    ).localCheckpoint(eager=True)
     pick = (
         pw.alias("c")
         .join(
@@ -915,8 +922,13 @@ def unigram_em_refine(
     table with constant per-word cost; the piece inventory (alphabet +
     k multigrams) broadcasts; the usage aggregate shuffles one row per
     (piece) — bounded by the inventory size."""
-    words = word_freq_table(docs, text_col, "char")
-    vocab = unigram_vocab(words, k, maxlen)
+    # ONE corpus pass: the word-frequency aggregate feeds the vocab,
+    # the DP, and the usage join — checkpoint it (distinct-word-sized)
+    # so no consumer re-scans the corpus
+    words = word_freq_table(docs, text_col, "char").localCheckpoint(
+        eager=True
+    )
+    vocab = unigram_vocab(words, k, maxlen).localCheckpoint(eager=True)
     usage = (
         unigram_viterbi_pieces(words, vocab, maxlen)
         .join(words.select("w", "f"), "w")
