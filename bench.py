@@ -219,6 +219,15 @@ HEADLINE = [
     "dsir_importance",
     "unigram_lm_scores",
     "dsir_topk",
+    # round-8 continuation additions (batch side; the six new
+    # *_maintenance_stream forms are excluded with the standard
+    # streaming-overhead reason)
+    "exact_substring_spans_bytes",
+    "exact_substring_removal_bytes",
+    "unigram_em_refine",
+    "bigram_lm_scores",
+    "paragraph_dedup",
+    "lm_filter_roc",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -261,6 +270,11 @@ BENCH_EXCLUDED = {
     "bottomk_sample_stream": _STREAM_OVERHEAD,
     "stratified_budget_sample_stream": _STREAM_OVERHEAD,
     "exact_substring_maintenance_stream": _STREAM_OVERHEAD,
+    "bigram_lm_maintenance_stream": _STREAM_OVERHEAD,
+    "paragraph_dedup_maintenance_stream": _STREAM_OVERHEAD,
+    "pagerank_weighted_maintenance_stream": _STREAM_OVERHEAD,
+    "personalized_pagerank_maintenance_stream": _STREAM_OVERHEAD,
+    "simhash_maintenance_stream": _STREAM_OVERHEAD,
     "topic_roundtrip_reviews": (
         "file-topic shim round trip: measures tmpdir write+read of the "
         "Kafka stand-in, i.e. local disk, not engine throughput"

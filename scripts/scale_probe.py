@@ -171,6 +171,7 @@ def main() -> None:
     qs = E.queries()
     results = {}
     for name, key, factor in PROBES:
+        print(f"probe: {name}", flush=True)
         fn = qs[key]
         times = {}
         for label, d in (("base", SF), ("big", out)):

@@ -750,6 +750,8 @@ def score_roc_table(
     occupied score bin b the row reports the confusion counts of the
     rule "flag BAD iff score >= thr_score", thr_score = (b+1)*step —
     exactly the docs in bins > b, so the sweep is integer-exact.
+    Precondition: the score is a NON-NEGATIVE integer (truncating div
+    and flooring // agree only there; millibit cross-entropies are).
 
     Scale shape: one groupBy(bin) count aggregate (<= n_bins rows, a
     CONSTANT — scores clamp into the last bin), then cumulative sums

@@ -1622,7 +1622,14 @@ def _cov_from_window_table(
         .filter(F.col("occ") >= min_occ)
         .select("h")
     )
-    return wins.join(dup, "h").select("doc_id", "pos")
+    # the duplicated-hash set is DATA-PROPORTIONAL (distinct recurring
+    # windows), so it must never broadcast: AQE's post-aggregate size
+    # estimate undershoots string tables and OOM'd the driver building
+    # a ~10M-hash broadcast at the 10x probe — pin a shuffled hash
+    # join (the scale-correct plan at any corpus size)
+    return wins.join(dup.hint("shuffle_hash"), "h").select(
+        "doc_id", "pos"
+    )
 
 
 def _spans_from_cov(cov: DataFrame, L: int = EXSPAN_L) -> DataFrame:
@@ -1937,7 +1944,11 @@ def exact_substring_removal_bytes(
     bts = paired.select(
         "doc_id", F.posexplode("hps").alias("bpos0", "hp")
     ).select("doc_id", (F.col("bpos0") + 1).alias("bpos"), "hp")
-    kept = bts.join(covpos, ["doc_id", "bpos"], "left_anti")
+    # covpos is byte-position-proportional — same no-broadcast
+    # discipline as the dup-hash join above
+    kept = bts.join(
+        covpos.hint("shuffle_hash"), ["doc_id", "bpos"], "left_anti"
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.md5(
