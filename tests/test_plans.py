@@ -864,13 +864,21 @@ def test_paragraph_dedup_hash_partitioned_window_no_udf(spark):
 
 
 def test_exact_substring_removal_bytes_linear_no_udf(spark):
-    # joins + aggregates only (no window), no cartesian, JVM-side;
-    # per-byte rows are constant-width (doc_id, bpos, hex pair)
+    # gap-slicing form: the only windows are the doc-partitioned span
+    # merge (never an unpartitioned one), no cartesian, JVM-side; no
+    # per-byte covered-position explode exists anywhere in the plan
+    import re
+
     df = E.q_exact_substring_removal_bytes(spark, SF)
     plan = A.physical_plan(df)
     assert not A.has_python_udf(df)
     assert "CartesianProduct" not in plan
-    assert "WindowExec" not in plan, plan[:3000]
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )
 
 
 def test_lm_filter_roc_no_udf_bounded_window(spark):

@@ -1904,76 +1904,86 @@ def exact_substring_removal_bytes(
     was duplicated or the text is empty; docs shorter than one window
     have no duplicated window and keep every byte.
 
-    Linear by construction, mirroring the token form: covered starts
-    explode into <= L constant-width position rows each; surviving
-    positions are selected by a (doc, pos) anti join against the
-    exploded PER-BYTE hex-pair table (built from the split-once hex
-    char array — never per-position substr on a string); reassembly
-    is one doc-keyed sort-aggregate."""
-    base = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.hex(F.encode(F.col(text_col), "UTF-8")).alias("hx"),
-        )
-        .withColumn("nb", (F.length("hx") / 2).cast("long"))
+    Scale shape — GAP SLICING, not per-byte rows: the union of
+    covered positions is exactly the merged spans' intervals, so the
+    survivors are the complement GAPS between consecutive spans.
+    Per document the sorted span list aggregates into one bounded
+    array (<= n_bytes/L spans), the gap intervals come from zipping
+    span ends against next starts, and each gap slices the
+    split-once hex CHAR ARRAY (O(gap) direct-index copy — never
+    per-position substr on a string, never an O(n_bytes * L)
+    covered-position explode: the first cut of this operator did
+    that and OOM'd the 10x probe at 550M exploded rows)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("hx"),
+    ).withColumn("nb", (F.length("hx") / 2).cast("long"))
+    spans = _spans_from_cov(
+        _cov_from_window_table(
+            _byte_window_hash_table(df, text_col, id_col, L), min_occ
+        ),
+        L,
     )
-    cov = _cov_from_window_table(
-        _byte_window_hash_table(df, text_col, id_col, L), min_occ
-    )
-    covpos = cov.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + (L - 1))
-        ).alias("bpos"),
-    ).distinct()
-    # per-byte hex pairs from two shifted slices of the split-once
-    # char array, taking every second (byte-aligned) offset
-    chars = F.split(F.col("hx"), "(?!^)")
-    # nb >= 1 guard: F.sequence(1, 0) would DESCEND ([1, 0]), turning
-    # an empty doc into garbage element_at lookups
-    paired = base.filter(F.col("nb") >= 1).withColumn("cs", chars).select(
-        "doc_id",
-        "nb",
-        F.transform(
-            F.sequence(F.lit(1), F.col("nb").cast("int")),
-            lambda i: F.concat(
-                F.element_at("cs", i * 2 - 1), F.element_at("cs", i * 2)
-            ),
-        ).alias("hps"),
-    )
-    bts = paired.select(
-        "doc_id", F.posexplode("hps").alias("bpos0", "hp")
-    ).select("doc_id", (F.col("bpos0") + 1).alias("bpos"), "hp")
-    # covpos is byte-position-proportional — same no-broadcast
-    # discipline as the dup-hash join above
-    kept = bts.join(
-        covpos.hint("shuffle_hash"), ["doc_id", "bpos"], "left_anti"
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("bpos", "hp"))),
-                    lambda s: s["hp"],
-                ),
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start_pos").alias("sp"),
+                    F.col("end_pos").alias("ep"),
+                )
             )
-        ).alias("cleaned_hash"),
+        ).alias("sps"),
+        F.sum("span_tokens").cast("long").alias("n_cov"),
     )
-    return (
-        base.select("doc_id", F.col("nb").alias("n_bytes"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_bytes",
-            (F.col("n_bytes") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
-                "cleaned_hash"
+    joined = base.join(sp, "doc_id", "left").select(
+        "doc_id",
+        "hx",
+        "nb",
+        F.coalesce(
+            F.col("sps"), F.array().cast("array<struct<sp:long,ep:long>>")
+        ).alias("sps"),
+        F.coalesce(F.col("n_cov"), F.lit(0)).cast("long").alias("n_cov"),
+    )
+    # gap starts = 1 then each span end + 1; gap ends = each span
+    # start - 1 then nb; empty gaps filter out
+    gs = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("sps"), lambda s: s["ep"] + 1),
+    )
+    ge = F.concat(
+        F.transform(F.col("sps"), lambda s: s["sp"] - 1),
+        F.array(F.col("nb")),
+    )
+    gaps = F.filter(
+        F.zip_with(
+            gs,
+            ge,
+            lambda a, b: F.struct(a.alias("gs"), b.alias("ge")),
+        ),
+        lambda g: g["ge"] >= g["gs"],
+    )
+    staged = joined.withColumn(
+        "cs", F.split(F.col("hx"), "(?!^)")
+    ).withColumn("gaps", gaps)
+    kept_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.col("gaps"),
+            lambda g: F.array_join(
+                F.slice(
+                    "cs",
+                    (g["gs"] * 2 - 1).cast("int"),
+                    ((g["ge"] - g["gs"] + 1) * 2).cast("int"),
+                ),
+                "",
             ),
-        )
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("nb").alias("n_bytes"),
+        F.col("n_cov").alias("n_removed"),
+        F.md5(kept_hex).alias("cleaned_hash"),
     )
 
 
