@@ -578,6 +578,28 @@ def q_lm_filter_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_roc_table(labeled, "mbits_per_bigram", "is_bad")
 
 
+def q_lm_filter_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival curves under the bigram-LM quality cut
+    (operators/corpus_quality.py quality_cut_mix_shift): for every
+    source and occupied millibit bin, how many of that source's even
+    docs survive 'keep iff mbits < thr' under the odd-doc model — the
+    mixture-shift table read before applying one global perplexity
+    threshold (a single cut silently reweights sources; CCNet filters
+    per language for this reason). Group-partitioned bounded-bin
+    cumulative sums only."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_scores, quality_cut_mix_shift,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+    lab = scored.join(d.select("doc_id", "source"), "doc_id")
+    return quality_cut_mix_shift(lab, "mbits_per_bigram", "source")
+
+
 def q_unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM hard-EM (Viterbi-EM) refinement pass
     (operators/tokenizer.py unigram_em_refine — SentencePiece's
@@ -4579,9 +4601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bigram-LM cross-entropy batch + streaming maintenance, CCNet
     paragraph-level dedup batch + streaming, byte-level span removal,
     weighted + personalized PageRank maintenance, the LM-filter ROC
-    calibration sweep, SimHash streaming maintenance) head the window
-    as (a0), displacing the tail of (e) —
-    11 + 8 + 4 + 8 + 8 + 11 = 50.
+    calibration sweep, SimHash streaming maintenance, per-source
+    mixture-shift curves) head the window as (a0), displacing the
+    tail of (e) — 12 + 8 + 4 + 8 + 8 + 10 = 50.
 
     CYCLE PLAN (207 entries, 50-entry window): past position 50 the
     order is round 9's queue — the remaining r4 block, then r5 / r6
@@ -4610,6 +4632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lm_filter_roc": q_lm_filter_roc,
         "simhash_maintenance_stream": q_simhash_maintenance_stream,
+        "lm_filter_mix_shift": q_lm_filter_mix_shift,
         # (a) NEVER driver-checked: new this round (suffix-window
         # exact-substring dedup batch/removal/streaming, stratified
         # budget sampling batch/streaming, DSIR importance)
@@ -5198,6 +5221,42 @@ def _sql_bigram_lm_scores() -> str:
 WITH {_sql_bigram_lm_core(sws)}
 SELECT doc_id, n_bigrams, n_oov, lm_q_sum, mbits_per_bigram
 FROM scores"""
+
+
+def _sql_lm_filter_mix_shift(step: int = 8, n_bins: int = 1024) -> str:
+    """Twin of the lm_filter_mix_shift entry: the batch bigram-LM
+    scores of the even docs join back to documents for the source,
+    then a source-PARTITIONED cumulative count over the bounded bin
+    table mirrors corpus_quality.quality_cut_mix_shift exactly."""
+    sws = (
+        f"SELECT doc_id, {_sql_blm_ws()} AS ws FROM documents "
+        f"WHERE doc_id % 2 = 0"
+    )
+    kf = O.sql_stable_round(
+        "CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6
+    )
+    return f"""
+WITH {_sql_bigram_lm_core(sws)},
+lab AS (
+  SELECT d.source AS g, s.mbits_per_bigram AS sc
+  FROM scores s JOIN documents d USING (doc_id)
+),
+binned AS (
+  SELECT g, CAST(least({n_bins - 1}, sc // {step}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lab GROUP BY 1, 2
+),
+tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_docs FROM binned GROUP BY g),
+swp AS (
+  SELECT b.g, CAST((b.bin + 1) * {step} AS BIGINT) AS thr_score,
+         t.n_docs,
+         CAST(sum(b.n) OVER (PARTITION BY b.g ORDER BY b.bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_kept
+  FROM binned b JOIN tot t USING (g)
+)
+SELECT g AS source, thr_score, n_docs, n_kept, {kf} AS keep_frac
+FROM swp"""
 
 
 def _sql_lm_filter_roc(step: int = 8, n_bins: int = 1024) -> str:
@@ -7211,6 +7270,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup_maintenance_stream": _sql_paragraph_dedup(),
         "lm_filter_roc": _sql_lm_filter_roc(),
         "simhash_maintenance_stream": O.sql_simhash_pairs(),
+        "lm_filter_mix_shift": _sql_lm_filter_mix_shift(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),

@@ -228,6 +228,7 @@ HEADLINE = [
     "bigram_lm_scores",
     "paragraph_dedup",
     "lm_filter_roc",
+    "lm_filter_mix_shift",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

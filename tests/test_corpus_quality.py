@@ -465,3 +465,26 @@ def test_score_roc_table_clamps_to_last_bin(spark):
     rows = score_roc_table(df, "s", "y").collect()
     assert len(rows) == 2
     assert max(r["thr_score"] for r in rows) == ROC_BINS * ROC_STEP
+
+
+def test_quality_cut_mix_shift_hand_fixture(spark):
+    """Per-group survival counts by hand: group A scores 5/9/17,
+    group B scores 25/25 (step 8 -> bins 0,1,2 and 3,3); cumulative
+    keep counts and fractions per threshold, per group."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        quality_cut_mix_shift,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 5), ("A", 9), ("A", 17), ("B", 25), ("B", 25)],
+        "src string, s long",
+    )
+    got = {
+        (r["src"], r["thr_score"]): (r["n_docs"], r["n_kept"], r["keep_frac"])
+        for r in quality_cut_mix_shift(df, "s", "src").collect()
+    }
+    assert got[("A", 8)] == (3, 1, round(1 / 3, 6))
+    assert got[("A", 16)] == (3, 2, round(2 / 3, 6))
+    assert got[("A", 24)] == (3, 3, 1.0)
+    assert got[("B", 32)] == (2, 2, 1.0)
+    assert set(got) == {("A", 8), ("A", 16), ("A", 24), ("B", 32)}

@@ -889,3 +889,20 @@ def test_lm_filter_roc_no_udf_bounded_window(spark):
     plan = A.physical_plan(df)
     assert not A.has_python_udf(df)
     assert "CartesianProduct" not in plan
+
+
+def test_lm_filter_mix_shift_group_partitioned_window(spark):
+    # the cumulative sweep must run in source-PARTITIONED windows
+    # over the bounded bin table; JVM-side, no cartesian
+    import re
+
+    df = E.q_lm_filter_mix_shift(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )

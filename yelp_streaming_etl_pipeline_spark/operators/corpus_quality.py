@@ -813,3 +813,62 @@ def score_roc_table(
         safe(tp, F.col("pp")).alias("recall"),
         safe(2 * tp, 2 * tp + fp + fn).alias("f1"),
     )
+
+
+def quality_cut_mix_shift(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    step: int = ROC_STEP,
+    n_bins: int = ROC_BINS,
+) -> DataFrame:
+    """Per-group SURVIVAL CURVE under a quality cut — the
+    mixture-shift table a pipeline reads before applying one global
+    perplexity threshold: a single corpus-wide cut silently reweights
+    sources (CCNet keeps the low-perplexity head PER LANGUAGE for
+    exactly this reason), and this table shows, for every group and
+    occupied score bin, how many of the group's documents survive
+    "keep iff score < thr_score", thr_score = (b+1)*step. Returns
+    (group, thr_score, n_docs, n_kept, keep_frac); scores clamp into
+    the final bin (its row aggregates the tail), and the score must
+    be a non-negative integer — the score_roc_table disciplines.
+
+    Scale shape: one (group, bin) count aggregate, a per-group total,
+    and a group-PARTITIONED cumulative sum over <= n_bins rows per
+    group — bounded windows, no data-proportional single partition."""
+    binned = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.least(
+                F.lit(n_bins - 1), F.expr(f"{score_col} div {step}")
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = binned.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n_docs")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = binned.join(tot, "g").select(
+        F.col("g").alias(group_col),
+        ((F.col("bin") + 1) * step).cast("long").alias("thr_score"),
+        "n_docs",
+        F.sum("n").over(w).cast("long").alias("n_kept"),
+    )
+    return swept.select(
+        group_col,
+        "thr_score",
+        "n_docs",
+        "n_kept",
+        stable_round(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("keep_frac"),
+    )
