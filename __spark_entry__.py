@@ -578,6 +578,21 @@ def q_lm_filter_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_roc_table(labeled, "mbits_per_bigram", "is_bad")
 
 
+def q_unigram_em_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Viterbi scores under the REFINED unigram
+    inventory (operators/tokenizer.py unigram_em_scores) — EM round
+    2's E-step, closing the SentencePiece loop: prune/re-quantize via
+    the recovered paths, then segment every word AGAIN under the kept
+    pieces. Same schema as unigram_lm_scores, directly comparable
+    round over round; still two corpus passes, all DP work on the
+    distinct-word table."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        unigram_em_scores,
+    )
+
+    return unigram_em_scores(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_lm_filter_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source survival curves under the bigram-LM quality cut
     (operators/corpus_quality.py quality_cut_mix_shift): for every
@@ -4602,8 +4617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paragraph-level dedup batch + streaming, byte-level span removal,
     weighted + personalized PageRank maintenance, the LM-filter ROC
     calibration sweep, SimHash streaming maintenance, per-source
-    mixture-shift curves) head the window as (a0), displacing the
-    tail of (e) — 12 + 8 + 4 + 8 + 8 + 10 = 50.
+    mixture-shift curves, EM round-2 re-scoring) head the window as
+    (a0), displacing the tail of (e) —
+    13 + 8 + 4 + 8 + 8 + 9 = 50.
 
     CYCLE PLAN (207 entries, 50-entry window): past position 50 the
     order is round 9's queue — the remaining r4 block, then r5 / r6
@@ -4633,6 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_filter_roc": q_lm_filter_roc,
         "simhash_maintenance_stream": q_simhash_maintenance_stream,
         "lm_filter_mix_shift": q_lm_filter_mix_shift,
+        "unigram_em_scores": q_unigram_em_scores,
         # (a) NEVER driver-checked: new this round (suffix-window
         # exact-substring dedup batch/removal/streaming, stratified
         # budget sampling batch/streaming, DSIR importance)
@@ -7271,6 +7288,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_filter_roc": _sql_lm_filter_roc(),
         "simhash_maintenance_stream": O.sql_simhash_pairs(),
         "lm_filter_mix_shift": _sql_lm_filter_mix_shift(),
+        "unigram_em_scores": O.sql_unigram_em_scores(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),

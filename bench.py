@@ -229,6 +229,7 @@ HEADLINE = [
     "paragraph_dedup",
     "lm_filter_roc",
     "lm_filter_mix_shift",
+    "unigram_em_scores",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -488,6 +489,7 @@ def longdoc_probe(spark) -> dict[str, float | int]:
             DD.exact_substring_spans_bytes(docs)
         ),
         "unigram_em_refine": lambda: TK.unigram_em_refine(docs),
+        "unigram_em_scores": lambda: TK.unigram_em_scores(docs),
         "bigram_lm_scores": lambda: CQ.bigram_lm_scores(
             docs.filter(F.col("doc_id") % 2 == 1),
             docs.filter(F.col("doc_id") % 2 == 0),

@@ -906,3 +906,14 @@ def test_lm_filter_mix_shift_group_partitioned_window(spark):
         assert " ASC" not in first_arg and " DESC" not in first_arg, (
             first_arg, plan[:3000],
         )
+
+
+def test_unigram_em_scores_no_udf_no_window(spark):
+    # round-2 scoring inherits em_refine's checkpointed intermediates
+    # and stays joins + bounded folds: no Python UDF, no cartesian,
+    # no window function
+    df = E.q_unigram_em_scores(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan, plan[:3000]

@@ -406,3 +406,50 @@ def test_unigram_em_refine_invariants(spark):
             assert r["q_new"] == len(bin(r["vit_cnt"])) - 2
         else:
             assert r["q_new"] == 0
+
+
+def test_unigram_em_scores_matches_bruteforce_round2(spark):
+    """Round-2 segmentation must be the brute-force Viterbi optimum
+    under the REFINED weights (kept pieces, q_new, Q2 = bitlen of
+    total Viterbi usage)."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    text = " ".join(["aabbb"] + ["aa"] * 60 + ["bbb"] * 60 + ["xy"] * 5)
+    docs = spark.createDataFrame(
+        [(1, "aabbb"), (2, text)], "doc_id long, text string"
+    )
+    ref = TK.unigram_em_refine(docs).collect()
+    q2 = {r["piece"]: r["q_new"] for r in ref if r["kept"]}
+    T2 = sum(r["vit_cnt"] for r in ref if r["kept"])
+    Q2 = len(bin(T2)) - 2 if T2 > 0 else 1
+
+    def brute(w):
+        best = {0: (0, 0)}
+        for e in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(4, e) + 1):
+                piece = w[e - l:e]
+                if piece in q2 and (e - l) in best:
+                    s, p = best[e - l]
+                    cands.append((s + q2[piece] - Q2, p - 1))
+            if cands:
+                best[e] = max(cands)
+        s, p = best[len(w)]
+        return s, -p
+
+    got = {
+        r["doc_id"]: r for r in TK.unigram_em_scores(docs).collect()
+    }
+    # doc 1 is the single word "aabbb": its rollup IS the word's
+    # round-2 Viterbi optimum
+    s, p = brute("aabbb")
+    assert (got[1]["lm_score_q"], got[1]["n_pieces"]) == (s, p)
+    # doc 2 = sum over word occurrences
+    per_word = {w: brute(w) for w in ["aabbb", "aa", "bbb", "xy"]}
+    counts = {"aabbb": 1, "aa": 60, "bbb": 60, "xy": 5}
+    assert got[2]["lm_score_q"] == sum(
+        per_word[w][0] * c for w, c in counts.items()
+    )
+    assert got[2]["n_pieces"] == sum(
+        per_word[w][1] * c for w, c in counts.items()
+    )

@@ -929,6 +929,15 @@ def unigram_em_refine(
         eager=True
     )
     vocab = unigram_vocab(words, k, maxlen).localCheckpoint(eager=True)
+    return _uv_refine(words, vocab, maxlen, min_cnt)
+
+
+def _uv_refine(
+    words: DataFrame, vocab: DataFrame, maxlen: int, min_cnt: int
+) -> DataFrame:
+    """The E+M core of unigram_em_refine over prepared (words, vocab)
+    — shared with unigram_em_scores, which feeds the refined
+    inventory back into a second Viterbi pass."""
     usage = (
         unigram_viterbi_pieces(words, vocab, maxlen)
         .join(words.select("w", "f"), "w")
@@ -959,4 +968,56 @@ def unigram_em_refine(
         (
             (F.col("plen") == 1) | (F.col("vit_cnt") >= min_cnt)
         ).alias("kept"),
+    )
+
+
+def unigram_em_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = UV_VOCAB_K,
+    maxlen: int = WP_MAXLEN,
+    min_cnt: int = UV_EM_MIN_CNT,
+) -> DataFrame:
+    """Per-document Viterbi scores under the REFINED inventory — EM
+    round 2's E-step, closing the SentencePiece loop the repo builds
+    piecewise (seed inventory -> Viterbi paths -> usage counts ->
+    prune/re-quantize -> SEGMENT AGAIN): every distinct word is
+    re-segmented with only the KEPT pieces, weighted by their
+    re-quantized usage (q_new; unused single-char survivors carry
+    weight 0 and act as strong-penalty coverage fallbacks), and the
+    per-doc rollup has the same schema as unigram_lm_scores —
+    directly comparable round over round (the refined model
+    typically concentrates mass on fewer, higher-usage pieces).
+
+    Scale shape: identical to unigram_em_refine plus ONE more
+    distinct-word DP (constant per word) and the doc-word join; the
+    word table and both inventories are checkpointed/broadcast —
+    still two corpus passes total."""
+    words = word_freq_table(docs, text_col, "char").localCheckpoint(
+        eager=True
+    )
+    vocab = unigram_vocab(words, k, maxlen).localCheckpoint(eager=True)
+    refined = _uv_refine(words, vocab, maxlen, min_cnt)
+    vocab2 = refined.filter(F.col("kept")).select(
+        "piece",
+        F.col("q_new").alias("q"),
+        F.col("vit_cnt").alias("cnt"),
+    )
+    stats = unigram_word_stats(words, vocab2, maxlen)
+    doc_w = _doc_words(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        "char",
+        ["doc_id"],
+    )
+    return (
+        doc_w.join(stats, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum(F.col("is_long").cast("long")).alias("n_long_words"),
+            F.sum("lm_score_q").alias("lm_score_q"),
+        )
     )

@@ -2017,20 +2017,15 @@ FROM dw JOIN seg USING (w)
 GROUP BY doc_id"""
 
 
-def sql_unigram_em_refine(
-    k: int = 256, maxlen: int = 4, max_word: int = 32, min_cnt: int = 1
-) -> str:
-    """Twin of tokenizer.unigram_em_refine: the shared _sql_uv_ctes
-    forward DP, then argmax recovery as a NON-recursive self-join
-    (dpfull at e and e-l; l on the path iff dp[e] = dp[e-l] + p, ties
-    to max(l) — the same deterministic rule as Spark's pick table) and
-    the backtrace as a second RECURSIVE CTE walking e from length(w)
-    to 0 emitting one piece per step. Usage = sum of word frequencies
-    over the emitted pieces; prune verdict and dyadic re-quantization
-    mirror the operator exactly."""
-    return f"""
-WITH RECURSIVE {_sql_uv_ctes(k, maxlen, max_word)},
-dpfull AS (SELECT w, e, d4 AS dp FROM dp),
+def _sql_uv_path_ctes() -> str:
+    """CTEs dpfull -> pick -> bt -> usage: argmax recovery as a
+    NON-recursive self-join (dpfull at e and e-l; l on the path iff
+    dp[e] = dp[e-l] + p, ties to max(l) — the same deterministic rule
+    as Spark's pick table), the backtrace as a second RECURSIVE CTE
+    walking e from length(w) to 0 emitting one piece per step, and
+    usage = sum of word frequencies over the emitted pieces. Shared
+    by the em_refine and em_scores twins."""
+    return """dpfull AS (SELECT w, e, d4 AS dp FROM dp),
 pick AS (
   SELECT p.w, p.e, max(p.l) AS lp
   FROM pw p
@@ -2055,7 +2050,18 @@ usage AS (
   FROM bt b JOIN shortw s USING (w)
   WHERE b.piece IS NOT NULL
   GROUP BY b.piece
-)
+)"""
+
+
+def sql_unigram_em_refine(
+    k: int = 256, maxlen: int = 4, max_word: int = 32, min_cnt: int = 1
+) -> str:
+    """Twin of tokenizer.unigram_em_refine: the shared _sql_uv_ctes
+    forward DP + _sql_uv_path_ctes recovery; prune verdict and dyadic
+    re-quantization mirror the operator exactly."""
+    return f"""
+WITH RECURSIVE {_sql_uv_ctes(k, maxlen, max_word)},
+{_sql_uv_path_ctes()}
 SELECT v.piece,
        CAST(length(v.piece) AS BIGINT) AS plen,
        v.cnt AS cnt0,
@@ -2069,6 +2075,94 @@ SELECT v.piece,
 FROM vocab v
 JOIN vq USING (piece)
 LEFT JOIN usage u ON u.piece = v.piece"""
+
+
+def sql_unigram_em_scores(
+    k: int = 256, maxlen: int = 4, max_word: int = 32, min_cnt: int = 1
+) -> str:
+    """Twin of tokenizer.unigram_em_scores — EM round 2's E-step: the
+    refined inventory (kept pieces, usage counts, re-quantized
+    weights) feeds a SECOND full DP chain (pw2/byend2/dp2, same
+    mechanics as round 1 with vq2/qq2), and the per-doc rollup
+    mirrors sql_unigram_lm_scores."""
+    neg = -1_000_000_000
+    pack = 256
+    dw = _sql_bpe_words("char").format(ids="doc_id,")
+    return f"""
+WITH RECURSIVE {_sql_uv_ctes(k, maxlen, max_word)},
+{_sql_uv_path_ctes()},
+vocab2 AS (
+  SELECT v.piece, CAST(coalesce(u.vit_cnt, 0) AS BIGINT) AS cnt
+  FROM vocab v LEFT JOIN usage u ON u.piece = v.piece
+  WHERE length(v.piece) = 1 OR coalesce(u.vit_cnt, 0) >= {min_cnt}
+),
+vq2 AS (
+  SELECT piece,
+         CASE WHEN cnt > 0 THEN CAST(length(bin(cnt)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS q
+  FROM vocab2
+),
+qq2 AS (
+  SELECT CAST(length(bin(CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS qc
+  FROM vocab2
+),
+pw2 AS (
+  SELECT c.w, c.i + c.l - 1 AS e, c.l,
+         CASE WHEN v.q IS NOT NULL
+              THEN (v.q - qq2.qc) * {pack} - 1
+              ELSE CAST({neg} AS BIGINT) END AS p
+  FROM cand c LEFT JOIN vq2 v USING (piece) CROSS JOIN qq2
+),
+byend2 AS (
+  SELECT w, e,
+         coalesce(max(CASE WHEN l = 1 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p1,
+         coalesce(max(CASE WHEN l = 2 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p2,
+         coalesce(max(CASE WHEN l = 3 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p3,
+         coalesce(max(CASE WHEN l = 4 THEN p END),
+                  CAST({neg} AS BIGINT)) AS p4
+  FROM pw2 GROUP BY w, e
+),
+dp2 AS (
+  SELECT w, CAST(0 AS BIGINT) AS e,
+         CAST({neg} AS BIGINT) AS d1, CAST({neg} AS BIGINT) AS d2,
+         CAST({neg} AS BIGINT) AS d3, CAST(0 AS BIGINT) AS d4,
+         CAST(length(w) AS BIGINT) AS len
+  FROM shortw
+  UNION ALL
+  SELECT dp2.w, dp2.e + 1, dp2.d2, dp2.d3, dp2.d4,
+         greatest(dp2.d4 + b.p1, dp2.d3 + b.p2,
+                  dp2.d2 + b.p3, dp2.d1 + b.p4),
+         dp2.len
+  FROM dp2 JOIN byend2 b ON b.w = dp2.w AND b.e = dp2.e + 1
+  WHERE dp2.e < dp2.len
+),
+seg0 AS (SELECT w, d4 AS packed FROM dp2 WHERE e = len),
+seg AS (
+  SELECT w,
+         CAST({pack} - ((packed % {pack}) + {pack}) % {pack}
+              AS BIGINT) AS n_pieces,
+         CAST((packed + ({pack} - ((packed % {pack}) + {pack})
+                         % {pack})) // {pack} AS BIGINT) AS lm_score_q,
+         false AS is_long
+  FROM seg0
+  UNION ALL
+  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), true
+  FROM wf WHERE length(w) > {max_word}
+),
+dw AS (
+  SELECT doc_id, w FROM ({dw}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN is_long THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_words,
+       CAST(sum(lm_score_q) AS BIGINT) AS lm_score_q
+FROM dw JOIN seg USING (w)
+GROUP BY doc_id"""
 
 
 def _sql_bpe_words(alphabet: str) -> str:
