@@ -1566,13 +1566,27 @@ EXSPAN_MIN_OCC = 2  # corpus-wide occurrences for "duplicated"
 def _window_hash_table(
     df: DataFrame, text_col: str, id_col: str, L: int = EXSPAN_L
 ) -> DataFrame:
-    """(doc_id, pos, h): md5 of EVERY length-L token window, stride 1,
-    pos 1-based. Windows are built per document as ONE array via L
-    shifted slices + zip_with (the word_shingles discipline — never
-    element_at inside a lambda), hashed inside a transform whose
+    """(doc_id, pos, h): xxhash64 of EVERY length-L token window,
+    stride 1, pos 1-based. Windows are built per document as ONE array
+    via L shifted slices + zip_with (the word_shingles discipline —
+    never element_at inside a lambda), hashed inside a transform whose
     lambda touches only its own element, then posexploded — so the
     per-document cost is O(n_tokens * L) and exploded rows are
-    constant-width."""
+    constant-width.
+
+    Hash choice (round-9 constant-factor pass): the hash only ever
+    serves as a GROUP KEY for the corpus-wide recurrence count — it
+    never reaches any output — so the oracle twin groups on md5 of
+    the same window text (identical grouping, mechanism declared
+    divergent) and the engine is free to use the cheapest native
+    64-bit hash. xxhash64 emits an 8-byte LONG instead of md5's
+    32-char hex string: the (doc_id, pos, h) shuffle row shrinks
+    ~2.5x and the per-window hash cost drops (no hex-string
+    materialization, no MessageDigest). A 64-bit key collides two
+    distinct windows with probability ~n^2/2^65 (~1e-6 at 10^7
+    windows; at 100 TB a false 'duplicated' marking at ~1e-9 rate is
+    noise for a dedup filter — and md5-truncation would carry the
+    same risk)."""
     words = F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
     base = (
         df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
@@ -1588,7 +1602,7 @@ def _window_hash_table(
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     hashes = base.withColumn(
-        "win_h", F.transform(grams, lambda g: F.md5(g))
+        "win_h", F.transform(grams, lambda g: F.xxhash64(g))
     )
     return hashes.select(
         "doc_id", F.posexplode("win_h").alias("pos0", "h")
@@ -1753,38 +1767,88 @@ EXSPAN_BL = 32  # byte-level duplicated-substring threshold, in BYTES
 def _byte_window_hash_table(
     df: DataFrame, text_col: str, id_col: str, L: int = EXSPAN_BL
 ) -> DataFrame:
-    """(doc_id, pos, h): md5 of EVERY length-L BYTE window of the raw
-    UTF-8 encoding, stride 1, pos = 1-based byte offset. Unlike the
-    token variant there is no tokenization, lowering, or whitespace
-    collapse — byte windows are case- and layout-sensitive, the form
-    Lee et al. run over raw training bytes (catches duplicated markup
-    / code / whitespace runs the word tokenizer normalizes away).
+    """(doc_id, pos, h): xxhash64 of EVERY length-L BYTE window of the
+    raw UTF-8 encoding, stride 1, pos = 1-based byte offset. Unlike
+    the token variant there is no tokenization, lowering, or
+    whitespace collapse — byte windows are case- and layout-sensitive,
+    the form Lee et al. run over raw training bytes (catches
+    duplicated markup / code / whitespace runs the word tokenizer
+    normalizes away).
 
     Per-document cost is O(n_bytes * L) with NO quadratic risk: the
     encode() runs once into a bound column and substr on BINARY is a
     direct byte-offset slice (O(L) per window — binary is fixed-width
     addressable, unlike STRING substr's O(pos) UTF-8 walk), so the
     transform lambda touches only its own O(L) slice. Exploded rows
-    are constant-width (doc_id, pos, hash) — never the payload."""
-    base = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.encode(F.col(text_col), "UTF-8").alias("b"),
-        )
-        .withColumn("nb", F.length("b"))
-        .filter(F.col("nb") >= L)
-        .withColumn("m", (F.col("nb") - (L - 1)).cast("int"))
+    are constant-width (doc_id, pos, hash) — never the payload.
+
+    Hash choice (round-9 constant-factor pass, VERDICT r8 obs #1):
+    this table emits ~1 row per input BYTE — the heaviest per-byte
+    cost in the repo — and the hash only ever serves as a GROUP KEY
+    (it never reaches any output; the twin groups on the raw hex
+    window image, mechanism declared divergent), so the engine side
+    is free to pick the cheapest computation. Built-in Column ops
+    cannot express stride-1 byte windows without an interpreted HOF
+    lambda per position (~2 us/byte measured — the md5->xxhash64
+    swap moved the longdoc probe 6.48 -> 6.41 s because interpreter
+    overhead, not the hash, dominates), so this is the documented
+    case (b) for an Arrow-batched vectorized UDF: mapInPandas with a
+    NUMPY Horner polynomial rolling hash — L fused multiply-adds
+    over uint64 vectors (wraparound mod 2^64 is the modulus; base
+    odd, so windows differing anywhere differ in h with
+    ~n^2/2^65 collision odds — a false 'duplicated' marking at
+    ~1e-9 rate at 100 TB is noise for a dedup filter). Measured r9
+    longdoc 64x50k: spans 6.48 -> 2.7 s, removal 7.41 -> 3.1 s. The
+    (doc_id, pos, h) shuffle row is 3 longs (~24 B/row vs ~56 with
+    the md5 hex string — ~24x the input in shuffled bytes instead of
+    ~55x). Stride stays 1: stride-s windows only match when both
+    copies of a duplicate sit at the same phase mod s, so any
+    stride > 1 silently loses phase-misaligned duplicates — not a
+    semantics-preserving option (SURVEY §9 r9)."""
+    import numpy as np
+    import pandas as pd
+
+    B = 1099511628211  # FNV-1a 64-bit prime (odd -> full period mod 2^64)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("t"),
     )
-    wins = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("m")),
-                lambda i: F.md5(F.col("b").substr(i, F.lit(L))),
-            )
-        ).alias("pos0", "h"),
-    )
-    return wins.select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, t in zip(pdf["doc_id"].to_numpy(), pdf["t"]):
+                if t is None:
+                    continue
+                b = np.frombuffer(
+                    t.encode("utf-8"), dtype=np.uint8
+                ).astype(np.uint64)
+                n = b.size
+                if n < L:
+                    continue
+                m = n - L + 1
+                # Horner fold: h = ((b[0]*B + b[1])*B + ...) over each
+                # length-L window, all m windows advanced per step —
+                # L vectorized multiply-adds, wraparound IS the mod
+                with np.errstate(over="ignore"):
+                    h = np.zeros(m, dtype=np.uint64)
+                    base = np.uint64(B)
+                    for k in range(L):
+                        h = h * base + b[k : k + m]
+                ids.append(np.full(m, doc_id, dtype=np.int64))
+                poss.append(np.arange(1, m + 1, dtype=np.int64))
+                hs.append(h.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "h": np.concatenate(hs),
+                    }
+                )
+
+    return src.mapInPandas(gen, "doc_id long, pos long, h long")
 
 
 def exact_substring_spans_bytes(
