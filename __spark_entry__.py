@@ -5281,7 +5281,10 @@ def _sql_lm_filter_roc(step: int = 8, n_bins: int = 1024) -> str:
     docs plus a word-REVERSED copy of each (id + 10M — bigram-OOV
     garbage the LM must flag); per 8-millibit threshold the confusion
     counts of 'flag BAD iff mbits >= thr' sweep out of one bounded
-    bin table, mirroring corpus_quality.score_roc_table."""
+    bin table, mirroring corpus_quality.score_roc_table — including
+    its documented clamping caveat: the final row (thr = n_bins*step)
+    under-counts tp when scores overflow the bin range, identically
+    in both engines (see the operator docstring, ADVICE r8)."""
     ws = _sql_blm_ws()
     sws = f"""
   SELECT doc_id, ws FROM (

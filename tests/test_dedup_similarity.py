@@ -1158,7 +1158,9 @@ def test_simhash_stream_equals_batch_with_retropair(spark):
     stream = sorted(
         map(
             tuple,
-            DD.simhash_maintain_stream(spark, df, n_slices=3).collect(),
+            DD.simhash_maintain_stream(
+                spark, df, n_slices=3, check_invariants=True
+            ).collect(),
         )
     )
     assert stream == batch

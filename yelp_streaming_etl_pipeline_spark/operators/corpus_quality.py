@@ -758,7 +758,19 @@ def score_roc_table(
     over the bounded bin table (the adjudicated small-table window
     class, never data-proportional) crossed with a broadcast 1-row
     total. Returns (thr_score, tp, fp, fn, tn, precision, recall,
-    f1); f1 via the single exact ratio 2tp/(2tp+fp+fn)."""
+    f1); f1 via the single exact ratio 2tp/(2tp+fp+fn).
+
+    CLAMPING CAVEAT (ADVICE r8): when any score >= n_bins*step, the
+    overflow lands in the last bin, so the FINAL row (thr_score =
+    n_bins*step) counts those docs as un-flagged even though their
+    true score meets the threshold — its tp is a LOWER bound and its
+    fn an upper bound under clamping (both engines share the
+    behavior, deliberately, so the twin stays exact). Every
+    non-final row is exact regardless — and a threshold you'd
+    actually deploy sits in the occupied interior of the sweep, not
+    at the clamp boundary. Size n_bins*step above the score range
+    when the top row must be exact (heavily-OOV documents can exceed
+    1024*8 millibits under the default bins)."""
     y = F.col(label_col).cast("boolean")
     binned = (
         df.select(

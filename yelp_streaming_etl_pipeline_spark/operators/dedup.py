@@ -550,13 +550,15 @@ def simhash_maintain_stream(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     hot_threshold: int = SIMHASH_HOT_BUCKET,
     n_slices: int = 3,
+    check_invariants: bool = False,
 ) -> DataFrame:
     """Streaming SimHash near-dup MAINTENANCE — the last dedup family
     to gain one: each arriving document is signature-hashed exactly
     once, at arrival (the per-doc token-hash bit sums are the dominant
     cost and never re-run) — state is the compact text-free
-    (doc_id, simhash) table, appended per epoch (append-only per doc,
-    asserted).
+    (doc_id, simhash) table held as one immutable checkpointed block
+    PER EPOCH and unioned lazily, so per-epoch materialization is
+    O(batch), never O(total state).
 
     The pair readout is corpus-GLOBAL (a new document pairs with any
     earlier one sharing a band chunk — retro-pairing, as in the
@@ -565,33 +567,40 @@ def simhash_maintain_stream(
     accumulated signature table — band-keyed equi-joins over 64-bit
     signatures with the same hot-bucket sub-banding as batch, never
     text. Final epoch equals batch simhash_pairs over all docs, so
-    the entry shares its oracle twin."""
+    the entry shares its oracle twin.
+
+    ``check_invariants`` (ADVICE r8: debug-gated, default off — it
+    costs a full state join + driver-blocking count per epoch) makes
+    the append-only-per-doc precondition an AssertionError instead of
+    a silent assumption; the regression tests run with it on."""
+    from functools import reduce
+
     from ..streaming.replay import replay_fold
 
-    state: dict = {"sigs": None, "result": None}
+    state: dict = {"sig_parts": [], "result": None}
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         fresh = simhash_table(batch_df, text_col, id_col).localCheckpoint(
             eager=True
         )
-        if state["sigs"] is None:
-            acc = fresh
-        else:
-            n_overlap = (
-                state["sigs"].select("doc_id")
-                .join(fresh.select("doc_id"), "doc_id")
-                .count()
-            )
-            if n_overlap:
-                raise AssertionError(
-                    f"simhash_maintain_stream: epoch {epoch_id} "
-                    f"re-hashed {n_overlap} already-seen doc(s) — "
-                    "signature state must be append-only per doc"
+        if state["sig_parts"]:
+            prev = reduce(DataFrame.unionByName, state["sig_parts"])
+            if check_invariants:
+                n_overlap = (
+                    prev.select("doc_id")
+                    .join(fresh.select("doc_id"), "doc_id")
+                    .count()
                 )
-            acc = state["sigs"].unionByName(fresh).localCheckpoint(
-                eager=True
-            )
-        state["sigs"] = acc
+                if n_overlap:
+                    raise AssertionError(
+                        f"simhash_maintain_stream: epoch {epoch_id} "
+                        f"re-hashed {n_overlap} already-seen doc(s) — "
+                        "signature state must be append-only per doc"
+                    )
+            acc = prev.unionByName(fresh)
+        else:
+            acc = fresh
+        state["sig_parts"].append(fresh)
         state["result"] = _simhash_candidates(
             _simhash_banded(acc), hot_threshold
         ).filter(F.col("hamming") <= max_hamming)
@@ -2152,19 +2161,26 @@ def paragraph_dedup_maintain_stream(
     — an arriving paragraph survives iff its normalized hash is not
     already in the seen-hash state, and no later arrival can
     retro-displace an earlier winner. State is the text-free hash set
-    plus the already-emitted per-doc results; each epoch does
-    delta-only work (within-batch ties resolve by the same
-    (doc_id, pos) rank BEFORE consulting the state, so a batch
-    containing both copies keeps exactly the first).
+    plus the already-emitted per-doc results, each held as IMMUTABLE
+    per-epoch checkpointed blocks unioned lazily (ADVICE r8): the only
+    per-epoch materialization is the fresh batch's paragraphs, result
+    rows, and hash delta — O(batch) — while the anti-join against the
+    accumulated hash set reads the checkpointed blocks without ever
+    rewriting them, so per-epoch cost is delta work plus one O(state)
+    READ, never an O(state) copy. Within-batch ties resolve by the
+    same (doc_id, pos) rank BEFORE consulting the state, so a batch
+    containing both copies keeps exactly the first.
 
     Ordered-arrival precondition ASSERTED per epoch: every arriving
     doc_id exceeds the largest already processed.
 
     Final epoch equals batch paragraph_dedup over all docs, so the
     entry shares its oracle twin."""
+    from functools import reduce
+
     from ..streaming.replay import replay_fold
 
-    state: dict = {"seen": None, "max_id": None, "results": None}
+    state: dict = {"seen_parts": [], "max_id": None, "result_parts": []}
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         paras = _paragraphs(batch_df, text_col, id_col).localCheckpoint(
@@ -2188,22 +2204,17 @@ def paragraph_dedup_maintain_stream(
                 else max(state["max_id"], lo_hi["hi"])
             )
         kept = _keep_first(paras)
-        if state["seen"] is not None:
-            kept = kept.join(state["seen"], "ph", "left_anti")
+        if state["seen_parts"]:
+            # lazy union of immutable epoch blocks — an O(state) READ
+            # for the anti join, never an O(state) re-materialization;
+            # cross-epoch hash repeats are harmless under left_anti
+            seen = reduce(DataFrame.unionByName, state["seen_parts"])
+            kept = kept.join(seen, "ph", "left_anti")
         res = _paragraph_result(paras, kept).localCheckpoint(eager=True)
-        fresh_hashes = paras.select("ph").distinct()
-        state["seen"] = (
-            fresh_hashes
-            if state["seen"] is None
-            else state["seen"].unionByName(fresh_hashes).distinct()
-        ).localCheckpoint(eager=True)
-        state["results"] = (
-            res
-            if state["results"] is None
-            else state["results"].unionByName(res).localCheckpoint(
-                eager=True
-            )
+        state["seen_parts"].append(
+            paras.select("ph").distinct().localCheckpoint(eager=True)
         )
+        state["result_parts"].append(res)
 
     replay_fold(
         spark,
@@ -2213,4 +2224,4 @@ def paragraph_dedup_maintain_stream(
         order_cols=[id_col],
         prefix="pgd_",
     )
-    return state["results"]
+    return reduce(DataFrame.unionByName, state["result_parts"])
