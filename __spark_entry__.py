@@ -631,6 +631,25 @@ def q_unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_em_refine(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_unigram_em_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SentencePiece trainer loop (operators/tokenizer.py
+    unigram_em_loop): 3 chained hard-EM rounds — Viterbi-segment every
+    distinct word under the current inventory, accumulate integer
+    usage along the recovered paths, re-quantize dyadically, prune
+    multigrams the optimal segmentations never touch, feed the kept
+    inventory into the next round. One inventory-delta row per round;
+    convergence shows as n_pruned -> 0 and vit_total going flat. One
+    corpus pass total; each round's DP runs on the distinct-word
+    table. The twin chains one full forward-DP + path-recovery CTE
+    block per round (MATERIALIZED nodes so DuckDB's CTE inlining
+    doesn't re-execute earlier rounds per reference)."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        unigram_em_loop,
+    )
+
+    return unigram_em_loop(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR selection step (operators/corpus.py dsir_topk): the 50
     most target-like raw documents by importance score, ties pinned by
@@ -4650,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_maintenance_stream": q_simhash_maintenance_stream,
         "lm_filter_mix_shift": q_lm_filter_mix_shift,
         "unigram_em_scores": q_unigram_em_scores,
+        "unigram_em_loop": q_unigram_em_loop,
         # (a) NEVER driver-checked: new this round (suffix-window
         # exact-substring dedup batch/removal/streaming, stratified
         # budget sampling batch/streaming, DSIR importance)
@@ -7292,6 +7312,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_maintenance_stream": O.sql_simhash_pairs(),
         "lm_filter_mix_shift": _sql_lm_filter_mix_shift(),
         "unigram_em_scores": O.sql_unigram_em_scores(),
+        "unigram_em_loop": O.sql_unigram_em_loop(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),

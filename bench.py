@@ -230,6 +230,8 @@ HEADLINE = [
     "lm_filter_roc",
     "lm_filter_mix_shift",
     "unigram_em_scores",
+    # round-9 additions
+    "unigram_em_loop",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

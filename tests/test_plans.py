@@ -802,13 +802,18 @@ def test_unigram_lm_scores_no_udf_takeordered_vocab(spark):
 
 def test_exact_substring_spans_bytes_doc_windows_no_udf(spark):
     # same discipline as the token variant: doc-partitioned span-merge
-    # windows only, hash-count dup test (no pair join / cartesian),
-    # JVM-side end to end
+    # windows only, hash-count dup test (no pair join / cartesian).
+    # The window hashing itself is the repo's one deliberate
+    # Arrow-batched vectorized stage (round-9: mapInPandas + numpy
+    # rolling hash — stride-1 byte windows have no efficient Column
+    # expression); assert it is MapInPandas, never a row-at-a-time
+    # BatchEvalPython
     import re
 
     df = E.q_exact_substring_spans_bytes(spark, SF)
     plan = A.physical_plan(df)
-    assert not A.has_python_udf(df)
+    assert not A.has_python_udf(df)  # no row-at-a-time / scalar UDF
+    assert "MapInPandas" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
     assert specs, plan[:3000]
@@ -913,6 +918,19 @@ def test_unigram_em_scores_no_udf_no_window(spark):
     # and stays joins + bounded folds: no Python UDF, no cartesian,
     # no window function
     df = E.q_unigram_em_scores(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan, plan[:3000]
+
+
+def test_unigram_em_loop_no_udf_no_window(spark):
+    # the R-round trainer loop is R copies of em_refine's discipline
+    # chained through checkpointed inventories: the FINAL round's plan
+    # (what physical_plan sees — earlier rounds are checkpointed away)
+    # must stay joins + bounded folds with no Python UDF, no
+    # cartesian, no window function
+    df = E.q_unigram_em_loop(spark, SF)
     plan = A.physical_plan(df)
     assert not A.has_python_udf(df)
     assert "CartesianProduct" not in plan

@@ -408,6 +408,93 @@ def test_unigram_em_refine_invariants(spark):
             assert r["q_new"] == 0
 
 
+def test_unigram_em_loop_matches_bruteforce_em(spark):
+    """Every per-round inventory-delta row of the 3-round EM loop must
+    equal a brute-force Python EM run from the same seed inventory:
+    per round, Viterbi-segment each short word (max score, fewer-piece
+    tiebreak, LONGEST-piece backtrace), accumulate usage weighted by
+    word frequency, prune multigrams below min_cnt, re-quantize
+    q = bitlen(usage), iterate."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    text = " ".join(["aabbb"] + ["aa"] * 60 + ["bbb"] * 60 + ["xy"] * 5)
+    docs = spark.createDataFrame(
+        [(1, text), (2, "the cat sat on the mat"), (3, "aabbb xy")],
+        "doc_id long, text string",
+    )
+    words = TK.word_freq_table(docs)
+    vocab0 = TK.unigram_vocab(words)
+    wf = {r["w"]: r["f"] for r in words.collect()}
+    inv = {r["piece"]: (r["q"], r["cnt"]) for r in vocab0.collect()}
+
+    def viterbi_path(w, q, Q):
+        best = {0: (0, 0)}
+        for e in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(4, e) + 1):
+                piece = w[e - l:e]
+                if piece in q and (e - l) in best:
+                    s, p = best[e - l]
+                    cands.append((s + q[piece] - Q, p - 1))
+            if cands:
+                best[e] = max(cands)
+        pieces, e = [], len(w)
+        while e > 0:
+            lp = max(
+                l
+                for l in range(1, min(4, e) + 1)
+                if w[e - l:e] in q
+                and (e - l) in best
+                and (
+                    best[e - l][0] + q[w[e - l:e]] - Q,
+                    best[e - l][1] - 1,
+                )
+                == best[e]
+            )
+            pieces.append(w[e - lp:e])
+            e -= lp
+        return pieces
+
+    expected = []
+    for r in range(1, 4):
+        q = {p: qc[0] for p, qc in inv.items()}
+        T = sum(qc[1] for qc in inv.values())
+        Q = len(bin(max(T, 1))) - 2
+        usage: dict = {}
+        for w, f in wf.items():
+            if len(w) > TK.WP_MAX_WORD:
+                continue
+            for piece in viterbi_path(w, q, Q):
+                usage[piece] = usage.get(piece, 0) + f
+        kept = {
+            p: usage.get(p, 0)
+            for p in inv
+            if len(p) == 1 or usage.get(p, 0) >= TK.UV_EM_MIN_CNT
+        }
+        expected.append(
+            (
+                r,
+                len(inv),
+                sum(1 for p in inv if len(p) >= 2),
+                len(kept),
+                len(inv) - len(kept),
+                sum(usage.get(p, 0) for p in inv),
+                sum(
+                    len(bin(u)) - 2 if u > 0 else 0
+                    for u in kept.values()
+                ),
+            )
+        )
+        inv = {
+            p: ((len(bin(u)) - 2 if u > 0 else 0), u)
+            for p, u in kept.items()
+        }
+    got = sorted(tuple(r) for r in TK.unigram_em_loop(docs).collect())
+    assert got == expected, (got, expected)
+    # the fixture must actually exercise pruning in round 1
+    assert expected[0][4] > 0
+
+
 def test_unigram_em_scores_matches_bruteforce_round2(spark):
     """Round-2 segmentation must be the brute-force Viterbi optimum
     under the REFINED weights (kept pieces, q_new, Q2 = bitlen of

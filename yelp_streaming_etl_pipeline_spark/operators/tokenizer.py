@@ -971,6 +971,92 @@ def _uv_refine(
     )
 
 
+UV_EM_ROUNDS = 3  # declared EM round count for the full trainer loop
+
+
+def unigram_em_loop(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = UV_VOCAB_K,
+    maxlen: int = WP_MAXLEN,
+    min_cnt: int = UV_EM_MIN_CNT,
+    rounds: int = UV_EM_ROUNDS,
+) -> DataFrame:
+    """The FULL SentencePiece trainer loop (Kudo 2018) in engine-exact
+    integer form: iterate the hard-EM estimate-then-prune pass
+    ``rounds`` times — each round Viterbi-segments every distinct word
+    under the CURRENT inventory (unigram_viterbi_pieces), accumulates
+    integer piece usage, re-quantizes weights dyadically
+    (q = floor(log2 usage) + 1), prunes multigram pieces below
+    ``min_cnt`` usage, and feeds the refined inventory into the next
+    round — the loop a real unigram-LM tokenizer trainer runs until
+    its vocabulary stabilizes (unused single-char survivors keep
+    weight 0 as strong-penalty coverage fallbacks, exactly as in
+    unigram_em_scores' round 2).
+
+    Emits the per-round INVENTORY DELTAS, one row per round r
+    (1-based, the pass that consumed round r's inventory):
+    (round, n_pieces, n_multi, n_kept, n_pruned, vit_total, q_mass) —
+    n_pieces/n_multi the inventory sizes entering the round, n_kept /
+    n_pruned the prune verdicts leaving it, vit_total the summed
+    Viterbi usage (conserved: = sum over short-word occurrences of
+    that round's optimal piece counts), q_mass the summed
+    re-quantized weight of kept pieces. Convergence is visible as
+    n_pruned -> 0 and vit_total/q_mass going flat round-over-round.
+
+    100 TB shape: ONE corpus pass total (the word-frequency aggregate
+    is checkpointed and reused); every round's E-step runs over the
+    distinct-word table with constant per-word cost, the inventory
+    (alphabet + <= k multigrams, shrinking monotonically) broadcasts,
+    and each round's usage aggregate shuffles one row per piece.
+    rounds is a declared constant, so the plan is a fixed R-fold
+    chain with checkpoints truncating lineage between rounds."""
+    words = word_freq_table(docs, text_col, "char").localCheckpoint(
+        eager=True
+    )
+    vocab = unigram_vocab(words, k, maxlen).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        refined = _uv_refine(words, vocab, maxlen, min_cnt).localCheckpoint(
+            eager=True
+        )
+        summary = refined.agg(
+            F.count("*").cast("long").alias("n_pieces"),
+            F.sum((F.col("plen") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_multi"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum((~F.col("kept")).cast("long"))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum("vit_cnt").cast("long").alias("vit_total"),
+            F.sum(F.when(F.col("kept"), F.col("q_new")).otherwise(0))
+            .cast("long")
+            .alias("q_mass"),
+        ).select(
+            F.lit(r).cast("long").alias("round"),
+            "n_pieces",
+            "n_multi",
+            "n_kept",
+            "n_pruned",
+            "vit_total",
+            "q_mass",
+        )
+        out = summary if out is None else out.unionByName(summary)
+        if r < rounds:
+            vocab = (
+                refined.filter(F.col("kept"))
+                .select(
+                    "piece",
+                    F.col("q_new").alias("q"),
+                    F.col("vit_cnt").alias("cnt"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return out
+
+
 def unigram_em_scores(
     docs: DataFrame,
     text_col: str = "text",

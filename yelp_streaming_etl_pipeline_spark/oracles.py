@@ -2077,6 +2077,149 @@ JOIN vq USING (piece)
 LEFT JOIN usage u ON u.piece = v.piece"""
 
 
+def _sql_uv_round_ctes(r: int, maxlen: int, min_cnt: int) -> str:
+    """Round-``r`` (r >= 2) CTE blocks for the unigram-EM loop twin:
+    vocab{r} = the kept pieces of round r-1 with re-quantized dyadic
+    weights, then the full forward DP (pw{r}/byend{r}/dp{r}) and path
+    recovery (dpfull{r}/pick{r}/bt{r}/usage{r}) — the identical
+    mechanics as the round-1 chain in _sql_uv_ctes/_sql_uv_path_ctes
+    with suffixed names, chained off the previous round's
+    vocab/usage. DuckDB allows several recursive CTEs under one
+    WITH RECURSIVE (the em_scores twin already runs three)."""
+    neg = -1_000_000_000
+    pack = 256
+    sfx = "" if r == 2 else str(r - 1)
+    prev_vocab, prev_usage = f"vocab{sfx}", f"usage{sfx}"
+    pcols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN l = {n} THEN p END),\n"
+        f"                  CAST({neg} AS BIGINT)) AS p{n}"
+        for n in range(1, maxlen + 1)
+    )
+    greatest = ", ".join(
+        f"dp{r}.d{4 - n + 1} + b.p{n}" for n in range(1, maxlen + 1)
+    )
+    return f"""vocab{r} AS MATERIALIZED (
+  SELECT v.piece, CAST(coalesce(u.vit_cnt, 0) AS BIGINT) AS cnt,
+         CASE WHEN coalesce(u.vit_cnt, 0) > 0
+              THEN CAST(length(bin(coalesce(u.vit_cnt, 0))) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS q
+  FROM {prev_vocab} v LEFT JOIN {prev_usage} u USING (piece)
+  WHERE length(v.piece) = 1 OR coalesce(u.vit_cnt, 0) >= {min_cnt}
+),
+qq{r} AS (
+  SELECT CAST(length(bin(CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS qc
+  FROM vocab{r}
+),
+pw{r} AS MATERIALIZED (
+  SELECT c.w, c.i + c.l - 1 AS e, c.l,
+         CASE WHEN v.q IS NOT NULL
+              THEN (v.q - qq{r}.qc) * {pack} - 1
+              ELSE CAST({neg} AS BIGINT) END AS p
+  FROM cand c
+  LEFT JOIN (SELECT piece, q FROM vocab{r}) v USING (piece)
+  CROSS JOIN qq{r}
+),
+byend{r} AS (
+  SELECT w, e,
+         {pcols}
+  FROM pw{r} GROUP BY w, e
+),
+dp{r} AS (
+  SELECT w, CAST(0 AS BIGINT) AS e,
+         CAST({neg} AS BIGINT) AS d1, CAST({neg} AS BIGINT) AS d2,
+         CAST({neg} AS BIGINT) AS d3, CAST(0 AS BIGINT) AS d4,
+         CAST(length(w) AS BIGINT) AS len
+  FROM shortw
+  UNION ALL
+  SELECT dp{r}.w, dp{r}.e + 1, dp{r}.d2, dp{r}.d3, dp{r}.d4,
+         greatest({greatest}),
+         dp{r}.len
+  FROM dp{r} JOIN byend{r} b ON b.w = dp{r}.w AND b.e = dp{r}.e + 1
+  WHERE dp{r}.e < dp{r}.len
+),
+dpfull{r} AS MATERIALIZED (SELECT w, e, d4 AS dp FROM dp{r}),
+pick{r} AS (
+  SELECT p.w, p.e, max(p.l) AS lp
+  FROM pw{r} p
+  JOIN dpfull{r} de ON de.w = p.w AND de.e = p.e
+  JOIN dpfull{r} dl ON dl.w = p.w AND dl.e = p.e - p.l
+  WHERE de.dp = dl.dp + p.p
+  GROUP BY p.w, p.e
+),
+bt{r} AS (
+  SELECT w, CAST(length(w) AS BIGINT) AS e,
+         CAST(NULL AS VARCHAR) AS piece
+  FROM shortw
+  UNION ALL
+  SELECT bt{r}.w, bt{r}.e - pk.lp,
+         substr(bt{r}.w, CAST(bt{r}.e - pk.lp + 1 AS INTEGER),
+                CAST(pk.lp AS INTEGER))
+  FROM bt{r} JOIN pick{r} pk ON pk.w = bt{r}.w AND pk.e = bt{r}.e
+  WHERE bt{r}.e > 0
+),
+usage{r} AS MATERIALIZED (
+  SELECT b.piece, CAST(sum(s.f) AS BIGINT) AS vit_cnt
+  FROM bt{r} b JOIN shortw s USING (w)
+  WHERE b.piece IS NOT NULL
+  GROUP BY b.piece
+)"""
+
+
+def _sql_uv_round_summary(r: int, min_cnt: int) -> str:
+    """SELECT block of round-``r``'s inventory-delta row for the EM
+    loop twin — vocab{sfx}/usage{sfx} are the inventory ENTERING the
+    round and the Viterbi usage it produced."""
+    sfx = "" if r == 1 else str(r)
+    return f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST(count(*) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN plen >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_pruned,
+       CAST(sum(vit_cnt) AS BIGINT) AS vit_total,
+       CAST(sum(CASE WHEN kept THEN q_new ELSE 0 END) AS BIGINT)
+         AS q_mass
+FROM (
+  SELECT length(v.piece) AS plen,
+         coalesce(u.vit_cnt, 0) AS vit_cnt,
+         CASE WHEN coalesce(u.vit_cnt, 0) > 0
+              THEN length(bin(coalesce(u.vit_cnt, 0)))
+              ELSE 0 END AS q_new,
+         (length(v.piece) = 1 OR coalesce(u.vit_cnt, 0) >= {min_cnt})
+           AS kept
+  FROM vocab{sfx} v LEFT JOIN usage{sfx} u USING (piece)
+)"""
+
+
+def sql_unigram_em_loop(
+    k: int = 256,
+    maxlen: int = 4,
+    max_word: int = 32,
+    min_cnt: int = 1,
+    rounds: int = 3,
+) -> str:
+    """Twin of tokenizer.unigram_em_loop — the full SentencePiece
+    trainer loop: ``rounds`` chained estimate-then-prune passes, each
+    a complete forward-DP + path-recovery CTE block (round 1 reuses
+    the shared _sql_uv_ctes/_sql_uv_path_ctes chain; rounds >= 2 come
+    from _sql_uv_round_ctes), emitting one inventory-delta row per
+    round."""
+    blocks = [
+        _sql_uv_ctes(k, maxlen, max_word),
+        _sql_uv_path_ctes(),
+    ]
+    for r in range(2, rounds + 1):
+        blocks.append(_sql_uv_round_ctes(r, maxlen, min_cnt))
+    union = "\nUNION ALL\n".join(
+        _sql_uv_round_summary(r, min_cnt) for r in range(1, rounds + 1)
+    )
+    joined = ",\n".join(blocks)
+    return f"""
+WITH RECURSIVE {joined}
+{union}"""
+
+
 def sql_unigram_em_scores(
     k: int = 256, maxlen: int = 4, max_word: int = 32, min_cnt: int = 1
 ) -> str:
