@@ -491,6 +491,31 @@ def _pages_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring_spans_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring span dedup in BPE TOKEN space (operators/
+    dedup.py exact_substring_spans_bpe): the repo's BPE learner is
+    trained on the near-dup corpus, the segmented-word vocab is
+    round-tripped through a parquet artifact (train once, ship,
+    dedup anywhere), every document becomes its BPE piece sequence
+    via one BROADCAST vocab join (plan-asserted), and the Lee-et-al
+    window/count/merge machinery runs over token positions — dedup
+    in the space the training loop actually repeats."""
+    import tempfile
+
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_spans_bpe,
+    )
+
+    return exact_substring_spans_bpe(
+        _doc_corpus_cpu(spark, sf_dir),
+        "text",
+        "doc_id",
+        export_path=tempfile.mkdtemp(prefix="bpe_artifact_"),
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet paragraph-level dedup (operators/dedup.py
     paragraph_dedup): documents are stitched into multi-paragraph
@@ -4670,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_filter_mix_shift": q_lm_filter_mix_shift,
         "unigram_em_scores": q_unigram_em_scores,
         "unigram_em_loop": q_unigram_em_loop,
+        "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
         # (a) NEVER driver-checked: new this round (suffix-window
         # exact-substring dedup batch/removal/streaming, stratified
         # budget sampling batch/streaming, DSIR importance)
@@ -5122,6 +5148,75 @@ sp AS (
 SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        CAST(min(pos) AS BIGINT) AS start_pos,
        CAST(max(pos) + {L - 1} AS BIGINT) AS end_pos,
+       CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, span_id"""
+
+
+def _sql_exact_substring_spans_bpe(
+    n_merges: int = 4, L: int = 8, min_occ: int = 2
+) -> str:
+    """Twin of dedup.exact_substring_spans_bpe: the BPE learner chain
+    (O._sql_bpe_cte trained on the near-dup corpus CTE), each doc's
+    alpha words replaced in order by their learned pieces (inner join
+    — OOV words drop out identically in both engines), then the token
+    twin's window/dup/span-merge over the flattened piece sequence.
+    The window key is the space-joined piece window (Spark groups on
+    xxhash64 of the same string — identical grouping, mechanism
+    declared divergent)."""
+    wst = O.sql_ws_trim("lower(COALESCE(text, ''))")
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(L))
+    return f"""
+WITH corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
+{O._sql_bpe_cte(n_merges, "char", "corpus")},
+dwpos AS (
+  SELECT doc_id, wpos, w FROM (
+    SELECT doc_id, i AS wpos, ws[i] AS w
+    FROM (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+      FROM (
+        SELECT doc_id, string_split_regex({wst}, '\\s+') AS ws
+        FROM corpus
+      )
+    )
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+),
+dtoks AS (
+  SELECT d.doc_id, flatten(list(s.toks ORDER BY d.wpos)) AS toks
+  FROM dwpos d JOIN vocab{n_merges} s USING (w)
+  GROUP BY d.doc_id
+),
+sized AS (SELECT doc_id, toks, len(toks) AS nt FROM dtoks),
+wins AS (
+  SELECT doc_id, i AS pos, {gram} AS wkey
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, nt - {L - 1})) AS i
+    FROM sized WHERE nt >= {L}
+  )
+),
+dup AS (
+  SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= {min_occ}
+),
+cov AS (SELECT doc_id, pos FROM wins JOIN dup USING (wkey)),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                > {L}
+              THEN 1 ELSE 0 END AS ns
+  FROM cov
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flg
+)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + {L - 1} AS BIGINT) AS end_tok,
        CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, span_id"""
@@ -7313,6 +7408,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_filter_mix_shift": _sql_lm_filter_mix_shift(),
         "unigram_em_scores": O.sql_unigram_em_scores(),
         "unigram_em_loop": O.sql_unigram_em_loop(),
+        "exact_substring_spans_bpe": _sql_exact_substring_spans_bpe(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),

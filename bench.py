@@ -232,6 +232,7 @@ HEADLINE = [
     "unigram_em_scores",
     # round-9 additions
     "unigram_em_loop",
+    "exact_substring_spans_bpe",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

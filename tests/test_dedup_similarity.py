@@ -910,6 +910,67 @@ def test_exact_substring_spans_within_doc_repeat_and_merge(spark):
     ]
 
 
+def test_exact_substring_spans_bpe_matches_python_reference(spark):
+    """Token-space spans must equal a full Python reference pipeline
+    built from the SAME learned vocab: per doc, replace each alpha
+    word in order by its pieces, slide length-L windows, mark windows
+    whose joined content recurs >= 2 times corpus-wide, merge into
+    maximal spans — exact row-set equality."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, common + " unique tail one two three"),
+        (2, "prefix words here " + common + " different ending tokens"),
+        (3, "totally unrelated text with no duplicated window at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L = DD.EXSPAN_L
+    got = sorted(
+        tuple(r) for r in DD.exact_substring_spans_bpe(df).collect()
+    )
+    # Python reference from the same learned segmentation
+    _, vocab = TK.bpe_learn(df, "text", 4, "char")
+    seg = {r["w"]: list(r["toks"]) for r in vocab.collect()}
+    streams = {
+        doc_id: [
+            p
+            for w in text.strip().lower().split()
+            if w.isascii() and w.isalpha()
+            for p in seg[w]
+        ]
+        for doc_id, text in rows
+    }
+    from collections import Counter
+
+    wins = {
+        doc_id: [
+            " ".join(toks[i : i + L]) for i in range(len(toks) - L + 1)
+        ]
+        for doc_id, toks in streams.items()
+    }
+    occ = Counter(w for ws in wins.values() for w in ws)
+    expected = []
+    for doc_id, ws in wins.items():
+        cov = [i + 1 for i, w in enumerate(ws) if occ[w] >= 2]
+        span_id, prev, start = 0, None, None
+        groups = []
+        for pos in cov:
+            if prev is None or pos - prev > L:
+                groups.append([pos, pos, 1])
+            else:
+                groups[-1][1] = pos
+                groups[-1][2] += 1
+            prev = pos
+        for sid, (s, e, nw) in enumerate(groups, 1):
+            expected.append(
+                (doc_id, sid, s, e + L - 1, e + L - 1 - s + 1, nw)
+            )
+    assert got == sorted(expected), (got, sorted(expected))
+    assert any(r[0] in (1, 2) for r in got)  # shared passage flagged
+
+
 def test_exact_substring_removal_hand_fixture(spark):
     """Removal drops exactly the covered positions and hashes the
     surviving text; docs with no duplicated window keep everything;

@@ -823,6 +823,25 @@ def test_exact_substring_spans_bytes_doc_windows_no_udf(spark):
         )
 
 
+def test_exact_substring_spans_bpe_broadcast_vocab(spark):
+    # dedup in BPE token space: the segmented-word vocab join must
+    # BROADCAST (vocabulary-sized, never corpus-sized), the dup test
+    # stays a hash-count aggregate (no pair join / cartesian), and
+    # span-merge windows stay doc-partitioned
+    import re
+
+    df = E.q_exact_substring_spans_bpe(spark, SF)
+    plan = A.physical_plan(df)
+    assert A.has_broadcast_join(df), "vocab join must broadcast"
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )
+
+
 def test_unigram_em_refine_no_udf_no_window(spark):
     # path recovery is joins + bounded folds over the distinct-word
     # table: no Python UDF, no cartesian (the 1-row Qc constant joins

@@ -1597,9 +1597,19 @@ def _window_hash_table(
     noise for a dedup filter — and md5-truncation would carry the
     same risk)."""
     words = F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
+    return _array_window_hash_table(
+        df.select(F.col(id_col).alias("doc_id"), words.alias("words")), L
+    )
+
+
+def _array_window_hash_table(base: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos, h) window-hash rows from a prepared
+    (doc_id, words: array<string>) table — the shared core of
+    _window_hash_table, also fed by the BPE token-space variant
+    (exact_substring_spans_bpe). See _window_hash_table for the
+    construction and hash-choice disciplines."""
     base = (
-        df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
-        .withColumn("nw", F.size("words"))
+        base.withColumn("nw", F.size("words"))
         .filter(F.col("nw") >= L)
         .withColumn("m", F.col("nw") - (L - 1))
     )
@@ -1893,6 +1903,90 @@ def exact_substring_spans_bytes(
         F.col("start_pos").alias("start_byte"),
         F.col("end_pos").alias("end_byte"),
         F.col("span_tokens").alias("span_bytes"),
+        "n_windows",
+    )
+
+
+def bpe_token_stream(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, words): each document's BPE TOKEN sequence — the
+    alpha words in document order, each replaced by its pieces from
+    the segmented-word vocab table (tokenizer.bpe_learn's
+    final_vocab, possibly re-read from the exported parquet
+    artifact). The vocab is explicitly broadcast: it is bounded by
+    the distinct-word vocabulary, never the corpus. Words outside
+    the vocab (none when the vocab was trained on this corpus) drop
+    out of the stream, positions compacting — mirrored in the twin."""
+    dw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("wpos", "w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        dw.join(F.broadcast(vocab.select("w", "toks")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("words")
+        )
+    )
+
+
+def exact_substring_spans_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Exact-substring span dedup in BPE TOKEN space — what an LLM
+    pipeline actually ships: Lee-et-al windows over the LEARNED
+    tokenizer's token ids instead of whitespace words, so duplicated
+    training SEQUENCES (the thing repeated at training time) are what
+    gets flagged, and span offsets are directly usable against the
+    tokenized corpus. The tokenizer is the repo's BPE learner
+    (tokenizer.bpe_learn, n_merges rules over the same corpus); with
+    ``export_path`` the segmented-word vocab is round-tripped through
+    parquet first (train once, ship the artifact, dedup anywhere —
+    the deployment shape of tokenizer.export_bpe).
+
+    Returns (doc_id, span_id, start_tok, end_tok, span_tokens,
+    n_windows), positions 1-based in the document's BPE token
+    sequence.
+
+    Scale shape: the vocab join is an explicit BROADCAST
+    (vocabulary-sized, plan-asserted); windows/merge reuse the token
+    family's machinery — one xxhash64-keyed count aggregate (no pair
+    join), doc-partitioned interval merge. Connects the tokenizer and
+    dedup families end to end."""
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(docs, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = docs.sparkSession.read.parquet(vocab_path)
+    toks = bpe_token_stream(docs, vocab, text_col, id_col)
+    spans = _spans_from_cov(
+        _cov_from_window_table(_array_window_hash_table(toks, L), min_occ),
+        L,
+    )
+    return spans.select(
+        "doc_id",
+        "span_id",
+        F.col("start_pos").alias("start_tok"),
+        F.col("end_pos").alias("end_tok"),
+        "span_tokens",
         "n_windows",
     )
 

@@ -2308,28 +2308,34 @@ FROM dw JOIN seg USING (w)
 GROUP BY doc_id"""
 
 
-def _sql_bpe_words(alphabet: str) -> str:
+def _sql_bpe_words(alphabet: str, src: str = "documents") -> str:
     """Word extraction under the alphabet's rules (twin of
     tokenizer._doc_words): char = lowercased ASCII-alpha gate;
-    bytes = raw whitespace tokens, no case folding."""
+    bytes = raw whitespace tokens, no case folding. ``src`` picks the
+    corpus table/CTE (default the raw documents table; the BPE
+    token-space dedup twin trains on its near-dup corpus CTE)."""
     if alphabet == "char":
-        return """
+        tmpl = """
     SELECT {ids} unnest(string_split_regex(
       regexp_replace(regexp_replace(lower(COALESCE(text, '')),
                                     '^\\s+', ''), '\\s+$', ''),
       '\\s+')) AS w
     FROM documents
   ) WHERE regexp_matches(w, '^[a-z]+$')"""
-    return """
+    else:
+        tmpl = """
     SELECT {ids} unnest(string_split_regex(
       regexp_replace(regexp_replace(COALESCE(text, ''),
                                     '^\\s+', ''), '\\s+$', ''),
       '\\s+')) AS w
     FROM documents
   ) WHERE w <> ''"""
+    return tmpl.replace("FROM documents", f"FROM {src}")
 
 
-def _sql_bpe_cte(n_merges: int = 4, alphabet: str = "char") -> str:
+def _sql_bpe_cte(
+    n_merges: int = 4, alphabet: str = "char", src: str = "documents"
+) -> str:
     """Shared CTE chain for the BPE twins: wf -> vocab0 ->
     (pc{k}, best{k}, ... vocab{k+1}) x n_merges. ``bytes`` segments
     words into uppercase hex pairs of the UTF-8 bytes (hex(encode(w))
@@ -2339,7 +2345,7 @@ def _sql_bpe_cte(n_merges: int = 4, alphabet: str = "char") -> str:
         if alphabet == "char"
         else "regexp_extract_all(hex(encode(w)), '..')"
     )
-    words = _sql_bpe_words(alphabet).format(ids="")
+    words = _sql_bpe_words(alphabet, src).format(ids="")
     parts = [
         f"""wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM ({words}
