@@ -640,6 +640,32 @@ def q_lm_filter_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_cut_mix_shift(lab, "mbits_per_bigram", "source")
 
 
+def q_quality_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end quality-cut-then-rebalance-then-sample step
+    (operators/corpus_quality.py quality_quota_sample) — what a
+    CCNet/DCLM pipeline runs AFTER reading lm_filter_roc and
+    lm_filter_mix_shift: even docs scored under the odd-doc bigram
+    model, the tightest millibit threshold keeping >= half the scored
+    corpus derived from the bounded bin table, a 24-doc budget
+    re-allocated across sources by largest remainder over the
+    POST-CUT counts, and each source's quota drawn by deterministic
+    md5 bottom-k. Chains score -> cut -> allocation -> draw,
+    integer-exact."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        bigram_lm_scores, quality_quota_sample,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+    lab = scored.join(d.select("doc_id", "source"), "doc_id")
+    return quality_quota_sample(
+        lab, "mbits_per_bigram", "source", "doc_id"
+    )
+
+
 def q_unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM hard-EM (Viterbi-EM) refinement pass
     (operators/tokenizer.py unigram_em_refine — SentencePiece's
@@ -4696,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_em_scores": q_unigram_em_scores,
         "unigram_em_loop": q_unigram_em_loop,
         "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
+        "quality_quota_sample": q_quality_quota_sample,
         # (a) NEVER driver-checked: new this round (suffix-window
         # exact-substring dedup batch/removal/streaming, stratified
         # budget sampling batch/streaming, DSIR importance)
@@ -5389,6 +5416,73 @@ swp AS (
 )
 SELECT g AS source, thr_score, n_docs, n_kept, {kf} AS keep_frac
 FROM swp"""
+
+
+def _sql_quality_quota_sample(
+    budget: int = 24, step: int = 8, n_bins: int = 1024
+) -> str:
+    """Twin of the quality_quota_sample entry: the batch bigram-LM
+    scores join back for the source, the data-derived threshold is
+    min((bin+1)*step) with 2*cum >= total over the clamped bin table,
+    survivors re-count per source, the largest-remainder allocation
+    mirrors _sql_stratified_budget_sample's idiom exactly (rem DESC,
+    g tie order), and the draw is the shared md5 (h, unit) rank."""
+    sws = (
+        f"SELECT doc_id, {_sql_blm_ws()} AS ws FROM documents "
+        f"WHERE doc_id % 2 = 0"
+    )
+    return f"""
+WITH {_sql_bigram_lm_core(sws)},
+lab AS (
+  SELECT s.doc_id, s.mbits_per_bigram AS sc, d.source AS g
+  FROM scores s JOIN documents d USING (doc_id)
+),
+binned AS (
+  SELECT CAST(least({n_bins - 1}, sc // {step}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lab GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM binned),
+thr AS (
+  SELECT CAST(min((bin + 1) * {step}) AS BIGINT) AS thr_score
+  FROM (
+    SELECT bin,
+           sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+    FROM binned
+  ) c CROSS JOIN tot
+  WHERE 2 * c.cum >= t
+),
+staged AS (
+  SELECT l.g, l.doc_id AS unit,
+         md5(CAST(l.doc_id AS VARCHAR)) AS h, t.thr_score
+  FROM lab l CROSS JOIN thr t
+  WHERE l.sc < t.thr_score AND l.doc_id IS NOT NULL
+),
+counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS w FROM staged GROUP BY g
+),
+wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM counts),
+basealloc AS (
+  SELECT g, ({budget} * w) // wtot AS base,
+         ({budget} * w) % wtot AS rem
+  FROM counts CROSS JOIN wtot
+),
+sb AS (SELECT CAST(sum(base) AS BIGINT) AS sbase FROM basealloc),
+alloc AS (
+  SELECT g,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+                       <= {budget} - sbase
+                     THEN 1 ELSE 0 END AS k_g
+  FROM basealloc CROSS JOIN sb
+),
+ranked AS (
+  SELECT g, unit, h, thr_score,
+         row_number() OVER (PARTITION BY g ORDER BY h, unit) AS rn
+  FROM staged
+)
+SELECT r.g, CAST(r.unit AS BIGINT) AS unit, r.thr_score,
+       CAST(a.k_g AS BIGINT) AS k_g
+FROM ranked r JOIN alloc a USING (g) WHERE r.rn <= a.k_g"""
 
 
 def _sql_lm_filter_roc(step: int = 8, n_bins: int = 1024) -> str:
@@ -7409,6 +7503,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_em_scores": O.sql_unigram_em_scores(),
         "unigram_em_loop": O.sql_unigram_em_loop(),
         "exact_substring_spans_bpe": _sql_exact_substring_spans_bpe(),
+        "quality_quota_sample": _sql_quality_quota_sample(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),

@@ -233,6 +233,7 @@ HEADLINE = [
     # round-9 additions
     "unigram_em_loop",
     "exact_substring_spans_bpe",
+    "quality_quota_sample",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -488,3 +488,58 @@ def test_quality_cut_mix_shift_hand_fixture(spark):
     assert got[("A", 24)] == (3, 3, 1.0)
     assert got[("B", 32)] == (2, 2, 1.0)
     assert set(got) == {("A", 8), ("A", 16), ("A", 24), ("B", 32)}
+
+
+def test_quality_quota_sample_hand_fixture(spark):
+    """Threshold, allocation, and draw by hand: 10 docs, scores
+    0..9 in group A (6 docs) and B (4 docs). Bins of 8 -> bin 0 holds
+    scores 0..7 (8 docs), cum 8 >= 10/2 -> thr = 8. Survivors:
+    scores < 8 = docs 0..7 (A: 0-5 = 6 docs, B: 6,7 = 2 docs).
+    Budget 4 -> largest remainder over (6, 2): base (3, 1), floors
+    sum to budget -> k = (3, 1); the drawn units are each group's
+    md5-bottom-k of its survivors."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        quality_quota_sample,
+    )
+
+    rows = [(i, i, "A" if i < 6 else "B") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, src string")
+    out = quality_quota_sample(df, "s", "src", "doc_id", budget=4).collect()
+    assert all(r["thr_score"] == 8 for r in out)
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["unit"])
+    assert {g: r[0]["k_g"] for g, r in {
+        g: [x for x in out if x["g"] == g] for g in by_g
+    }.items()} == {"A": 3, "B": 1}
+    assert len(by_g["A"]) == 3 and len(by_g["B"]) == 1
+
+    def md5(u):
+        return hashlib.md5(str(u).encode()).hexdigest()
+
+    surv = {"A": [0, 1, 2, 3, 4, 5], "B": [6, 7]}
+    for g, k in (("A", 3), ("B", 1)):
+        want = sorted(surv[g], key=lambda u: (md5(u), u))[:k]
+        assert sorted(by_g[g]) == sorted(want), (g, by_g[g], want)
+
+
+def test_quality_quota_sample_total_budget_and_post_cut_mix(spark):
+    """The sample is exactly min(budget, survivors) rows total, quotas
+    follow the POST-cut mixture (a group whose docs all score above
+    the cut gets quota 0), and no sampled unit scores above the cut."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        quality_quota_sample,
+    )
+
+    rows = (
+        [(i, 1, "good") for i in range(8)]
+        + [(100 + i, 9000, "junk") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, s long, src string")
+    out = quality_quota_sample(df, "s", "src", "doc_id", budget=6).collect()
+    assert len(out) == 6
+    assert {r["g"] for r in out} == {"good"}
+    assert all(r["k_g"] == 6 for r in out)
+    assert all(r["unit"] < 100 for r in out)

@@ -884,3 +884,93 @@ def quality_cut_mix_shift(
             6,
         ).alias("keep_frac"),
     )
+
+
+def quality_quota_sample(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    unit_col: str,
+    budget: int = 24,
+    step: int = ROC_STEP,
+    n_bins: int = ROC_BINS,
+) -> DataFrame:
+    """The end-to-end "pick a cut, rebalance, sample" step a
+    CCNet/DCLM-style pipeline runs after reading the ROC and
+    mixture-shift tables: derive ONE global quality threshold from
+    the data (the tightest cut keeping at least half the scored
+    corpus — min thr_score with 2 * cumulative-kept >= total, over
+    the same clamped step/n_bins binning as score_roc_table), keep
+    the documents below it, re-derive the per-group mixture from the
+    SURVIVORS (the cut silently reweights sources — that is the
+    point of quality_cut_mix_shift), allocate a total sample budget
+    across groups by largest remainder over the post-cut counts, and
+    draw each group's quota with the deterministic bottom-k
+    (md5-rank) primitive. Returns one row per sampled unit:
+    (g, unit, thr_score, k_g) — the threshold and the group's quota
+    carried for audit.
+
+    Integer-exact in both engines (non-negative scores, truncating
+    div == flooring //). Scale shape: one bin-count aggregate +
+    cumulative sum over <= n_bins rows (bounded window), the 1-row
+    threshold broadcast into the survivor filter, a strata-sized
+    allocation table broadcast into the rank cut, and ONE group-keyed
+    window with a constant rank bound (WindowGroupLimit) — the exact
+    composition of score_roc_table's binning with
+    stratified_budget_sample's draw, no new shuffle classes.
+
+    Degenerate-clamp caveat (shared with score_roc_table): the
+    threshold derivation counts CLAMPED bins, so if the chosen bin is
+    the final one, docs clamped into it sit above the raw-score
+    filter — both engines share the behavior; with the default
+    1024 x 8 range the chosen cut sits in the occupied interior."""
+    from .sampling import stratified_budget_alloc
+
+    binned = (
+        df.select(
+            F.least(F.lit(n_bins - 1), F.expr(f"{score_col} div {step}"))
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = binned.agg(F.sum("n").cast("long").alias("t"))
+    cum_w = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )  # <= n_bins rows — the adjudicated bounded-window class
+    thr = (
+        binned.withColumn("cum", F.sum("n").over(cum_w))
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("t"))
+        .agg(
+            F.min((F.col("bin") + 1) * step).cast("long").alias("thr_score")
+        )
+    )
+    staged = (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(score_col) < F.col("thr_score"))
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(unit_col).alias("unit"),
+            F.md5(F.col(unit_col).cast("string")).alias("h"),
+            "thr_score",
+        )
+        .filter(F.col("unit").isNotNull())
+    )
+    counts = staged.groupBy("g").agg(F.count("*").cast("long").alias("w"))
+    alloc = stratified_budget_alloc(counts, budget)
+    w = Window.partitionBy("g").orderBy("h", "unit")
+    ranked = staged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= budget  # constant bound -> WindowGroupLimit
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "g")
+        .filter(F.col("_rn") <= F.col("k_g"))
+        .select(
+            "g",
+            "unit",
+            "thr_score",
+            F.col("k_g").cast("long").alias("k_g"),
+        )
+    )
