@@ -324,14 +324,36 @@ def _reset_caches(spark) -> None:
     _jvm_gc(spark)
 
 
-def run_suite(spark, qs) -> tuple[dict[str, float], list[dict[str, float]]]:
-    """One cold pass + STEADY_PASSES steady passes. Returns (per-query
-    median of steady passes, all per-pass dicts [cold first])."""
+def _recycle_session(spark):
+    """Mid-suite session recycle (VERDICT r8 directive #3): with 180+
+    benched entries the in-suite variance band (steady-pass totals
+    spanned 290-318 s in r8) exceeded most real round-over-round
+    deltas — heap/JIT context accumulated over a whole pass taxes the
+    tail entries. Stopping the SparkContext drops every executor
+    block, cache, and shuffle file; the fresh context starts the
+    second half of each pass from a clean heap (the JVM — and its JIT
+    code cache — persists, so no recompile storm). Runs OUTSIDE any
+    timed region."""
+    _reset_caches(spark)
+    spark.stop()
+    E._STAGED_CACHE.clear()  # stale handles from the stopped session
+    return get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+
+
+def run_suite(spark, qs):
+    """One cold pass + STEADY_PASSES steady passes, with one session
+    recycle at the midpoint of every pass. Returns (per-query median
+    of steady passes, all per-pass dicts [cold first], live session)."""
     passes: list[dict[str, float]] = []
+    mid = len(HEADLINE) // 2
     for _ in range(1 + STEADY_PASSES):
         _reset_caches(spark)
         t: dict[str, float] = {}
-        for name in HEADLINE:
+        for i, name in enumerate(HEADLINE):
+            if i == mid:
+                spark = _recycle_session(spark)
             _jvm_gc(spark)
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode(
@@ -344,7 +366,7 @@ def run_suite(spark, qs) -> tuple[dict[str, float], list[dict[str, float]]]:
         name: round(statistics.median(p[name] for p in steady), 3)
         for name in HEADLINE
     }
-    return med, passes
+    return med, passes, spark
 
 
 def calibration(spark) -> dict[str, float]:
@@ -501,6 +523,14 @@ def longdoc_probe(spark) -> dict[str, float | int]:
         "exact_substring_removal_bytes": lambda: (
             DD.exact_substring_removal_bytes(docs)
         ),
+        # round-9 additions: the R-round EM trainer (3x em_refine's
+        # distinct-word DP work) and token-space dedup (BPE learn +
+        # broadcast vocab join + piece-window hashing) must both stay
+        # linear in document length
+        "unigram_em_loop": lambda: TK.unigram_em_loop(docs),
+        "exact_substring_spans_bpe": lambda: (
+            DD.exact_substring_spans_bpe(docs)
+        ),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),
@@ -640,7 +670,7 @@ def main() -> None:
     # suite hasn't polluted yet (that's the point of the section)
     isolated = isolated_reprobe(spark, qs)
 
-    med, passes = run_suite(spark, qs)
+    med, passes, spark = run_suite(spark, qs)
     total = round(sum(med.values()), 3)
     rps = pipeline_rps(spark)
     calib = calibration(spark)

@@ -158,6 +158,15 @@ PROBES = [
     ("paragraph_dedup", "paragraph_dedup", REP_DOCS),
     ("exact_substring_removal_bytes", "exact_substring_removal_bytes",
      REP_DOCS),
+    # round-9: the EM loop's DP runs over DISTINCT words (constant
+    # under exact-copy replication — strongly sub-linear expected,
+    # like em_refine); BPE-space spans share removal's probe safety
+    # (per-window COUNT, vocab table constant); the quota sampler's
+    # bin/alloc tables are constant-bounded, only the score join and
+    # the group-limited rank grow 10x
+    ("unigram_em_loop", "unigram_em_loop", REP_DOCS),
+    ("exact_substring_spans_bpe", "exact_substring_spans_bpe", REP_DOCS),
+    ("quality_quota_sample", "quality_quota_sample", REP_DOCS),
 ]
 
 
