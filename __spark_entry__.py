@@ -4661,47 +4661,101 @@ FROM ne CROSS JOIN nd CROSS JOIN tp"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Round-8 window (priority order, per VERDICT r7 directive #1 and
+    Round-9 window (priority order, per VERDICT r8 directive #1 and
     the standing cycle plan):
-    (a) the 8 entries NEW this round (suffix-window exact-substring
-    span dedup, span-level removal, and its streaming maintenance;
-    stratified sampling under a total budget, batch + streaming;
-    DSIR hashed n-gram importance weighting + its top-k selection;
-    unigram-LM Viterbi tokenization scores) — never driver-checked;
-    (b) the 4 entries whose PLANS changed this round with identical
-    results (BM25 batch + maintenance gained the BM25_DL_CAP int64
-    clamp; the bottom-k pair gained the NULL-unit exclusion — both
-    ADVICE r7 closures, re-proven by the local oracle gate);
-    (c) the 8 oldest-stamped entries (driver-checked r3:
-    sessionize_stream .. text_features — the judge independently
-    re-verified all 8 green in the r7 session);
-    (d) the 8 round-7 plan rewrites with identical results
-    (winnowing / winnow_fingerprint / repetition_profile /
-    quality_classifier char-array + HOF fixes, text_analysis,
-    gopher_quality, the empty-payload manifest gate, the all-NULL
-    profile row) — VERDICT r7: rewritten plans deserve a stamp;
-    (e) the oldest r4-checked entries (distinct_daily_users ..).
-    Entries added AFTER the round-8 rotation (byte-level
-    exact-substring spans, unigram-LM hard-EM refinement, CCNet
-    bigram-LM cross-entropy batch + streaming maintenance, CCNet
-    paragraph-level dedup batch + streaming, byte-level span removal,
-    weighted + personalized PageRank maintenance, the LM-filter ROC
-    calibration sweep, SimHash streaming maintenance, per-source
-    mixture-shift curves, EM round-2 re-scoring) head the window as
-    (a0), displacing the tail of (e) —
-    13 + 8 + 4 + 8 + 8 + 9 = 50.
+    (a) the 3 entries NEW this round, never driver-checked: the
+    multi-round unigram-EM trainer loop; exact-substring span dedup
+    in BPE token space; the quality-cut -> rebalance -> sample
+    composition;
+    (b) the 7 entries whose plans/mechanics changed this round with
+    identical results: the exact-substring family's window hashing
+    (numpy rolling hash over raw bytes via mapInPandas; xxhash64
+    over token windows — the twins group on window CONTENT, so the
+    engine-side hash is a declared mechanism divergence) and the
+    delta-only stream-state rewrites of the paragraph-dedup and
+    SimHash maintenance forms (ADVICE r8 closures);
+    (c) the displaced r4-stamped block, oldest stamps first — its 12
+    leading entries (bfs_levels .. constraint_audit) were each
+    independently re-verified green by the r8 judge;
+    (d) the oldest r5/r6-stamped entries, filling the window.
+    3 + 7 + 20 + 20 = 50.
 
-    CYCLE PLAN (207 entries, 50-entry window): past position 50 the
-    order is round 9's queue — the remaining r4 block, then r5 / r6
-    blocks, with the 45 entries the driver checked in round 7
-    (freshest stamps) last. Every entry is re-proven every round by
-    the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 207) and by pytest units added with each change.
+    CYCLE PLAN (223 entries, 50-entry window): past position 50 the
+    order is round 10's queue — the remaining r5/r6 blocks, then the
+    r7/r8-stamped entries (freshest stamps) last, in prior relative
+    order. Every entry is re-proven every round by the local full
+    gate (scripts/check_oracle.py + check_vanilla.py over all 223)
+    and by pytest units added with each change.
     """
     return {
-        # (a0) NEVER driver-checked: newest additions (byte-level
-        # exact-substring spans; unigram-LM hard-EM refinement)
+        # (a) NEW round 9, never driver-checked: the multi-round unigram-EM
+        # trainer loop; exact-substring spans in BPE token space; the
+        # quality-cut -> rebalance -> sample composition
+        "unigram_em_loop": q_unigram_em_loop,
+        "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
+        "quality_quota_sample": q_quality_quota_sample,
+        # (b) PLANS/mechanics changed round 9 with identical results: the
+        # exact-substring family's window hash (numpy rolling hash over
+        # bytes; xxhash64 over token windows) and the delta-only stream-
+        # state rewrites (ADVICE r8)
         "exact_substring_spans_bytes": q_exact_substring_spans_bytes,
+        "exact_substring_removal_bytes": q_exact_substring_removal_bytes,
+        "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_removal": q_exact_substring_removal,
+        "exact_substring_maintenance_stream": (
+            q_exact_substring_maintenance_stream
+        ),
+        "paragraph_dedup_maintenance_stream": (
+            q_paragraph_dedup_maintenance_stream
+        ),
+        "simhash_maintenance_stream": q_simhash_maintenance_stream,
+        # (c) the displaced r4-stamped block, oldest stamps first (the 12
+        # entries the r8 judge independently re-verified green lead it)
+        "bfs_levels": q_bfs_levels,
+        "salted_skew_join": q_salted_skew_join,
+        "dedup_watermark_stream": q_dedup_watermark_stream,
+        "cms_topk_stream": q_cms_topk_stream,
+        "ann_sharded_topk": q_ann_sharded_topk,
+        "sql_surface_q16": q_sql_surface_q16,
+        "sql_surface_q18": q_sql_surface_q18,
+        "session_window_stream": q_session_window_stream,
+        "bigram_lift": q_bigram_lift,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "sql_surface_groupingsets": q_sql_surface_groupingsets,
+        "sql_surface_lateral": q_sql_surface_lateral,
+        "table_fingerprints": q_table_fingerprints,
+        "schema_evolution_read": q_schema_evolution_read,
+        "bucketed_join": q_bucketed_join,
+        "partition_overwrite_backfill": q_partition_overwrite_backfill,
+        "constraint_audit": q_constraint_audit,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        "fingerprint_incremental": q_fingerprint_incremental,
+        "dedup_clusters": q_dedup_clusters,
+        # (d) the r5/r6 blocks, oldest-first, filling the window
+        "session_window_multibatch_stream": q_session_window_multibatch_stream,
+        "dedup_watermark_multibatch_stream": (
+            q_dedup_watermark_multibatch_stream
+        ),
+        "trending_update_stream": q_trending_update_stream,
+        "media_dims_audit": q_media_dims_audit,
+        "user_value_ewma_segmented": q_user_value_ewma_segmented,
+        "sql_surface_q3": q_sql_surface_q3,
+        "sql_surface_q5": q_sql_surface_q5,
+        "sql_surface_q10": q_sql_surface_q10,
+        "sql_surface_q14": q_sql_surface_q14,
+        "sql_surface_q19": q_sql_surface_q19,
+        "sql_surface_q22": q_sql_surface_q22,
+        "sql_surface_q7": q_sql_surface_q7,
+        "sql_surface_q17": q_sql_surface_q17,
+        "sql_surface_q8": q_sql_surface_q8,
+        "sql_surface_q12": q_sql_surface_q12,
+        "sql_surface_q1": q_sql_surface_q1,
+        "sql_surface_q6": q_sql_surface_q6,
+        "sql_surface_q9": q_sql_surface_q9,
+        "sql_surface_q11": q_sql_surface_q11,
+        "sql_surface_q15": q_sql_surface_q15,
+        # past the 50-entry window: remaining entries, prior relative order
+        # (freshest stamps last)
         "unigram_em_refine": q_unigram_em_refine,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bigram_lm_maintenance_stream": q_bigram_lm_maintenance_stream,
@@ -4712,38 +4766,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank_maintenance_stream": (
             q_personalized_pagerank_maintenance_stream
         ),
-        "exact_substring_removal_bytes": q_exact_substring_removal_bytes,
-        "paragraph_dedup_maintenance_stream": (
-            q_paragraph_dedup_maintenance_stream
-        ),
         "lm_filter_roc": q_lm_filter_roc,
-        "simhash_maintenance_stream": q_simhash_maintenance_stream,
         "lm_filter_mix_shift": q_lm_filter_mix_shift,
         "unigram_em_scores": q_unigram_em_scores,
-        "unigram_em_loop": q_unigram_em_loop,
-        "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
-        "quality_quota_sample": q_quality_quota_sample,
-        # (a) NEVER driver-checked: new this round (suffix-window
-        # exact-substring dedup batch/removal/streaming, stratified
-        # budget sampling batch/streaming, DSIR importance)
-        "exact_substring_spans": q_exact_substring_spans,
-        "exact_substring_removal": q_exact_substring_removal,
         "stratified_budget_sample": q_stratified_budget_sample,
         "stratified_budget_sample_stream": q_stratified_budget_sample_stream,
-        "exact_substring_maintenance_stream": (
-            q_exact_substring_maintenance_stream
-        ),
         "dsir_importance": q_dsir_importance,
         "unigram_lm_scores": q_unigram_lm_scores,
         "dsir_topk": q_dsir_topk,
-        # (b) plans changed this round, results identical (BM25
-        # dl/tf int64 clamp; bottom-k NULL-unit exclusion)
         "bm25_topk": q_bm25_topk,
         "bm25_maintenance_stream": q_bm25_maintenance_stream,
         "bottomk_sample": q_bottomk_sample,
         "bottomk_sample_stream": q_bottomk_sample_stream,
-        # (c) the 8 oldest-stamped entries (driver-checked r3; green
-        # in every local full gate since)
         "sessionize_stream": q_sessionize_stream,
         "dedup_stream": q_dedup_stream,
         "dedup_reviews": q_dedup_reviews,
@@ -4752,9 +4786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_capped_sample": q_class_capped_sample,
         "purchase_prior_click": q_purchase_prior_click,
         "text_features": q_text_features,
-        # (d) round-7 plan rewrites with identical results (char-array
-        # HOF fixes, empty-payload gate, all-NULL profile row) - the
-        # VERDICT r7 directive: rewritten plans deserve a driver stamp
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnow_neardup": q_winnow_neardup,
         "text_analysis": q_text_analysis,
@@ -4763,7 +4794,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "payload_chunk_manifest": q_payload_chunk_manifest,
         "table_stats_profile": q_table_stats_profile,
-        # (e) r4 block, then r5, then r6 (freshest last)
         "distinct_daily_users": q_distinct_daily_users,
         "event_type_pivot": q_event_type_pivot,
         "value_percentiles": q_value_percentiles,
@@ -4788,48 +4818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q13": q_sql_surface_q13,
         "sql_surface_q2": q_sql_surface_q2,
         "sql_surface_q21": q_sql_surface_q21,
-        "bfs_levels": q_bfs_levels,
-        "salted_skew_join": q_salted_skew_join,
-        "dedup_watermark_stream": q_dedup_watermark_stream,
-        "cms_topk_stream": q_cms_topk_stream,
-        "ann_sharded_topk": q_ann_sharded_topk,
-        "sql_surface_q16": q_sql_surface_q16,
-        "sql_surface_q18": q_sql_surface_q18,
-        "session_window_stream": q_session_window_stream,
-        "bigram_lift": q_bigram_lift,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "sql_surface_groupingsets": q_sql_surface_groupingsets,
-        "sql_surface_lateral": q_sql_surface_lateral,
-        "table_fingerprints": q_table_fingerprints,
-        "schema_evolution_read": q_schema_evolution_read,
-        "bucketed_join": q_bucketed_join,
-        "partition_overwrite_backfill": q_partition_overwrite_backfill,
-        "constraint_audit": q_constraint_audit,
-        "bloom_pruned_join": q_bloom_pruned_join,
-        "fingerprint_incremental": q_fingerprint_incremental,
-        "dedup_clusters": q_dedup_clusters,
-        "session_window_multibatch_stream": q_session_window_multibatch_stream,
-        "dedup_watermark_multibatch_stream": (
-            q_dedup_watermark_multibatch_stream
-        ),
-        "trending_update_stream": q_trending_update_stream,
-        "media_dims_audit": q_media_dims_audit,
-        "user_value_ewma_segmented": q_user_value_ewma_segmented,
-        "sql_surface_q3": q_sql_surface_q3,
-        "sql_surface_q5": q_sql_surface_q5,
-        "sql_surface_q10": q_sql_surface_q10,
-        "sql_surface_q14": q_sql_surface_q14,
-        "sql_surface_q19": q_sql_surface_q19,
-        "sql_surface_q22": q_sql_surface_q22,
-        "sql_surface_q7": q_sql_surface_q7,
-        "sql_surface_q17": q_sql_surface_q17,
-        "sql_surface_q8": q_sql_surface_q8,
-        "sql_surface_q12": q_sql_surface_q12,
-        "sql_surface_q1": q_sql_surface_q1,
-        "sql_surface_q6": q_sql_surface_q6,
-        "sql_surface_q9": q_sql_surface_q9,
-        "sql_surface_q11": q_sql_surface_q11,
-        "sql_surface_q15": q_sql_surface_q15,
         "sql_surface_q20": q_sql_surface_q20,
         "kcore_maintenance_stream": q_kcore_maintenance_stream,
         "boilerplate_lines": q_boilerplate_lines,
@@ -4904,7 +4892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "supplier_running_revenue": q_supplier_running_revenue,
         "rollup_revenue": q_rollup_revenue,
-        # (f) driver-checked round 7 (freshest stamps)
         "wordpiece_doc_scores": q_wordpiece_doc_scores,
         "table_stats_deep": q_table_stats_deep,
         "dedup_eval_minhash": q_dedup_eval_minhash,
