@@ -65,6 +65,20 @@ def _now() -> F.Column:
     return F.to_timestamp(F.lit(NOW_LITERAL))
 
 
+_BPE_ARTIFACT_DIR: list[str] = []
+
+
+def _bpe_artifact_dir() -> str:
+    """One per-process BPE artifact directory, reused across
+    invocations (export_bpe writes mode=overwrite), so bench passes
+    and probes don't accumulate tempdirs (ADVICE r9)."""
+    if not _BPE_ARTIFACT_DIR:
+        import tempfile
+
+        _BPE_ARTIFACT_DIR.append(tempfile.mkdtemp(prefix="bpe_artifact_"))
+    return _BPE_ARTIFACT_DIR[0]
+
+
 _STAGED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -502,8 +516,6 @@ def q_exact_substring_spans_bpe(
     via one BROADCAST vocab join (plan-asserted), and the Lee-et-al
     window/count/merge machinery runs over token positions — dedup
     in the space the training loop actually repeats."""
-    import tempfile
-
     from yelp_streaming_etl_pipeline_spark.operators.dedup import (
         exact_substring_spans_bpe,
     )
@@ -512,7 +524,7 @@ def q_exact_substring_spans_bpe(
         _doc_corpus_cpu(spark, sf_dir),
         "text",
         "doc_id",
-        export_path=tempfile.mkdtemp(prefix="bpe_artifact_"),
+        export_path=_bpe_artifact_dir(),
     )
 
 
@@ -5542,9 +5554,12 @@ def _sql_exspan_bytes_cov_ctes(L: int = 32, min_occ: int = 2) -> str:
     image of the L raw UTF-8 bytes at each 1-based byte offset
     (substr over the ASCII hex string at 2i-1, length 2L — the same
     byte<->hex-pair map the BPE byte twins pin), duplicated iff
-    >= min_occ occurrences. Spark keys on md5 of the raw byte window
-    instead of its hex image — an internal mechanism divergence with
-    identical grouping."""
+    >= min_occ occurrences. Spark keys on a numpy Horner polynomial
+    rolling hash of the raw byte window (mapInPandas, wraparound mod
+    2^64 — dedup._byte_window_hash_table) instead of its hex image —
+    an internal mechanism divergence with identical grouping up to
+    the declared ~n^2/2^65 hash-collision odds (a false duplicate
+    marking at ~1e-9 rate, noise for a dedup filter)."""
     return f"""corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
 b AS (
   SELECT doc_id, hex(encode(text)) AS hx,

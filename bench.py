@@ -18,6 +18,14 @@ between passes every cache — including caches leaked by query-internal
 .persist() calls — is dropped and the shared gauntlet intermediate is
 reset, so each pass recomputes it exactly once (the reference's
 compute-once-route-many topology, faust_app.py:131-170).
+
+Signal separation (round-10, VERDICT r9 #1): three effects are
+disentangled WITHIN one artifact — (host) the two heavy calibration
+probes run interleaved at start/mid/end of every pass
+("inline_calibration"); (suite-context) the isolated reprobe set runs
+both BEFORE the suite in a fresh session ("isolated_reprobe") and
+AFTER it in the polluted one ("isolated_reprobe_after"); (code)
+iso-before compared against the previous round's iso-before.
 """
 
 from __future__ import annotations
@@ -362,32 +370,79 @@ def _recycle_session(spark, qs):
     return fresh
 
 
+def _heavy_probes(spark) -> dict[str, float]:
+    """One run each of the two HEAVY calibration probes (same bodies
+    as calibration(), single iteration): cheap enough (~4 s) to
+    interleave at suite start/midpoint/end so host-speed drift DURING
+    the suite is visible inside one artifact (VERDICT r9 #1 — the r9
+    run showed +27% in-suite totals with flat end-of-run calibration,
+    and the instrument could not say whether the host was slower
+    while the suite ran)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    t0 = time.perf_counter()
+    spark.range(6_000_000_000).selectExpr(
+        "sum(id % 9973)",
+        "sum(((id % 1048573) * 2654435761) % 7919)",
+    ).collect()
+    cpu_h = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    (
+        li.crossJoin(spark.range(8).select(F.col("id").alias("_rep")))
+        .groupBy("l_orderkey", "_rep")
+        .agg(
+            F.sum("l_extendedprice").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .agg(F.sum("s"), F.sum("n"))
+        .collect()
+    )
+    shuf_h = time.perf_counter() - t0
+    return {
+        "cpu_heavy_sec": round(cpu_h, 3),
+        "shuffle_heavy_sec": round(shuf_h, 3),
+    }
+
+
 def run_suite(spark, qs):
-    """One cold pass + STEADY_PASSES steady passes, with one session
-    recycle at the midpoint of every pass. Returns (per-query median
-    of steady passes, all per-pass dicts [cold first], live session)."""
+    """One cold pass + STEADY_PASSES steady passes, with an OPTIONAL
+    mid-pass session recycle behind SPARK_GRAFT_BENCH_RECYCLE=1
+    (default off per the measured r9 outcome — see _recycle_session).
+    The two heavy calibration probes run at the start, midpoint, and
+    end of EVERY pass (outside the per-entry timed regions) so host
+    drift during the suite separates numerically from suite-context
+    and code effects within one artifact (VERDICT r9 #1). Returns
+    (per-query median of steady passes, all per-pass dicts [cold
+    first], per-pass probe triplets, live session)."""
     passes: list[dict[str, float]] = []
+    probes: list[dict[str, dict[str, float]]] = []
     recycle = os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "0") == "1"
     mid = len(HEADLINE) // 2
     for _ in range(1 + STEADY_PASSES):
         _reset_caches(spark)
         t: dict[str, float] = {}
+        p: dict[str, dict[str, float]] = {"start": _heavy_probes(spark)}
         for i, name in enumerate(HEADLINE):
-            if recycle and i == mid:
-                spark = _recycle_session(spark, qs)
+            if i == mid:
+                if recycle:
+                    spark = _recycle_session(spark, qs)
+                p["mid"] = _heavy_probes(spark)
             _jvm_gc(spark)
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
             t[name] = round(time.perf_counter() - t0, 3)
+        p["end"] = _heavy_probes(spark)
         passes.append(t)
+        probes.append(p)
     steady = passes[1:]
     med = {
         name: round(statistics.median(p[name] for p in steady), 3)
         for name in HEADLINE
     }
-    return med, passes, spark
+    return med, passes, probes, spark
 
 
 def calibration(spark) -> dict[str, float]:
@@ -697,8 +752,14 @@ def main() -> None:
     # suite hasn't polluted yet (that's the point of the section)
     isolated = isolated_reprobe(spark, qs)
 
-    med, passes, spark = run_suite(spark, qs)
+    med, passes, inline_probes, spark = run_suite(spark, qs)
     total = round(sum(med.values()), 3)
+
+    # ... and AGAIN in the suite-polluted session (VERDICT r9 #1):
+    # iso(after) - iso(before) IS the suite-context effect; the
+    # interleaved probes carry the host effect; iso(before) vs last
+    # round's iso(before) carries the code effect — all in one artifact
+    isolated_after = isolated_reprobe(spark, qs)
     rps = pipeline_rps(spark)
     calib = calibration(spark)
     longdoc = longdoc_probe(spark)
@@ -721,8 +782,14 @@ def main() -> None:
         ],
         "sf": sf_from_dir(SF_DIR),
         "calibration": calib,
+        # per-pass heavy-probe triplets (start/mid/end of every pass,
+        # cold pass first): the within-run host-drift signal
+        "inline_calibration": inline_probes,
         "longdoc": longdoc,
         "isolated_reprobe": isolated,
+        # same entries re-timed AFTER the suite in the same session:
+        # the suite-context signal (vs isolated_reprobe = fresh-session)
+        "isolated_reprobe_after": isolated_after,
         "excluded": BENCH_EXCLUDED,
     }
     # durable copy: the full payload (per-query medians, exclusion
@@ -741,6 +808,15 @@ def main() -> None:
     top = dict(
         sorted(med.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
+    # the three decisive within-one-artifact signals, compact enough
+    # for the stdout tail: fresh-session vs post-suite iso totals
+    # (suite-context), and the suite-spanning probe envelope (host)
+    all_probe_cpu = [
+        p[k]["cpu_heavy_sec"] for p in inline_probes for k in p
+    ]
+    all_probe_shuf = [
+        p[k]["shuffle_heavy_sec"] for p in inline_probes for k in p
+    ]
     compact = {
         "metric": payload["metric"],
         "value": total,
@@ -750,6 +826,14 @@ def main() -> None:
         "n_queries": len(med),
         "pipeline_rps": payload["pipeline_rps"],
         "calibration": calib,
+        "iso_before_total": round(sum(isolated.values()), 3),
+        "iso_after_total": round(sum(isolated_after.values()), 3),
+        "probe_envelope": {
+            "cpu_heavy": [min(all_probe_cpu), max(all_probe_cpu)],
+            "shuffle_heavy": [
+                min(all_probe_shuf), max(all_probe_shuf),
+            ],
+        },
         "full_record": "bench_out.json",
     }
     line = json.dumps(compact)

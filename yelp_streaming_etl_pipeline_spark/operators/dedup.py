@@ -1838,7 +1838,9 @@ def _byte_window_hash_table(
         for pdf in batches:
             ids, poss, hs = [], [], []
             for doc_id, t in zip(pdf["doc_id"].to_numpy(), pdf["t"]):
-                if t is None:
+                # a null id arrives as NaN after Arrow's long->float
+                # promotion; np.full would raise inside the executor
+                if t is None or doc_id != doc_id:
                     continue
                 b = np.frombuffer(
                     t.encode("utf-8"), dtype=np.uint8
@@ -2318,4 +2320,7 @@ def paragraph_dedup_maintain_stream(
         order_cols=[id_col],
         prefix="pgd_",
     )
+    if not state["result_parts"]:
+        # zero epochs (empty corpus): keep the pre-r9 contract
+        return None
     return reduce(DataFrame.unionByName, state["result_parts"])
