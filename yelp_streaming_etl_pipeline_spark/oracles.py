@@ -1909,16 +1909,22 @@ def _sql_uv_ctes(k: int, maxlen: int, max_word: int) -> str:
     max_word iterations) instead of a fold: the 4-slot rotation reads
     every accumulator field before rewriting any, which is circular
     under list_reduce's in-place mutation — values identical,
-    mechanism declared divergent (see unigram_word_stats)."""
+    mechanism declared divergent (see unigram_word_stats).
+
+    Hot nodes are AS MATERIALIZED (round-10, VERDICT r9 #3): DuckDB
+    inlines plain CTEs per reference, so the em_scores chain — which
+    re-reads cand/vocab/pw through the path-recovery AND round-2
+    blocks — re-executed them multiplicatively (20.2 s -> 0.1 s at
+    sf0.001). Execution hint only; values identical."""
     neg = -1_000_000_000
     pack = 256
     words = _sql_bpe_words("char").format(ids="")
-    return f"""wf AS (
+    return f"""wf AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM ({words}
   GROUP BY w
 ),
-shortw AS (SELECT w, f FROM wf WHERE length(w) <= {max_word}),
-cand AS (
+shortw AS MATERIALIZED (SELECT w, f FROM wf WHERE length(w) <= {max_word}),
+cand AS MATERIALIZED (
   SELECT w, i, l,
          substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
   FROM (
@@ -1929,11 +1935,11 @@ cand AS (
           FROM shortw)
   )
 ),
-gramcnt AS (
+gramcnt AS MATERIALIZED (
   SELECT c.piece, CAST(sum(s.f) AS BIGINT) AS cnt
   FROM cand c JOIN shortw s USING (w) GROUP BY c.piece
 ),
-vocab AS (
+vocab AS MATERIALIZED (
   SELECT piece, cnt FROM gramcnt WHERE length(piece) = 1
   UNION ALL
   SELECT piece, cnt FROM (
@@ -1946,14 +1952,14 @@ qq AS (
   SELECT CAST(length(bin(CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS qc
   FROM vocab
 ),
-pw AS (
+pw AS MATERIALIZED (
   SELECT c.w, c.i + c.l - 1 AS e, c.l,
          CASE WHEN v.q IS NOT NULL
               THEN (v.q - qq.qc) * {pack} - 1
               ELSE CAST({neg} AS BIGINT) END AS p
   FROM cand c LEFT JOIN vq v USING (piece) CROSS JOIN qq
 ),
-byend AS (
+byend AS MATERIALIZED (
   SELECT w, e,
          coalesce(max(CASE WHEN l = 1 THEN p END),
                   CAST({neg} AS BIGINT)) AS p1,
@@ -2025,8 +2031,8 @@ def _sql_uv_path_ctes() -> str:
     walking e from length(w) to 0 emitting one piece per step, and
     usage = sum of word frequencies over the emitted pieces. Shared
     by the em_refine and em_scores twins."""
-    return """dpfull AS (SELECT w, e, d4 AS dp FROM dp),
-pick AS (
+    return """dpfull AS MATERIALIZED (SELECT w, e, d4 AS dp FROM dp),
+pick AS MATERIALIZED (
   SELECT p.w, p.e, max(p.l) AS lp
   FROM pw p
   JOIN dpfull de ON de.w = p.w AND de.e = p.e
@@ -2045,7 +2051,7 @@ bt AS (
   FROM bt JOIN pick pk ON pk.w = bt.w AND pk.e = bt.e
   WHERE bt.e > 0
 ),
-usage AS (
+usage AS MATERIALIZED (
   SELECT b.piece, CAST(sum(s.f) AS BIGINT) AS vit_cnt
   FROM bt b JOIN shortw s USING (w)
   WHERE b.piece IS NOT NULL
@@ -2234,7 +2240,7 @@ def sql_unigram_em_scores(
     return f"""
 WITH RECURSIVE {_sql_uv_ctes(k, maxlen, max_word)},
 {_sql_uv_path_ctes()},
-vocab2 AS (
+vocab2 AS MATERIALIZED (
   SELECT v.piece, CAST(coalesce(u.vit_cnt, 0) AS BIGINT) AS cnt
   FROM vocab v LEFT JOIN usage u ON u.piece = v.piece
   WHERE length(v.piece) = 1 OR coalesce(u.vit_cnt, 0) >= {min_cnt}
@@ -2249,14 +2255,14 @@ qq2 AS (
   SELECT CAST(length(bin(CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS qc
   FROM vocab2
 ),
-pw2 AS (
+pw2 AS MATERIALIZED (
   SELECT c.w, c.i + c.l - 1 AS e, c.l,
          CASE WHEN v.q IS NOT NULL
               THEN (v.q - qq2.qc) * {pack} - 1
               ELSE CAST({neg} AS BIGINT) END AS p
   FROM cand c LEFT JOIN vq2 v USING (piece) CROSS JOIN qq2
 ),
-byend2 AS (
+byend2 AS MATERIALIZED (
   SELECT w, e,
          coalesce(max(CASE WHEN l = 1 THEN p END),
                   CAST({neg} AS BIGINT)) AS p1,
