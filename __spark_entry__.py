@@ -528,6 +528,29 @@ def q_exact_substring_spans_bpe(
     )
 
 
+def q_exact_substring_removal_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring REMOVAL in BPE token space (operators/dedup.py
+    exact_substring_removal_bpe) — the spans entry's completion: every
+    BPE token position covered by a duplicated window drops, and the
+    surviving pieces rehash per doc, so the output is directly the
+    deduped tokenized corpus. Same artifact round trip (vocab via
+    parquet), same broadcast vocab join, same gap-slicing reassembly
+    discipline as the byte family — no covered-position explode, no
+    pair join."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_removal_bpe,
+    )
+
+    return exact_substring_removal_bpe(
+        _doc_corpus_cpu(spark, sf_dir),
+        "text",
+        "doc_id",
+        export_path=_bpe_artifact_dir(),
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet paragraph-level dedup (operators/dedup.py
     paragraph_dedup): documents are stitched into multi-paragraph
@@ -4705,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-cut -> rebalance -> sample composition
         "unigram_em_loop": q_unigram_em_loop,
         "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
+        "exact_substring_removal_bpe": q_exact_substring_removal_bpe,
         "quality_quota_sample": q_quality_quota_sample,
         # (b) PLANS/mechanics changed round 9 with identical results: the
         # exact-substring family's window hash (numpy rolling hash over
@@ -5179,21 +5203,24 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
 FROM sp GROUP BY doc_id, span_id"""
 
 
-def _sql_exact_substring_spans_bpe(
+def _sql_exspan_bpe_cov_ctes(
     n_merges: int = 4, L: int = 8, min_occ: int = 2
 ) -> str:
-    """Twin of dedup.exact_substring_spans_bpe: the BPE learner chain
-    (O._sql_bpe_cte trained on the near-dup corpus CTE), each doc's
-    alpha words replaced in order by their learned pieces (inner join
-    — OOV words drop out identically in both engines), then the token
-    twin's window/dup/span-merge over the flattened piece sequence.
-    The window key is the space-joined piece window (Spark groups on
-    xxhash64 of the same string — identical grouping, mechanism
-    declared divergent)."""
+    """Shared CTE chain corpus -> bpe -> dtoks -> sized -> wins ->
+    dup -> cov for the BPE token-space exact-substring twins: the BPE
+    learner chain (O._sql_bpe_cte trained on the near-dup corpus
+    CTE), each doc's alpha words replaced in order by their learned
+    pieces (inner join — OOV words drop out identically in both
+    engines), then length-L windows over the flattened piece
+    sequence, duplicated iff >= min_occ occurrences. The window key
+    is the space-joined piece window (Spark groups on xxhash64 of
+    the same string — identical grouping, mechanism declared
+    divergent). dtoks and wins are MATERIALIZED: DuckDB inlines
+    plain CTEs per reference, and the removal twin reads sized three
+    times (windows, per-token stream, final rollup)."""
     wst = O.sql_ws_trim("lower(COALESCE(text, ''))")
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(L))
-    return f"""
-WITH corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
+    return f"""corpus AS ({O.NEAR_DUP_CORPUS_SQL}),
 {O._sql_bpe_cte(n_merges, "char", "corpus")},
 dwpos AS (
   SELECT doc_id, wpos, w FROM (
@@ -5207,13 +5234,13 @@ dwpos AS (
     )
   ) WHERE regexp_matches(w, '^[a-z]+$')
 ),
-dtoks AS (
+dtoks AS MATERIALIZED (
   SELECT d.doc_id, flatten(list(s.toks ORDER BY d.wpos)) AS toks
   FROM dwpos d JOIN vocab{n_merges} s USING (w)
   GROUP BY d.doc_id
 ),
 sized AS (SELECT doc_id, toks, len(toks) AS nt FROM dtoks),
-wins AS (
+wins AS MATERIALIZED (
   SELECT doc_id, i AS pos, {gram} AS wkey
   FROM (
     SELECT doc_id, toks,
@@ -5224,7 +5251,17 @@ wins AS (
 dup AS (
   SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= {min_occ}
 ),
-cov AS (SELECT doc_id, pos FROM wins JOIN dup USING (wkey)),
+cov AS (SELECT doc_id, pos FROM wins JOIN dup USING (wkey))"""
+
+
+def _sql_exact_substring_spans_bpe(
+    n_merges: int = 4, L: int = 8, min_occ: int = 2
+) -> str:
+    """Twin of dedup.exact_substring_spans_bpe over the shared BPE
+    cov chain (_sql_exspan_bpe_cov_ctes); the span merge is the same
+    single-lag equal-length interval rule as the token twin."""
+    return f"""
+WITH {_sql_exspan_bpe_cov_ctes(n_merges, L, min_occ)},
 flg AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -5246,6 +5283,50 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, span_id"""
+
+
+def _sql_exact_substring_removal_bpe(
+    n_merges: int = 4, L: int = 8, min_occ: int = 2
+) -> str:
+    """Twin of dedup.exact_substring_removal_bpe over the shared BPE
+    cov chain: covered starts expand to token positions, survivors
+    via NOT EXISTS anti join over the per-piece stream, re-assembly
+    with an ordered string_agg; md5('') when everything was
+    duplicated. Docs with no in-vocab word emit nothing (dtoks is an
+    inner join — mirrored on the engine side)."""
+    return f"""
+WITH {_sql_exspan_bpe_cov_ctes(n_merges, L, min_occ)},
+covpos AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id,
+           unnest(generate_series(pos, pos + {L - 1})) AS tpos
+    FROM cov
+  )
+),
+ptoks AS (
+  SELECT doc_id, i AS tpos, toks[i] AS piece
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, nt)) AS i
+    FROM sized
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.piece FROM ptoks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covpos c
+    WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos
+  )
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(piece, ' ' ORDER BY tpos)) AS cleaned_hash
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.nt AS BIGINT) AS n_tokens,
+       CAST(s.nt - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.cleaned_hash, md5('')) AS cleaned_hash
+FROM sized s LEFT JOIN reb r USING (doc_id)"""
 
 
 def _sql_paragraph_dedup() -> str:
@@ -7505,6 +7586,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_em_scores": O.sql_unigram_em_scores(),
         "unigram_em_loop": O.sql_unigram_em_loop(),
         "exact_substring_spans_bpe": _sql_exact_substring_spans_bpe(),
+        "exact_substring_removal_bpe": _sql_exact_substring_removal_bpe(),
         "quality_quota_sample": _sql_quality_quota_sample(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),

@@ -971,6 +971,71 @@ def test_exact_substring_spans_bpe_matches_python_reference(spark):
     assert any(r[0] in (1, 2) for r in got)  # shared passage flagged
 
 
+def test_exact_substring_removal_bpe_matches_python_reference(spark):
+    """Token-space removal must equal a full Python reference built
+    from the SAME learned vocab: per doc, tokenize into pieces, mark
+    every position covered by a length-L window whose joined content
+    recurs >= 2 times corpus-wide, and md5 the space-joined
+    survivors — exact row-set equality, md5('') when everything was
+    covered."""
+    import hashlib
+    from collections import Counter
+
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, common + " unique tail one two three"),
+        (2, "prefix words here " + common + " different ending tokens"),
+        (3, "totally unrelated text with no duplicated window at all"),
+        (4, common),  # fully covered -> md5('')
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L = DD.EXSPAN_L
+    got = sorted(
+        tuple(r) for r in DD.exact_substring_removal_bpe(df).collect()
+    )
+    _, vocab = TK.bpe_learn(df, "text", 4, "char")
+    seg = {r["w"]: list(r["toks"]) for r in vocab.collect()}
+    streams = {
+        doc_id: [
+            p
+            for w in text.strip().lower().split()
+            if w.isascii() and w.isalpha()
+            for p in seg[w]
+        ]
+        for doc_id, text in rows
+    }
+    wins = {
+        doc_id: [
+            " ".join(toks[i : i + L]) for i in range(len(toks) - L + 1)
+        ]
+        for doc_id, toks in streams.items()
+    }
+    occ = Counter(w for ws in wins.values() for w in ws)
+    expected = []
+    for doc_id, toks in streams.items():
+        covered = set()
+        for i, w in enumerate(wins[doc_id]):
+            if occ[w] >= 2:
+                covered.update(range(i, i + L))
+        kept = [p for i, p in enumerate(toks) if i not in covered]
+        expected.append(
+            (
+                doc_id,
+                len(toks),
+                len(covered),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        )
+    assert got == sorted(expected), (got, sorted(expected))
+    by_id = {t[0]: t for t in got}
+    assert by_id[4][3] == hashlib.md5(b"").hexdigest()
+    assert by_id[3][2] == 0  # untouched doc keeps everything
+    assert by_id[1][2] > 0 and by_id[2][2] > 0
+
+
 def test_exact_substring_removal_hand_fixture(spark):
     """Removal drops exactly the covered positions and hashes the
     surviving text; docs with no duplicated window keep everything;

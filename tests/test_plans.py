@@ -842,6 +842,19 @@ def test_exact_substring_spans_bpe_broadcast_vocab(spark):
         )
 
 
+def test_exact_substring_removal_bpe_broadcast_vocab_no_explode(spark):
+    # token-space removal: broadcast vocab join, no pair join, and the
+    # reassembly must be the gap-slicing shape — no covered-position
+    # explode (Generate only over the window-hash/token arrays, which
+    # appear once each; a position explode would add a
+    # sequence(pos, pos+L-1) Generate)
+    df = E.q_exact_substring_removal_bpe(spark, SF)
+    plan = A.physical_plan(df)
+    assert A.has_broadcast_join(df), "vocab join must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "sequence(" not in plan, plan[:3000]
+
+
 def test_unigram_em_refine_no_udf_no_window(spark):
     # path recovery is joins + bounded folds over the distinct-word
     # table: no Python UDF, no cartesian (the 1-row Qc constant joins

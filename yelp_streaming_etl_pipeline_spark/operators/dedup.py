@@ -1993,6 +1993,108 @@ def exact_substring_spans_bpe(
     )
 
 
+def exact_substring_removal_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Exact-substring REMOVAL in BPE TOKEN space — the natural
+    completion of exact_substring_spans_bpe (SURVEY §9.3a): drop
+    every BPE token position covered by a duplicated L-token window
+    and hash what survives, so the output is directly the deduped
+    TOKENIZED corpus an LLM pipeline feeds to training. Returns
+    (doc_id, n_tokens, n_removed, cleaned_hash) with n_tokens the
+    doc's BPE piece count, cleaned_hash = md5 of the space-joined
+    surviving pieces in order (md5('') when everything was
+    duplicated); docs whose text yields no in-vocab word emit
+    nothing (inner vocab join, mirrored in the twin).
+
+    Same deployment shape as the spans entry: the BPE learner trains
+    on the corpus (or the vocab round-trips through the parquet
+    artifact via ``export_path``), documents become piece sequences
+    through ONE BROADCAST vocab join, and the window/count machinery
+    is the shared _array_window_hash_table — no pair join anywhere.
+
+    Scale shape: GAP SLICING, never a covered-position explode — the
+    union of covered positions IS the merged spans, so survivors are
+    the complement gaps, each an O(gap) direct slice of the per-doc
+    piece array (the exact_substring_removal_bytes discipline). The
+    token stream is persist()ed (it feeds both the window table and
+    the reassembly), so the vocab join computes once while the
+    broadcast-join lineage stays plan-visible."""
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(docs, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = docs.sparkSession.read.parquet(vocab_path)
+    toks = bpe_token_stream(docs, vocab, text_col, id_col).persist()
+    spans = _spans_from_cov(
+        _cov_from_window_table(_array_window_hash_table(toks, L), min_occ),
+        L,
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start_pos").alias("sp"),
+                    F.col("end_pos").alias("ep"),
+                )
+            )
+        ).alias("sps"),
+        F.sum("span_tokens").cast("long").alias("n_cov"),
+    )
+    joined = toks.withColumn(
+        "n_tokens", F.size("words").cast("long")
+    ).join(sp, "doc_id", "left").select(
+        "doc_id",
+        "words",
+        "n_tokens",
+        F.coalesce(
+            F.col("sps"), F.array().cast("array<struct<sp:long,ep:long>>")
+        ).alias("sps"),
+        F.coalesce(F.col("n_cov"), F.lit(0)).cast("long").alias("n_cov"),
+    )
+    gs = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("sps"), lambda s: s["ep"] + 1),
+    )
+    ge = F.concat(
+        F.transform(F.col("sps"), lambda s: s["sp"] - 1),
+        F.array(F.col("n_tokens")),
+    )
+    gaps = F.filter(
+        F.zip_with(
+            gs, ge, lambda a, b: F.struct(a.alias("gs"), b.alias("ge"))
+        ),
+        lambda g: g["ge"] >= g["gs"],
+    )
+    kept = F.concat_ws(
+        " ",
+        F.transform(
+            gaps,
+            lambda g: F.array_join(
+                F.slice(
+                    "words",
+                    g["gs"].cast("int"),
+                    (g["ge"] - g["gs"] + 1).cast("int"),
+                ),
+                " ",
+            ),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_cov").alias("n_removed"),
+        F.md5(kept).alias("cleaned_hash"),
+    )
+
+
 def exact_substring_removal(
     df: DataFrame,
     text_col: str = "text",
