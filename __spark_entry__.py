@@ -736,6 +736,23 @@ def q_unigram_em_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_em_loop(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_unigram_em_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIZE-SCHEDULED trainer loop (operators/tokenizer.py
+    unigram_em_schedule) — real SentencePiece's shrinking factor: each
+    of 3 hard-EM rounds keeps the top multigram pieces by Viterbi
+    usage, pruning toward n_target = max(64, ceil(n_multi * 3/4));
+    single chars never prune (coverage), weights re-quantize
+    dyadically. One delta row per round with the schedule's n_target
+    carried; one corpus pass total, the rank runs over the bounded
+    piece inventory. The twin chains per-round DP/path blocks with
+    rank-pruned vocab bodies (MATERIALIZED hot nodes)."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        unigram_em_schedule,
+    )
+
+    return unigram_em_schedule(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR selection step (operators/corpus.py dsir_topk): the 50
     most target-like raw documents by importance score, ties pinned by
@@ -4727,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trainer loop; exact-substring spans in BPE token space; the
         # quality-cut -> rebalance -> sample composition
         "unigram_em_loop": q_unigram_em_loop,
+        "unigram_em_schedule": q_unigram_em_schedule,
         "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
         "exact_substring_removal_bpe": q_exact_substring_removal_bpe,
         "quality_quota_sample": q_quality_quota_sample,
@@ -7585,6 +7603,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_filter_mix_shift": _sql_lm_filter_mix_shift(),
         "unigram_em_scores": O.sql_unigram_em_scores(),
         "unigram_em_loop": O.sql_unigram_em_loop(),
+        "unigram_em_schedule": O.sql_unigram_em_schedule(),
         "exact_substring_spans_bpe": _sql_exact_substring_spans_bpe(),
         "exact_substring_removal_bpe": _sql_exact_substring_removal_bpe(),
         "quality_quota_sample": _sql_quality_quota_sample(),

@@ -495,6 +495,125 @@ def test_unigram_em_loop_matches_bruteforce_em(spark):
     assert expected[0][4] > 0
 
 
+def test_unigram_em_schedule_matches_bruteforce(spark):
+    """Every per-round delta row of the size-scheduled trainer must
+    equal a brute-force Python run from the same seed inventory: per
+    round, Viterbi usage exactly as the loop test, then keep the top
+    n_target = max(target, ceil(n_multi * num/den)) multigrams by
+    (usage DESC, piece ASC) — positive usage required — and all
+    singles; re-quantize q = bitlen(usage). Uses an aggressive
+    schedule (target 2, shrink 1/2) so the RANK cut itself prunes
+    positive-usage pieces."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    text = " ".join(
+        ["aabbb"] + ["aa"] * 60 + ["bbb"] * 60 + ["xy"] * 25 + ["cd"] * 20
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, "the cat sat on the mat"), (3, "aabbb xy cd")],
+        "doc_id long, text string",
+    )
+    target, num, den, rounds = 2, 1, 2, 3
+    words = TK.word_freq_table(docs)
+    vocab0 = TK.unigram_vocab(words)
+    wf = {r["w"]: r["f"] for r in words.collect()}
+    inv = {r["piece"]: (r["q"], r["cnt"]) for r in vocab0.collect()}
+
+    def viterbi_path(w, q, Q):
+        best = {0: (0, 0)}
+        for e in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(4, e) + 1):
+                piece = w[e - l:e]
+                if piece in q and (e - l) in best:
+                    s, p = best[e - l]
+                    cands.append((s + q[piece] - Q, p - 1))
+            if cands:
+                best[e] = max(cands)
+        pieces, e = [], len(w)
+        while e > 0:
+            lp = max(
+                l
+                for l in range(1, min(4, e) + 1)
+                if w[e - l:e] in q
+                and (e - l) in best
+                and (
+                    best[e - l][0] + q[w[e - l:e]] - Q,
+                    best[e - l][1] - 1,
+                )
+                == best[e]
+            )
+            pieces.append(w[e - lp:e])
+            e -= lp
+        return pieces
+
+    expected = []
+    rank_cut_pruned_positive = False
+    for r in range(1, rounds + 1):
+        q = {p: qc[0] for p, qc in inv.items()}
+        T = sum(qc[1] for qc in inv.values())
+        Q = len(bin(max(T, 1))) - 2
+        usage: dict = {}
+        for w, f in wf.items():
+            if len(w) > TK.WP_MAX_WORD:
+                continue
+            for piece in viterbi_path(w, q, Q):
+                usage[piece] = usage.get(piece, 0) + f
+        multis = sorted(
+            (p for p in inv if len(p) >= 2),
+            key=lambda p: (-usage.get(p, 0), p),
+        )
+        n_multi = len(multis)
+        n_target = max(target, (num * n_multi + den - 1) // den)
+        kept_multi = {
+            p
+            for i, p in enumerate(multis)
+            if usage.get(p, 0) > 0 and i < n_target
+        }
+        if any(
+            usage.get(p, 0) > 0
+            for i, p in enumerate(multis)
+            if i >= n_target
+        ):
+            rank_cut_pruned_positive = True
+        kept = {
+            p: usage.get(p, 0)
+            for p in inv
+            if len(p) == 1 or p in kept_multi
+        }
+        expected.append(
+            (
+                r,
+                len(inv),
+                n_multi,
+                n_target,
+                len(kept),
+                len(inv) - len(kept),
+                sum(usage.get(p, 0) for p in inv),
+                sum(
+                    len(bin(u)) - 2 if u > 0 else 0
+                    for u in kept.values()
+                ),
+            )
+        )
+        inv = {
+            p: ((len(bin(u)) - 2 if u > 0 else 0), u)
+            for p, u in kept.items()
+        }
+    got = sorted(
+        tuple(r)
+        for r in TK.unigram_em_schedule(
+            docs,
+            rounds=rounds,
+            target_multi=target,
+            shrink_num=num,
+            shrink_den=den,
+        ).collect()
+    )
+    assert got == expected, (got, expected)
+    assert rank_cut_pruned_positive  # the fixture exercises the cut
+
+
 def test_unigram_em_scores_matches_bruteforce_round2(spark):
     """Round-2 segmentation must be the brute-force Viterbi optimum
     under the REFINED weights (kept pieces, q_new, Q2 = bitlen of

@@ -1057,6 +1057,156 @@ def unigram_em_loop(
     return out
 
 
+UV_SCHED_ROUNDS = 3  # rounds of the size-scheduled trainer
+UV_SCHED_NUM, UV_SCHED_DEN = 3, 4  # shrinking factor 3/4 per round
+UV_SCHED_TARGET = 64  # target multigram inventory size
+
+
+def unigram_em_schedule(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = UV_VOCAB_K,
+    maxlen: int = WP_MAXLEN,
+    rounds: int = UV_SCHED_ROUNDS,
+    target_multi: int = UV_SCHED_TARGET,
+    shrink_num: int = UV_SCHED_NUM,
+    shrink_den: int = UV_SCHED_DEN,
+) -> DataFrame:
+    """The SIZE-SCHEDULED trainer loop — real SentencePiece's
+    shrinking factor (Kudo 2018; --shrinking_factor, default 0.75):
+    instead of a fixed usage floor (unigram_em_loop's min_cnt), each
+    round keeps the TOP multigram pieces by Viterbi usage, pruning
+    toward a target vocabulary size — n_target =
+    max(target_multi, ceil(n_multi * shrink_num / shrink_den)) with
+    n_multi the multigram count ENTERING the round (ceil as
+    (num*n + den-1) div den, integer-exact in both engines). A
+    multigram survives iff its usage is positive AND its
+    (usage DESC, piece ASC) rank is within n_target; single-char
+    pieces are never pruned (base-alphabet coverage). Weights
+    re-quantize dyadically from usage exactly as in the loop.
+
+    Emits one row per round (the same delta schema as
+    unigram_em_loop plus the schedule's n_target):
+    (round, n_pieces, n_multi, n_target, n_kept, n_pruned, vit_total,
+    q_mass).
+
+    100 TB shape: identical to unigram_em_loop — ONE corpus pass
+    total (checkpointed distinct-word table), per-round E-steps over
+    distinct words, inventory broadcasts; the schedule adds only a
+    rank over the MULTIGRAM INVENTORY (<= k rows, the adjudicated
+    bounded-window class) and a 1-row target broadcast."""
+    words = word_freq_table(docs, text_col, "char").localCheckpoint(
+        eager=True
+    )
+    vocab = unigram_vocab(words, k, maxlen).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        usage = (
+            unigram_viterbi_pieces(words, vocab, maxlen)
+            .join(words.select("w", "f"), "w")
+            .groupBy("piece")
+            .agg(F.sum("f").cast("long").alias("vit_cnt"))
+        )
+        # inventory-sized (alphabet + <= k multigrams): checkpoint so
+        # the three consumers below never re-run the E-step
+        base = (
+            vocab.join(usage, "piece", "left")
+            .select(
+                "piece",
+                F.length("piece").cast("long").alias("plen"),
+                F.coalesce(F.col("vit_cnt"), F.lit(0))
+                .cast("long")
+                .alias("vit_cnt"),
+                F.when(
+                    F.col("vit_cnt") > 0,
+                    F.length(F.bin(F.col("vit_cnt"))),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("q_new"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tgt = (
+            base.filter(F.col("plen") >= 2)
+            .agg(F.count("*").cast("long").alias("n_multi"))
+            .select(
+                F.greatest(
+                    F.lit(target_multi).cast("long"),
+                    F.expr(
+                        f"({shrink_num} * n_multi + {shrink_den - 1}) "
+                        f"div {shrink_den}"
+                    ).cast("long"),
+                ).alias("n_target")
+            )
+        )
+        w_rank = Window.orderBy(F.desc("vit_cnt"), F.asc("piece"))
+        multis = (
+            base.filter(F.col("plen") >= 2)
+            .withColumn("rk", F.row_number().over(w_rank))
+            .crossJoin(F.broadcast(tgt))
+            .select(
+                "piece",
+                "plen",
+                "vit_cnt",
+                "q_new",
+                "n_target",
+                (
+                    (F.col("vit_cnt") > 0)
+                    & (F.col("rk") <= F.col("n_target"))
+                ).alias("kept"),
+            )
+        )
+        singles = base.filter(F.col("plen") == 1).crossJoin(
+            F.broadcast(tgt)
+        ).select(
+            "piece",
+            "plen",
+            "vit_cnt",
+            "q_new",
+            "n_target",
+            F.lit(True).alias("kept"),
+        )
+        refined = singles.unionByName(multis).localCheckpoint(eager=True)
+        summary = refined.agg(
+            F.count("*").cast("long").alias("n_pieces"),
+            F.sum((F.col("plen") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_multi"),
+            F.max("n_target").cast("long").alias("n_target"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum((~F.col("kept")).cast("long"))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum("vit_cnt").cast("long").alias("vit_total"),
+            F.sum(F.when(F.col("kept"), F.col("q_new")).otherwise(0))
+            .cast("long")
+            .alias("q_mass"),
+        ).select(
+            F.lit(r).cast("long").alias("round"),
+            "n_pieces",
+            "n_multi",
+            "n_target",
+            "n_kept",
+            "n_pruned",
+            "vit_total",
+            "q_mass",
+        )
+        out = summary if out is None else out.unionByName(summary)
+        if r < rounds:
+            vocab = (
+                refined.filter(F.col("kept"))
+                .select(
+                    "piece",
+                    F.col("q_new").alias("q"),
+                    F.col("vit_cnt").alias("cnt"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return out
+
+
 def unigram_em_scores(
     docs: DataFrame,
     text_col: str = "text",

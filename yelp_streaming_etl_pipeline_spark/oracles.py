@@ -2083,7 +2083,9 @@ JOIN vq USING (piece)
 LEFT JOIN usage u ON u.piece = v.piece"""
 
 
-def _sql_uv_round_ctes(r: int, maxlen: int, min_cnt: int) -> str:
+def _sql_uv_round_ctes(
+    r: int, maxlen: int, min_cnt: int, vocab_body: str | None = None
+) -> str:
     """Round-``r`` (r >= 2) CTE blocks for the unigram-EM loop twin:
     vocab{r} = the kept pieces of round r-1 with re-quantized dyadic
     weights, then the full forward DP (pw{r}/byend{r}/dp{r}) and path
@@ -2091,7 +2093,9 @@ def _sql_uv_round_ctes(r: int, maxlen: int, min_cnt: int) -> str:
     mechanics as the round-1 chain in _sql_uv_ctes/_sql_uv_path_ctes
     with suffixed names, chained off the previous round's
     vocab/usage. DuckDB allows several recursive CTEs under one
-    WITH RECURSIVE (the em_scores twin already runs three)."""
+    WITH RECURSIVE (the em_scores twin already runs three).
+    ``vocab_body`` overrides the vocab{r} SELECT (the schedule twin
+    prunes by rank toward a target size instead of a usage floor)."""
     neg = -1_000_000_000
     pack = 256
     sfx = "" if r == 2 else str(r - 1)
@@ -2104,13 +2108,15 @@ def _sql_uv_round_ctes(r: int, maxlen: int, min_cnt: int) -> str:
     greatest = ", ".join(
         f"dp{r}.d{4 - n + 1} + b.p{n}" for n in range(1, maxlen + 1)
     )
-    return f"""vocab{r} AS MATERIALIZED (
-  SELECT v.piece, CAST(coalesce(u.vit_cnt, 0) AS BIGINT) AS cnt,
+    if vocab_body is None:
+        vocab_body = f"""SELECT v.piece, CAST(coalesce(u.vit_cnt, 0) AS BIGINT) AS cnt,
          CASE WHEN coalesce(u.vit_cnt, 0) > 0
               THEN CAST(length(bin(coalesce(u.vit_cnt, 0))) AS BIGINT)
               ELSE CAST(0 AS BIGINT) END AS q
   FROM {prev_vocab} v LEFT JOIN {prev_usage} u USING (piece)
-  WHERE length(v.piece) = 1 OR coalesce(u.vit_cnt, 0) >= {min_cnt}
+  WHERE length(v.piece) = 1 OR coalesce(u.vit_cnt, 0) >= {min_cnt}"""
+    return f"""vocab{r} AS MATERIALIZED (
+  {vocab_body}
 ),
 qq{r} AS (
   SELECT CAST(length(bin(CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS qc
@@ -2219,6 +2225,98 @@ def sql_unigram_em_loop(
         blocks.append(_sql_uv_round_ctes(r, maxlen, min_cnt))
     union = "\nUNION ALL\n".join(
         _sql_uv_round_summary(r, min_cnt) for r in range(1, rounds + 1)
+    )
+    joined = ",\n".join(blocks)
+    return f"""
+WITH RECURSIVE {joined}
+{union}"""
+
+
+def _sql_uvsched_block(
+    r: int, target: int, num: int, den: int
+) -> str:
+    """Schedule-prune CTE blocks for round ``r`` of the size-scheduled
+    trainer twin: base{r} (inventory + usage + re-quantized weight),
+    tgt{r} (n_target = max(target, ceil(n_multi * num/den)) over the
+    multigrams ENTERING the round), refined{r} (singles always kept;
+    multigrams kept iff usage > 0 and (usage DESC, piece ASC) rank
+    within n_target). base{r}/refined{r} MATERIALIZED — each is read
+    by the summary, the rank subquery, and the next round's vocab."""
+    sfx = "" if r == 1 else str(r)
+    return f"""base{r} AS MATERIALIZED (
+  SELECT v.piece, CAST(length(v.piece) AS BIGINT) AS plen,
+         CAST(coalesce(u.vit_cnt, 0) AS BIGINT) AS vit_cnt,
+         CASE WHEN coalesce(u.vit_cnt, 0) > 0
+              THEN CAST(length(bin(coalesce(u.vit_cnt, 0))) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS q_new
+  FROM vocab{sfx} v LEFT JOIN usage{sfx} u USING (piece)
+),
+tgt{r} AS (
+  SELECT greatest(CAST({target} AS BIGINT),
+                  ({num} * count(*) + {den - 1}) // {den}) AS n_target
+  FROM base{r} WHERE plen >= 2
+),
+refined{r} AS MATERIALIZED (
+  SELECT piece, plen, vit_cnt, q_new,
+         CAST(n_target AS BIGINT) AS n_target, true AS kept
+  FROM base{r} CROSS JOIN tgt{r} WHERE plen = 1
+  UNION ALL
+  SELECT piece, plen, vit_cnt, q_new, CAST(n_target AS BIGINT),
+         (vit_cnt > 0 AND rk <= n_target) AS kept
+  FROM (
+    SELECT piece, plen, vit_cnt, q_new,
+           row_number() OVER (ORDER BY vit_cnt DESC, piece) AS rk
+    FROM base{r} WHERE plen >= 2
+  ) CROSS JOIN tgt{r}
+)"""
+
+
+def _sql_uvsched_summary(r: int) -> str:
+    """Round-``r`` delta row of the schedule twin, read off
+    refined{r}."""
+    return f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST(count(*) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN plen >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi,
+       CAST(max(n_target) AS BIGINT) AS n_target,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_pruned,
+       CAST(sum(vit_cnt) AS BIGINT) AS vit_total,
+       CAST(sum(CASE WHEN kept THEN q_new ELSE 0 END) AS BIGINT)
+         AS q_mass
+FROM refined{r}"""
+
+
+def sql_unigram_em_schedule(
+    k: int = 256,
+    maxlen: int = 4,
+    max_word: int = 32,
+    rounds: int = 3,
+    target: int = 64,
+    num: int = 3,
+    den: int = 4,
+) -> str:
+    """Twin of tokenizer.unigram_em_schedule — the size-scheduled
+    trainer: round 1 reuses the shared _sql_uv_ctes/_sql_uv_path_ctes
+    chain; each later round's vocab{r} reads refined{r-1}'s kept
+    pieces (rank-pruned toward the target) and runs the full DP/path
+    blocks from _sql_uv_round_ctes with the schedule's vocab body."""
+    blocks = [
+        _sql_uv_ctes(k, maxlen, max_word),
+        _sql_uv_path_ctes(),
+        _sql_uvsched_block(1, target, num, den),
+    ]
+    for r in range(2, rounds + 1):
+        vb = (
+            "SELECT piece, CAST(vit_cnt AS BIGINT) AS cnt,\n"
+            "         CAST(q_new AS BIGINT) AS q\n"
+            f"  FROM refined{r - 1} WHERE kept"
+        )
+        blocks.append(_sql_uv_round_ctes(r, maxlen, 0, vocab_body=vb))
+        blocks.append(_sql_uvsched_block(r, target, num, den))
+    union = "\nUNION ALL\n".join(
+        _sql_uvsched_summary(r) for r in range(1, rounds + 1)
     )
     joined = ",\n".join(blocks)
     return f"""
