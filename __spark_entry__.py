@@ -68,15 +68,18 @@ def _now() -> F.Column:
 _BPE_ARTIFACT_DIR: list[str] = []
 
 
-def _bpe_artifact_dir() -> str:
+def _bpe_artifact_dir(entry: str = "spans") -> str:
     """One per-process BPE artifact directory, reused across
     invocations (export_bpe writes mode=overwrite), so bench passes
-    and probes don't accumulate tempdirs (ADVICE r9)."""
+    and probes don't accumulate tempdirs (ADVICE r9). Each ENTRY gets
+    its own subdirectory: the exported-vocab read is lazy, so two
+    entries sharing one path could clobber each other if a caller
+    builds several query DataFrames before executing any."""
     if not _BPE_ARTIFACT_DIR:
         import tempfile
 
         _BPE_ARTIFACT_DIR.append(tempfile.mkdtemp(prefix="bpe_artifact_"))
-    return _BPE_ARTIFACT_DIR[0]
+    return f"{_BPE_ARTIFACT_DIR[0]}/{entry}"
 
 
 _STAGED_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -524,7 +527,7 @@ def q_exact_substring_spans_bpe(
         _doc_corpus_cpu(spark, sf_dir),
         "text",
         "doc_id",
-        export_path=_bpe_artifact_dir(),
+        export_path=_bpe_artifact_dir("spans"),
     )
 
 
@@ -547,7 +550,7 @@ def q_exact_substring_removal_bpe(
         _doc_corpus_cpu(spark, sf_dir),
         "text",
         "doc_id",
-        export_path=_bpe_artifact_dir(),
+        export_path=_bpe_artifact_dir("removal"),
     )
 
 
@@ -4390,6 +4393,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_bm25_topk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval in BPE token space (operators/text_analysis.py
+    bm25_topk_bpe): the repo's BPE learner trains on the documents
+    corpus, the segmented-word vocab round-trips through the parquet
+    artifact, documents become piece postings through one broadcast
+    vocab join, and the shared integer-exact BM25 readout ranks
+    against the corpus's top piece terms — retrieval over the same
+    term space the training loop consumes."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_topk_bpe,
+    )
+
+    return bm25_topk_bpe(
+        _t_cpu(spark, sf_dir, "documents"),
+        export_path=_bpe_artifact_dir("bm25"),
+    )
+
+
 def q_bm25_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance (operators/text_analysis.py
     bm25_maintain_stream): documents arrive in micro-batches, each
@@ -4590,22 +4611,14 @@ agg AS (
 SELECT doc_id, n_grams, n_seen, {nov} AS novelty FROM agg"""
 
 
-def _sql_bm25_topk(n_query_terms: int = 5, k: int = 20) -> str:
-    """Twin of text_analysis.bm25_topk: identical tokenization,
-    dyadic idf via length(bin(...)), the same integer rational
-    saturation, pinned top-k order (score DESC, doc_id ASC), and the
-    same BM25_DL_CAP=500000 dl/tf clamp (int64-overflow guard,
-    bit-identical below the cap)."""
-    return f"""
-WITH w AS (
-  SELECT doc_id, term FROM (
-    SELECT doc_id,
-           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
-                                     '\\s+')) AS term
-    FROM documents
-  ) WHERE term <> ''
-),
-dl AS (
+def _sql_bm25_readout(n_query_terms: int = 5, k: int = 20) -> str:
+    """The postings->top-k half of the BM25 twins, over a CTE
+    ``w(doc_id, term)``: dyadic idf via length(bin(...)), the same
+    integer rational saturation, pinned top-k order (score DESC,
+    doc_id ASC), and the same BM25_DL_CAP=500000 dl/tf clamp
+    (int64-overflow guard, bit-identical below the cap). Shared by
+    the word-space and BPE-piece-space twins."""
+    return f"""dl AS (
   SELECT doc_id, least(CAST(count(*) AS BIGINT), 500000) AS dl
   FROM w GROUP BY doc_id
 ),
@@ -4643,6 +4656,44 @@ SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_q,
        CAST(count(*) AS BIGINT) AS n_terms
 FROM scored GROUP BY doc_id
 ORDER BY bm25_q DESC, doc_id LIMIT {k}"""
+
+
+def _sql_bm25_topk(n_query_terms: int = 5, k: int = 20) -> str:
+    """Twin of text_analysis.bm25_topk: identical whitespace
+    tokenization feeding the shared readout (_sql_bm25_readout)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                     '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+{_sql_bm25_readout(n_query_terms, k)}"""
+
+
+def _sql_bm25_topk_bpe(
+    n_merges: int = 4, n_query_terms: int = 5, k: int = 20
+) -> str:
+    """Twin of text_analysis.bm25_topk_bpe: the BPE learner chain
+    (O._sql_bpe_cte over documents), each doc's alpha words joined to
+    the learned segmented-word vocab and exploded into pieces (inner
+    join — OOV words drop identically in both engines), then the
+    shared BM25 readout over the piece postings. The postings CTE is
+    MATERIALIZED — the readout reads w three times (dl, qterms, tf)
+    and DuckDB inlines plain CTEs per reference."""
+    dw = O._sql_bpe_words("char").format(ids="doc_id,")
+    return f"""
+WITH {O._sql_bpe_cte(n_merges, "char", "documents")},
+dw AS (
+  SELECT doc_id, w FROM ({dw}
+),
+w AS MATERIALIZED (
+  SELECT doc_id, unnest(s.toks) AS term
+  FROM dw JOIN vocab{n_merges} s USING (w)
+),
+{_sql_bm25_readout(n_query_terms, k)}"""
 
 
 def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4829,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_scores": q_unigram_lm_scores,
         "dsir_topk": q_dsir_topk,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_bpe": q_bm25_topk_bpe,
         "bm25_maintenance_stream": q_bm25_maintenance_stream,
         "bottomk_sample": q_bottomk_sample,
         "bottomk_sample_stream": q_bottomk_sample_stream,
@@ -7550,6 +7602,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": O.sql_bpe_token_counts(),
         "wordpiece_doc_scores": O.sql_wordpiece_doc_scores(),
         "bm25_topk": _sql_bm25_topk(),
+        "bm25_topk_bpe": _sql_bm25_topk_bpe(),
         "bm25_maintenance_stream": _sql_bm25_topk(),
         "dedup_eval_minhash": _sql_dedup_eval_minhash(),
         "ngram_novelty": _sql_ngram_novelty(),

@@ -705,6 +705,19 @@ def test_bm25_topk_take_ordered_no_udf(spark):
     assert A.has_broadcast_join(df), "query terms / idf must broadcast"
 
 
+def test_bm25_topk_bpe_broadcast_vocab_take_ordered(spark):
+    # BPE-piece retrieval: the segmented-word vocab join must
+    # broadcast (vocabulary-sized), the top-k must compile to
+    # TakeOrderedAndProject, no UDF and no pair join anywhere
+    df = E.q_bm25_topk_bpe(spark, SF)
+    plan = A.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+    assert A.has_broadcast_join(df), "vocab join must broadcast"
+
+
 def test_wordpiece_doc_scores_no_udf_no_rangesort(spark):
     # all segmentation work is Column algebra over the distinct-word
     # table; the vocab top-k is a TakeOrdered, never a global sort

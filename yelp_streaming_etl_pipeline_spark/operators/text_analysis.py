@@ -417,6 +417,68 @@ def bm25_topk(
     )
 
 
+def _bpe_piece_postings(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, tf) postings where terms are BPE PIECES: each
+    doc's alpha words (dedup.bpe_token_stream's tokenization) join
+    the broadcast segmented-word vocab and explode into their learned
+    pieces — OOV words drop out (inner join, mirrored in the twin).
+    The vocab is vocabulary-sized, never corpus-sized."""
+    dw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        dw.join(F.broadcast(vocab.select("w", "toks")), "w")
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_topk_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+    export_path: str | None = None,
+) -> DataFrame:
+    """BM25 retrieval in BPE TOKEN space (SURVEY §9.3c) — retrieval
+    over the SAME term space the training loop consumes: the repo's
+    BPE learner trains on the corpus (or the segmented-word vocab
+    round-trips through the parquet artifact via ``export_path`` —
+    tokenizer.export_bpe's train-once/ship/retrieve-anywhere shape),
+    documents become piece postings through one BROADCAST vocab join,
+    and the integer-exact BM25 readout (_bm25_from_postings: dyadic
+    idf, rational tf saturation, BM25_DL_CAP clamp) ranks documents
+    against the corpus's top piece terms. Connects retrieval to the
+    tokenizer family exactly as exact_substring_*_bpe connects dedup.
+
+    Scale shape: one tokenize pass + broadcast vocab join feed a
+    (doc, piece) hash aggregate; everything downstream is the shared
+    postings readout — query terms broadcast, top-k compiles to
+    TakeOrderedAndProject."""
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(docs, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = docs.sparkSession.read.parquet(vocab_path)
+    return _bm25_from_postings(
+        _bpe_piece_postings(docs, vocab, text_col, id_col),
+        n_query_terms,
+        k,
+    )
+
+
 def bm25_maintain_stream(
     spark,
     df: DataFrame,
