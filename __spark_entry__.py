@@ -4877,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_budget_sample": q_stratified_budget_sample,
         "stratified_budget_sample_stream": q_stratified_budget_sample_stream,
         "dsir_importance": q_dsir_importance,
+        "dsir_quota_sample": q_dsir_quota_sample,
         "unigram_lm_scores": q_unigram_lm_scores,
         "dsir_topk": q_dsir_topk,
         "bm25_topk": q_bm25_topk,
@@ -5218,6 +5219,97 @@ agg AS (
 SELECT doc_id, n_grams,
        CAST(sw + n_grams * cq AS BIGINT) AS dsir_score
 FROM agg CROSS JOIN konst"""
+
+
+def q_dsir_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR -> mixture composition (operators/corpus.py
+    dsir_quota_sample): even docs scored for target-likeness against
+    the odd half, the tightest cut keeping at least half the corpus
+    from the TOP derived over the min-shifted bounded bin table, a
+    24-doc budget re-allocated across sources by largest remainder
+    over the post-cut counts, and each source's quota drawn by
+    deterministic md5 bottom-k. The importance-weighted counterpart
+    of quality_quota_sample — chains score -> cut -> allocation ->
+    draw, integer-exact."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus import (
+        dsir_quota_sample,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return dsir_quota_sample(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _sql_dsir_quota_sample(
+    budget: int = 24, step: int = 8, n_bins: int = 1024
+) -> str:
+    """Twin of the dsir_quota_sample entry: the dsir_importance twin
+    as a MATERIALIZED scores CTE (it is read by the min-shift, the
+    bin table, and the survivor filter — DuckDB inlines plain CTEs
+    per reference), the keep-high threshold max(bin*step) with
+    2 * top-down cumulative >= total, and the allocation/draw blocks
+    mirroring _sql_quality_quota_sample exactly."""
+    return f"""
+WITH dsir AS MATERIALIZED ({_sql_dsir_importance()}),
+mn AS (SELECT CAST(min(dsir_score) AS BIGINT) AS mn FROM dsir),
+shifted AS (
+  SELECT doc_id, dsir_score - mn AS s FROM dsir CROSS JOIN mn
+),
+binned AS (
+  SELECT CAST(least({n_bins - 1}, s // {step}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM shifted GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM binned),
+thr AS (
+  SELECT CAST(max(bin * {step}) AS BIGINT) AS thr_shift,
+         CAST(max(bin * {step}) + mn AS BIGINT) AS thr_score
+  FROM (
+    SELECT bin,
+           sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+             AS cum
+    FROM binned
+  ) c CROSS JOIN tot CROSS JOIN mn
+  WHERE 2 * c.cum >= t
+  GROUP BY mn
+),
+lab AS (
+  SELECT sh.doc_id, sh.s, d.source AS g
+  FROM shifted sh JOIN documents d USING (doc_id)
+),
+staged AS (
+  SELECT l.g, l.doc_id AS unit,
+         md5(CAST(l.doc_id AS VARCHAR)) AS h, t.thr_score
+  FROM lab l CROSS JOIN thr t
+  WHERE l.s >= t.thr_shift AND l.doc_id IS NOT NULL
+),
+counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS w FROM staged GROUP BY g
+),
+wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM counts),
+basealloc AS (
+  SELECT g, ({budget} * w) // wtot AS base,
+         ({budget} * w) % wtot AS rem
+  FROM counts CROSS JOIN wtot
+),
+sb AS (SELECT CAST(sum(base) AS BIGINT) AS sbase FROM basealloc),
+alloc AS (
+  SELECT g,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+                       <= {budget} - sbase
+                     THEN 1 ELSE 0 END AS k_g
+  FROM basealloc CROSS JOIN sb
+),
+ranked AS (
+  SELECT g, unit, h, thr_score,
+         row_number() OVER (PARTITION BY g ORDER BY h, unit) AS rn
+  FROM staged
+)
+SELECT r.g, CAST(r.unit AS BIGINT) AS unit, r.thr_score,
+       CAST(a.k_g AS BIGINT) AS k_g
+FROM ranked r JOIN alloc a USING (g) WHERE r.rn <= a.k_g"""
 
 
 def _sql_exspan_cov_ctes(L: int = 8, min_occ: int = 2) -> str:
@@ -7663,6 +7755,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "dsir_importance": _sql_dsir_importance(),
+        "dsir_quota_sample": _sql_dsir_quota_sample(),
         "unigram_lm_scores": O.sql_unigram_lm_scores(),
         "dsir_topk": _sql_dsir_importance()
         + "\nORDER BY dsir_score DESC, doc_id LIMIT 50",

@@ -252,3 +252,72 @@ def test_dsir_importance_deterministic_and_integer(spark):
     b = sorted(map(tuple, CP.dsir_importance(raw, tgt).collect()))
     assert a == b and len(a) == 10
     assert all(isinstance(r[2], int) for r in a)
+
+
+def test_dsir_quota_sample_matches_python_composition(spark):
+    """The full chain — shift by the corpus min, keep-high threshold
+    over the binned table, largest-remainder allocation over post-cut
+    per-source counts, md5 bottom-k draw — recomputed in Python from
+    the ENGINE's own dsir_importance scores must reproduce the
+    operator's row set exactly."""
+    import hashlib
+
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"tok{(i * 7 + j) % 9}" for j in range(6 + i % 5)
+            ),
+            "A" if i % 3 else "B",
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    raw = docs.filter("doc_id % 2 = 0")
+    tgt = docs.filter("doc_id % 2 = 1")
+    budget, step, n_bins = 6, 8, 1024
+    got = sorted(
+        tuple(r)
+        for r in CP.dsir_quota_sample(raw, tgt, budget=budget).collect()
+    )
+
+    scores = {
+        r["doc_id"]: r["dsir_score"]
+        for r in CP.dsir_importance(raw, tgt).collect()
+    }
+    grp = {i: g for i, _, g in rows if i % 2 == 0}
+    mn = min(scores.values())
+    shifted = {d: s - mn for d, s in scores.items()}
+    bins: dict = {}
+    for s in shifted.values():
+        b = min(n_bins - 1, s // step)
+        bins[b] = bins.get(b, 0) + 1
+    total = sum(bins.values())
+    cum, thr_shift = 0, None
+    for b in sorted(bins, reverse=True):
+        cum += bins[b]
+        if 2 * cum >= total:
+            thr_shift = b * step
+            break
+    surv: dict = {}
+    for d, s in shifted.items():
+        if s >= thr_shift:
+            surv.setdefault(grp[d], []).append(d)
+    wtot = sum(len(v) for v in surv.values())
+    base = {g: budget * len(v) // wtot for g, v in surv.items()}
+    rem = {g: (budget * len(v)) % wtot for g, v in surv.items()}
+    extra = budget - sum(base.values())
+    for g in sorted(surv, key=lambda g: (-rem[g], g))[:extra]:
+        base[g] += 1
+    expected = []
+    for g, units in surv.items():
+        pick = sorted(
+            units,
+            key=lambda u: (hashlib.md5(str(u).encode()).hexdigest(), u),
+        )[: base[g]]
+        expected.extend((g, u, thr_shift + mn, base[g]) for u in pick)
+    assert got == sorted(expected), (got, sorted(expected))
+    assert len(got) == budget  # the fixture fills the whole budget
+    assert len({r[0] for r in got}) == 2  # both sources sampled

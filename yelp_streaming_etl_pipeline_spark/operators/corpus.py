@@ -421,3 +421,111 @@ def dsir_topk(
         .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dsir_quota_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget: int = 24,
+    step: int = 8,
+    n_bins: int = 1024,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR -> mixture composition (SURVEY §9.3d): the
+    quality_quota_sample pattern with DSIR importance as the score —
+    what a pipeline runs to steer a crawl toward a target domain
+    WHILE holding a source mixture: score every raw doc
+    (dsir_importance), derive ONE data-dependent cut keeping at least
+    half the corpus from the TOP (most target-like — the mirror image
+    of the quality cut, which keeps low perplexity), re-derive the
+    per-source mixture from the survivors, allocate the budget by
+    largest remainder over post-cut counts, and draw each source's
+    quota with the deterministic md5 bottom-k. Returns one row per
+    sampled unit: (g, unit, thr_score, k_g) — thr_score reported in
+    RAW score units for audit.
+
+    DSIR scores are negative log-ratio sums, so the binning shifts by
+    the corpus minimum first (1-row broadcast; shifted scores
+    non-negative, keeping Spark's truncating div == DuckDB's flooring
+    //). The threshold is max(bin*step) with 2 * top-down-cumulative
+    >= total over the clamped bin table — the keep-high mirror of
+    quality_quota_sample's keep-low rule, sharing its degenerate-
+    clamp caveat at the TOP bin.
+
+    Scale shape: dsir_importance's broadcast weight tables + one
+    doc-keyed aggregate, a bounded bin window, three 1-row/strata
+    broadcasts, and one group-keyed rank with a constant bound
+    (WindowGroupLimit) — no new shuffle classes."""
+    from pyspark.sql import Window
+
+    from .sampling import stratified_budget_alloc
+
+    scores = dsir_importance(
+        raw, target, text_col, id_col, n_buckets
+    ).localCheckpoint(eager=True)
+    mn = scores.agg(F.min("dsir_score").cast("long").alias("mn"))
+    shifted = scores.crossJoin(F.broadcast(mn)).select(
+        "doc_id", (F.col("dsir_score") - F.col("mn")).alias("s")
+    )
+    binned = (
+        shifted.select(
+            F.least(F.lit(n_bins - 1), F.expr(f"s div {step}"))
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = binned.agg(F.sum("n").cast("long").alias("t"))
+    cum_w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # <= n_bins rows — the adjudicated bounded-window class
+    thr = (
+        binned.withColumn("cum", F.sum("n").over(cum_w))
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("t"))
+        .agg(F.max(F.col("bin") * step).cast("long").alias("thr_shift"))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "thr_shift",
+            (F.col("thr_shift") + F.col("mn"))
+            .cast("long")
+            .alias("thr_score"),
+        )
+    )
+    lab = shifted.join(
+        raw.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias("g")
+        ),
+        "doc_id",
+    )
+    staged = (
+        lab.crossJoin(F.broadcast(thr))
+        .filter(F.col("s") >= F.col("thr_shift"))
+        .select(
+            "g",
+            F.col("doc_id").alias("unit"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            "thr_score",
+        )
+        .filter(F.col("unit").isNotNull())
+    )
+    counts = staged.groupBy("g").agg(F.count("*").cast("long").alias("w"))
+    alloc = stratified_budget_alloc(counts, budget)
+    w = Window.partitionBy("g").orderBy("h", "unit")
+    ranked = staged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= budget  # constant bound -> WindowGroupLimit
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "g")
+        .filter(F.col("_rn") <= F.col("k_g"))
+        .select(
+            "g",
+            "unit",
+            "thr_score",
+            F.col("k_g").cast("long").alias("k_g"),
+        )
+    )
