@@ -4764,124 +4764,56 @@ FROM ne CROSS JOIN nd CROSS JOIN tp"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver evaluates the FIRST 50 entries.
 
-    Round-9 window (priority order, per VERDICT r8 directive #1 and
+    Round-10 window (priority order, per VERDICT r9 directive #2 and
     the standing cycle plan):
-    (a) the 3 entries NEW this round, never driver-checked: the
-    multi-round unigram-EM trainer loop; exact-substring span dedup
-    in BPE token space; the quality-cut -> rebalance -> sample
-    composition;
-    (b) the 7 entries whose plans/mechanics changed this round with
-    identical results: the exact-substring family's window hashing
-    (numpy rolling hash over raw bytes via mapInPandas; xxhash64
-    over token windows — the twins group on window CONTENT, so the
-    engine-side hash is a declared mechanism divergence) and the
-    delta-only stream-state rewrites of the paragraph-dedup and
-    SimHash maintenance forms (ADVICE r8 closures);
-    (c) the displaced r4-stamped block, oldest stamps first — its 12
-    leading entries (bfs_levels .. constraint_audit) were each
-    independently re-verified green by the r8 judge;
-    (d) the oldest r5/r6-stamped entries, filling the window.
-    3 + 7 + 20 + 20 = 50.
+    (a) the 4 entries NEW this round, never driver-checked:
+    exact-substring REMOVAL in BPE token space; the size-scheduled
+    unigram-EM trainer (SentencePiece's shrinking factor); BM25
+    retrieval over BPE pieces; DSIR-weighted quota sampling;
+    (b) the 9 entries whose code or twin text changed this round
+    with identical results: the unigram twin chain's MATERIALIZED
+    hot CTE nodes (VERDICT r9 #3 — em_scores 20.2 s -> 0.1 s at
+    sf0.001; touches lm_scores/em_refine/em_scores/em_loop), the
+    spans_bpe twin's factored shared cov chain + per-entry artifact
+    dirs, the bm25_topk twin's factored shared readout, the byte
+    family's null-doc_id guard in the mapInPandas hash, and the
+    paragraph-dedup maintenance empty-corpus guard (ADVICE r9);
+    (c) the r5/r6-stamped backlog, oldest-first (the exact order
+    VERDICT r9 #2 names: bigram_lm_scores .. tfidf_keywords),
+    filling the window. 4 + 9 + 37 = 50.
 
-    CYCLE PLAN (223 entries, 50-entry window): past position 50 the
-    order is round 10's queue — the remaining r5/r6 blocks, then the
-    r7/r8-stamped entries (freshest stamps) last, in prior relative
-    order. Every entry is re-proven every round by the local full
-    gate (scripts/check_oracle.py + check_vanilla.py over all 223)
-    and by pytest units added with each change.
+    CYCLE PLAN (227 entries, 50-entry window): past position 50 the
+    order is round 11's queue — the remaining r5/r6-era entries in
+    prior relative order, then the displaced r9-stamped block
+    (freshest stamps) last. Every entry is re-proven every round by
+    the local full gate (scripts/check_oracle.py + check_vanilla.py
+    over all 227) and by pytest units added with each change.
     """
     return {
-        # (a) NEW round 9, never driver-checked: the multi-round unigram-EM
-        # trainer loop; exact-substring spans in BPE token space; the
-        # quality-cut -> rebalance -> sample composition
-        "unigram_em_loop": q_unigram_em_loop,
         "unigram_em_schedule": q_unigram_em_schedule,
-        "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
         "exact_substring_removal_bpe": q_exact_substring_removal_bpe,
-        "quality_quota_sample": q_quality_quota_sample,
-        # (b) PLANS/mechanics changed round 9 with identical results: the
-        # exact-substring family's window hash (numpy rolling hash over
-        # bytes; xxhash64 over token windows) and the delta-only stream-
-        # state rewrites (ADVICE r8)
+        "bm25_topk_bpe": q_bm25_topk_bpe,
+        "dsir_quota_sample": q_dsir_quota_sample,
+        "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
+        "unigram_em_loop": q_unigram_em_loop,
+        "unigram_em_scores": q_unigram_em_scores,
+        "unigram_em_refine": q_unigram_em_refine,
+        "unigram_lm_scores": q_unigram_lm_scores,
+        "bm25_topk": q_bm25_topk,
         "exact_substring_spans_bytes": q_exact_substring_spans_bytes,
         "exact_substring_removal_bytes": q_exact_substring_removal_bytes,
-        "exact_substring_spans": q_exact_substring_spans,
-        "exact_substring_removal": q_exact_substring_removal,
-        "exact_substring_maintenance_stream": (
-            q_exact_substring_maintenance_stream
-        ),
-        "paragraph_dedup_maintenance_stream": (
-            q_paragraph_dedup_maintenance_stream
-        ),
-        "simhash_maintenance_stream": q_simhash_maintenance_stream,
-        # (c) the displaced r4-stamped block, oldest stamps first (the 12
-        # entries the r8 judge independently re-verified green lead it)
-        "bfs_levels": q_bfs_levels,
-        "salted_skew_join": q_salted_skew_join,
-        "dedup_watermark_stream": q_dedup_watermark_stream,
-        "cms_topk_stream": q_cms_topk_stream,
-        "ann_sharded_topk": q_ann_sharded_topk,
-        "sql_surface_q16": q_sql_surface_q16,
-        "sql_surface_q18": q_sql_surface_q18,
-        "session_window_stream": q_session_window_stream,
-        "bigram_lift": q_bigram_lift,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "sql_surface_groupingsets": q_sql_surface_groupingsets,
-        "sql_surface_lateral": q_sql_surface_lateral,
-        "table_fingerprints": q_table_fingerprints,
-        "schema_evolution_read": q_schema_evolution_read,
-        "bucketed_join": q_bucketed_join,
-        "partition_overwrite_backfill": q_partition_overwrite_backfill,
-        "constraint_audit": q_constraint_audit,
-        "bloom_pruned_join": q_bloom_pruned_join,
-        "fingerprint_incremental": q_fingerprint_incremental,
-        "dedup_clusters": q_dedup_clusters,
-        # (d) the r5/r6 blocks, oldest-first, filling the window
-        "session_window_multibatch_stream": q_session_window_multibatch_stream,
-        "dedup_watermark_multibatch_stream": (
-            q_dedup_watermark_multibatch_stream
-        ),
-        "trending_update_stream": q_trending_update_stream,
-        "media_dims_audit": q_media_dims_audit,
-        "user_value_ewma_segmented": q_user_value_ewma_segmented,
-        "sql_surface_q3": q_sql_surface_q3,
-        "sql_surface_q5": q_sql_surface_q5,
-        "sql_surface_q10": q_sql_surface_q10,
-        "sql_surface_q14": q_sql_surface_q14,
-        "sql_surface_q19": q_sql_surface_q19,
-        "sql_surface_q22": q_sql_surface_q22,
-        "sql_surface_q7": q_sql_surface_q7,
-        "sql_surface_q17": q_sql_surface_q17,
-        "sql_surface_q8": q_sql_surface_q8,
-        "sql_surface_q12": q_sql_surface_q12,
-        "sql_surface_q1": q_sql_surface_q1,
-        "sql_surface_q6": q_sql_surface_q6,
-        "sql_surface_q9": q_sql_surface_q9,
-        "sql_surface_q11": q_sql_surface_q11,
-        "sql_surface_q15": q_sql_surface_q15,
-        # past the 50-entry window: remaining entries, prior relative order
-        # (freshest stamps last)
-        "unigram_em_refine": q_unigram_em_refine,
+        "paragraph_dedup_maintenance_stream": q_paragraph_dedup_maintenance_stream,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bigram_lm_maintenance_stream": q_bigram_lm_maintenance_stream,
         "paragraph_dedup": q_paragraph_dedup,
-        "pagerank_weighted_maintenance_stream": (
-            q_pagerank_weighted_maintenance_stream
-        ),
-        "personalized_pagerank_maintenance_stream": (
-            q_personalized_pagerank_maintenance_stream
-        ),
+        "pagerank_weighted_maintenance_stream": q_pagerank_weighted_maintenance_stream,
+        "personalized_pagerank_maintenance_stream": q_personalized_pagerank_maintenance_stream,
         "lm_filter_roc": q_lm_filter_roc,
         "lm_filter_mix_shift": q_lm_filter_mix_shift,
-        "unigram_em_scores": q_unigram_em_scores,
         "stratified_budget_sample": q_stratified_budget_sample,
         "stratified_budget_sample_stream": q_stratified_budget_sample_stream,
         "dsir_importance": q_dsir_importance,
-        "dsir_quota_sample": q_dsir_quota_sample,
-        "unigram_lm_scores": q_unigram_lm_scores,
         "dsir_topk": q_dsir_topk,
-        "bm25_topk": q_bm25_topk,
-        "bm25_topk_bpe": q_bm25_topk_bpe,
         "bm25_maintenance_stream": q_bm25_maintenance_stream,
         "bottomk_sample": q_bottomk_sample,
         "bottomk_sample_stream": q_bottomk_sample_stream,
@@ -4935,9 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codebooks_kmeans": q_pq_codebooks_kmeans,
         "measures_unpivot": q_measures_unpivot,
         "pps_wor_sample": q_pps_wor_sample,
-        "attributed_purchases_full_outer_stream": (
-            q_attributed_purchases_full_outer_stream
-        ),
+        "attributed_purchases_full_outer_stream": q_attributed_purchases_full_outer_stream,
         "mmr_topk": q_mmr_topk,
         "cosupply_kcore": q_cosupply_kcore,
         "cosupply_triangles": q_cosupply_triangles,
@@ -4956,9 +4886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_prune": q_dedup_corpus_prune,
         "simhash_pairs": q_simhash_pairs,
         "kmeans_maintenance_stream": q_kmeans_maintenance_stream,
-        "semantic_dedup_maintenance_stream": (
-            q_semantic_dedup_maintenance_stream
-        ),
+        "semantic_dedup_maintenance_stream": q_semantic_dedup_maintenance_stream,
         "quantile_sketch_stream": q_quantile_sketch_stream,
         "pagerank_maintenance_stream": q_pagerank_maintenance_stream,
         "events_resample_ffill": q_events_resample_ffill,
@@ -5025,9 +4953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_cohorts": q_user_cohorts,
         "hll_registers_stream": q_hll_registers_stream,
         "hll_by_type": q_hll_by_type,
-        "attributed_purchases_outer_stream": (
-            q_attributed_purchases_outer_stream
-        ),
+        "attributed_purchases_outer_stream": q_attributed_purchases_outer_stream,
         "sql_surface_q4": q_sql_surface_q4,
         "user_value_ewma": q_user_value_ewma,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5046,6 +4972,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_reviews": q_clean_reviews,
         "quality_issues": q_quality_issues,
         "issue_counts": q_issue_counts,
+        "quality_quota_sample": q_quality_quota_sample,
+        "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_removal": q_exact_substring_removal,
+        "exact_substring_maintenance_stream": q_exact_substring_maintenance_stream,
+        "simhash_maintenance_stream": q_simhash_maintenance_stream,
+        "bfs_levels": q_bfs_levels,
+        "salted_skew_join": q_salted_skew_join,
+        "dedup_watermark_stream": q_dedup_watermark_stream,
+        "cms_topk_stream": q_cms_topk_stream,
+        "ann_sharded_topk": q_ann_sharded_topk,
+        "sql_surface_q16": q_sql_surface_q16,
+        "sql_surface_q18": q_sql_surface_q18,
+        "session_window_stream": q_session_window_stream,
+        "bigram_lift": q_bigram_lift,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "sql_surface_groupingsets": q_sql_surface_groupingsets,
+        "sql_surface_lateral": q_sql_surface_lateral,
+        "table_fingerprints": q_table_fingerprints,
+        "schema_evolution_read": q_schema_evolution_read,
+        "bucketed_join": q_bucketed_join,
+        "partition_overwrite_backfill": q_partition_overwrite_backfill,
+        "constraint_audit": q_constraint_audit,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        "fingerprint_incremental": q_fingerprint_incremental,
+        "dedup_clusters": q_dedup_clusters,
+        "session_window_multibatch_stream": q_session_window_multibatch_stream,
+        "dedup_watermark_multibatch_stream": q_dedup_watermark_multibatch_stream,
+        "trending_update_stream": q_trending_update_stream,
+        "media_dims_audit": q_media_dims_audit,
+        "user_value_ewma_segmented": q_user_value_ewma_segmented,
+        "sql_surface_q3": q_sql_surface_q3,
+        "sql_surface_q5": q_sql_surface_q5,
+        "sql_surface_q10": q_sql_surface_q10,
+        "sql_surface_q14": q_sql_surface_q14,
+        "sql_surface_q19": q_sql_surface_q19,
+        "sql_surface_q22": q_sql_surface_q22,
+        "sql_surface_q7": q_sql_surface_q7,
+        "sql_surface_q17": q_sql_surface_q17,
+        "sql_surface_q8": q_sql_surface_q8,
+        "sql_surface_q12": q_sql_surface_q12,
+        "sql_surface_q1": q_sql_surface_q1,
+        "sql_surface_q6": q_sql_surface_q6,
+        "sql_surface_q9": q_sql_surface_q9,
+        "sql_surface_q11": q_sql_surface_q11,
+        "sql_surface_q15": q_sql_surface_q15,
     }
 
 

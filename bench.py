@@ -242,6 +242,11 @@ HEADLINE = [
     "unigram_em_loop",
     "exact_substring_spans_bpe",
     "quality_quota_sample",
+    # round-10 additions
+    "exact_substring_removal_bpe",
+    "unigram_em_schedule",
+    "bm25_topk_bpe",
+    "dsir_quota_sample",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -607,6 +612,16 @@ def longdoc_probe(spark) -> dict[str, float | int]:
         "exact_substring_spans_bpe": lambda: (
             DD.exact_substring_spans_bpe(docs)
         ),
+        # round-10 additions: BPE-space removal reuses the spans
+        # machinery plus gap slicing (must stay linear like the byte
+        # form); the schedule triples the distinct-word DP like the
+        # loop; BPE-piece BM25's postings explode is the
+        # length-dependent stage to watch
+        "exact_substring_removal_bpe": lambda: (
+            DD.exact_substring_removal_bpe(docs)
+        ),
+        "unigram_em_schedule": lambda: TK.unigram_em_schedule(docs),
+        "bm25_topk_bpe": lambda: TA.bm25_topk_bpe(docs),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),

@@ -167,6 +167,18 @@ PROBES = [
     ("unigram_em_loop", "unigram_em_loop", REP_DOCS),
     ("exact_substring_spans_bpe", "exact_substring_spans_bpe", REP_DOCS),
     ("quality_quota_sample", "quality_quota_sample", REP_DOCS),
+    # round-10: removal in BPE space shares the spans entry's probe
+    # safety (per-window COUNT + gap slicing — no covered-position
+    # explode); the schedule's DP is distinct-word-sized like the
+    # loop (strongly sub-linear expected); BPE-piece BM25's postings
+    # grow 10x but the vocab/query-term/idf tables are constant;
+    # dsir_quota_sample adds only bounded bin/alloc tables over the
+    # 10x-growing score join
+    ("exact_substring_removal_bpe", "exact_substring_removal_bpe",
+     REP_DOCS),
+    ("unigram_em_schedule", "unigram_em_schedule", REP_DOCS),
+    ("bm25_topk_bpe", "bm25_topk_bpe", REP_DOCS),
+    ("dsir_quota_sample", "dsir_quota_sample", REP_DOCS),
 ]
 
 
