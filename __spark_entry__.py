@@ -4411,6 +4411,24 @@ def q_bm25_topk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus BM25 (operators/text_analysis.py bm25_cross_topk)
+    — the eval-mining shape: query terms from the odd-doc_id half's
+    token stream, document frequencies / lengths / avgdl from the
+    even half being ranked. The target side reduces to 5 broadcast
+    rows before touching the ranked corpus; shared integer-exact
+    readout, TakeOrderedAndProject top-k."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_cross_topk,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return bm25_cross_topk(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_bm25_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance (operators/text_analysis.py
     bm25_maintain_stream): documents arrive in micro-batches, each
@@ -4611,13 +4629,17 @@ agg AS (
 SELECT doc_id, n_grams, n_seen, {nov} AS novelty FROM agg"""
 
 
-def _sql_bm25_readout(n_query_terms: int = 5, k: int = 20) -> str:
+def _sql_bm25_readout(
+    n_query_terms: int = 5, k: int = 20, qterms_src: str = "w"
+) -> str:
     """The postings->top-k half of the BM25 twins, over a CTE
     ``w(doc_id, term)``: dyadic idf via length(bin(...)), the same
     integer rational saturation, pinned top-k order (score DESC,
     doc_id ASC), and the same BM25_DL_CAP=500000 dl/tf clamp
     (int64-overflow guard, bit-identical below the cap). Shared by
-    the word-space and BPE-piece-space twins."""
+    the word-space, BPE-piece-space, and cross-corpus twins
+    (``qterms_src`` names the CTE the query-term set derives from —
+    the cross form points it at the target corpus's stream)."""
     return f"""dl AS (
   SELECT doc_id, least(CAST(count(*) AS BIGINT), 500000) AS dl
   FROM w GROUP BY doc_id
@@ -4629,7 +4651,7 @@ tot AS (
 consts AS (SELECT (10 * T) // N AS A, N FROM tot),
 qterms AS (
   SELECT term FROM (
-    SELECT term, count(*) AS cnt FROM w GROUP BY term
+    SELECT term, count(*) AS cnt FROM {qterms_src} GROUP BY term
   ) ORDER BY cnt DESC, term LIMIT {n_query_terms}
 ),
 tf AS (
@@ -4671,6 +4693,26 @@ WITH w AS (
   ) WHERE term <> ''
 ),
 {_sql_bm25_readout(n_query_terms, k)}"""
+
+
+def _sql_bm25_cross_topk(n_query_terms: int = 5, k: int = 20) -> str:
+    """Twin of text_analysis.bm25_cross_topk over the odd/even
+    documents halves: ranked-corpus stream w (even docs), target
+    stream qw (odd docs) feeding only the qterms CTE via the shared
+    readout's qterms_src hook; df/dl/avgdl stay derived from w."""
+    stream = """
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                     '\\s+')) AS term
+    FROM documents WHERE doc_id % 2 = {par}
+  ) WHERE term <> ''"""
+    return f"""
+WITH w AS ({stream.format(par=0)}
+),
+qw AS ({stream.format(par=1)}
+),
+{_sql_bm25_readout(n_query_terms, k, qterms_src="qw")}"""
 
 
 def _sql_bm25_topk_bpe(
@@ -4793,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_em_schedule": q_unigram_em_schedule,
         "exact_substring_removal_bpe": q_exact_substring_removal_bpe,
         "bm25_topk_bpe": q_bm25_topk_bpe,
+        "bm25_cross_topk": q_bm25_cross_topk,
         "dsir_quota_sample": q_dsir_quota_sample,
         "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
         "unigram_em_loop": q_unigram_em_loop,
@@ -7666,6 +7709,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_doc_scores": O.sql_wordpiece_doc_scores(),
         "bm25_topk": _sql_bm25_topk(),
         "bm25_topk_bpe": _sql_bm25_topk_bpe(),
+        "bm25_cross_topk": _sql_bm25_cross_topk(),
         "bm25_maintenance_stream": _sql_bm25_topk(),
         "dedup_eval_minhash": _sql_dedup_eval_minhash(),
         "ngram_novelty": _sql_ngram_novelty(),

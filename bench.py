@@ -247,6 +247,7 @@ HEADLINE = [
     "unigram_em_schedule",
     "bm25_topk_bpe",
     "dsir_quota_sample",
+    "bm25_cross_topk",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -622,6 +623,10 @@ def longdoc_probe(spark) -> dict[str, float | int]:
         ),
         "unigram_em_schedule": lambda: TK.unigram_em_schedule(docs),
         "bm25_topk_bpe": lambda: TA.bm25_topk_bpe(docs),
+        "bm25_cross_topk": lambda: TA.bm25_cross_topk(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),

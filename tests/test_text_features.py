@@ -145,6 +145,42 @@ def test_bm25_topk_hand_fixture(spark):
     assert got == [(3, 3301, 1), (1, 1411, 1), (2, 1192, 1)]
 
 
+def test_bm25_cross_topk_hand_fixture(spark):
+    """Query terms come from the TARGET corpus, stats from the ranked
+    one: target is all 'bird'/'cat', so docs stream stats reuse the
+    bm25_topk fixture — ranking must equal bm25_topk with the same
+    (bird, cat) query set even though 'cat' (not 'dog'/'mouse')
+    dominates the ranked corpus; a doc containing neither query term
+    emits no row."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_cross_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat mouse"),
+         (3, "bird bird bird bird bird"), (4, "dog mouse ferret")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "bird bird bird cat cat"), (101, "bird cat")],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in bm25_cross_topk(
+            docs, target, n_query_terms=2, k=4
+        ).collect()
+    ]
+    # ranked-corpus stats now include doc 4: N=4, T=13, A=(130//4)=32
+    # query = target's top-2 (bird cnt 4, cat cnt 3); df(bird)=1 ->
+    # idf=len(bin(10//3))=2; df(cat)=2 -> idf=len(bin(10//5))=2
+    # d3: (2*22*5*32*1000)//(10*32*5+3*32+90*5) = 7040000//2146 = 3280
+    # d1: (2*22*2*32*1000)//(10*32*2+96+270)    = 2816000//1006 = 2799
+    # d2: (2*22*1*32*1000)//(320+96+180)        = 1408000//596  = 2362
+    assert got == [(3, 3280, 1), (1, 2799, 1), (2, 2362, 1)]
+    assert all(r[0] != 4 for r in got)  # no query term -> no row
+
+
 def test_bm25_maintain_stream_equals_batch(spark):
     """Streaming BM25 maintenance: the final epoch's top-k equals
     batch bm25_topk over the full corpus — the query-term set,

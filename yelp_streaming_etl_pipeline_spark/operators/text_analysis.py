@@ -316,6 +316,7 @@ def _bm25_from_postings(
     postings: DataFrame,
     n_query_terms: int = BM25_QUERY_TERMS,
     k: int = BM25_K,
+    query_postings: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 readout over an (accumulated) postings table — see
     bm25_topk for the integer-exact scoring derivation.
@@ -326,7 +327,11 @@ def _bm25_from_postings(
     overflows at ANY corpus size or document length. BM25's tf
     saturation makes the clamp semantically negligible (a 500k-token
     document scores within fixed-point resolution of an unclamped
-    one), and below the cap values are bit-identical."""
+    one), and below the cap values are bit-identical.
+
+    ``query_postings`` (optional) sources the query-term set from a
+    DIFFERENT corpus's postings (bm25_cross_topk); df/dl/avgdl stay
+    derived from ``postings`` — the corpus being ranked."""
     dl = postings.groupBy("doc_id").agg(
         F.least(F.sum("tf"), F.lit(BM25_DL_CAP)).alias("dl")
     )
@@ -337,8 +342,9 @@ def _bm25_from_postings(
     consts = totals.select(
         F.expr("(10 * T) div N").alias("A"), F.col("N")
     )
+    qsrc = postings if query_postings is None else query_postings
     qterms = (
-        postings.groupBy("term")
+        qsrc.groupBy("term")
         .agg(F.sum("tf").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("term"))
         .limit(n_query_terms)
@@ -414,6 +420,37 @@ def bm25_topk(
     TakeOrderedAndProject — no global sort."""
     return _bm25_from_postings(
         _bm25_postings(df, text_col, id_col), n_query_terms, k
+    )
+
+
+def bm25_cross_topk(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+) -> DataFrame:
+    """CROSS-CORPUS BM25 — the eval-mining / decontamination-audit
+    shape: the query-term set comes from a TARGET corpus (its
+    n_query_terms most frequent tokens, count DESC term ASC) while
+    document frequencies, document lengths and avgdl come from the
+    corpus being RANKED — "which of my training docs best match what
+    the eval set talks about". Same integer-exact scoring as
+    bm25_topk (shared _bm25_from_postings readout, BM25_DL_CAP
+    clamp); a query term absent from the ranked corpus contributes
+    no postings and silently drops, identically in both engines.
+
+    Scale shape: one tokenize+count pass per corpus; the target-side
+    aggregate reduces to n_query_terms broadcast rows, so the target
+    corpus never shuffles against the ranked one — everything
+    downstream is the shared readout (broadcast joins +
+    TakeOrderedAndProject)."""
+    return _bm25_from_postings(
+        _bm25_postings(docs, text_col, id_col),
+        n_query_terms,
+        k,
+        query_postings=_bm25_postings(target, text_col, id_col),
     )
 
 
