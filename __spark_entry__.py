@@ -418,6 +418,28 @@ def q_exact_substring_maintenance_stream(
     )
 
 
+def q_exact_substring_maintenance_stream_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming BPE token-space span maintenance (operators/dedup.py
+    exact_substring_maintain_stream_bpe): the tokenizer artifact
+    round-trips through parquet ONCE up front, then each arriving doc
+    is vocab-joined + window-hashed once into text-free
+    (doc_id, pos, h) state under the fixed broadcast vocab; the span
+    readout re-derives per epoch (duplication is corpus-global).
+    Final epoch equals batch exact_substring_spans_bpe, sharing its
+    oracle twin — ship the vocab, dedup any stream against it."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_maintain_stream_bpe,
+    )
+
+    return exact_substring_maintain_stream_bpe(
+        _ensure_conf(spark),
+        _doc_corpus_cpu(spark, sf_dir).select("doc_id", "text"),
+        export_path=_bpe_artifact_dir("spans_stream"),
+    )
+
+
 def q_exact_substring_spans_bytes(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5019,6 +5041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_spans": q_exact_substring_spans,
         "exact_substring_removal": q_exact_substring_removal,
         "exact_substring_maintenance_stream": q_exact_substring_maintenance_stream,
+        "exact_substring_maintenance_stream_bpe": (
+            q_exact_substring_maintenance_stream_bpe
+        ),
         "simhash_maintenance_stream": q_simhash_maintenance_stream,
         "bfs_levels": q_bfs_levels,
         "salted_skew_join": q_salted_skew_join,
@@ -7769,6 +7794,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_quota_sample": _sql_quality_quota_sample(),
         "exact_substring_removal": _sql_exact_substring_removal(),
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
+        "exact_substring_maintenance_stream_bpe": (
+            _sql_exact_substring_spans_bpe()
+        ),
         "dsir_importance": _sql_dsir_importance(),
         "dsir_quota_sample": _sql_dsir_quota_sample(),
         "unigram_lm_scores": O.sql_unigram_lm_scores(),

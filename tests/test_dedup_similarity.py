@@ -1096,6 +1096,35 @@ def test_exact_substring_stream_equals_batch_with_retroflag(spark):
     assert {r[0] for r in batch} == {1, 9}  # both twins flagged
 
 
+def test_exact_substring_stream_bpe_equals_batch(spark):
+    """BPE token-space maintenance: the fixed-artifact vocab join +
+    per-epoch re-derivation must reproduce batch spans exactly,
+    including retro-flagging an early doc when its twin arrives in a
+    later epoch."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, common + " early unique tail one two"),
+        (4, "middle filler document with fresh tokens only here"),
+        (9, "late twin prefix words " + common),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = sorted(
+        map(tuple, DD.exact_substring_spans_bpe(df).collect())
+    )
+    stream = sorted(
+        map(
+            tuple,
+            DD.exact_substring_maintain_stream_bpe(
+                spark, df, n_slices=3
+            ).collect(),
+        )
+    )
+    assert stream == batch
+    assert {r[0] for r in batch} == {1, 9}  # both twins flagged
+
+
 def test_exact_substring_spans_bytes_hand_fixture(spark):
     """Two docs share a 36-byte passage at different BYTE offsets —
     one behind a 2-byte multibyte char ('ö'), one behind a 1-byte

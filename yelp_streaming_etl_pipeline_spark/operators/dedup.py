@@ -2095,6 +2095,95 @@ def exact_substring_removal_bpe(
     )
 
 
+def exact_substring_maintain_stream_bpe(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+    n_slices: int = 3,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Streaming exact-substring span maintenance in BPE TOKEN space
+    — the deployment shape of the BPE dedup family end to end: the
+    tokenizer artifact is trained ONCE up front (and optionally
+    round-tripped through parquet via ``export_path`` — ship the
+    vocab, dedup any stream against it), then documents arrive in
+    micro-batches and are vocab-joined + window-hashed exactly once
+    at arrival under the FIXED broadcast vocab; state is the compact
+    text-free (doc_id, pos, h) token-window table, appended per
+    epoch.
+
+    As in the word/byte forms, the readout is corpus-GLOBAL (a
+    window unique today becomes duplicated when its twin arrives,
+    retro-flagging the earlier document), so each epoch re-derives
+    the duplicated-hash set and span merge from the accumulated
+    table — hashes only, never text or pieces. Append-only-per-doc
+    invariant asserted per epoch.
+
+    The fixed vocab here is trained on the replayed corpus itself
+    (the replay re-feeds a known reference corpus, as every
+    maintenance entry does), so the final epoch equals batch
+    exact_substring_spans_bpe and the entry shares its oracle twin
+    — in production the artifact would predate the stream."""
+    from ..streaming.replay import replay_fold
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(df, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = spark.read.parquet(vocab_path)
+    vocab = vocab.localCheckpoint(eager=True)
+
+    state: dict = {"wins": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = bpe_token_stream(batch_df, vocab, text_col, id_col)
+        fresh = _array_window_hash_table(toks, L).localCheckpoint(
+            eager=True
+        )
+        if state["wins"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["wins"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"exact_substring_maintain_stream_bpe: epoch "
+                    f"{epoch_id} re-windowed {n_overlap} already-seen "
+                    "doc(s) — window state must be append-only per doc"
+                )
+            acc = state["wins"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["wins"] = acc
+        state["result"] = _spans_from_cov(
+            _cov_from_window_table(acc, min_occ), L
+        )
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="exsb_",
+    )
+    return state["result"].select(
+        "doc_id",
+        "span_id",
+        F.col("start_pos").alias("start_tok"),
+        F.col("end_pos").alias("end_tok"),
+        "span_tokens",
+        "n_windows",
+    )
+
+
 def exact_substring_removal(
     df: DataFrame,
     text_col: str = "text",
