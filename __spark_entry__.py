@@ -778,6 +778,23 @@ def q_unigram_em_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_em_schedule(_t_cpu(spark, sf_dir, "documents"))
 
 
+def q_unigram_em_schedule_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc Viterbi scores under the size-scheduled trainer's
+    FINAL inventory (operators/tokenizer.py
+    unigram_em_schedule_scores) — the shipped-model readout after 3
+    shrink rounds, same rollup schema as unigram_lm_scores /
+    unigram_em_scores so the three model generations compare
+    directly. One corpus pass; the twin chains the schedule blocks
+    plus one final DP whose vocab is the kept inventory."""
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        unigram_em_schedule_scores,
+    )
+
+    return unigram_em_schedule_scores(_t_cpu(spark, sf_dir, "documents"))
+
+
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR selection step (operators/corpus.py dsir_topk): the 50
     most target-like raw documents by importance score, ties pinned by
@@ -4855,6 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "unigram_em_schedule": q_unigram_em_schedule,
+        "unigram_em_schedule_scores": q_unigram_em_schedule_scores,
         "exact_substring_removal_bpe": q_exact_substring_removal_bpe,
         "bm25_topk_bpe": q_bm25_topk_bpe,
         "bm25_cross_topk": q_bm25_cross_topk,
@@ -7789,6 +7807,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_em_scores": O.sql_unigram_em_scores(),
         "unigram_em_loop": O.sql_unigram_em_loop(),
         "unigram_em_schedule": O.sql_unigram_em_schedule(),
+        "unigram_em_schedule_scores": O.sql_unigram_em_schedule_scores(),
         "exact_substring_spans_bpe": _sql_exact_substring_spans_bpe(),
         "exact_substring_removal_bpe": _sql_exact_substring_removal_bpe(),
         "quality_quota_sample": _sql_quality_quota_sample(),

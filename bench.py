@@ -248,6 +248,7 @@ HEADLINE = [
     "bm25_topk_bpe",
     "dsir_quota_sample",
     "bm25_cross_topk",
+    "unigram_em_schedule_scores",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

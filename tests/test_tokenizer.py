@@ -614,6 +614,43 @@ def test_unigram_em_schedule_matches_bruteforce(spark):
     assert rank_cut_pruned_positive  # the fixture exercises the cut
 
 
+def test_unigram_em_schedule_scores_equivalence_anchor(spark):
+    """With rounds=1 and an unreachable target the rank cut never
+    binds, so the kept set is exactly 'usage > 0 or single char' —
+    the scheduled scorer must equal unigram_em_scores at min_cnt=1
+    row for row; an aggressive schedule (target 2, shrink 1/2, 3
+    rounds) must concentrate the inventory and CHANGE scores."""
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["aabbb"] + ["aa"] * 40 + ["bbb"] * 40)),
+            (2, "the cat sat on the mat with a hat"),
+            (3, "aabbb xy cd xy cd xy"),
+        ],
+        "doc_id long, text string",
+    )
+    anchor = sorted(
+        tuple(r)
+        for r in TK.unigram_em_schedule_scores(
+            docs, rounds=1, target_multi=10**9
+        ).collect()
+    )
+    em = sorted(
+        tuple(r)
+        for r in TK.unigram_em_scores(docs, min_cnt=1).collect()
+    )
+    assert anchor == em, (anchor, em)
+    aggressive = sorted(
+        tuple(r)
+        for r in TK.unigram_em_schedule_scores(
+            docs, rounds=3, target_multi=2, shrink_num=1, shrink_den=2
+        ).collect()
+    )
+    assert {t[0] for t in aggressive} == {t[0] for t in em}
+    assert aggressive != em  # the shrink actually moves the model
+
+
 def test_unigram_em_scores_matches_bruteforce_round2(spark):
     """Round-2 segmentation must be the brute-force Viterbi optimum
     under the REFINED weights (kept pieces, q_new, Q2 = bitlen of

@@ -1062,6 +1062,90 @@ UV_SCHED_NUM, UV_SCHED_DEN = 3, 4  # shrinking factor 3/4 per round
 UV_SCHED_TARGET = 64  # target multigram inventory size
 
 
+def _em_schedule_round(
+    words: DataFrame,
+    vocab: DataFrame,
+    maxlen: int,
+    target_multi: int,
+    shrink_num: int,
+    shrink_den: int,
+) -> DataFrame:
+    """One size-scheduled E+M round over a prepared (words, vocab):
+    Viterbi usage, dyadic re-quantization, and the rank prune toward
+    n_target = max(target_multi, ceil(n_multi * num/den)). Returns
+    the checkpointed refined table (piece, plen, vit_cnt, q_new,
+    n_target, kept) — shared by the delta emitter
+    (unigram_em_schedule) and the final-inventory scorer
+    (unigram_em_schedule_scores)."""
+    usage = (
+        unigram_viterbi_pieces(words, vocab, maxlen)
+        .join(words.select("w", "f"), "w")
+        .groupBy("piece")
+        .agg(F.sum("f").cast("long").alias("vit_cnt"))
+    )
+    # inventory-sized (alphabet + <= k multigrams): checkpoint so
+    # the three consumers below never re-run the E-step
+    base = (
+        vocab.join(usage, "piece", "left")
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("plen"),
+            F.coalesce(F.col("vit_cnt"), F.lit(0))
+            .cast("long")
+            .alias("vit_cnt"),
+            F.when(
+                F.col("vit_cnt") > 0,
+                F.length(F.bin(F.col("vit_cnt"))),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("q_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tgt = (
+        base.filter(F.col("plen") >= 2)
+        .agg(F.count("*").cast("long").alias("n_multi"))
+        .select(
+            F.greatest(
+                F.lit(target_multi).cast("long"),
+                F.expr(
+                    f"({shrink_num} * n_multi + {shrink_den - 1}) "
+                    f"div {shrink_den}"
+                ).cast("long"),
+            ).alias("n_target")
+        )
+    )
+    w_rank = Window.orderBy(F.desc("vit_cnt"), F.asc("piece"))
+    multis = (
+        base.filter(F.col("plen") >= 2)
+        .withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            "piece",
+            "plen",
+            "vit_cnt",
+            "q_new",
+            "n_target",
+            (
+                (F.col("vit_cnt") > 0)
+                & (F.col("rk") <= F.col("n_target"))
+            ).alias("kept"),
+        )
+    )
+    singles = base.filter(F.col("plen") == 1).crossJoin(
+        F.broadcast(tgt)
+    ).select(
+        "piece",
+        "plen",
+        "vit_cnt",
+        "q_new",
+        "n_target",
+        F.lit(True).alias("kept"),
+    )
+    return singles.unionByName(multis).localCheckpoint(eager=True)
+
+
 def unigram_em_schedule(
     docs: DataFrame,
     text_col: str = "text",
@@ -1102,73 +1186,9 @@ def unigram_em_schedule(
     vocab = unigram_vocab(words, k, maxlen).localCheckpoint(eager=True)
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
-        usage = (
-            unigram_viterbi_pieces(words, vocab, maxlen)
-            .join(words.select("w", "f"), "w")
-            .groupBy("piece")
-            .agg(F.sum("f").cast("long").alias("vit_cnt"))
+        refined = _em_schedule_round(
+            words, vocab, maxlen, target_multi, shrink_num, shrink_den
         )
-        # inventory-sized (alphabet + <= k multigrams): checkpoint so
-        # the three consumers below never re-run the E-step
-        base = (
-            vocab.join(usage, "piece", "left")
-            .select(
-                "piece",
-                F.length("piece").cast("long").alias("plen"),
-                F.coalesce(F.col("vit_cnt"), F.lit(0))
-                .cast("long")
-                .alias("vit_cnt"),
-                F.when(
-                    F.col("vit_cnt") > 0,
-                    F.length(F.bin(F.col("vit_cnt"))),
-                )
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("q_new"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        tgt = (
-            base.filter(F.col("plen") >= 2)
-            .agg(F.count("*").cast("long").alias("n_multi"))
-            .select(
-                F.greatest(
-                    F.lit(target_multi).cast("long"),
-                    F.expr(
-                        f"({shrink_num} * n_multi + {shrink_den - 1}) "
-                        f"div {shrink_den}"
-                    ).cast("long"),
-                ).alias("n_target")
-            )
-        )
-        w_rank = Window.orderBy(F.desc("vit_cnt"), F.asc("piece"))
-        multis = (
-            base.filter(F.col("plen") >= 2)
-            .withColumn("rk", F.row_number().over(w_rank))
-            .crossJoin(F.broadcast(tgt))
-            .select(
-                "piece",
-                "plen",
-                "vit_cnt",
-                "q_new",
-                "n_target",
-                (
-                    (F.col("vit_cnt") > 0)
-                    & (F.col("rk") <= F.col("n_target"))
-                ).alias("kept"),
-            )
-        )
-        singles = base.filter(F.col("plen") == 1).crossJoin(
-            F.broadcast(tgt)
-        ).select(
-            "piece",
-            "plen",
-            "vit_cnt",
-            "q_new",
-            "n_target",
-            F.lit(True).alias("kept"),
-        )
-        refined = singles.unionByName(multis).localCheckpoint(eager=True)
         summary = refined.agg(
             F.count("*").cast("long").alias("n_pieces"),
             F.sum((F.col("plen") >= 2).cast("long"))
@@ -1205,6 +1225,70 @@ def unigram_em_schedule(
                 .localCheckpoint(eager=True)
             )
     return out
+
+
+def unigram_em_schedule_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = UV_VOCAB_K,
+    maxlen: int = WP_MAXLEN,
+    rounds: int = UV_SCHED_ROUNDS,
+    target_multi: int = UV_SCHED_TARGET,
+    shrink_num: int = UV_SCHED_NUM,
+    shrink_den: int = UV_SCHED_DEN,
+) -> DataFrame:
+    """Per-document Viterbi scores under the SIZE-SCHEDULED trainer's
+    FINAL inventory — what you actually ship after running
+    unigram_em_schedule: every distinct word re-segments with only
+    the pieces that survived ``rounds`` shrink rounds, weighted by
+    their last re-quantized usage, and the per-doc rollup has the
+    same schema as unigram_lm_scores / unigram_em_scores (directly
+    comparable across the seed, min-cnt-refined, and size-scheduled
+    models).
+
+    Equivalence anchor (pytest): with rounds=1 and an unreachable
+    target the rank cut never binds, so the kept set is exactly
+    'usage > 0 or single char' — identical to unigram_em_scores at
+    min_cnt=1.
+
+    Scale shape: unigram_em_schedule's loop plus ONE more
+    distinct-word DP and the doc-word join — still one corpus pass
+    total (checkpointed word table); every inventory broadcasts."""
+    words = word_freq_table(docs, text_col, "char").localCheckpoint(
+        eager=True
+    )
+    vocab = unigram_vocab(words, k, maxlen).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        refined = _em_schedule_round(
+            words, vocab, maxlen, target_multi, shrink_num, shrink_den
+        )
+        vocab = (
+            refined.filter(F.col("kept"))
+            .select(
+                "piece",
+                F.col("q_new").alias("q"),
+                F.col("vit_cnt").alias("cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    stats = unigram_word_stats(words, vocab, maxlen)
+    doc_w = _doc_words(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        "char",
+        ["doc_id"],
+    )
+    return (
+        doc_w.join(stats, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum(F.col("is_long").cast("long")).alias("n_long_words"),
+            F.sum("lm_score_q").alias("lm_score_q"),
+        )
+    )
 
 
 def unigram_em_scores(

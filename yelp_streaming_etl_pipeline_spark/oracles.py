@@ -2324,6 +2324,79 @@ WITH RECURSIVE {joined}
 {union}"""
 
 
+def _sql_uv_scores_tail(dp: str, max_word: int = 32) -> str:
+    """The seg0/seg/dw + per-doc rollup tail shared by the
+    unigram-scores twins, parameterized on the final DP CTE name
+    (dp2 for the min-cnt round-2 chain, dp{R+1} for the scheduled
+    chain). Long words (> max_word) mirror the [UNK] discipline."""
+    pack = 256
+    dw = _sql_bpe_words("char").format(ids="doc_id,")
+    return f"""seg0 AS (SELECT w, d4 AS packed FROM {dp} WHERE e = len),
+seg AS (
+  SELECT w,
+         CAST({pack} - ((packed % {pack}) + {pack}) % {pack}
+              AS BIGINT) AS n_pieces,
+         CAST((packed + ({pack} - ((packed % {pack}) + {pack})
+                         % {pack})) // {pack} AS BIGINT) AS lm_score_q,
+         false AS is_long
+  FROM seg0
+  UNION ALL
+  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), true
+  FROM wf WHERE length(w) > {max_word}
+),
+dw AS (
+  SELECT doc_id, w FROM ({dw}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN is_long THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_words,
+       CAST(sum(lm_score_q) AS BIGINT) AS lm_score_q
+FROM dw JOIN seg USING (w)
+GROUP BY doc_id"""
+
+
+def sql_unigram_em_schedule_scores(
+    k: int = 256,
+    maxlen: int = 4,
+    max_word: int = 32,
+    rounds: int = 3,
+    target: int = 64,
+    num: int = 3,
+    den: int = 4,
+) -> str:
+    """Twin of tokenizer.unigram_em_schedule_scores: the schedule
+    twin's chained blocks through refined{rounds}, one more full DP
+    block (round rounds+1) whose vocab is the FINAL kept inventory,
+    and the shared per-doc rollup tail over its dp. The unreferenced
+    path-recovery CTEs of the final block are never evaluated."""
+    blocks = [
+        _sql_uv_ctes(k, maxlen, max_word),
+        _sql_uv_path_ctes(),
+        _sql_uvsched_block(1, target, num, den),
+    ]
+    for r in range(2, rounds + 1):
+        vb = (
+            "SELECT piece, CAST(vit_cnt AS BIGINT) AS cnt,\n"
+            "         CAST(q_new AS BIGINT) AS q\n"
+            f"  FROM refined{r - 1} WHERE kept"
+        )
+        blocks.append(_sql_uv_round_ctes(r, maxlen, 0, vocab_body=vb))
+        blocks.append(_sql_uvsched_block(r, target, num, den))
+    final = rounds + 1
+    vb = (
+        "SELECT piece, CAST(vit_cnt AS BIGINT) AS cnt,\n"
+        "         CAST(q_new AS BIGINT) AS q\n"
+        f"  FROM refined{rounds} WHERE kept"
+    )
+    blocks.append(_sql_uv_round_ctes(final, maxlen, 0, vocab_body=vb))
+    blocks.append(_sql_uv_scores_tail(f"dp{final}", max_word))
+    joined = ",\n".join(blocks)
+    return f"""
+WITH RECURSIVE {joined}"""
+
+
 def sql_unigram_em_scores(
     k: int = 256, maxlen: int = 4, max_word: int = 32, min_cnt: int = 1
 ) -> str:
