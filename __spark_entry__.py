@@ -4877,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_bpe": q_bm25_topk_bpe,
         "bm25_cross_topk": q_bm25_cross_topk,
         "dsir_quota_sample": q_dsir_quota_sample,
+        "dsir_budget_pack": q_dsir_budget_pack,
         "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
         "unigram_em_loop": q_unigram_em_loop,
         "unigram_em_scores": q_unigram_em_scores,
@@ -5276,6 +5277,54 @@ agg AS (
 SELECT doc_id, n_grams,
        CAST(sw + n_grams * cq AS BIGINT) AS dsir_score
 FROM agg CROSS JOIN konst"""
+
+
+def q_dsir_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy importance-first token packing (operators/corpus.py
+    dsir_budget_pack): even docs scored against the odd half are
+    admitted in (dsir_score DESC, doc_id) order until an 8k-token
+    budget is spent — DSIR selection under the budget a training mix
+    actually holds. The exact prefix sum decomposes over monotone
+    SCORE BINS (per-bin windows + a bounded bin-offset cumsum +
+    broadcast), bit-identical to the twin's naive global window."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus import (
+        dsir_budget_pack,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return dsir_budget_pack(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _sql_dsir_budget_pack(token_budget: int = 8_000) -> str:
+    """Twin of the dsir_budget_pack entry: the dsir twin as a
+    MATERIALIZED scores CTE, the same regex token count, and the
+    NAIVE global prefix sum over (dsir_score DESC, doc_id) — the
+    engine's bin-decomposed form is bit-identical by the monotone-
+    bucket argument (documented at the operator)."""
+    tok = O.sql_bpe_token_count("text")
+    return f"""
+WITH dsir AS MATERIALIZED ({_sql_dsir_importance()}),
+toks AS (
+  SELECT doc_id, CAST({tok} AS BIGINT) AS tokens
+  FROM documents WHERE doc_id % 2 = 0
+),
+j AS (
+  SELECT d.doc_id, d.dsir_score, t.tokens
+  FROM dsir d JOIN toks t USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, dsir_score, tokens,
+         sum(tokens) OVER (ORDER BY dsir_score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM j
+)
+SELECT doc_id, dsir_score, tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       (cum_tokens - tokens < {token_budget}) AS kept
+FROM cum"""
 
 
 def q_dsir_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7818,6 +7867,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_importance": _sql_dsir_importance(),
         "dsir_quota_sample": _sql_dsir_quota_sample(),
+        "dsir_budget_pack": _sql_dsir_budget_pack(),
         "unigram_lm_scores": O.sql_unigram_lm_scores(),
         "dsir_topk": _sql_dsir_importance()
         + "\nORDER BY dsir_score DESC, doc_id LIMIT 50",

@@ -249,6 +249,7 @@ HEADLINE = [
     "dsir_quota_sample",
     "bm25_cross_topk",
     "unigram_em_schedule_scores",
+    "dsir_budget_pack",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -321,3 +321,43 @@ def test_dsir_quota_sample_matches_python_composition(spark):
     assert got == sorted(expected), (got, sorted(expected))
     assert len(got) == budget  # the fixture fills the whole budget
     assert len({r[0] for r in got}) == 2  # both sources sampled
+
+
+def test_dsir_budget_pack_matches_naive_prefix_sum(spark):
+    """The bin-decomposed prefix sum must be bit-identical to the
+    naive (dsir_score DESC, doc_id) global order: recompute
+    cum_tokens and the kept verdict in Python from the operator's own
+    (score, tokens) columns and require exact equality; the fixture
+    budget must split the corpus (some kept, some cut)."""
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"tok{(i * 11 + j) % 13}" for j in range(5 + (i * 3) % 9)
+            ),
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = docs.filter("doc_id % 2 = 0")
+    tgt = docs.filter("doc_id % 2 = 1")
+    budget = 90
+    got = {
+        r["doc_id"]: r
+        for r in CP.dsir_budget_pack(
+            raw, tgt, token_budget=budget
+        ).collect()
+    }
+    order = sorted(
+        got.values(), key=lambda r: (-r["dsir_score"], r["doc_id"])
+    )
+    cum = 0
+    for r in order:
+        start = cum
+        cum += r["tokens"]
+        assert r["cum_tokens"] == cum, (r, cum)
+        assert r["kept"] == (start < budget), r
+    kept = sum(1 for r in got.values() if r["kept"])
+    assert 0 < kept < len(got)

@@ -423,6 +423,87 @@ def dsir_topk(
     )
 
 
+def dsir_budget_pack(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 8_000,
+    step: int = 8,
+    n_bins: int = 1024,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Greedy importance-first token packing — DSIR's selection step
+    under a TOKEN budget instead of a document count (what you
+    actually hold when composing a training mix): documents are
+    admitted in (dsir_score DESC, doc_id) order until the budget is
+    spent; a document is kept iff its STARTING offset falls inside
+    the budget (the shard-assignment convention of
+    token_budget_pack). Returns every scored doc with its audit
+    trail: (doc_id, dsir_score, tokens, cum_tokens, kept).
+
+    The 100 TB shape is token_budget_pack's decomposed prefix sum
+    with SCORE BINS as the buckets: bin = (score - min) div step is
+    a monotone function of the sort key, so ordering by
+    (bin DESC, score DESC, doc_id) equals ordering by
+    (score DESC, doc_id) exactly — per-bin local windows (ordinary
+    hash-partitioned), one bounded <= n_bins bin-total cumsum, bucket
+    base offsets broadcast back; bit-identical to the naive global
+    window (which is what the DuckDB twin runs). Caveat vs the hash
+    buckets of token_budget_pack: score bins are not uniform — a hot
+    bin concentrates its documents in one partition, and n_bins/step
+    are the knobs (same class as salting)."""
+    scores = dsir_importance(
+        raw, target, text_col, id_col, n_buckets
+    ).localCheckpoint(eager=True)
+    mn = scores.agg(F.min("dsir_score").cast("long").alias("mn"))
+    toks = raw.select(
+        F.col(id_col).alias("doc_id"),
+        bpe_token_count(F.col(text_col)).cast("long").alias("tokens"),
+    )
+    base = (
+        scores.select("doc_id", "dsir_score")
+        .join(toks, "doc_id")
+        .crossJoin(F.broadcast(mn))
+        .withColumn(
+            "_bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"(dsir_score - mn) div {step}"),
+            ).cast("long"),
+        )
+    )
+    local_w = (
+        Window.partitionBy("_bin")
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_lc", F.sum("tokens").over(local_w))
+    bin_w = (
+        Window.orderBy(F.desc("_bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # <= n_bins rows — the adjudicated bounded-window class
+    offsets = (
+        base.groupBy("_bin")
+        .agg(F.sum("tokens").alias("_btok"))
+        .withColumn(
+            "_base", F.sum("_btok").over(bin_w) - F.col("_btok")
+        )
+        .select("_bin", "_base")
+    )
+    cum = F.col("_base") + F.col("_lc")
+    return (
+        local.join(F.broadcast(offsets), "_bin")
+        .select(
+            "doc_id",
+            "dsir_score",
+            "tokens",
+            cum.cast("long").alias("cum_tokens"),
+            ((cum - F.col("tokens")) < token_budget).alias("kept"),
+        )
+    )
+
+
 def dsir_quota_sample(
     raw: DataFrame,
     target: DataFrame,
