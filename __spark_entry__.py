@@ -4847,10 +4847,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-10 window (priority order, per VERDICT r9 directive #2 and
     the standing cycle plan):
-    (a) the 4 entries NEW this round, never driver-checked:
+    (a) the 8 entries NEW this round, never driver-checked:
     exact-substring REMOVAL in BPE token space; the size-scheduled
     unigram-EM trainer (SentencePiece's shrinking factor); BM25
-    retrieval over BPE pieces; DSIR-weighted quota sampling;
+    retrieval over BPE pieces; DSIR-weighted quota sampling; and the
+    four late-round extensions — cross-corpus BM25, the streaming
+    BPE span maintenance form, per-doc scores under the scheduled
+    inventory, DSIR token-budget packing;
     (b) the 9 entries whose code or twin text changed this round
     with identical results: the unigram twin chain's MATERIALIZED
     hot CTE nodes (VERDICT r9 #3 — em_scores 20.2 s -> 0.1 s at
@@ -4860,24 +4863,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family's null-doc_id guard in the mapInPandas hash, and the
     paragraph-dedup maintenance empty-corpus guard (ADVICE r9);
     (c) the r5/r6-stamped backlog, oldest-first (the exact order
-    VERDICT r9 #2 names: bigram_lm_scores .. tfidf_keywords),
-    filling the window. 4 + 9 + 37 = 50.
+    VERDICT r9 #2 names: bigram_lm_scores ..), filling the window.
+    8 + 9 + 33 = 50 (the backlog tail click_purchase_5min ..
+    tfidf_keywords slips to round 11's window head).
 
-    CYCLE PLAN (227 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (231 entries, 50-entry window): past position 50 the
     order is round 11's queue — the remaining r5/r6-era entries in
     prior relative order, then the displaced r9-stamped block
     (freshest stamps) last. Every entry is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 227) and by pytest units added with each change.
+    over all 231) and by pytest units added with each change.
     """
     return {
-        "unigram_em_schedule": q_unigram_em_schedule,
+        "bm25_cross_topk": q_bm25_cross_topk,
+        "exact_substring_maintenance_stream_bpe": q_exact_substring_maintenance_stream_bpe,
         "unigram_em_schedule_scores": q_unigram_em_schedule_scores,
+        "dsir_budget_pack": q_dsir_budget_pack,
+        "unigram_em_schedule": q_unigram_em_schedule,
         "exact_substring_removal_bpe": q_exact_substring_removal_bpe,
         "bm25_topk_bpe": q_bm25_topk_bpe,
-        "bm25_cross_topk": q_bm25_cross_topk,
         "dsir_quota_sample": q_dsir_quota_sample,
-        "dsir_budget_pack": q_dsir_budget_pack,
         "exact_substring_spans_bpe": q_exact_substring_spans_bpe,
         "unigram_em_loop": q_unigram_em_loop,
         "unigram_em_scores": q_unigram_em_scores,
@@ -5060,9 +5065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_spans": q_exact_substring_spans,
         "exact_substring_removal": q_exact_substring_removal,
         "exact_substring_maintenance_stream": q_exact_substring_maintenance_stream,
-        "exact_substring_maintenance_stream_bpe": (
-            q_exact_substring_maintenance_stream_bpe
-        ),
         "simhash_maintenance_stream": q_simhash_maintenance_stream,
         "bfs_levels": q_bfs_levels,
         "salted_skew_join": q_salted_skew_join,

@@ -37,6 +37,8 @@ ALLOWED = {
     "largest-remainder rank over strata",
     "dsir_quota_sample": "keep-high cumsum over <= 1024 bins; "
     "largest-remainder rank over strata",
+    "dsir_budget_pack": "bin-offset cumsum over <= 1024 score bins "
+    "(the decomposed prefix sum's metadata table)",
     # strata-sized allocation ranks (largest remainder)
     "stratified_budget_sample": "remainder rank over the strata table",
     "mixture_sample": "remainder rank over the strata table",
