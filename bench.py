@@ -630,6 +630,17 @@ def longdoc_probe(spark) -> dict[str, float | int]:
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("doc_id") % 2 == 1),
         ),
+        # round-10 late extensions (first longdoc baselines in r11's
+        # artifact — added after the r10 bench run launched): the
+        # scheduled scorer re-runs the distinct-word DP; budget
+        # packing's per-doc cost is the regex token count
+        "unigram_em_schedule_scores": lambda: (
+            TK.unigram_em_schedule_scores(docs)
+        ),
+        "dsir_budget_pack": lambda: CP.dsir_budget_pack(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),

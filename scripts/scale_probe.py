@@ -179,6 +179,15 @@ PROBES = [
     ("unigram_em_schedule", "unigram_em_schedule", REP_DOCS),
     ("bm25_topk_bpe", "bm25_topk_bpe", REP_DOCS),
     ("dsir_quota_sample", "dsir_quota_sample", REP_DOCS),
+    # round-10 late extensions (first baselines land in round 11):
+    # cross BM25's target side reduces to 5 broadcast rows; the
+    # scheduled scorer is distinct-word-DP-bound (sub-linear
+    # expected); budget packing adds per-bin windows + a bounded
+    # bin-offset cumsum over the 10x-growing score join
+    ("bm25_cross_topk", "bm25_cross_topk", REP_DOCS),
+    ("unigram_em_schedule_scores", "unigram_em_schedule_scores",
+     REP_DOCS),
+    ("dsir_budget_pack", "dsir_budget_pack", REP_DOCS),
 ]
 
 
