@@ -4468,6 +4468,55 @@ def q_bm25_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_cross_topk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus BM25 in BPE piece space (operators/
+    text_analysis.py bm25_cross_topk_bpe): one vocab trained on the
+    even half (artifact round trip), both halves tokenized under it
+    via broadcast joins, query pieces from the odd half, stats from
+    the even half being ranked — eval-mining in the model's own token
+    space; target OOV words drop under the fixed vocab."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_cross_topk_bpe,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return bm25_cross_topk_bpe(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        export_path=_bpe_artifact_dir("bm25_cross"),
+    )
+
+
+def _sql_bm25_cross_topk_bpe(
+    n_merges: int = 4, n_query_terms: int = 5, k: int = 20
+) -> str:
+    """Twin of text_analysis.bm25_cross_topk_bpe: the BPE chain
+    trains on the even (ranked) half, both halves tokenize under
+    vocab{n} by inner join, the shared readout takes qterms from the
+    target-side piece stream."""
+    rdw = O._sql_bpe_words("char", "rdocs").format(ids="doc_id,")
+    tdw = O._sql_bpe_words("char", "tdocs").format(ids="doc_id,")
+    return f"""
+WITH rdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+tdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+{O._sql_bpe_cte(n_merges, "char", "rdocs")},
+dw AS (
+  SELECT doc_id, w FROM ({rdw}
+),
+w AS MATERIALIZED (
+  SELECT doc_id, unnest(s.toks) AS term
+  FROM dw JOIN vocab{n_merges} s USING (w)
+),
+tdw AS (
+  SELECT doc_id, w FROM ({tdw}
+),
+qw AS (
+  SELECT doc_id, unnest(s.toks) AS term
+  FROM tdw JOIN vocab{n_merges} s USING (w)
+),
+{_sql_bm25_readout(n_query_terms, k, qterms_src="qw")}"""
+
+
 def q_bm25_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance (operators/text_analysis.py
     bm25_maintain_stream): documents arrive in micro-batches, each
@@ -4847,13 +4896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-10 window (priority order, per VERDICT r9 directive #2 and
     the standing cycle plan):
-    (a) the 8 entries NEW this round, never driver-checked:
+    (a) the 9 entries NEW this round, never driver-checked:
     exact-substring REMOVAL in BPE token space; the size-scheduled
     unigram-EM trainer (SentencePiece's shrinking factor); BM25
     retrieval over BPE pieces; DSIR-weighted quota sampling; and the
-    four late-round extensions — cross-corpus BM25, the streaming
-    BPE span maintenance form, per-doc scores under the scheduled
-    inventory, DSIR token-budget packing;
+    five late-round extensions — cross-corpus BM25 (word and BPE
+    piece space), the streaming BPE span maintenance form, per-doc
+    scores under the scheduled inventory, DSIR token-budget packing;
     (b) the 9 entries whose code or twin text changed this round
     with identical results: the unigram twin chain's MATERIALIZED
     hot CTE nodes (VERDICT r9 #3 — em_scores 20.2 s -> 0.1 s at
@@ -4864,17 +4913,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paragraph-dedup maintenance empty-corpus guard (ADVICE r9);
     (c) the r5/r6-stamped backlog, oldest-first (the exact order
     VERDICT r9 #2 names: bigram_lm_scores ..), filling the window.
-    8 + 9 + 33 = 50 (the backlog tail click_purchase_5min ..
+    9 + 9 + 32 = 50 (the backlog tail value_percentiles ..
     tfidf_keywords slips to round 11's window head).
 
-    CYCLE PLAN (231 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (232 entries, 50-entry window): past position 50 the
     order is round 11's queue — the remaining r5/r6-era entries in
     prior relative order, then the displaced r9-stamped block
     (freshest stamps) last. Every entry is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 231) and by pytest units added with each change.
+    over all 232) and by pytest units added with each change.
     """
     return {
+        "bm25_cross_topk_bpe": q_bm25_cross_topk_bpe,
         "bm25_cross_topk": q_bm25_cross_topk,
         "exact_substring_maintenance_stream_bpe": q_exact_substring_maintenance_stream_bpe,
         "unigram_em_schedule_scores": q_unigram_em_schedule_scores,
@@ -7804,6 +7854,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "bm25_topk_bpe": _sql_bm25_topk_bpe(),
         "bm25_cross_topk": _sql_bm25_cross_topk(),
+        "bm25_cross_topk_bpe": _sql_bm25_cross_topk_bpe(),
         "bm25_maintenance_stream": _sql_bm25_topk(),
         "dedup_eval_minhash": _sql_dedup_eval_minhash(),
         "ngram_novelty": _sql_ngram_novelty(),

@@ -250,6 +250,7 @@ HEADLINE = [
     "bm25_cross_topk",
     "unigram_em_schedule_scores",
     "dsir_budget_pack",
+    "bm25_cross_topk_bpe",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.

@@ -181,6 +181,40 @@ def test_bm25_cross_topk_hand_fixture(spark):
     assert all(r[0] != 4 for r in got)  # no query term -> no row
 
 
+def test_bm25_cross_topk_bpe_anchor_and_oov(spark):
+    """Anchor: with target == docs the cross form's query pieces
+    equal the self-query set, so it must reproduce bm25_topk_bpe row
+    for row. OOV: a target made of words absent from the ranked
+    corpus contributes no in-vocab pieces... except single-char
+    pieces it shares with the base alphabet — so a fully-disjoint
+    ALPHABET target yields an empty result."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_cross_topk_bpe,
+        bm25_topk_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat mouse"),
+         (3, "bird bird bird bird bird")],
+        "doc_id long, text string",
+    )
+    self_q = sorted(
+        tuple(r) for r in bm25_topk_bpe(docs, n_query_terms=2).collect()
+    )
+    cross_same = sorted(
+        tuple(r)
+        for r in bm25_cross_topk_bpe(
+            docs, docs, n_query_terms=2
+        ).collect()
+    )
+    assert cross_same == self_q and self_q
+    disjoint = spark.createDataFrame(
+        [(9, "zzz qqq zzz qqq")], "doc_id long, text string"
+    )
+    empty = bm25_cross_topk_bpe(docs, disjoint, n_query_terms=2).collect()
+    assert empty == []  # no shared alphabet -> no query pieces
+
+
 def test_bm25_maintain_stream_equals_batch(spark):
     """Streaming BM25 maintenance: the final epoch's top-k equals
     batch bm25_topk over the full corpus — the query-term set,

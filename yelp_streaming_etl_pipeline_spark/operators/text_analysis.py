@@ -516,6 +516,47 @@ def bm25_topk_bpe(
     )
 
 
+def bm25_cross_topk_bpe(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Cross-corpus BM25 in BPE PIECE space — one vocab, two corpora:
+    the tokenizer artifact trains on the corpus being RANKED (and
+    optionally round-trips through parquet via ``export_path``), BOTH
+    corpora tokenize under it through broadcast vocab joins, the
+    query-term set is the TARGET's most frequent pieces, and
+    df/dl/avgdl come from the ranked side — "which training docs best
+    match what the eval set talks about, measured in the model's own
+    token space". Target words outside the ranked-corpus vocab drop
+    (inner join, mirrored in the twin) — exactly the OOV behavior a
+    fixed shipped tokenizer has on unseen text.
+
+    Scale shape: the vocab broadcasts into both tokenize passes; the
+    target side reduces to n_query_terms broadcast rows before
+    touching the ranked corpus; shared integer-exact readout,
+    TakeOrderedAndProject top-k."""
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(docs, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = docs.sparkSession.read.parquet(vocab_path)
+    return _bm25_from_postings(
+        _bpe_piece_postings(docs, vocab, text_col, id_col),
+        n_query_terms,
+        k,
+        query_postings=_bpe_piece_postings(
+            target, vocab, text_col, id_col
+        ),
+    )
+
+
 def bm25_maintain_stream(
     spark,
     df: DataFrame,
