@@ -418,6 +418,27 @@ def q_exact_substring_maintenance_stream(
     )
 
 
+def q_exact_substring_removal_maintenance_stream_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming BPE token-space REMOVAL maintenance (operators/
+    dedup.py exact_substring_removal_maintain_stream_bpe): the fixed
+    artifact vocab tokenizes arriving docs once; state carries the
+    piece sequences (the tokenized corpus itself) plus the window
+    table, and the deduped corpus re-emits per epoch — removal is
+    corpus-global and retroactive. Final epoch equals batch
+    exact_substring_removal_bpe, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_removal_maintain_stream_bpe,
+    )
+
+    return exact_substring_removal_maintain_stream_bpe(
+        _ensure_conf(spark),
+        _doc_corpus_cpu(spark, sf_dir).select("doc_id", "text"),
+        export_path=_bpe_artifact_dir("removal_stream"),
+    )
+
+
 def q_exact_substring_maintenance_stream_bpe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4896,13 +4917,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-10 window (priority order, per VERDICT r9 directive #2 and
     the standing cycle plan):
-    (a) the 9 entries NEW this round, never driver-checked:
+    (a) the 10 entries NEW this round, never driver-checked:
     exact-substring REMOVAL in BPE token space; the size-scheduled
     unigram-EM trainer (SentencePiece's shrinking factor); BM25
     retrieval over BPE pieces; DSIR-weighted quota sampling; and the
-    five late-round extensions — cross-corpus BM25 (word and BPE
-    piece space), the streaming BPE span maintenance form, per-doc
-    scores under the scheduled inventory, DSIR token-budget packing;
+    six late-round extensions — cross-corpus BM25 (word and BPE
+    piece space), the streaming BPE span and REMOVAL maintenance
+    forms, per-doc scores under the scheduled inventory, DSIR
+    token-budget packing;
     (b) the 9 entries whose code or twin text changed this round
     with identical results: the unigram twin chain's MATERIALIZED
     hot CTE nodes (VERDICT r9 #3 — em_scores 20.2 s -> 0.1 s at
@@ -4913,17 +4935,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paragraph-dedup maintenance empty-corpus guard (ADVICE r9);
     (c) the r5/r6-stamped backlog, oldest-first (the exact order
     VERDICT r9 #2 names: bigram_lm_scores ..), filling the window.
-    9 + 9 + 32 = 50 (the backlog tail value_percentiles ..
+    10 + 9 + 31 = 50 (the backlog tail event_type_pivot ..
     tfidf_keywords slips to round 11's window head).
 
-    CYCLE PLAN (232 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (233 entries, 50-entry window): past position 50 the
     order is round 11's queue — the remaining r5/r6-era entries in
     prior relative order, then the displaced r9-stamped block
     (freshest stamps) last. Every entry is re-proven every round by
     the local full gate (scripts/check_oracle.py + check_vanilla.py
-    over all 232) and by pytest units added with each change.
+    over all 233) and by pytest units added with each change.
     """
     return {
+        "exact_substring_removal_maintenance_stream_bpe": (
+            q_exact_substring_removal_maintenance_stream_bpe
+        ),
         "bm25_cross_topk_bpe": q_bm25_cross_topk_bpe,
         "bm25_cross_topk": q_bm25_cross_topk,
         "exact_substring_maintenance_stream_bpe": q_exact_substring_maintenance_stream_bpe,
@@ -7917,6 +7942,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_maintenance_stream": _sql_exact_substring_spans(),
         "exact_substring_maintenance_stream_bpe": (
             _sql_exact_substring_spans_bpe()
+        ),
+        "exact_substring_removal_maintenance_stream_bpe": (
+            _sql_exact_substring_removal_bpe()
         ),
         "dsir_importance": _sql_dsir_importance(),
         "dsir_quota_sample": _sql_dsir_quota_sample(),

@@ -294,6 +294,7 @@ BENCH_EXCLUDED = {
     "stratified_budget_sample_stream": _STREAM_OVERHEAD,
     "exact_substring_maintenance_stream": _STREAM_OVERHEAD,
     "exact_substring_maintenance_stream_bpe": _STREAM_OVERHEAD,
+    "exact_substring_removal_maintenance_stream_bpe": _STREAM_OVERHEAD,
     "bigram_lm_maintenance_stream": _STREAM_OVERHEAD,
     "paragraph_dedup_maintenance_stream": _STREAM_OVERHEAD,
     "pagerank_weighted_maintenance_stream": _STREAM_OVERHEAD,

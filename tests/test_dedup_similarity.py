@@ -1125,6 +1125,36 @@ def test_exact_substring_stream_bpe_equals_batch(spark):
     assert {r[0] for r in batch} == {1, 9}  # both twins flagged
 
 
+def test_exact_substring_removal_stream_bpe_equals_batch(spark):
+    """BPE removal maintenance: the per-epoch gap-slicing readout
+    over accumulated (toks, wins) state must equal batch removal,
+    including the retroactive re-slicing of an early doc once its
+    twin arrives in a later epoch."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, common + " early unique tail one two"),
+        (4, "middle filler document with fresh tokens only here"),
+        (9, "late twin prefix words " + common),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = sorted(
+        map(tuple, DD.exact_substring_removal_bpe(df).collect())
+    )
+    stream = sorted(
+        map(
+            tuple,
+            DD.exact_substring_removal_maintain_stream_bpe(
+                spark, df, n_slices=3
+            ).collect(),
+        )
+    )
+    assert stream == batch
+    removed = {r[0]: r[2] for r in batch}
+    assert removed[1] > 0 and removed[9] > 0 and removed[4] == 0
+
+
 def test_exact_substring_spans_bytes_hand_fixture(spark):
     """Two docs share a 36-byte passage at different BYTE offsets —
     one behind a 2-byte multibyte char ('ö'), one behind a 1-byte

@@ -2037,6 +2037,18 @@ def exact_substring_removal_bpe(
         _cov_from_window_table(_array_window_hash_table(toks, L), min_occ),
         L,
     )
+    return _removal_from_toks_and_spans(toks, spans)
+
+
+def _removal_from_toks_and_spans(
+    toks: DataFrame, spans: DataFrame
+) -> DataFrame:
+    """Gap-slicing removal readout over a prepared (doc_id, words)
+    piece table and its merged spans — the shared tail of
+    exact_substring_removal_bpe and its streaming maintenance form.
+    Survivors are the complement GAPS between consecutive spans; each
+    gap slices the piece array directly (never a covered-position
+    explode)."""
     sp = spans.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(
@@ -2182,6 +2194,91 @@ def exact_substring_maintain_stream_bpe(
         "span_tokens",
         "n_windows",
     )
+
+
+def exact_substring_removal_maintain_stream_bpe(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    L: int = EXSPAN_L,
+    min_occ: int = EXSPAN_MIN_OCC,
+    n_slices: int = 3,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Streaming exact-substring REMOVAL maintenance in BPE token
+    space — the full deployed loop: vocab artifact trained once up
+    front, arriving docs tokenized + window-hashed once, and the
+    deduped TOKENIZED corpus re-emitted per epoch. Unlike the spans
+    form, the state here carries each doc's PIECE SEQUENCE alongside
+    the window-hash table — removal must re-slice survivors, and the
+    tokenized corpus IS what the pipeline stores anyway (state is
+    the output's own size, appended once per doc, never rewritten).
+
+    Removal verdicts are corpus-global and retroactive (an early
+    doc's tokens start dropping when a late twin arrives), so the
+    gap-slicing readout re-derives per epoch from the accumulated
+    (toks, wins) pair — the shared _removal_from_toks_and_spans
+    tail. Append-only-per-doc invariant asserted on the window
+    state. Final epoch equals batch exact_substring_removal_bpe,
+    sharing its oracle twin."""
+    from ..streaming.replay import replay_fold
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(df, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = spark.read.parquet(vocab_path)
+    vocab = vocab.localCheckpoint(eager=True)
+
+    state: dict = {"toks": None, "wins": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        toks_fresh = bpe_token_stream(
+            batch_df, vocab, text_col, id_col
+        ).localCheckpoint(eager=True)
+        wins_fresh = _array_window_hash_table(
+            toks_fresh, L
+        ).localCheckpoint(eager=True)
+        if state["wins"] is None:
+            toks_acc, wins_acc = toks_fresh, wins_fresh
+        else:
+            n_overlap = (
+                state["wins"].select("doc_id").distinct()
+                .join(wins_fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"exact_substring_removal_maintain_stream_bpe: "
+                    f"epoch {epoch_id} re-windowed {n_overlap} "
+                    "already-seen doc(s) — state must be append-only "
+                    "per doc"
+                )
+            toks_acc = state["toks"].unionByName(
+                toks_fresh
+            ).localCheckpoint(eager=True)
+            wins_acc = state["wins"].unionByName(
+                wins_fresh
+            ).localCheckpoint(eager=True)
+        state["toks"], state["wins"] = toks_acc, wins_acc
+        state["result"] = _removal_from_toks_and_spans(
+            toks_acc,
+            _spans_from_cov(
+                _cov_from_window_table(wins_acc, min_occ), L
+            ),
+        )
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="exrb_",
+    )
+    return state["result"]
 
 
 def exact_substring_removal(
