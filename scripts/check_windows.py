@@ -6,9 +6,24 @@ allocation ranks, <= k piece-inventory ranks. Those are bounded by
 construction and not scale-killers, but in the log they are
 indistinguishable from a genuine data-proportional single-partition
 exchange. This script makes the distinction checkable: it builds every
-BENCHED batch entry's physical plan at sf0.001 (plans only — nothing
-executes), finds window specs with an empty partition clause, and
-fails if any entry OUTSIDE the documented allowlist emits one.
+BENCHED batch entry's physical plan at sf0.001, finds window specs
+with an empty partition clause, and fails if any entry OUTSIDE the
+documented allowlist emits one.
+
+KNOWN BLIND SPOT (ADVICE r10): "plans only" holds for lazy entries,
+but entries built with EAGER localCheckpoint (the unigram-EM family,
+the DSIR quota/pack pair, the maintenance streams) EXECUTE those
+stages at plan-build time, and any window UPSTREAM of a checkpoint is
+truncated out of the final plan — so this inventory sees only the
+post-checkpoint tail of such entries. The checkpointed stages'
+windows are instead adjudicated at the SOURCE: every one is a rank
+or cumsum over a bounded dictionary table (piece inventories <= k +
+alphabet, <= 1024 score bins), the same classes as the allowlist,
+and the operator docstrings carry the bound. Entries whose bounded
+rank sits wholly upstream of a checkpoint (e.g.
+unigram_em_schedule_scores) are allowlisted with that justification
+even while plan-invisible, so a refactor that surfaces the window
+does not become a new finding.
 
 Usage: python scripts/check_windows.py [sf_dir]   (one JSON line)
 
@@ -55,6 +70,9 @@ ALLOWED = {
     "histogram_median": "<= n_bins histogram cumsum",
     # piece-inventory ranks (alphabet + <= k multigrams)
     "unigram_em_schedule": "usage rank over <= k+alphabet pieces",
+    "unigram_em_schedule_scores": "usage rank over <= k+alphabet "
+    "pieces (upstream of the eager checkpoint — plan-invisible "
+    "today; allowlisted so a refactor surfacing it is not a finding)",
     # token-budget packing offsets over <= n_buckets bucket rows
     "token_budget_pack": "bucket-offset cumsum over <= 256 buckets",
     "training_corpus": "bucket-offset cumsum over <= 256 buckets",

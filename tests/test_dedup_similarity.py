@@ -1325,6 +1325,21 @@ def test_paragraph_dedup_stream_equals_batch(spark):
     assert got[5][3] == 1  # its copy of doc 2's paragraph dropped
 
 
+def test_paragraph_dedup_stream_empty_corpus_empty_df(spark):
+    """Zero-epoch (empty) corpus returns an EMPTY DataFrame with the
+    real readout schema, never None (ADVICE r10) — callers chain
+    DataFrame methods unconditionally."""
+    from yelp_streaming_etl_pipeline_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = DD.paragraph_dedup_maintain_stream(spark, df, n_slices=3)
+    assert out is not None
+    assert out.columns == [
+        "doc_id", "n_paras", "n_kept", "n_dropped", "cleaned_hash"
+    ]
+    assert out.count() == 0
+
+
 def test_simhash_stream_equals_batch_with_retropair(spark):
     """Maintenance over a 3-slice replay must equal batch
     simhash_pairs at the final epoch, including a retro-pair: a

@@ -860,8 +860,17 @@ def test_exact_substring_removal_bpe_broadcast_vocab_no_explode(spark):
     # reassembly must be the gap-slicing shape — no covered-position
     # explode (Generate only over the window-hash/token arrays, which
     # appear once each; a position explode would add a
-    # sequence(pos, pos+L-1) Generate)
-    df = E.q_exact_substring_removal_bpe(spark, SF)
+    # sequence(pos, pos+L-1) Generate). materialize=False keeps the
+    # full lineage plan-visible (the default path eagerly
+    # localCheckpoints the result and unpersists the token cache, so
+    # its plan is a checkpoint scan — see the operator docstring).
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        exact_substring_removal_bpe,
+    )
+
+    df = exact_substring_removal_bpe(
+        E._doc_corpus_cpu(spark, SF), "text", "doc_id", materialize=False
+    )
     plan = A.physical_plan(df)
     assert A.has_broadcast_join(df), "vocab join must broadcast"
     assert "CartesianProduct" not in plan

@@ -2001,6 +2001,7 @@ def exact_substring_removal_bpe(
     L: int = EXSPAN_L,
     min_occ: int = EXSPAN_MIN_OCC,
     export_path: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-substring REMOVAL in BPE TOKEN space — the natural
     completion of exact_substring_spans_bpe (SURVEY §9.3a): drop
@@ -2023,21 +2024,39 @@ def exact_substring_removal_bpe(
     union of covered positions IS the merged spans, so survivors are
     the complement gaps, each an O(gap) direct slice of the per-doc
     piece array (the exact_substring_removal_bytes discipline). The
-    token stream is persist()ed (it feeds both the window table and
-    the reassembly), so the vocab join computes once while the
-    broadcast-join lineage stays plan-visible."""
+    token stream feeds both the window table and the reassembly: in
+    the default ``materialize=True`` path it is persist()ed so the
+    vocab join computes once, the result is eagerly
+    localCheckpoint()ed, and the cache is unpersist()ed before
+    returning (ADVICE r10: repeated library calls must not
+    accumulate cached token streams — the winnow_neardup
+    discipline). ``materialize=False`` skips both the persist and
+    the checkpoint, returning the fully-lazy plan (the vocab join
+    recomputes once per branch) — the plan-audit path, where the
+    broadcast-join lineage must stay visible end to end."""
     from .tokenizer import bpe_learn, export_bpe
 
     merges, vocab = bpe_learn(docs, text_col, n_merges, "char")
     if export_path is not None:
         _, vocab_path = export_bpe(merges, vocab, export_path)
         vocab = docs.sparkSession.read.parquet(vocab_path)
-    toks = bpe_token_stream(docs, vocab, text_col, id_col).persist()
+    toks = bpe_token_stream(docs, vocab, text_col, id_col)
+    if not materialize:
+        spans = _spans_from_cov(
+            _cov_from_window_table(
+                _array_window_hash_table(toks, L), min_occ
+            ),
+            L,
+        )
+        return _removal_from_toks_and_spans(toks, spans)
+    toks = toks.persist()
     spans = _spans_from_cov(
         _cov_from_window_table(_array_window_hash_table(toks, L), min_occ),
         L,
     )
-    return _removal_from_toks_and_spans(toks, spans)
+    res = _removal_from_toks_and_spans(toks, spans).localCheckpoint()
+    toks.unpersist()
+    return res
 
 
 def _removal_from_toks_and_spans(
@@ -2609,6 +2628,14 @@ def paragraph_dedup_maintain_stream(
         prefix="pgd_",
     )
     if not state["result_parts"]:
-        # zero epochs (empty corpus): keep the pre-r9 contract
-        return None
+        # zero epochs (empty corpus): an EMPTY result with the real
+        # readout schema, so callers can chain DataFrame methods
+        # unconditionally (ADVICE r10 — the old None return just
+        # traded the reduce() TypeError for an AttributeError)
+        id_type = df.schema[id_col].dataType.simpleString()
+        schema = (
+            f"doc_id {id_type}, n_paras long, n_kept long, "
+            "n_dropped long, cleaned_hash string"
+        )
+        return spark.createDataFrame([], schema)
     return reduce(DataFrame.unionByName, state["result_parts"])

@@ -2403,11 +2403,11 @@ def sql_unigram_em_scores(
     """Twin of tokenizer.unigram_em_scores — EM round 2's E-step: the
     refined inventory (kept pieces, usage counts, re-quantized
     weights) feeds a SECOND full DP chain (pw2/byend2/dp2, same
-    mechanics as round 1 with vq2/qq2), and the per-doc rollup
-    mirrors sql_unigram_lm_scores."""
+    mechanics as round 1 with vq2/qq2), and the per-doc rollup is
+    the SHARED _sql_uv_scores_tail over dp2 (ADVICE r10 — one copy
+    of the twin tail, same text the schedule-scores twin chains)."""
     neg = -1_000_000_000
     pack = 256
-    dw = _sql_bpe_words("char").format(ids="doc_id,")
     return f"""
 WITH RECURSIVE {_sql_uv_ctes(k, maxlen, max_word)},
 {_sql_uv_path_ctes()},
@@ -2459,30 +2459,7 @@ dp2 AS (
   FROM dp2 JOIN byend2 b ON b.w = dp2.w AND b.e = dp2.e + 1
   WHERE dp2.e < dp2.len
 ),
-seg0 AS (SELECT w, d4 AS packed FROM dp2 WHERE e = len),
-seg AS (
-  SELECT w,
-         CAST({pack} - ((packed % {pack}) + {pack}) % {pack}
-              AS BIGINT) AS n_pieces,
-         CAST((packed + ({pack} - ((packed % {pack}) + {pack})
-                         % {pack})) // {pack} AS BIGINT) AS lm_score_q,
-         false AS is_long
-  FROM seg0
-  UNION ALL
-  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), true
-  FROM wf WHERE length(w) > {max_word}
-),
-dw AS (
-  SELECT doc_id, w FROM ({dw}
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
-       CAST(sum(CASE WHEN is_long THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_long_words,
-       CAST(sum(lm_score_q) AS BIGINT) AS lm_score_q
-FROM dw JOIN seg USING (w)
-GROUP BY doc_id"""
+{_sql_uv_scores_tail('dp2', max_word)}"""
 
 
 def _sql_bpe_words(alphabet: str, src: str = "documents") -> str:
