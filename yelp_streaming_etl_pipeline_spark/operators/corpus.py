@@ -504,6 +504,111 @@ def dsir_budget_pack(
     )
 
 
+def dsir_mixture_pack(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    token_budget: int = 8_000,
+    step: int = 8,
+    n_bins: int = 1024,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-weighted MIXTURE budget pack (SURVEY §9 r11 candidate
+    (c)) — the full composition a training-mix builder runs: hold a
+    SOURCE MIXTURE by token share while packing each source
+    importance-first. The token budget splits across sources by
+    largest-remainder allocation over each source's TOTAL token mass
+    (stratified_budget_alloc with tokens as the weight — the
+    proportional mixture), then WITHIN each source documents are
+    admitted in (dsir_score DESC, doc_id) order until that source's
+    budget is spent; a document is kept iff its starting offset
+    inside its source falls under the source budget
+    (dsir_budget_pack's shard-assignment convention, applied
+    per-source). Returns every scored doc with its audit trail:
+    (g, doc_id, dsir_score, tokens, cum_tokens, budget_g, kept) —
+    cum_tokens is the within-source prefix sum.
+
+    Integer-exact end to end: dsir_importance's dyadic scores, token
+    counts, and the Hamilton allocation are all long arithmetic on
+    non-negative operands (truncating div == flooring //).
+
+    100 TB shape: dsir_budget_pack's decomposed prefix sum with the
+    source as an EXTRA partition key — per-(source, score-bin) local
+    windows (ordinary hash-partitioned), one bin-offset cumsum
+    PARTITIONED BY source over the <= n_sources x n_bins bin-total
+    table (bounded, and not even an unpartitioned window), bucket
+    base offsets broadcast back. Bit-identical to the naive
+    per-source global window (the DuckDB twin) by the same
+    monotone-bin argument: bin = (score - min) div step is monotone
+    in score, so (bin DESC, score DESC, doc_id) == (score DESC,
+    doc_id) within each source. The allocation's remainder rank is
+    over the STRATA table only (bounded)."""
+    from .sampling import stratified_budget_alloc
+
+    scores = dsir_importance(
+        raw, target, text_col, id_col, n_buckets
+    ).localCheckpoint(eager=True)
+    mn = scores.agg(F.min("dsir_score").cast("long").alias("mn"))
+    toks = raw.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("g"),
+        bpe_token_count(F.col(text_col)).cast("long").alias("tokens"),
+    )
+    base = (
+        scores.select("doc_id", "dsir_score")
+        .join(toks, "doc_id")
+        .crossJoin(F.broadcast(mn))
+        .withColumn(
+            "_bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"(dsir_score - mn) div {step}"),
+            ).cast("long"),
+        )
+    )
+    counts = base.groupBy("g").agg(
+        F.sum("tokens").cast("long").alias("w")
+    )
+    alloc = stratified_budget_alloc(counts, token_budget).select(
+        "g", F.col("k_g").cast("long").alias("budget_g")
+    )
+    local_w = (
+        Window.partitionBy("g", "_bin")
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_lc", F.sum("tokens").over(local_w))
+    bin_w = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("_bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # <= n_bins rows per source, source-partitioned
+    offsets = (
+        base.groupBy("g", "_bin")
+        .agg(F.sum("tokens").alias("_btok"))
+        .withColumn(
+            "_base", F.sum("_btok").over(bin_w) - F.col("_btok")
+        )
+        .select("g", "_bin", "_base")
+    )
+    cum = F.col("_base") + F.col("_lc")
+    return (
+        local.join(F.broadcast(offsets), ["g", "_bin"])
+        .join(F.broadcast(alloc), "g")
+        .select(
+            "g",
+            "doc_id",
+            "dsir_score",
+            "tokens",
+            cum.cast("long").alias("cum_tokens"),
+            "budget_g",
+            ((cum - F.col("tokens")) < F.col("budget_g")).alias("kept"),
+        )
+    )
+
+
 def dsir_quota_sample(
     raw: DataFrame,
     target: DataFrame,

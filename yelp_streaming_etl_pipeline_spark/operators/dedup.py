@@ -1089,6 +1089,207 @@ def cdc_maintain_stream(
     return state["result"]
 
 
+CDC_GRAM_BPE = 4  # rolling window width, in BPE pieces
+CDC_MOD_BPE = 16  # expected chunk length in pieces (1/16 density)
+CDC_MIN_CHUNK_BPE = 4  # drop chunks shorter than this many pieces
+
+
+def _bpe_piece_chunk_sets(
+    toks: DataFrame,
+    gram: int = CDC_GRAM_BPE,
+    mod: int = CDC_MOD_BPE,
+    min_len: int = CDC_MIN_CHUNK_BPE,
+) -> DataFrame:
+    """Distinct (doc_id, chunk_hash) sets from content-defined
+    chunking in BPE PIECE space: over each doc's piece sequence
+    (bpe_token_stream's (doc_id, words)), piece index i starts a new
+    chunk when md5 of the space-joined ``gram``-piece window at i
+    hits 0 mod ``mod`` — _chunk_starts' rsync/LBFS rule lifted from
+    chars to the tokenizer's own units, so boundaries re-synchronize
+    after an edit measured in TOKENS (what a training pipeline
+    dedups). Chunks shorter than ``min_len`` pieces drop; the chunk
+    key is md5 of the space-joined pieces.
+
+    O(n_pieces) per doc and a pure per-row map: ``words`` is already
+    a bound attribute (no inline-subexpression re-evaluation), each
+    window is slice+concat_ws (never substr-from-head), and the
+    boundary list is an F.filter over the position sequence (never a
+    fold accumulating an array) — the same two quadratic traps
+    _chunk_starts documents, avoided the same way."""
+    n = F.size("words")
+    staged = toks.withColumn(
+        "_starts",
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(1).cast("int")),
+                F.when(
+                    n >= gram + 1,
+                    F.filter(
+                        F.sequence(
+                            F.lit(2),
+                            F.greatest(F.lit(2), n - (gram - 1)),
+                        ),
+                        lambda i: F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            " ",
+                                            F.slice(
+                                                F.col("words"), i, gram
+                                            ),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(mod),
+                        )
+                        == 0,
+                    ),
+                ).otherwise(F.array().cast("array<int>")),
+            )
+        ),
+    ).withColumn("_n", F.size("words"))
+    starts = F.col("_starts")
+    np_at = lambda k: (  # noqa: E731
+        F.coalesce(F.try_element_at(starts, k + 1), F.col("_n") + 1)
+        - F.element_at(starts, k)
+    )
+    chunk_at = lambda k: F.struct(  # noqa: E731
+        np_at(k).alias("np"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("words"), F.element_at(starts, k), np_at(k)),
+        ).alias("chunk"),
+    )
+    k_seq = F.sequence(F.lit(1), F.size(starts))
+    return (
+        staged.select(
+            "doc_id",
+            F.explode(F.transform(k_seq, chunk_at)).alias("c"),
+        )
+        .filter(F.col("c.np") >= min_len)
+        .select("doc_id", F.md5("c.chunk").alias("chunk_hash"))
+        .distinct()
+    )
+
+
+def cdc_chunk_pairs_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    min_len: int = CDC_MIN_CHUNK_BPE,
+    max_df: int = CDC_MAX_DF,
+    min_shared: int = CDC_MIN_SHARED,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Near-duplicate doc pairs from content-defined chunks in BPE
+    PIECE space — cdc_chunk_pairs with the chunker lifted into the
+    learned tokenizer's units: the BPE vocab trains on the corpus
+    (or round-trips through the parquet artifact via
+    ``export_path``), documents become piece sequences through ONE
+    BROADCAST vocab join (bpe_token_stream), chunk boundaries are
+    content-defined over pieces, and the pair readout is the shared
+    df-capped _pairs_from_chunk_sets tail — never all-pairs.
+
+    Scale shape: tokenize+chunk is one broadcast-join map pass; the
+    chunk-set table is checkpointed once (the rolling-hash scan is
+    the dominant cost and the tail reads it from four consumers);
+    pair fan-out bounded by max_df^2 per chunk bucket."""
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(docs, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = docs.sparkSession.read.parquet(vocab_path)
+    toks = bpe_token_stream(docs, vocab, text_col, id_col)
+    sets = _bpe_piece_chunk_sets(
+        toks, CDC_GRAM_BPE, CDC_MOD_BPE, min_len
+    ).localCheckpoint(eager=True)
+    return _pairs_from_chunk_sets(sets, max_df, min_shared)
+
+
+def cdc_maintain_stream_bpe(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    min_len: int = CDC_MIN_CHUNK_BPE,
+    max_df: int = CDC_MAX_DF,
+    min_shared: int = CDC_MIN_SHARED,
+    n_slices: int = 3,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Streaming CDC-chunk maintenance in BPE PIECE space (SURVEY §9
+    r11 candidate (a)): the vocab is trained ONCE up front and stays
+    FIXED (optionally round-tripped through the parquet artifact —
+    the ship-the-tokenizer shape shared with
+    bm25_maintain_stream_bpe); arriving documents tokenize and chunk
+    under the broadcast artifact exactly once, at arrival, into the
+    text-free distinct (doc_id, chunk_hash) state, appended per
+    epoch with the append-only-per-doc assertion.
+
+    The pair readout re-derives per epoch from the accumulated hash
+    table (_pairs_from_chunk_sets): both the document-frequency cap
+    and the jaccard denominators move with corpus-wide frequencies —
+    cdc_maintain_stream's bounded per-epoch-recompute discipline,
+    with the expensive tokenize+rolling-hash scan incremental. Final
+    epoch equals batch cdc_chunk_pairs_bpe (the fixed vocab is the
+    one batch trains), so the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(df, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = spark.read.parquet(vocab_path)
+    vocab = vocab.localCheckpoint(eager=True)
+    state: dict = {"sets": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = _bpe_piece_chunk_sets(
+            bpe_token_stream(batch_df, vocab, text_col, id_col),
+            CDC_GRAM_BPE,
+            CDC_MOD_BPE,
+            min_len,
+        ).localCheckpoint(eager=True)
+        if state["sets"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["sets"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"cdc_maintain_stream_bpe: epoch {epoch_id} "
+                    f"re-chunked {n_overlap} already-chunked doc(s) — "
+                    "chunk state must be append-only per doc"
+                )
+            acc = state["sets"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["sets"] = acc
+        state["result"] = _pairs_from_chunk_sets(acc, max_df, min_shared)
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="cdcb_",
+    )
+    return state["result"]
+
+
 def duplicated_passages(
     df: DataFrame,
     text_col: str,

@@ -623,3 +623,84 @@ def bm25_maintain_stream(
         prefix="bm25m_",
     )
     return state["result"]
+
+
+def bm25_maintain_stream_bpe(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+    n_slices: int = 3,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Streaming BM25 postings maintenance in BPE PIECE space
+    (SURVEY §9 r11 candidate (b)) — the ship-the-tokenizer retrieval
+    shape: the vocabulary is trained ONCE up front (optionally
+    round-tripped through the parquet artifact via ``export_path`` —
+    tokenizer.export_bpe's train-once/ship discipline) and stays
+    FIXED for the life of the stream; arriving documents tokenize
+    into piece postings under the broadcast artifact vocab exactly
+    once, at arrival, and the text-free (doc_id, term, tf) postings
+    state appends per epoch (bm25_maintain_stream's epoch
+    discipline, same append-only-per-doc assertion).
+
+    The readout is re-derived per epoch from the accumulated
+    postings — query-piece set, document frequencies and avgdl all
+    move with corpus totals — while the expensive tokenize+vocab
+    join never re-runs: the bounded per-epoch-recompute discipline
+    with the FIXED-vocab twist that makes the final epoch equal
+    batch bm25_topk_bpe (the vocab is the one batch trains on this
+    corpus), so the entry shares its oracle twin.
+
+    Scale shape: vocab is vocabulary-sized and broadcast into each
+    epoch's tokenize; postings state is term-keyed rows, unioned as
+    immutable checkpointed blocks; readout is the shared
+    integer-exact _bm25_from_postings (broadcast query terms,
+    TakeOrderedAndProject top-k)."""
+    from ..streaming.replay import replay_fold
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(df, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = spark.read.parquet(vocab_path)
+    # the fixed artifact: materialize once, reuse every epoch
+    vocab = vocab.localCheckpoint(eager=True)
+    state: dict = {"postings": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = _bpe_piece_postings(
+            batch_df, vocab, text_col, id_col
+        ).localCheckpoint(eager=True)
+        if state["postings"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["postings"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"bm25_maintain_stream_bpe: epoch {epoch_id} "
+                    f"re-tokenized {n_overlap} already-indexed doc(s) — "
+                    "postings state must be append-only per doc"
+                )
+            acc = state["postings"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["postings"] = acc
+        state["result"] = _bm25_from_postings(acc, n_query_terms, k)
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="bm25mb_",
+    )
+    return state["result"]

@@ -1227,6 +1227,19 @@ def unigram_em_schedule(
     return out
 
 
+def export_unigram(vocab: DataFrame, path: str) -> str:
+    """Persist a unigram-LM piece inventory — (piece, q, cnt) rows,
+    the complete model state a Viterbi segmenter needs — as parquet
+    at ``{path}/pieces``: the train-once/ship-the-artifact step for
+    the unigram family, exactly what export_bpe is for the merge
+    family. Returns the written path."""
+    pieces_path = f"{path}/pieces"
+    vocab.select("piece", "q", "cnt").write.mode("overwrite").parquet(
+        pieces_path
+    )
+    return pieces_path
+
+
 def unigram_em_schedule_scores(
     docs: DataFrame,
     text_col: str = "text",
@@ -1237,6 +1250,7 @@ def unigram_em_schedule_scores(
     target_multi: int = UV_SCHED_TARGET,
     shrink_num: int = UV_SCHED_NUM,
     shrink_den: int = UV_SCHED_DEN,
+    export_path: str | None = None,
 ) -> DataFrame:
     """Per-document Viterbi scores under the SIZE-SCHEDULED trainer's
     FINAL inventory — what you actually ship after running
@@ -1252,9 +1266,19 @@ def unigram_em_schedule_scores(
     'usage > 0 or single char' — identical to unigram_em_scores at
     min_cnt=1.
 
+    ``export_path`` (SURVEY §9 r11 candidate (d)) round-trips the
+    FINAL scheduled inventory through the parquet artifact
+    (export_unigram write + re-read) before scoring — the
+    train-once/ship step for the unigram family, completing what
+    export_bpe does for BPE: the scores the shipped artifact
+    produces are asserted equal to the in-memory inventory's
+    (tests/test_tokenizer.py export-parity test), and the entry
+    sharing this path proves it against the DuckDB twin.
+
     Scale shape: unigram_em_schedule's loop plus ONE more
     distinct-word DP and the doc-word join — still one corpus pass
-    total (checkpointed word table); every inventory broadcasts."""
+    total (checkpointed word table); every inventory broadcasts
+    (the re-read artifact is inventory-sized, never corpus-sized)."""
     words = word_freq_table(docs, text_col, "char").localCheckpoint(
         eager=True
     )
@@ -1272,6 +1296,9 @@ def unigram_em_schedule_scores(
             )
             .localCheckpoint(eager=True)
         )
+    if export_path is not None:
+        pieces_path = export_unigram(vocab, export_path)
+        vocab = docs.sparkSession.read.parquet(pieces_path)
     stats = unigram_word_stats(words, vocab, maxlen)
     doc_w = _doc_words(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
