@@ -251,6 +251,10 @@ HEADLINE = [
     "unigram_em_schedule_scores",
     "dsir_budget_pack",
     "bm25_cross_topk_bpe",
+    # round-11 additions
+    "dsir_mixture_pack",
+    "cdc_chunk_pairs_bpe",
+    "unigram_schedule_export_scores",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -290,6 +294,8 @@ BENCH_EXCLUDED = {
     "cdc_maintenance_stream": _STREAM_OVERHEAD,
     "attributed_purchases_semi_stream": _STREAM_OVERHEAD,
     "bm25_maintenance_stream": _STREAM_OVERHEAD,
+    "bm25_maintenance_stream_bpe": _STREAM_OVERHEAD,
+    "cdc_maintenance_stream_bpe": _STREAM_OVERHEAD,
     "bottomk_sample_stream": _STREAM_OVERHEAD,
     "stratified_budget_sample_stream": _STREAM_OVERHEAD,
     "exact_substring_maintenance_stream": _STREAM_OVERHEAD,
@@ -643,6 +649,24 @@ def longdoc_probe(spark) -> dict[str, float | int]:
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("doc_id") % 2 == 1),
         ),
+        # round-11 additions: the mixture pack adds only the
+        # per-source split to budget_pack's per-doc costs (gram
+        # hashing + regex token count — both linear); piece-space CDC
+        # is a rolling md5 over the piece stream (one hash per piece
+        # position — the length-proportional stage to watch). The
+        # longdoc corpus is non-alpha, so the BPE piece stages idle
+        # (documented for spans_bpe in round 9) — these probe the
+        # length-dependent split/scan path, sf0.1 carries the piece
+        # signal. dsir_mixture_pack needs a source column: derive one
+        # from doc_id (3 synthetic sources).
+        "dsir_mixture_pack": lambda: CP.dsir_mixture_pack(
+            docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+                "source",
+                F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")),
+            ),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ),
+        "cdc_chunk_pairs_bpe": lambda: DD.cdc_chunk_pairs_bpe(docs),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),

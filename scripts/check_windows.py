@@ -54,6 +54,8 @@ ALLOWED = {
     "largest-remainder rank over strata",
     "dsir_budget_pack": "bin-offset cumsum over <= 1024 score bins "
     "(the decomposed prefix sum's metadata table)",
+    "dsir_mixture_pack": "largest-remainder rank over the strata "
+    "table (the token prefix sums are all source-partitioned)",
     # strata-sized allocation ranks (largest remainder)
     "stratified_budget_sample": "remainder rank over the strata table",
     "mixture_sample": "remainder rank over the strata table",
@@ -73,6 +75,9 @@ ALLOWED = {
     "unigram_em_schedule_scores": "usage rank over <= k+alphabet "
     "pieces (upstream of the eager checkpoint — plan-invisible "
     "today; allowlisted so a refactor surfacing it is not a finding)",
+    "unigram_schedule_export_scores": "same bounded usage rank as "
+    "unigram_em_schedule_scores (artifact round trip changes "
+    "nothing plan-side)",
     # token-budget packing offsets over <= n_buckets bucket rows
     "token_budget_pack": "bucket-offset cumsum over <= 256 buckets",
     "training_corpus": "bucket-offset cumsum over <= 256 buckets",

@@ -361,3 +361,64 @@ def test_dsir_budget_pack_matches_naive_prefix_sum(spark):
         assert r["kept"] == (start < budget), r
     kept = sum(1 for r in got.values() if r["kept"])
     assert 0 < kept < len(got)
+
+
+def test_dsir_mixture_pack_matches_python_composition(spark):
+    """The full mixture composition — largest-remainder token-budget
+    allocation over per-source token mass, then the per-source
+    bin-decomposed prefix sum — recomputed in Python from the
+    ENGINE's own (score, tokens) columns must match exactly: the
+    per-source cum_tokens follows (dsir_score DESC, doc_id) order,
+    budgets sum to the total, and kept == (start < budget_g)."""
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"tok{(i * 7 + j) % 11}" for j in range(4 + (i * 5) % 9)
+            ),
+            ["A", "B", "C"][i % 3],
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    raw = docs.filter("doc_id % 2 = 0")
+    tgt = docs.filter("doc_id % 2 = 1")
+    budget = 80
+    got = {
+        r["doc_id"]: r
+        for r in CP.dsir_mixture_pack(
+            raw, tgt, token_budget=budget
+        ).collect()
+    }
+    # allocation: largest remainder over per-source token totals
+    toks_by_g: dict = {}
+    for r in got.values():
+        toks_by_g[r["g"]] = toks_by_g.get(r["g"], 0) + r["tokens"]
+    wtot = sum(toks_by_g.values())
+    base = {g: budget * w // wtot for g, w in toks_by_g.items()}
+    rem = {g: (budget * w) % wtot for g, w in toks_by_g.items()}
+    extra = budget - sum(base.values())
+    for g in sorted(toks_by_g, key=lambda g: (-rem[g], g))[:extra]:
+        base[g] += 1
+    assert sum(base.values()) == budget
+    # per-source importance-first prefix sum + kept rule
+    kept_total = 0
+    for g in toks_by_g:
+        members = sorted(
+            (r for r in got.values() if r["g"] == g),
+            key=lambda r: (-r["dsir_score"], r["doc_id"]),
+        )
+        cum = 0
+        for r in members:
+            start = cum
+            cum += r["tokens"]
+            assert r["cum_tokens"] == cum, (r, cum)
+            assert r["budget_g"] == base[g], (r, base)
+            assert r["kept"] == (start < base[g]), r
+            kept_total += r["kept"]
+    assert 0 < kept_total < len(got)
+    assert len(toks_by_g) == 3  # all three sources represented

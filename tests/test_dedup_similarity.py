@@ -805,6 +805,71 @@ def test_cdc_maintain_stream_equals_batch_with_retraction(spark):
     assert (10, 20) in pair_ids  # the genuine cross-batch pair survives
 
 
+def test_cdc_chunk_pairs_bpe_survive_insertion_shift(spark):
+    """Piece-space CDC keeps the char detector's reason to exist: an
+    insertion measured in TOKENS shifts every downstream piece
+    position, but content-defined boundaries over the piece stream
+    re-synchronize after the edit, so the (original, edited) pair is
+    emitted with high jaccard while disjoint docs share nothing."""
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fotra",
+             "golfy", "hotel", "indix", "julep"]
+    base_words = [rng.choice(words) for _ in range(400)]
+    edited = (
+        base_words[:200] + ["spliced", "interruption"] + base_words[200:]
+    )
+    other = [rng.choice(words) for _ in range(400)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base_words)),
+            (2, " ".join(edited)),
+            (3, " ".join(other)),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.cdc_chunk_pairs_bpe(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["jaccard"] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cdc_maintain_stream_bpe_equals_batch_fixed_vocab(spark):
+    """Streaming piece-space CDC maintenance under the fixed
+    parquet-artifact vocab equals batch cdc_chunk_pairs_bpe — the
+    vocab is the one batch trains on the full corpus, and the pair
+    readout (df cap + jaccard denominators) re-derives per epoch."""
+    import random
+    import tempfile
+
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fotra",
+             "golfy", "hotel", "indix", "julep"]
+
+    def doc(seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(300))
+
+    base = doc("genuine")
+    rows = [(i, doc(i)) for i in range(1, 7)]
+    rows += [(10, base), (20, base[:800] + " splice " + base[800:])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r["doc_a"], r["doc_b"], r["shared_chunks"], r["jaccard"])
+        for r in DD.cdc_chunk_pairs_bpe(df).collect()
+    }
+    path = tempfile.mkdtemp(prefix="cdc_bpe_")
+    streamed = {
+        (r["doc_a"], r["doc_b"], r["shared_chunks"], r["jaccard"])
+        for r in DD.cdc_maintain_stream_bpe(
+            spark, df, export_path=path
+        ).collect()
+    }
+    assert streamed == batch
+    assert (10, 20) in {(a, b) for a, b, _, _ in streamed}
+
+
 def test_dedup_eval_hand_fixture(spark):
     """dedup_eval on literal pair tables: 4 expected, 3 detected,
     2 true positives -> P=2/3, R=1/2, f1=2*2/(3+4)=4/7; duplicate

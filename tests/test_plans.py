@@ -693,6 +693,60 @@ def test_cdc_chunk_pairs_keyed_joins_only(spark):
     assert A.key_shuffle_exchanges(df) <= 5, plan[:3000]
 
 
+def test_cdc_chunk_pairs_bpe_broadcast_vocab_keyed_joins(spark):
+    # piece-space CDC: the entry's tail (over the eagerly
+    # checkpointed chunk sets) is keyed equi-joins only — no
+    # cartesian, no python UDF; the vocab-broadcast property lives
+    # UPSTREAM of the checkpoint, so it is audited on the lazy
+    # tokenize->chunk pipeline directly
+    from yelp_streaming_etl_pipeline_spark.operators.dedup import (
+        _bpe_piece_chunk_sets,
+        bpe_token_stream,
+    )
+    from yelp_streaming_etl_pipeline_spark.operators.tokenizer import (
+        bpe_learn,
+    )
+
+    df = E.q_cdc_chunk_pairs_bpe(spark, SF)
+    plan = A.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not A.has_python_udf(df)
+
+    docs = E._doc_corpus_cpu(spark, SF)
+    _, vocab = bpe_learn(docs, "text", 4, "char")
+    sets = _bpe_piece_chunk_sets(
+        bpe_token_stream(docs, vocab, "text", "doc_id")
+    )
+    sets_plan = A.physical_plan(sets)
+    assert A.has_broadcast_join(sets), "vocab join must broadcast"
+    assert "CartesianProduct" not in sets_plan
+
+
+def test_dsir_mixture_pack_partitioned_windows_only(spark):
+    # the mixture pack's token prefix sums must all be PARTITIONED
+    # windows (per (source, bin) locals + the per-source bin-offset
+    # cumsum) — an unpartitioned TOKEN window would mean the
+    # decomposition regressed to a global single-partition sort. The
+    # ONLY allowed unpartitioned spec is the allocation's
+    # largest-remainder rank (orders by `rem` over the strata table —
+    # bounded by the number of sources, the adjudicated class).
+    # Allocation/offset tables join back as broadcasts; no python,
+    # no cartesian.
+    df = E.q_dsir_mixture_pack(spark, SF)
+    plan = A.physical_plan(df)
+    assert not A.has_python_udf(df)
+    assert "CartesianProduct" not in plan
+    assert A.has_broadcast_side(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        # first arg an ORDER column (ASC/DESC) == no partition clause
+        if " ASC" in first_arg or " DESC" in first_arg:
+            assert "rem" in first_arg, (first_arg, plan[:3000])
+
+
 def test_bm25_topk_take_ordered_no_udf(spark):
     # the retrieval top-k must compile to TakeOrderedAndProject (never
     # a full range-shuffle sort), stay UDF-free, and broadcast the

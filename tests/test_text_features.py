@@ -238,3 +238,35 @@ def test_bm25_maintain_stream_equals_batch(spark):
         .collect()
     ]
     assert stream == batch and len(batch) == 10
+
+
+def test_bm25_maintain_stream_bpe_equals_batch_fixed_vocab(spark):
+    """Streaming BPE-space BM25 maintenance under the fixed
+    parquet-artifact vocab: the final epoch's top-k equals batch
+    bm25_topk_bpe over the full corpus — the vocab is the one batch
+    trains (trained once up front, round-tripped through parquet),
+    and the per-epoch readout re-derives query pieces / df / avgdl
+    from the accumulated postings, so arrival order cannot matter."""
+    import tempfile
+
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_maintain_stream_bpe,
+        bm25_topk_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha{i % 5} beta{i % 3} common common gamma{i % 7}")
+            for i in range(24)
+        ],
+        "doc_id long, text string",
+    )
+    batch = [tuple(r) for r in bm25_topk_bpe(docs, k=10).collect()]
+    path = tempfile.mkdtemp(prefix="bm25m_bpe_")
+    stream = [
+        tuple(r)
+        for r in bm25_maintain_stream_bpe(
+            spark, docs, k=10, n_slices=3, export_path=path
+        ).collect()
+    ]
+    assert stream == batch and len(batch) == 10

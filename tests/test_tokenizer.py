@@ -651,6 +651,42 @@ def test_unigram_em_schedule_scores_equivalence_anchor(spark):
     assert aggressive != em  # the shrink actually moves the model
 
 
+def test_unigram_schedule_export_roundtrip_parity(spark):
+    """Train-once/ship parity for the scheduled unigram family: the
+    per-doc scores under the parquet-round-tripped FINAL inventory
+    (export_unigram write + re-read) must equal the in-memory
+    inventory's scores row for row — the export artifact carries the
+    complete model state (piece, q, cnt) the Viterbi segmenter
+    needs, exactly as export_bpe does for the merge family."""
+    import tempfile
+
+    from yelp_streaming_etl_pipeline_spark.operators import tokenizer as TK
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["aabbb"] + ["aa"] * 40 + ["bbb"] * 40)),
+            (2, "the cat sat on the mat with a hat"),
+            (3, "aabbb xy cd xy cd xy"),
+        ],
+        "doc_id long, text string",
+    )
+    mem = sorted(
+        tuple(r) for r in TK.unigram_em_schedule_scores(docs).collect()
+    )
+    path = tempfile.mkdtemp(prefix="uni_export_")
+    shipped = sorted(
+        tuple(r)
+        for r in TK.unigram_em_schedule_scores(
+            docs, export_path=path
+        ).collect()
+    )
+    assert shipped == mem and mem
+    # the artifact parquet is readable standalone and inventory-shaped
+    art = spark.read.parquet(f"{path}/pieces")
+    assert set(art.columns) == {"piece", "q", "cnt"}
+    assert art.count() > 0
+
+
 def test_unigram_em_scores_matches_bruteforce_round2(spark):
     """Round-2 segmentation must be the brute-force Viterbi optimum
     under the REFINED weights (kept pieces, q_new, Q2 = bitlen of

@@ -1090,8 +1090,14 @@ def cdc_maintain_stream(
 
 
 CDC_GRAM_BPE = 4  # rolling window width, in BPE pieces
-CDC_MOD_BPE = 16  # expected chunk length in pieces (1/16 density)
-CDC_MIN_CHUNK_BPE = 4  # drop chunks shorter than this many pieces
+CDC_MOD_BPE = 32  # expected chunk length in pieces (1/32 density)
+CDC_MIN_CHUNK_BPE = 16  # drop chunks shorter than this many pieces
+# With ~2-3 pieces per word under a 4-merge vocab, expected chunks run
+# ~12 words and the minimum ~6 — the same effective content length as
+# the char chunker's 64-char expectation / 16-char floor, so chance
+# chunk collisions between unrelated docs stay negligible (a shared
+# chunk needs an identical ~min_len+gram piece run INCLUDING matching
+# cut windows, not just shared vocabulary).
 
 
 def _bpe_piece_chunk_sets(
