@@ -188,6 +188,19 @@ PROBES = [
     ("unigram_em_schedule_scores", "unigram_em_schedule_scores",
      REP_DOCS),
     ("dsir_budget_pack", "dsir_budget_pack", REP_DOCS),
+    # round-11: the mixture pack adds one strata table + per-source
+    # partitioned windows over budget_pack's shape (linear expected);
+    # the export scorer is the schedule scorer plus an
+    # inventory-sized parquet round trip (distinct-word-DP-bound,
+    # sub-linear expected). cdc_chunk_pairs_bpe is deliberately NOT
+    # probed for the same reason as cdc_chunk_pairs: exact-copy
+    # replication makes every replica a true duplicate, so the PAIR
+    # COUNT is quadratic in the replication factor by SEMANTICS —
+    # its chunk-SET stage is covered by the spans_bpe probe (same
+    # tokenize + per-position hashing shape).
+    ("dsir_mixture_pack", "dsir_mixture_pack", REP_DOCS),
+    ("unigram_schedule_export_scores", "unigram_schedule_export_scores",
+     REP_DOCS),
 ]
 
 
