@@ -4669,6 +4669,52 @@ def q_unigram_schedule_export_scores(
 _UNIGRAM_ARTIFACT_DIR: list = []
 
 
+def q_bm25_cross_maintenance_stream_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming cross-corpus BM25 maintenance in BPE piece space
+    (operators/text_analysis.py bm25_cross_maintain_stream_bpe) —
+    the live eval-mining monitor: vocab artifact AND target (odd
+    half) postings fixed up front, ranked-side (even half) docs
+    arrive and tokenize once into append-only piece postings,
+    df/dl/avgdl re-derived per epoch against the fixed broadcast
+    query-piece set. Final epoch equals batch bm25_cross_topk_bpe,
+    sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_cross_maintain_stream_bpe,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return bm25_cross_maintain_stream_bpe(
+        _ensure_conf(spark),
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        export_path=_bpe_artifact_dir("bm25xm"),
+    )
+
+
+def q_dsir_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming DSIR importance maintenance (operators/corpus.py
+    dsir_maintain_stream): the fixed target (odd half) bucket table
+    computes once; even-half docs arrive and gram-hash once into
+    append-only (doc_id, b, cnt) state; per-bucket weights and the
+    corpus-size constant re-derive per epoch (they move with raw
+    totals — a new batch re-scores every document). Final epoch
+    equals batch dsir_importance, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus import (
+        dsir_maintain_stream,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return dsir_maintain_stream(
+        _ensure_conf(spark),
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus (operators/
     dedup.py ngram_novelty): fraction of a document's distinct word
@@ -5031,7 +5077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-11 window (priority order, per VERDICT r10 directive #1 and
     the standing cycle plan):
-    (a) the 5 entries NEW this round, never driver-checked: the
+    (a) the 7 entries NEW this round, never driver-checked: streaming
+    DSIR importance maintenance (fixed target, append-only bucket
+    counts); streaming cross-corpus BM25 maintenance in BPE piece
+    space (fixed vocab + fixed target query pieces); the
     DSIR-weighted MIXTURE budget pack; streaming BM25 postings
     maintenance in BPE piece space under the fixed parquet-artifact
     vocab; content-defined chunking lifted to BPE piece space (batch
@@ -5047,11 +5096,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (export_path parameter added, default path unchanged);
     (c) the r4/r5-stamped backlog, oldest-first (stamp round, then
     in-file order of the stamping round's CORRECTNESS artifact): all
-    15 r4-stamped entries, then the r5 block. 5 + 5 + 40 = 50 (the
-    r5 tail stratified_sample / dedup_corpus_prune / simhash_pairs
-    slips to round 12's window head).
+    15 r4-stamped entries, then the r5 block. 7 + 5 + 38 = 50 (the
+    r5 tail lapsed_users / train_test_split / stratified_sample /
+    dedup_corpus_prune / simhash_pairs slips to round 12's window
+    head).
 
-    CYCLE PLAN (238 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (240 entries, 50-entry window): past position 50 the
     order is the remaining backlog oldest-first — the r5 tail, the
     r6/r7/r8 blocks, then the displaced r9/r10-stamped blocks
     (freshest stamps) last. Every entry is re-proven every round by
@@ -5059,6 +5109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over all 238) and by pytest units added with each change.
     """
     return {
+        "dsir_maintenance_stream": q_dsir_maintenance_stream,
+        "bm25_cross_maintenance_stream_bpe": (
+            q_bm25_cross_maintenance_stream_bpe
+        ),
         "dsir_mixture_pack": q_dsir_mixture_pack,
         "bm25_maintenance_stream_bpe": q_bm25_maintenance_stream_bpe,
         "cdc_chunk_pairs_bpe": q_cdc_chunk_pairs_bpe,
@@ -8178,6 +8232,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_budget_pack": _sql_dsir_budget_pack(),
         # round-11 additions
         "dsir_mixture_pack": _sql_dsir_mixture_pack(),
+        # fixed-target stream == batch dsir_importance (same twin)
+        "dsir_maintenance_stream": _sql_dsir_importance(),
+        # fixed vocab+target stream == batch bm25_cross_topk_bpe
+        "bm25_cross_maintenance_stream_bpe": _sql_bm25_cross_topk_bpe(),
         # fixed-artifact-vocab stream == batch bm25_topk_bpe (same twin)
         "bm25_maintenance_stream_bpe": _sql_bm25_topk_bpe(),
         "cdc_chunk_pairs_bpe": _sql_cdc_chunk_pairs_bpe(),

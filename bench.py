@@ -295,7 +295,9 @@ BENCH_EXCLUDED = {
     "attributed_purchases_semi_stream": _STREAM_OVERHEAD,
     "bm25_maintenance_stream": _STREAM_OVERHEAD,
     "bm25_maintenance_stream_bpe": _STREAM_OVERHEAD,
+    "bm25_cross_maintenance_stream_bpe": _STREAM_OVERHEAD,
     "cdc_maintenance_stream_bpe": _STREAM_OVERHEAD,
+    "dsir_maintenance_stream": _STREAM_OVERHEAD,
     "bottomk_sample_stream": _STREAM_OVERHEAD,
     "stratified_budget_sample_stream": _STREAM_OVERHEAD,
     "exact_substring_maintenance_stream": _STREAM_OVERHEAD,

@@ -363,6 +363,39 @@ def test_dsir_budget_pack_matches_naive_prefix_sum(spark):
     assert 0 < kept < len(got)
 
 
+def test_dsir_maintain_stream_equals_batch(spark):
+    """Streaming DSIR maintenance: the final epoch's scores equal
+    batch dsir_importance over all arrived raw docs — the per-bucket
+    weights and the corpus-size constant are re-derived per epoch
+    (they move with raw totals), so arrival order cannot matter, and
+    the early epochs' scores are genuinely revised (a doc scored in
+    epoch 1 re-scores when epoch 3's grams shift c_r)."""
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"tok{(i * 7 + j) % 9}" for j in range(6 + i % 5)
+            ),
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = docs.filter("doc_id % 2 = 0")
+    tgt = docs.filter("doc_id % 2 = 1")
+    batch = sorted(
+        tuple(r) for r in CP.dsir_importance(raw, tgt).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in CP.dsir_maintain_stream(
+            spark, raw, tgt, n_slices=3
+        ).collect()
+    )
+    assert stream == batch and len(batch) == 20
+
+
 def test_dsir_mixture_pack_matches_python_composition(spark):
     """The full mixture composition — largest-remainder token-budget
     allocation over per-source token mass, then the per-source

@@ -270,3 +270,34 @@ def test_bm25_maintain_stream_bpe_equals_batch_fixed_vocab(spark):
         ).collect()
     ]
     assert stream == batch and len(batch) == 10
+
+
+def test_bm25_cross_maintain_stream_bpe_equals_batch(spark):
+    """Streaming cross-corpus BPE BM25: fixed vocab + fixed target
+    query pieces, ranked docs arriving — the final epoch equals batch
+    bm25_cross_topk_bpe over the full ranked corpus."""
+    import tempfile
+
+    from yelp_streaming_etl_pipeline_spark.operators.text_analysis import (
+        bm25_cross_maintain_stream_bpe,
+        bm25_cross_topk_bpe,
+    )
+
+    rows = [
+        (i, f"alpha{i % 5} beta{i % 3} common common gamma{i % 7}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = df.filter("doc_id % 2 = 0")
+    target = df.filter("doc_id % 2 = 1")
+    batch = [
+        tuple(r) for r in bm25_cross_topk_bpe(docs, target, k=8).collect()
+    ]
+    path = tempfile.mkdtemp(prefix="bm25xm_bpe_")
+    stream = [
+        tuple(r)
+        for r in bm25_cross_maintain_stream_bpe(
+            spark, docs, target, k=8, n_slices=3, export_path=path
+        ).collect()
+    ]
+    assert stream == batch and len(batch) == 8

@@ -341,6 +341,34 @@ def dsir_importance(
     r_grams = _hashed_gram_buckets(raw, text_col, id_col, n_buckets)
     c_t = t_grams.groupBy("b").agg(F.count("*").alias("ct"))
     c_r = r_grams.groupBy("b").agg(F.count("*").alias("cr"))
+    weights, const = _dsir_weights(c_t, c_r, n_buckets)
+    return (
+        r_grams.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("w").alias("_sw"),
+        )
+        .crossJoin(F.broadcast(const))
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("_sw") + F.col("n_grams") * F.col("cq"))
+            .cast("long")
+            .alias("dsir_score"),
+        )
+    )
+
+
+def _dsir_weights(
+    c_t: DataFrame, c_r: DataFrame, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """The (per-bucket weight table, 1-row corpus constant) pair of
+    the DSIR score, from the two bucket count tables c_t(b, ct) /
+    c_r(b, cr) — the half of dsir_importance the streaming
+    maintenance form must re-derive per epoch (both move with
+    raw-corpus totals while the target side stays fixed). Both
+    outputs are n_buckets-bounded / 1-row — broadcast material."""
     tot = (
         c_t.agg(F.sum("ct").alias("tt"))
         .crossJoin(c_r.agg(F.sum("cr").alias("rr")))
@@ -387,22 +415,102 @@ def dsir_importance(
             - F.lit(s + 1)
         ).alias("cq")
     )
-    return (
-        r_grams.join(F.broadcast(weights), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("w").alias("_sw"),
-        )
-        .crossJoin(F.broadcast(const))
-        .select(
-            "doc_id",
-            "n_grams",
-            (F.col("_sw") + F.col("n_grams") * F.col("cq"))
-            .cast("long")
-            .alias("dsir_score"),
-        )
+    return weights, const
+
+
+def dsir_maintain_stream(
+    spark,
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming DSIR importance MAINTENANCE — the steer-the-crawl
+    score kept current as the crawl arrives: the TARGET side (the
+    curated domain) is fixed, so its bucket count table computes
+    once up front (n_buckets rows, checkpointed); raw documents
+    arriving in micro-batches are gram-hashed exactly once, at
+    arrival, into the text-free (doc_id, b, cnt) bucket-count state
+    appended per epoch (append-only-per-doc asserted).
+
+    The score readout is NOT append-only: every per-bucket weight
+    carries the raw corpus's own bucket count c_r(b) and the
+    corpus-size constant carries the raw total — a new batch shifts
+    EVERY document's score. So each epoch re-derives weights +
+    scores from the accumulated count table (_dsir_weights + one
+    doc-keyed aggregate over bounded-width rows, no text) — the
+    bounded per-epoch-recompute discipline of the BM25/CDC
+    maintenance forms, with the expensive text scan incremental.
+
+    Final epoch equals batch dsir_importance over all arrived raw
+    docs, so the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    c_t = (
+        _hashed_gram_buckets(target, text_col, id_col, n_buckets)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint(eager=True)
     )
+    state: dict = {"counts": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = (
+            _hashed_gram_buckets(batch_df, text_col, id_col, n_buckets)
+            .groupBy("doc_id", "b")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        if state["counts"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["counts"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"dsir_maintain_stream: epoch {epoch_id} re-hashed "
+                    f"{n_overlap} already-scored doc(s) — bucket-count "
+                    "state must be append-only per doc"
+                )
+            acc = state["counts"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["counts"] = acc
+        c_r = acc.groupBy("b").agg(
+            F.sum("cnt").cast("long").alias("cr")
+        )
+        weights, const = _dsir_weights(c_t, c_r, n_buckets)
+        state["result"] = (
+            acc.join(F.broadcast(weights), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_grams"),
+                F.sum(F.col("cnt") * F.col("w")).alias("_sw"),
+            )
+            .crossJoin(F.broadcast(const))
+            .select(
+                "doc_id",
+                "n_grams",
+                (F.col("_sw") + F.col("n_grams") * F.col("cq"))
+                .cast("long")
+                .alias("dsir_score"),
+            )
+        )
+
+    replay_fold(
+        spark,
+        raw.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="dsirm_",
+    )
+    return state["result"]
 
 
 def dsir_topk(

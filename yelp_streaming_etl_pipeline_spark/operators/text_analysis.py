@@ -704,3 +704,81 @@ def bm25_maintain_stream_bpe(
         prefix="bm25mb_",
     )
     return state["result"]
+
+
+def bm25_cross_maintain_stream_bpe(
+    spark,
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+    n_slices: int = 3,
+    export_path: str | None = None,
+) -> DataFrame:
+    """Streaming CROSS-corpus BM25 maintenance in BPE piece space —
+    the live eval-mining monitor: the tokenizer artifact AND the
+    target (eval) corpus are both fixed up front — the vocab trains
+    once on the ranked corpus (optional parquet round trip) and the
+    target's piece postings compute once under it (checkpointed,
+    reduced to the broadcast query-term source) — while ranked-side
+    documents arrive in micro-batches, tokenizing into append-only
+    piece postings exactly once at arrival.
+
+    Per-epoch readout re-derives df/dl/avgdl from the accumulated
+    ranked postings with the FIXED target postings as query source
+    (_bm25_from_postings' query_postings hook): a new batch moves
+    every document's score (df and avgdl are corpus-wide), the same
+    bounded per-epoch-recompute discipline as the self-corpus form.
+    Final epoch equals batch bm25_cross_topk_bpe (same corpus trains
+    the vocab), so the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+    from .tokenizer import bpe_learn, export_bpe
+
+    merges, vocab = bpe_learn(docs, text_col, n_merges, "char")
+    if export_path is not None:
+        _, vocab_path = export_bpe(merges, vocab, export_path)
+        vocab = spark.read.parquet(vocab_path)
+    vocab = vocab.localCheckpoint(eager=True)
+    target_postings = _bpe_piece_postings(
+        target, vocab, text_col, id_col
+    ).localCheckpoint(eager=True)
+    state: dict = {"postings": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = _bpe_piece_postings(
+            batch_df, vocab, text_col, id_col
+        ).localCheckpoint(eager=True)
+        if state["postings"] is None:
+            acc = fresh
+        else:
+            n_overlap = (
+                state["postings"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"bm25_cross_maintain_stream_bpe: epoch {epoch_id} "
+                    f"re-tokenized {n_overlap} already-indexed doc(s) — "
+                    "postings state must be append-only per doc"
+                )
+            acc = state["postings"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+        state["postings"] = acc
+        state["result"] = _bm25_from_postings(
+            acc, n_query_terms, k, query_postings=target_postings
+        )
+
+    replay_fold(
+        spark,
+        docs.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="bm25xb_",
+    )
+    return state["result"]
