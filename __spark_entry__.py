@@ -905,6 +905,41 @@ def q_cdc_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level keep-first dedup with removal readout (operators/
+    dedup.py cdc_chunk_dedup) over the spliced near-dup corpus:
+    content-defined chunks tile each normalized document (no
+    min-length filter), corpus-wide duplicate chunks drop keeping
+    the smallest (doc_id, pos), and the per-doc readout carries
+    counts + the md5 of the surviving text — paragraph_dedup
+    generalized to content-defined cuts, so an insertion-shifted
+    copy keeps only the chunk containing its splice."""
+    return DD.cdc_chunk_dedup(
+        DD.with_insertion_shifted_dups(_doc_corpus_cpu(spark, sf_dir)),
+        "text",
+        "doc_id",
+    )
+
+
+def q_cdc_chunk_dedup_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming chunk-level keep-first dedup (operators/dedup.py
+    cdc_chunk_dedup_maintain_stream): the spliced corpus arrives in
+    ascending-id micro-batches (asserted), making keep-first
+    append-only — arriving chunks survive iff absent from the
+    accumulated hash state, per-epoch cost O(batch) plus one
+    O(state) read. Final epoch equals batch cdc_chunk_dedup, sharing
+    its oracle twin."""
+    spark = _ensure_conf(spark)
+    return DD.cdc_chunk_dedup_maintain_stream(
+        spark,
+        DD.with_insertion_shifted_dups(
+            _doc_corpus_cpu(spark, sf_dir)
+        ).select("doc_id", "text"),
+    )
+
+
 def q_kmeans_maintenance_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5077,7 +5112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-11 window (priority order, per VERDICT r10 directive #1 and
     the standing cycle plan):
-    (a) the 7 entries NEW this round, never driver-checked: streaming
+    (a) the 9 entries NEW this round, never driver-checked:
+    chunk-level keep-first CDC dedup with removal readout (batch +
+    ordered-arrival maintenance stream); streaming
     DSIR importance maintenance (fixed target, append-only bucket
     counts); streaming cross-corpus BM25 maintenance in BPE piece
     space (fixed vocab + fixed target query pieces); the
@@ -5096,12 +5133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (export_path parameter added, default path unchanged);
     (c) the r4/r5-stamped backlog, oldest-first (stamp round, then
     in-file order of the stamping round's CORRECTNESS artifact): all
-    15 r4-stamped entries, then the r5 block. 7 + 5 + 38 = 50 (the
-    r5 tail lapsed_users / train_test_split / stratified_sample /
-    dedup_corpus_prune / simhash_pairs slips to round 12's window
-    head).
+    15 r4-stamped entries, then the r5 block. 9 + 5 + 36 = 50 (the
+    r5 tail pps_sample / duplicate_issues / lapsed_users /
+    train_test_split / stratified_sample / dedup_corpus_prune /
+    simhash_pairs slips to round 12's window head).
 
-    CYCLE PLAN (240 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (242 entries, 50-entry window): past position 50 the
     order is the remaining backlog oldest-first — the r5 tail, the
     r6/r7/r8 blocks, then the displaced r9/r10-stamped blocks
     (freshest stamps) last. Every entry is re-proven every round by
@@ -5109,6 +5146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over all 238) and by pytest units added with each change.
     """
     return {
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "cdc_chunk_dedup_maintenance_stream": (
+            q_cdc_chunk_dedup_maintenance_stream
+        ),
         "dsir_maintenance_stream": q_dsir_maintenance_stream,
         "bm25_cross_maintenance_stream_bpe": (
             q_bm25_cross_maintenance_stream_bpe
@@ -6751,15 +6792,16 @@ FROM grid g LEFT JOIN per_slot p
   ON p.user_id = g.user_id AND p.slot = g.slot"""
 
 
-def _sql_cdc_chunk_pairs() -> str:
-    """Twin of dedup.cdc_chunk_pairs over the near-dup corpus plus
+def _sql_cdc_corpus_st_ctes() -> str:
+    """Shared CTE prefix corpus -> nrm -> st(doc_id, s, starts) for
+    the char-space CDC twins: the near-dup corpus plus
     insertion-shifted variants (splice at char 200, %13 ->
     +3_000_000, applied to the WHOLE near-dup union as Spark's
-    with_insertion_shifted_dups does). Same chunker CTEs as
-    _sql_duplicated_passages; df cap 64, min shared 2."""
+    with_insertion_shifted_dups does), normalized text, and the
+    content-defined cut positions (md5 of the 8-gram at i, 0 mod
+    64)."""
     norm = O.sql_norm_text("text")
-    return f"""
-WITH corpus0 AS ({O.NEAR_DUP_CORPUS_SQL}),
+    return f"""corpus0 AS ({O.NEAR_DUP_CORPUS_SQL}),
 corpus AS (
   SELECT doc_id, text FROM corpus0
   UNION ALL
@@ -6781,7 +6823,15 @@ st AS (
          IF ((('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT % 64) = 0)]
       ELSE [] END))) AS starts
   FROM nrm
-),
+)"""
+
+
+def _sql_cdc_chunk_pairs() -> str:
+    """Twin of dedup.cdc_chunk_pairs over the shared spliced-corpus
+    chunker prefix (_sql_cdc_corpus_st_ctes); df cap 64, min shared
+    2, shared pair tail."""
+    return f"""
+WITH {_sql_cdc_corpus_st_ctes()},
 ch AS (
   SELECT doc_id,
          unnest([substr(s, starts[k],
@@ -6794,6 +6844,51 @@ sets AS (
   FROM ch WHERE len(chunk) >= 16
 ),
 {_sql_chunk_pair_tail()}"""
+
+
+def _sql_cdc_chunk_dedup() -> str:
+    """Twin of dedup.cdc_chunk_dedup over the same spliced corpus:
+    positioned chunks (NO min-length filter — chunks tile the doc),
+    keep-first rank over (doc_id, pos) per content hash, ordered
+    string_agg reassembly; md5('') when everything was duplicated."""
+    return f"""
+WITH {_sql_cdc_corpus_st_ctes()},
+ch AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS pos,
+         substr(s, starts[CAST(k AS INTEGER)],
+                coalesce(starts[CAST(k AS INTEGER) + 1], len(s) + 1)
+                  - starts[CAST(k AS INTEGER)]) AS chunk
+  FROM (
+    SELECT doc_id, s, starts,
+           unnest(generate_series(1, len(starts))) AS k
+    FROM st
+  )
+),
+chh AS (
+  SELECT doc_id, pos, chunk, md5(chunk) AS ch
+  FROM ch WHERE len(chunk) > 0
+),
+kept AS (
+  SELECT doc_id, pos, chunk FROM (
+    SELECT *, row_number() OVER (PARTITION BY ch
+                                 ORDER BY doc_id, pos) AS rn
+    FROM chh
+  ) WHERE rn = 1
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(chunk, '' ORDER BY pos)) AS cleaned_hash
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+  FROM chh GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_chunks,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(b.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.cleaned_hash, md5('')) AS cleaned_hash
+FROM base b LEFT JOIN reb r USING (doc_id)"""
 
 
 def _sql_chunk_pair_tail(max_df: int = 64, min_shared: int = 2) -> str:
@@ -8236,6 +8331,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_maintenance_stream": _sql_dsir_importance(),
         # fixed vocab+target stream == batch bm25_cross_topk_bpe
         "bm25_cross_maintenance_stream_bpe": _sql_bm25_cross_topk_bpe(),
+        "cdc_chunk_dedup": _sql_cdc_chunk_dedup(),
+        # ordered-arrival stream == batch cdc_chunk_dedup (same twin)
+        "cdc_chunk_dedup_maintenance_stream": _sql_cdc_chunk_dedup(),
         # fixed-artifact-vocab stream == batch bm25_topk_bpe (same twin)
         "bm25_maintenance_stream_bpe": _sql_bm25_topk_bpe(),
         "cdc_chunk_pairs_bpe": _sql_cdc_chunk_pairs_bpe(),

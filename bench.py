@@ -255,6 +255,7 @@ HEADLINE = [
     "dsir_mixture_pack",
     "cdc_chunk_pairs_bpe",
     "unigram_schedule_export_scores",
+    "cdc_chunk_dedup",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -297,6 +298,7 @@ BENCH_EXCLUDED = {
     "bm25_maintenance_stream_bpe": _STREAM_OVERHEAD,
     "bm25_cross_maintenance_stream_bpe": _STREAM_OVERHEAD,
     "cdc_maintenance_stream_bpe": _STREAM_OVERHEAD,
+    "cdc_chunk_dedup_maintenance_stream": _STREAM_OVERHEAD,
     "dsir_maintenance_stream": _STREAM_OVERHEAD,
     "bottomk_sample_stream": _STREAM_OVERHEAD,
     "stratified_budget_sample_stream": _STREAM_OVERHEAD,

@@ -805,6 +805,65 @@ def test_cdc_maintain_stream_equals_batch_with_retraction(spark):
     assert (10, 20) in pair_ids  # the genuine cross-batch pair survives
 
 
+def test_cdc_chunk_dedup_full_copy_and_insertion_copy(spark):
+    """Chunk-level keep-first removal: a full copy loses EVERY chunk
+    to its original (cleaned_hash == md5('')); an insertion-shifted
+    copy keeps only the chunk(s) containing the splice (boundaries
+    re-synchronize); the original keeps everything."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fotra",
+             "golfy", "hotel", "indix", "julep"]
+    base = " ".join(rng.choice(words) for _ in range(400))
+    edited = base[:1200] + " spliced interruption phrase " + base[1200:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in DD.cdc_chunk_dedup(docs).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    # doc 1 keeps everything: cleaned text == its normalized text
+    assert got[1]["n_dropped"] == 0
+    assert got[1]["cleaned_hash"] == hashlib.md5(
+        base.lower().encode()
+    ).hexdigest()
+    # doc 2 (exact copy) loses every chunk
+    assert got[2]["n_kept"] == 0
+    assert got[2]["cleaned_hash"] == empty_md5
+    # doc 3 keeps only the spliced region: a small fraction of chunks
+    assert 0 < got[3]["n_kept"] <= 3
+    assert got[3]["n_dropped"] >= got[3]["n_chunks"] - 3
+
+
+def test_cdc_chunk_dedup_stream_equals_batch(spark):
+    """Doc-id-ordered arrival makes chunk keep-first append-only:
+    the maintained results equal batch cdc_chunk_dedup, including a
+    cross-epoch duplicate (doc 9 repeats doc 1's text)."""
+    import random
+
+    rng = random.Random(5)
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fotra"]
+    t1 = " ".join(rng.choice(words) for _ in range(300))
+    t2 = " ".join(rng.choice(words) for _ in range(300))
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (5, t2[:900] + " zz " + t2[900:]), (9, t1)],
+        "doc_id long, text string",
+    )
+    batch = sorted(map(tuple, DD.cdc_chunk_dedup(df).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            DD.cdc_chunk_dedup_maintain_stream(
+                spark, df, n_slices=3
+            ).collect(),
+        )
+    )
+    assert stream == batch
+    got = {r[0]: r for r in batch}
+    assert got[9][2] == 0  # the late full copy loses everything
+
+
 def test_cdc_chunk_pairs_bpe_survive_insertion_shift(spark):
     """Piece-space CDC keeps the char detector's reason to exist: an
     insertion measured in TOKENS shifts every downstream piece

@@ -1089,6 +1089,216 @@ def cdc_maintain_stream(
     return state["result"]
 
 
+def _cdc_chunks_pos(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos, chunk, ch): every content-defined chunk with its
+    1-based position and md5 content hash — the FULL partition of the
+    normalized text (no min-length filter, unlike cdc_chunks), so a
+    keep-first removal can reconstruct the cleaned text exactly by
+    concatenating survivors in order. Same O(len) bound-attribute
+    chunker as cdc_chunks."""
+    norm = F.regexp_replace(F.lower(ws_trim(F.col(text_col))), r"\s+", " ")
+    staged = (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("_s"))
+        .withColumn("_chars", F.split(F.col("_s"), ""))
+        .withColumn(
+            "_starts",
+            _chunk_starts(F.col("_chars"), F.size(F.col("_chars"))),
+        )
+    )
+    chars, starts = F.col("_chars"), F.col("_starts")
+    k_seq = F.sequence(F.lit(1), F.size(starts))
+    chunk_at = lambda k: F.concat_ws(  # noqa: E731
+        "",
+        F.slice(
+            chars,
+            F.element_at(starts, k),
+            F.coalesce(F.try_element_at(starts, k + 1), F.size(chars) + 1)
+            - F.element_at(starts, k),
+        ),
+    )
+    return (
+        staged.select(
+            "doc_id",
+            F.posexplode(F.transform(k_seq, chunk_at)).alias(
+                "pos0", "chunk"
+            ),
+        )
+        .filter(F.length("chunk") > 0)
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "chunk",
+            F.md5("chunk").alias("ch"),
+        )
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Chunk-level keep-first DEDUP with a removal readout — the
+    insertion-robust boilerplate remover: the normalized text
+    partitions into content-defined chunks (no min-length filter —
+    chunks tile the document), duplicate chunks drop CORPUS-WIDE
+    keeping the smallest (doc_id, pos) occurrence, and the per-doc
+    readout is (doc_id, n_chunks, n_kept, n_dropped, cleaned_hash)
+    with cleaned_hash = md5 of the surviving chunks concatenated in
+    order (md5('') when everything was duplicated) — paragraph_dedup
+    generalized from author-chosen blank-line boundaries to
+    content-defined cuts, so a full-document copy loses EVERYTHING
+    to its original and an insertion-shifted copy loses everything
+    except the chunk containing the splice (boundaries
+    re-synchronize — the CDC property, now driving removal instead
+    of pair detection).
+
+    Scale shape: the chunk scan is a pure per-row map (O(len),
+    bound-attribute discipline); keep-first is a hash-PARTITIONED
+    rank on the chunk-content hash (never a global sort); the
+    readout is two doc-keyed aggregates. Same shuffle classes as
+    paragraph_dedup."""
+    chunks = _cdc_chunks_pos(df, text_col, id_col)
+    w = Window.partitionBy("ch").orderBy("doc_id", "pos")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    base = chunks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    return base.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+            "cleaned_hash"
+        ),
+    )
+
+
+def cdc_chunk_dedup_maintain_stream(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming chunk-level keep-first dedup — the sharded form:
+    documents arrive in doc_id order (replay_fold's determinism
+    contract), which makes keep-first APPEND-ONLY: an arriving chunk
+    survives iff its content hash is not already in the seen-hash
+    state, and no later arrival can retro-displace an earlier
+    winner. State is the text-free hash set plus the already-emitted
+    per-doc results, held as IMMUTABLE per-epoch checkpointed blocks
+    unioned lazily (the paragraph_dedup_maintain_stream discipline
+    exactly): per-epoch materialization is O(batch) — the fresh
+    chunks, result rows, and hash delta — while the anti-join reads
+    the accumulated blocks without rewriting them.
+
+    Ordered-arrival precondition ASSERTED per epoch. Final epoch
+    equals batch cdc_chunk_dedup, so the entry shares its twin."""
+    from functools import reduce
+
+    from ..streaming.replay import replay_fold
+
+    state: dict = {"seen_parts": [], "max_id": None, "result_parts": []}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        chunks = _cdc_chunks_pos(
+            batch_df, text_col, id_col
+        ).localCheckpoint(eager=True)
+        lo_hi = batch_df.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).collect()[0]
+        if state["max_id"] is not None and lo_hi["lo"] is not None:
+            if lo_hi["lo"] <= state["max_id"]:
+                raise AssertionError(
+                    f"cdc_chunk_dedup_maintain_stream: epoch {epoch_id} "
+                    f"doc_id {lo_hi['lo']} arrived after "
+                    f"{state['max_id']} — keep-first is append-only "
+                    "under ordered arrival only"
+                )
+        if lo_hi["hi"] is not None:
+            state["max_id"] = (
+                lo_hi["hi"]
+                if state["max_id"] is None
+                else max(state["max_id"], lo_hi["hi"])
+            )
+        w = Window.partitionBy("ch").orderBy("doc_id", "pos")
+        kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        if state["seen_parts"]:
+            seen = reduce(DataFrame.unionByName, state["seen_parts"])
+            kept = kept.join(seen, "ch", "left_anti")
+        reb = kept.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                )
+            ).alias("cleaned_hash"),
+        )
+        base = chunks.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_chunks")
+        )
+        res = base.join(reb, "doc_id", "left").select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+                "cleaned_hash"
+            ),
+        ).localCheckpoint(eager=True)
+        state["seen_parts"].append(
+            chunks.select("ch").distinct().localCheckpoint(eager=True)
+        )
+        state["result_parts"].append(res)
+
+    replay_fold(
+        spark,
+        df.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="cdcd_",
+    )
+    if not state["result_parts"]:
+        id_type = df.schema[id_col].dataType.simpleString()
+        schema = (
+            f"doc_id {id_type}, n_chunks long, n_kept long, "
+            "n_dropped long, cleaned_hash string"
+        )
+        return spark.createDataFrame([], schema)
+    return reduce(DataFrame.unionByName, state["result_parts"])
+
+
 CDC_GRAM_BPE = 4  # rolling window width, in BPE pieces
 CDC_MOD_BPE = 32  # expected chunk length in pieces (1/32 density)
 CDC_MIN_CHUNK_BPE = 16  # drop chunks shorter than this many pieces
