@@ -630,6 +630,48 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram-LM quality scores (operators/
+    corpus_quality.py kn_bigram_scores, Kneser & Ney 1995): the
+    even-doc_id half ranked by millibits-per-bigram under a
+    KN-smoothed model counted from the odd half — absolute
+    discounting (D = 3/4) interpolated with the continuation
+    distribution, the smoothing real LM gates use where
+    bigram_lm_scores is the raw-MLE baseline. Integer-exact: one
+    rational per bigram, exact floor-log2 via the scale-bits trick."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        kn_bigram_scores,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return kn_bigram_scores(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+def q_kn_bigram_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Kneser-Ney model maintenance (operators/
+    corpus_quality.py kn_bigram_maintain_stream): the odd-half
+    reference arrives in micro-batches into the distinct-bigram
+    count state (mass-conservation asserted); discount mass,
+    continuation fanins/fanouts and the type count all move with
+    every new distinct pair, so the scored half re-ranks per epoch.
+    Final epoch equals batch kn_bigram_scores, sharing its twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        kn_bigram_maintain_stream,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return kn_bigram_maintain_stream(
+        _ensure_conf(spark),
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 def q_bigram_lm_maintenance_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4728,6 +4770,28 @@ def q_bm25_cross_maintenance_stream_bpe(
     )
 
 
+def q_dsir_mixture_pack_maintenance_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming mixture-pack maintenance (operators/corpus.py
+    dsir_mixture_pack_maintain_stream): dsir_maintenance_stream's
+    incremental scoring composed with the mixture-pack tail — token
+    counts and source labels fixed at arrival, source budgets and
+    every kept verdict re-derived per epoch (scores AND token masses
+    move with each batch). Final epoch equals batch
+    dsir_mixture_pack, sharing its oracle twin."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus import (
+        dsir_mixture_pack_maintain_stream,
+    )
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return dsir_mixture_pack_maintain_stream(
+        _ensure_conf(spark),
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_dsir_maintenance_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5112,9 +5176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-11 window (priority order, per VERDICT r10 directive #1 and
     the standing cycle plan):
-    (a) the 9 entries NEW this round, never driver-checked:
-    chunk-level keep-first CDC dedup with removal readout (batch +
-    ordered-arrival maintenance stream); streaming
+    (a) the 12 entries NEW this round, never driver-checked:
+    streaming mixture-pack maintenance (incremental DSIR scores +
+    per-epoch pack tail);
+    interpolated Kneser-Ney bigram-LM scores (batch + count-state
+    maintenance stream); chunk-level keep-first CDC dedup with
+    removal readout (batch + ordered-arrival maintenance stream);
+    streaming
     DSIR importance maintenance (fixed target, append-only bucket
     counts); streaming cross-corpus BM25 maintenance in BPE piece
     space (fixed vocab + fixed target query pieces); the
@@ -5133,12 +5201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (export_path parameter added, default path unchanged);
     (c) the r4/r5-stamped backlog, oldest-first (stamp round, then
     in-file order of the stamping round's CORRECTNESS artifact): all
-    15 r4-stamped entries, then the r5 block. 9 + 5 + 36 = 50 (the
-    r5 tail pps_sample / duplicate_issues / lapsed_users /
-    train_test_split / stratified_sample / dedup_corpus_prune /
-    simhash_pairs slips to round 12's window head).
+    15 r4-stamped entries, then the r5 block. 12 + 5 + 33 = 50
+    (the r5 tail from pagerank_weighted / topic_roundtrip_reviews /
+    events_hourly / pps_sample onward slips to round 12's window
+    head).
 
-    CYCLE PLAN (242 entries, 50-entry window): past position 50 the
+    CYCLE PLAN (245 entries, 50-entry window): past position 50 the
     order is the remaining backlog oldest-first — the r5 tail, the
     r6/r7/r8 blocks, then the displaced r9/r10-stamped blocks
     (freshest stamps) last. Every entry is re-proven every round by
@@ -5146,9 +5214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over all 238) and by pytest units added with each change.
     """
     return {
+        "kn_bigram_scores": q_kn_bigram_scores,
+        "kn_bigram_maintenance_stream": q_kn_bigram_maintenance_stream,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "cdc_chunk_dedup_maintenance_stream": (
             q_cdc_chunk_dedup_maintenance_stream
+        ),
+        "dsir_mixture_pack_maintenance_stream": (
+            q_dsir_mixture_pack_maintenance_stream
         ),
         "dsir_maintenance_stream": q_dsir_maintenance_stream,
         "bm25_cross_maintenance_stream_bpe": (
@@ -6075,6 +6148,76 @@ def _sql_bigram_lm_scores() -> str:
 WITH {_sql_bigram_lm_core(sws)}
 SELECT doc_id, n_bigrams, n_oov, lm_q_sum, mbits_per_bigram
 FROM scores"""
+
+
+def _sql_kn_bigram_scores() -> str:
+    """Twin of corpus_quality.kn_bigram_scores over the odd/even
+    documents split: identical normalization and bigram streams as
+    the MLE twin, the KN stats derived from the distinct-bigram
+    table (per-w1 totals+fanouts, per-w2 fanins, type count), the
+    single-rational quantization with D = 3/4, and the exact
+    floor(log2(num/den)) via bitlen((num << 16) // den) - 17
+    saturating at 2^-16 — all on non-negative BIGINTs so // matches
+    Spark's truncating div."""
+    ws = _sql_blm_ws()
+    bg = """
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+    FROM {src} WHERE len(ws) >= 2
+  )"""
+    return f"""
+WITH rws AS (
+  SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 1
+),
+sws AS (
+  SELECT doc_id, {ws} AS ws FROM documents WHERE doc_id % 2 = 0
+),
+rbg AS ({bg.format(src='rws')}),
+sbg AS ({bg.format(src='sws')}),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+  FROM rbg GROUP BY w1, w2
+),
+uni AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+         CAST(count(*) AS BIGINT) AS n1l
+  FROM big GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM big GROUP BY w2
+),
+types AS (
+  SELECT greatest(CAST(count(*) AS BIGINT), 1) AS nbt FROM big
+),
+j AS (
+  SELECT s.doc_id,
+         CAST(CASE WHEN u.cu IS NOT NULL THEN
+           greatest(4 * coalesce(b.cb, 0) - 3, 0) * t.nbt
+             + 3 * u.n1l * coalesce(c.n1r, 0)
+         ELSE coalesce(c.n1r, 0) END AS BIGINT) AS num,
+         CAST(CASE WHEN u.cu IS NOT NULL THEN 4 * u.cu * t.nbt
+         ELSE t.nbt END AS BIGINT) AS den,
+         CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS oov
+  FROM sbg s
+  LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN uni u ON s.w1 = u.w1
+  LEFT JOIN cont c ON s.w2 = c.w2
+  CROSS JOIN types t
+),
+qt AS (
+  SELECT doc_id,
+         CAST(length(bin(greatest((num * 65536) // den, 1)))
+              AS BIGINT) - 17 AS q,
+         oov
+  FROM j
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(q) AS BIGINT) AS kn_q_sum,
+       CAST(((-CAST(sum(q) AS BIGINT)) * 1000)
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS mbits_per_bigram
+FROM qt GROUP BY doc_id"""
 
 
 def _sql_lm_filter_mix_shift(step: int = 8, n_bins: int = 1024) -> str:
@@ -8329,9 +8472,14 @@ def oracle_sql() -> dict[str, str]:
         "dsir_mixture_pack": _sql_dsir_mixture_pack(),
         # fixed-target stream == batch dsir_importance (same twin)
         "dsir_maintenance_stream": _sql_dsir_importance(),
+        # incremental scores + per-epoch pack tail == batch pack
+        "dsir_mixture_pack_maintenance_stream": _sql_dsir_mixture_pack(),
         # fixed vocab+target stream == batch bm25_cross_topk_bpe
         "bm25_cross_maintenance_stream_bpe": _sql_bm25_cross_topk_bpe(),
         "cdc_chunk_dedup": _sql_cdc_chunk_dedup(),
+        "kn_bigram_scores": _sql_kn_bigram_scores(),
+        # count-state stream == batch KN scores (same twin)
+        "kn_bigram_maintenance_stream": _sql_kn_bigram_scores(),
         # ordered-arrival stream == batch cdc_chunk_dedup (same twin)
         "cdc_chunk_dedup_maintenance_stream": _sql_cdc_chunk_dedup(),
         # fixed-artifact-vocab stream == batch bm25_topk_bpe (same twin)

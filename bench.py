@@ -256,6 +256,7 @@ HEADLINE = [
     "cdc_chunk_pairs_bpe",
     "unigram_schedule_export_scores",
     "cdc_chunk_dedup",
+    "kn_bigram_scores",
 ]
 
 # Entries deliberately NOT in the headline suite — each with the reason.
@@ -299,7 +300,9 @@ BENCH_EXCLUDED = {
     "bm25_cross_maintenance_stream_bpe": _STREAM_OVERHEAD,
     "cdc_maintenance_stream_bpe": _STREAM_OVERHEAD,
     "cdc_chunk_dedup_maintenance_stream": _STREAM_OVERHEAD,
+    "kn_bigram_maintenance_stream": _STREAM_OVERHEAD,
     "dsir_maintenance_stream": _STREAM_OVERHEAD,
+    "dsir_mixture_pack_maintenance_stream": _STREAM_OVERHEAD,
     "bottomk_sample_stream": _STREAM_OVERHEAD,
     "stratified_budget_sample_stream": _STREAM_OVERHEAD,
     "exact_substring_maintenance_stream": _STREAM_OVERHEAD,
@@ -671,6 +674,12 @@ def longdoc_probe(spark) -> dict[str, float | int]:
             docs.filter(F.col("doc_id") % 2 == 1),
         ),
         "cdc_chunk_pairs_bpe": lambda: DD.cdc_chunk_pairs_bpe(docs),
+        # KN adds three model-sized joins over the same bigram
+        # stream as the MLE scorer — identical length dependence
+        "kn_bigram_scores": lambda: CQ.kn_bigram_scores(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ),
     }
     out: dict[str, float | int] = {
         "n_docs": n_docs, "doc_chars": int(doc_chars),

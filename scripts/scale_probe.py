@@ -201,6 +201,10 @@ PROBES = [
     ("dsir_mixture_pack", "dsir_mixture_pack", REP_DOCS),
     ("unigram_schedule_export_scores", "unigram_schedule_export_scores",
      REP_DOCS),
+    # KN model tables are distinct-bigram-sized (constant under
+    # exact-copy replication) like the MLE model; only the count
+    # aggregates and the scored-stream joins grow 10x
+    ("kn_bigram_scores", "kn_bigram_scores", REP_DOCS),
 ]
 
 

@@ -396,6 +396,41 @@ def test_dsir_maintain_stream_equals_batch(spark):
     assert stream == batch and len(batch) == 20
 
 
+def test_dsir_mixture_pack_stream_equals_batch(spark):
+    """Streaming mixture-pack maintenance equals batch
+    dsir_mixture_pack at the final epoch: token counts and source
+    labels fix at arrival while source budgets, packing order and
+    kept verdicts re-derive per epoch."""
+    from yelp_streaming_etl_pipeline_spark.operators import corpus as CP
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"tok{(i * 7 + j) % 11}" for j in range(4 + (i * 5) % 9)
+            ),
+            ["A", "B", "C"][i % 3],
+        )
+        for i in range(48)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    raw = docs.filter("doc_id % 2 = 0")
+    tgt = docs.filter("doc_id % 2 = 1")
+    batch = sorted(
+        tuple(r)
+        for r in CP.dsir_mixture_pack(raw, tgt, token_budget=60).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in CP.dsir_mixture_pack_maintain_stream(
+            spark, raw, tgt, token_budget=60, n_slices=3
+        ).collect()
+    )
+    assert stream == batch and len(batch) == 24
+
+
 def test_dsir_mixture_pack_matches_python_composition(spark):
     """The full mixture composition — largest-remainder token-budget
     allocation over per-source token mass, then the per-source

@@ -421,6 +421,121 @@ def test_bigram_lm_stream_equals_batch(spark):
     assert len(batch) == 2
 
 
+def test_kn_bigram_scores_matches_python_reference(spark):
+    """The engine's KN scores must equal a direct Python
+    reimplementation of the declared model (D = 3/4 absolute
+    discount, continuation interpolation, full backoff to Pcont for
+    unseen w1, exact floor-log2 with 16 scale bits) over a fixture
+    exercising every branch: seen pair, unseen pair under a seen w1
+    (with and without a seen continuation), and unseen w1."""
+    import re as _re
+
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        kn_bigram_scores,
+    )
+
+    ref_rows = [(1, "a b a b c b"), (2, "a b d")]
+    scored_rows = [
+        (10, "a b a"),     # seen pairs + seen pair (b,a)? -> branches
+        (11, "a c"),       # unseen pair, seen w1, seen continuation c
+        (12, "a z"),       # unseen pair, seen w1, unseen continuation
+        (13, "z b"),       # unseen w1, seen continuation b
+        (14, "z q"),       # unseen w1, unseen continuation
+    ]
+
+    def words(t):
+        return [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+
+    bigs: dict = {}
+    for _, t in ref_rows:
+        ws = words(t)
+        for a, b in zip(ws, ws[1:]):
+            bigs[(a, b)] = bigs.get((a, b), 0) + 1
+    cu: dict = {}
+    n1l: dict = {}
+    n1r: dict = {}
+    for (a, b), c in bigs.items():
+        cu[a] = cu.get(a, 0) + c
+        n1l[a] = n1l.get(a, 0) + 1
+        n1r[b] = n1r.get(b, 0) + 1
+    T = max(len(bigs), 1)
+
+    def q(w1, w2):
+        if w1 in cu:
+            c = bigs.get((w1, w2), 0)
+            num = max(4 * c - 3, 0) * T + 3 * n1l[w1] * n1r.get(w2, 0)
+            den = 4 * cu[w1] * T
+        else:
+            num = n1r.get(w2, 0)
+            den = T
+        return len(bin(max((num << 16) // den, 1))) - 2 - 17
+
+    expected = {}
+    for d, t in scored_rows:
+        ws = words(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        qs = [q(a, b) for a, b in pairs]
+        oov = sum(1 for a, b in pairs if (a, b) not in bigs)
+        ksum = sum(qs)
+        expected[d] = (
+            len(pairs), oov, ksum, ((-ksum) * 1000) // len(pairs)
+        )
+
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    scored = spark.createDataFrame(
+        scored_rows, "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["n_oov"], r["kn_q_sum"],
+            r["mbits_per_bigram"],
+        )
+        for r in kn_bigram_scores(ref, scored).collect()
+    }
+    assert got == expected, (got, expected)
+    # discounting: the seen-pair doc scores fewer mbits than the
+    # fully-OOV one, and the seen-continuation backoff beats the
+    # unseen-continuation saturation
+    assert got[10][3] < got[14][3]
+    assert got[13][2] > got[14][2]
+
+
+def test_kn_bigram_stream_equals_batch(spark):
+    """KN maintenance over a 3-slice replay equals the batch scorer
+    at the final epoch — discount mass, continuation fanins/fanouts
+    and the type count all re-derive as the model grows."""
+    from yelp_streaming_etl_pipeline_spark.operators.corpus_quality import (
+        kn_bigram_maintain_stream,
+        kn_bigram_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown cat naps under the warm sun"),
+            (3, "a slow green turtle walks past the quick fox"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [(10, "the quick brown fox"), (11, "zeta xi upsilon tau")],
+        "doc_id long, text string",
+    )
+    batch = sorted(map(tuple, kn_bigram_scores(ref, scored).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            kn_bigram_maintain_stream(
+                spark, ref, scored, n_slices=3
+            ).collect(),
+        )
+    )
+    assert stream == batch
+    assert len(batch) == 2
+
+
 def test_score_roc_table_hand_fixture(spark):
     """Hand-checked confusion counts: 4 docs in 4 bins (step 8), flag
     BAD iff score >= thr; the per-threshold counts, single-ratio f1,

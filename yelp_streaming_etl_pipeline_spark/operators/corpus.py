@@ -653,17 +653,34 @@ def dsir_mixture_pack(
     in score, so (bin DESC, score DESC, doc_id) == (score DESC,
     doc_id) within each source. The allocation's remainder rank is
     over the STRATA table only (bounded)."""
-    from .sampling import stratified_budget_alloc
-
     scores = dsir_importance(
         raw, target, text_col, id_col, n_buckets
     ).localCheckpoint(eager=True)
-    mn = scores.agg(F.min("dsir_score").cast("long").alias("mn"))
     toks = raw.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("g"),
         bpe_token_count(F.col(text_col)).cast("long").alias("tokens"),
     )
+    return _dsir_mixture_pack_from_scores(
+        scores, toks, token_budget, step, n_bins
+    )
+
+
+def _dsir_mixture_pack_from_scores(
+    scores: DataFrame,
+    toks: DataFrame,
+    token_budget: int,
+    step: int,
+    n_bins: int,
+) -> DataFrame:
+    """The allocation + per-source decomposed-prefix-sum tail of
+    dsir_mixture_pack over prepared scores(doc_id, dsir_score) and
+    toks(doc_id, g, tokens) — shared by the batch operator and the
+    streaming maintenance form (which re-derives scores per epoch
+    while tokens/group labels are fixed at arrival)."""
+    from .sampling import stratified_budget_alloc
+
+    mn = scores.agg(F.min("dsir_score").cast("long").alias("mn"))
     base = (
         scores.select("doc_id", "dsir_score")
         .join(toks, "doc_id")
@@ -715,6 +732,113 @@ def dsir_mixture_pack(
             ((cum - F.col("tokens")) < F.col("budget_g")).alias("kept"),
         )
     )
+
+
+def dsir_mixture_pack_maintain_stream(
+    spark,
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    token_budget: int = 8_000,
+    step: int = 8,
+    n_bins: int = 1024,
+    n_buckets: int = DSIR_BUCKETS,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming MIXTURE-pack maintenance — the live training-mix
+    composer: dsir_maintain_stream's incremental scoring (fixed
+    target bucket table; arriving docs gram-hashed once into
+    append-only (doc_id, b, cnt) state; weights re-derived per
+    epoch) composed with the mixture-pack tail. Token counts and
+    source labels are computed exactly once at arrival (fixed
+    per-doc facts, appended state); everything downstream of the
+    scores — the largest-remainder source budgets, the per-source
+    packing order, every kept verdict — moves with EVERY epoch (a
+    new batch shifts all scores AND all source token masses), so
+    the tail re-derives per epoch from the two accumulated tables.
+
+    Final epoch equals batch dsir_mixture_pack over all arrived
+    docs, so the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    c_t = (
+        _hashed_gram_buckets(target, text_col, id_col, n_buckets)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    state: dict = {"counts": None, "toks": None, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = (
+            _hashed_gram_buckets(batch_df, text_col, id_col, n_buckets)
+            .groupBy("doc_id", "b")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        fresh_toks = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("g"),
+            bpe_token_count(F.col(text_col)).cast("long").alias("tokens"),
+        ).localCheckpoint(eager=True)
+        if state["counts"] is None:
+            acc, acc_toks = fresh, fresh_toks
+        else:
+            n_overlap = (
+                state["counts"].select("doc_id").distinct()
+                .join(fresh.select("doc_id").distinct(), "doc_id")
+                .count()
+            )
+            if n_overlap:
+                raise AssertionError(
+                    f"dsir_mixture_pack_maintain_stream: epoch "
+                    f"{epoch_id} re-hashed {n_overlap} already-scored "
+                    "doc(s) — state must be append-only per doc"
+                )
+            acc = state["counts"].unionByName(fresh).localCheckpoint(
+                eager=True
+            )
+            acc_toks = (
+                state["toks"].unionByName(fresh_toks).localCheckpoint(
+                    eager=True
+                )
+            )
+        state["counts"], state["toks"] = acc, acc_toks
+        c_r = acc.groupBy("b").agg(
+            F.sum("cnt").cast("long").alias("cr")
+        )
+        weights, const = _dsir_weights(c_t, c_r, n_buckets)
+        scores = (
+            acc.join(F.broadcast(weights), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_grams"),
+                F.sum(F.col("cnt") * F.col("w")).alias("_sw"),
+            )
+            .crossJoin(F.broadcast(const))
+            .select(
+                "doc_id",
+                (F.col("_sw") + F.col("n_grams") * F.col("cq"))
+                .cast("long")
+                .alias("dsir_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state["result"] = _dsir_mixture_pack_from_scores(
+            scores, acc_toks, token_budget, step, n_bins
+        )
+
+    replay_fold(
+        spark,
+        raw.select(F.col(id_col), F.col(text_col), F.col(group_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="dsmp_",
+    )
+    return state["result"]
 
 
 def dsir_quota_sample(

@@ -730,6 +730,194 @@ def bigram_lm_maintain_stream(
     return state["result"]
 
 
+KN_SCALE_BITS = 16  # exact floor(log2(num/den)) down to 2^-16
+
+
+def kn_bigram_scores(
+    reference: DataFrame,
+    scored: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated KNESER-NEY bigram-LM scores (Kneser & Ney 1995;
+    the smoothing real LM quality gates use where bigram_lm_scores
+    is the raw-MLE baseline) — integer-exact, no float log:
+
+      P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                 + D * N1+(w1,*)/c(w1) * Pcont(w2),
+      Pcont(w2) = N1+(*,w2) / N1+(*,*),  D = 3/4
+
+    with N1+(w1,*) the distinct continuations of w1, N1+(*,w2) the
+    distinct left-contexts of w2, and N1+(*,*) the distinct bigram
+    type count. Absolute discounting moves mass from seen bigrams to
+    the continuation distribution — the fix for raw MLE's zero
+    probability on unseen-but-plausible pairs (Pcont famously ranks
+    'francisco' low despite its high unigram count: it follows only
+    'san'). A bigram whose w1 was never seen backs off fully to
+    Pcont(w2).
+
+    Quantization: with D = 3/4 everything is one rational per
+    bigram — seen w1: num = max(4c-3, 0)*T + 3*N1l(w1)*N1r(w2),
+    den = 4*c(w1)*T (T the bigram type count); unseen w1:
+    num = N1r(w2), den = T — and the per-bigram score is the EXACT
+    floor(log2(num/den)) via the DSIR scale-bits trick
+    (bitlen(greatest((num << 16) div den, 1)) - 17), saturating at
+    2^-16. Documented bound: num < 2^47 — i.e. c(w1,w2) * T below
+    ~2^45 — holds for any reference under ~2^22 distinct bigram
+    types with counts under ~2^22; beyond that, shard the model.
+
+    Returns per scored doc (>= 1 bigram): (doc_id, n_bigrams, n_oov
+    [bigrams whose PAIR is unseen — the discount/backoff class],
+    kn_q_sum, mbits_per_bigram).
+
+    100 TB shape: the model is three keyed aggregates over the
+    reference bigram stream (pair counts, per-w1 totals+fanouts,
+    per-w2 fanins) plus a 1-row type count; the scored stream
+    equi-joins them (AQE broadcasts small models) and one doc-keyed
+    aggregate finishes. No pair join, no window, no float log."""
+    big = (
+        _doc_bigrams(reference, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    return _kn_readout(big, _doc_bigrams(scored, text_col, id_col))
+
+
+def _kn_readout(big: DataFrame, sbg: DataFrame) -> DataFrame:
+    """Score the (doc_id, w1, w2) bigram stream against the KN model
+    held ONLY as the distinct-bigram count table (w1, w2, cb) — the
+    per-w1 totals/fanouts, per-w2 fanins, and the type count all
+    re-derive from it, so it is the complete maintenance state
+    (exactly _bigram_lm_readout's property, with the KN stats)."""
+    s = KN_SCALE_BITS
+    uni = big.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu"),
+        F.count("*").cast("long").alias("n1l"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1r")
+    )
+    types = big.agg(F.count("*").cast("long").alias("nbt"))
+    joined = (
+        sbg.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(types))
+    )
+    nbt1 = F.greatest(F.col("nbt"), F.lit(1))  # empty-reference guard
+    num = F.when(
+        F.col("cu").isNotNull(),
+        F.greatest(4 * F.coalesce(F.col("cb"), F.lit(0)) - 3, F.lit(0))
+        * nbt1
+        + 3 * F.col("n1l") * F.coalesce(F.col("n1r"), F.lit(0)),
+    ).otherwise(F.coalesce(F.col("n1r"), F.lit(0)))
+    den = F.when(
+        F.col("cu").isNotNull(), 4 * F.col("cu") * nbt1
+    ).otherwise(nbt1)
+    staged = joined.withColumn(
+        "_num", num.cast("long")
+    ).withColumn("_den", den.cast("long"))
+    q = (
+        F.length(
+            F.bin(
+                F.greatest(
+                    F.expr(f"(_num * {1 << s}) div _den"), F.lit(1)
+                )
+            )
+        ).cast("long")
+        - F.lit(s + 1)
+    )
+    scored = staged.withColumn("_q", q).withColumn(
+        "_oov", F.col("cb").isNull().cast("long")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_oov").cast("long").alias("n_oov"),
+            F.sum("_q").cast("long").alias("kn_q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            "kn_q_sum",
+            F.expr("((-kn_q_sum) * 1000) div n_bigrams")
+            .cast("long")
+            .alias("mbits_per_bigram"),
+        )
+    )
+
+
+def kn_bigram_maintain_stream(
+    spark,
+    reference: DataFrame,
+    scored: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming KNESER-NEY model MAINTENANCE — the
+    bigram_lm_maintain_stream discipline with the KN readout: the
+    reference arrives in micro-batches, each doc bigram-extracted
+    once at arrival; state is the distinct-bigram count table,
+    merged per epoch with one union+sum (mass-conservation
+    asserted). The KN stats are even MORE re-derive-bound than raw
+    MLE: discount mass, continuation fanins/fanouts, and the type
+    count all move with every new distinct pair, re-ranking every
+    scored doc — so each epoch re-reads the accumulated table
+    through _kn_readout. Final epoch equals batch kn_bigram_scores,
+    so the entry shares its oracle twin."""
+    from ..streaming.replay import replay_fold
+
+    sbg = _doc_bigrams(scored, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    state: dict = {"counts": None, "mass": 0, "result": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = (
+            _doc_bigrams(batch_df, text_col, id_col)
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("long").alias("cb"))
+            .localCheckpoint(eager=True)
+        )
+        state["mass"] += (
+            fresh.agg(F.coalesce(F.sum("cb"), F.lit(0))).collect()[0][0]
+        )
+        if state["counts"] is None:
+            acc = fresh
+        else:
+            acc = (
+                state["counts"]
+                .unionByName(fresh)
+                .groupBy("w1", "w2")
+                .agg(F.sum("cb").cast("long").alias("cb"))
+                .localCheckpoint(eager=True)
+            )
+        acc_mass = (
+            acc.agg(F.coalesce(F.sum("cb"), F.lit(0))).collect()[0][0]
+        )
+        if acc_mass != state["mass"]:
+            raise AssertionError(
+                f"kn_bigram_maintain_stream: epoch {epoch_id} state "
+                f"mass {acc_mass} != arrived mass {state['mass']} — "
+                "the count merge must conserve bigram mass"
+            )
+        state["counts"] = acc
+        state["result"] = _kn_readout(acc, sbg)
+
+    replay_fold(
+        spark,
+        reference.select(F.col(id_col), F.col(text_col)),
+        fold,
+        n_slices=n_slices,
+        order_cols=[id_col],
+        prefix="knb_",
+    )
+    return state["result"]
+
+
 # ---------------- threshold-sweep filter evaluation (ROC table) ----------------
 
 ROC_STEP = 8  # score units per bin

@@ -1159,10 +1159,27 @@ def cdc_chunk_dedup(
     readout is two doc-keyed aggregates. Same shuffle classes as
     paragraph_dedup."""
     chunks = _cdc_chunks_pos(df, text_col, id_col)
+    return _chunk_dedup_result(chunks, _chunk_keep_first(chunks))
+
+
+def _chunk_keep_first(chunks: DataFrame) -> DataFrame:
+    """Smallest-(doc_id, pos) occurrence per chunk-content hash — a
+    hash-PARTITIONED rank, never a global sort (the _keep_first rule
+    on the ch column)."""
     w = Window.partitionBy("ch").orderBy("doc_id", "pos")
-    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+    return chunks.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
+
+
+def _chunk_dedup_result(
+    chunks: DataFrame, kept: DataFrame
+) -> DataFrame:
+    """Per-doc removal readout shared by cdc_chunk_dedup and its
+    maintenance stream: chunk counts + md5 of the surviving chunks
+    concatenated in original order (the _paragraph_result shape with
+    '' as the joiner — chunks tile the text, so survivors re-form
+    the cleaned text exactly)."""
     reb = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.md5(
@@ -1239,43 +1256,13 @@ def cdc_chunk_dedup_maintain_stream(
                 if state["max_id"] is None
                 else max(state["max_id"], lo_hi["hi"])
             )
-        w = Window.partitionBy("ch").orderBy("doc_id", "pos")
-        kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        )
+        kept = _chunk_keep_first(chunks)
         if state["seen_parts"]:
             seen = reduce(DataFrame.unionByName, state["seen_parts"])
             kept = kept.join(seen, "ch", "left_anti")
-        reb = kept.groupBy("doc_id").agg(
-            F.count("*").cast("long").alias("n_kept"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "chunk"))
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                )
-            ).alias("cleaned_hash"),
+        res = _chunk_dedup_result(chunks, kept).localCheckpoint(
+            eager=True
         )
-        base = chunks.groupBy("doc_id").agg(
-            F.count("*").cast("long").alias("n_chunks")
-        )
-        res = base.join(reb, "doc_id", "left").select(
-            "doc_id",
-            "n_chunks",
-            F.coalesce(F.col("n_kept"), F.lit(0))
-            .cast("long")
-            .alias("n_kept"),
-            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_dropped"),
-            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
-                "cleaned_hash"
-            ),
-        ).localCheckpoint(eager=True)
         state["seen_parts"].append(
             chunks.select("ch").distinct().localCheckpoint(eager=True)
         )
