@@ -823,14 +823,25 @@ def test_exact_substring_spans_doc_partitioned_windows_no_udf(spark):
 
 
 def test_exact_substring_removal_linear_no_udf(spark):
-    # removal is joins + aggregates only: no window at all, no
-    # cartesian, no Python UDF; exploded rows carry constant-width
-    # (doc_id, pos[, token]) — never the words array past the map side
+    # round-11: removal is the gap-slicing shape (shared
+    # _removal_from_toks_and_spans tail) — windows are allowed but
+    # every one must be PARTITIONED (doc_id span merge / h occurrence
+    # count), never an unpartitioned single-partition sort; no
+    # cartesian, no Python UDF, and no covered-position explode
+    # (sequence() Generate) anywhere
+    import re
+
     df = E.q_exact_substring_removal(spark, SF)
     plan = A.physical_plan(df)
     assert not A.has_python_udf(df)
     assert "CartesianProduct" not in plan
-    assert "WindowExec" not in plan, plan[:3000]
+    assert "sequence(" not in plan, plan[:3000]
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan[:3000]
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            first_arg, plan[:3000],
+        )
 
 
 def test_stratified_budget_sample_group_limit_and_broadcast(spark):

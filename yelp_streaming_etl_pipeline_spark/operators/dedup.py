@@ -195,13 +195,24 @@ def minhash_lsh_pairs(
         # multi-reference keeps Catalyst from collapse-inlining them
         .withColumn("digests", F.transform(F.col("shingles"), lambda s: F.md5(s)))
         .withColumn("sig", minhash_signature(F.col("digests")))
+        .select(
+            "doc_id", "shingles", lsh_band_keys(F.col("sig")).alias("bks")
+        )
+        .cache()  # scanned three times (band self-join x2 + shingle
+        # re-attach); REMOVING this re-runs the corpus+signature
+        # lineage per scan (measured ~2x slower in the round-2 shape —
+        # beware that same-session A/B tests of "no cache" are
+        # invalid, the cache manager substitutes cached data into
+        # matching uncached plans)
     )
-    banded = base.select(
-        "doc_id", "shingles", F.explode(lsh_band_keys(F.col("sig"))).alias("band_key")
-    ).cache()  # scanned twice by the self-join; REMOVING this doubles
-    # the whole corpus+signature lineage (measured ~2x slower — beware
-    # that same-session A/B tests of "no cache" are invalid, the cache
-    # manager substitutes cached data into matching uncached plans)
+    # Round-11 (guide §2.3/§8: shuffle keys, not payloads): the band
+    # self-join and the pair dedup move ONLY (doc_id, band_key) rows —
+    # the round-10 shape exploded the doc-sized shingle array into
+    # every one of its LSH_BANDS band rows and shuffled it through
+    # both join sides AND the dropDuplicates exchange. The shingle
+    # payload now attaches AFTER the candidate set is deduped, one
+    # doc-keyed join per pair side.
+    banded = base.select("doc_id", F.explode("bks").alias("band_key"))
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -213,10 +224,25 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = base.select("doc_id", "shingles")
+    cand = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -2052,18 +2078,35 @@ def _cov_from_window_table(
 ) -> DataFrame:
     """(doc_id, pos) covered starts from an (accumulated) window-hash
     table — the readout half of _covered_window_starts, shared with
-    the streaming maintenance form."""
+    the streaming maintenance form.
+
+    Round-11 measured note (kept as-is after two rejected rewrites):
+    the formatted plan shows NO exchange reuse between the aggregate
+    side and the probe side — the O(n_tokens * L) tokenize+hash pass
+    executes TWICE per call (plans/r11/exact_substring_spans_before
+    .txt: two full Generate subtrees). Both fixes measured SLOWER
+    than tolerating the recompute at sf0.1: (a) count(*) over
+    partitionBy(h) computes the table once with one exchange but
+    WindowExec must SORT every token row by hash — 2.4x slower than
+    this sort-free hash-aggregate + shuffled-hash join; (b) a lazy
+    localCheckpoint of `wins` computes it once into executor blocks
+    but the block-store write+read of the full token-row table costs
+    more than re-running the codegen'd map-side tokenize (~15-35%
+    slower across the family). The double compute is map-side only
+    (scan + split + hash, no exchange), so it scales linearly and
+    adds no shuffle at any corpus size.
+
+    The duplicated-hash set is DATA-PROPORTIONAL (distinct recurring
+    windows), so it must never broadcast: AQE's post-aggregate size
+    estimate undershoots string tables and OOM'd the driver building
+    a ~10M-hash broadcast at the 10x probe — pin a shuffled hash
+    join (the scale-correct plan at any corpus size)."""
     dup = (
         wins.groupBy("h")
         .agg(F.count("*").alias("occ"))
         .filter(F.col("occ") >= min_occ)
         .select("h")
     )
-    # the duplicated-hash set is DATA-PROPORTIONAL (distinct recurring
-    # windows), so it must never broadcast: AQE's post-aggregate size
-    # estimate undershoots string tables and OOM'd the driver building
-    # a ~10M-hash broadcast at the 10x probe — pin a shuffled hash
-    # join (the scale-correct plan at any corpus size)
     return wins.join(dup.hint("shuffle_hash"), "h").select(
         "doc_id", "pos"
     )
@@ -2326,7 +2369,16 @@ def bpe_token_stream(
     artifact). The vocab is explicitly broadcast: it is bounded by
     the distinct-word vocabulary, never the corpus. Words outside
     the vocab (none when the vocab was trained on this corpus) drop
-    out of the stream, positions compacting — mirrored in the twin."""
+    out of the stream, positions compacting — mirrored in the twin.
+
+    Round-11 note: a broadcast MAP-row lookup (word -> pieces inside
+    a transform lambda) was tried and REVERTED — Spark's map values
+    are array-backed, so element_at is a LINEAR scan of the whole
+    vocabulary per word: O(|corpus words| * |vocab|), a scale-killer
+    the broadcast HASH join does not have (and it measured ~20%
+    slower on the downstream window-hash entries at sf0.1, since the
+    pieces expression re-evaluates per downstream array reference
+    once projection collapse inlines it)."""
     dw = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -2716,56 +2768,25 @@ def exact_substring_removal(
     cleaned_hash) with cleaned_hash = md5 of the space-joined
     surviving tokens (md5('') when everything was duplicated).
 
-    Linear by construction: covered token positions come from
-    exploding each covered window start into its L positions
-    (<= L * n_windows constant-width rows, L fixed) and
-    de-duplicating; surviving tokens are selected by a left-anti join
-    on (doc_id, position) and re-assembled with one doc_id-keyed
-    sort-aggregate. No per-token scan ever consults a per-doc span
-    LIST (which would be O(n_tokens * n_spans))."""
+    Round-11 shape — GAP SLICING via the shared
+    _removal_from_toks_and_spans tail (the removal_bytes /
+    removal_bpe discipline): the union of covered positions IS the
+    merged spans, so survivors are the complement gaps, each an
+    O(gap) direct slice of the per-doc words array. The round-10
+    shape materialized covered POSITIONS (explode of each window
+    start into L rows + distinct), posexploded every token, left-anti
+    joined, and re-assembled docs through a collect_list aggregate —
+    three corpus-token-sized exchanges that gap slicing does not pay
+    (guide §2.3/§2.4; n_removed = sum of span lengths == the distinct
+    covered-position count, since merged spans are disjoint)."""
     words = F.split(ws_trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(
         F.col(id_col).alias("doc_id"), words.alias("words")
-    ).withColumn("n_tokens", F.size("words").cast("long"))
-    cov = _covered_window_starts(df, text_col, id_col, L, min_occ)
-    covpos = cov.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + (L - 1))
-        ).alias("tpos"),
-    ).distinct()
-    toks = base.select(
-        "doc_id", F.posexplode("words").alias("tpos0", "token")
-    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "token")
-    kept = toks.join(covpos, ["doc_id", "tpos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("tpos", "token"))
-                    ),
-                    lambda s: s["token"],
-                ),
-            )
-        ).alias("cleaned_hash"),
     )
-    return (
-        base.select("doc_id", "n_tokens")
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
-                "cleaned_hash"
-            ),
-        )
+    spans = _spans_from_cov(
+        _covered_window_starts(df, text_col, id_col, L, min_occ), L
     )
+    return _removal_from_toks_and_spans(base, spans)
 
 
 def exact_substring_removal_bytes(

@@ -71,6 +71,7 @@ PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
 PR_ITERS = 3
 PR_CKPT_EVERY = 4  # iterations per materialize+lineage-truncate job
+LPA_CKPT_EVERY = 4  # LPA rounds per materialize+lineage-truncate job
 
 
 def pagerank(
@@ -216,6 +217,12 @@ def bipartite_pairs(
 
 
 def _symmetrize(pairs: DataFrame) -> DataFrame:
+    # the union references `pairs` twice and the two branches hash
+    # by different keys downstream, so exchange reuse cannot dedup
+    # them — without the (lazy) localCheckpoint the orderkey join +
+    # distinct executes twice in the consumer's first job (round-11,
+    # guide §2.4)
+    pairs = pairs.localCheckpoint(eager=False)
     return pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(
@@ -252,6 +259,10 @@ def bipartite_weighted_edges(
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .agg(F.count("*").alias("w"))
+        # referenced twice by the symmetrizing union (different
+        # downstream keys — no exchange reuse); lazy checkpoint so
+        # the orderkey join + pair aggregate executes once (round-11)
+        .localCheckpoint(eager=False)
     )
     return pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
@@ -392,10 +403,20 @@ def cosupply_edges(
     w = Window.partitionBy("u").orderBy(
         F.desc("shared"), F.asc("v")
     )
+    # knn feeds BOTH sides of the mutual check under DIFFERENT join
+    # keys ((u,v) vs (v,u)), so exchange reuse cannot dedup the two
+    # references — without the (lazy) localCheckpoint the pair
+    # build + rank pipeline executes twice per caller. The
+    # checkpointed table is |V| * k rows (k-bounded), executor-local
+    # blocks, cleaner-managed once unreferenced (round-11, guide
+    # §2.4/§5). Same for the returned edge list: every consumer
+    # (symmetrize unions, degree + triangle builds) references it at
+    # least twice.
     knn = (
         pairs.withColumn("_rnk", F.row_number().over(w))
         .filter(F.col("_rnk") <= k)
         .select("u", "v")
+        .localCheckpoint(eager=False)
     )
     return (
         knn.alias("x")
@@ -406,6 +427,7 @@ def cosupply_edges(
         )
         .filter(F.col("x.u") < F.col("x.v"))
         .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -682,8 +704,15 @@ def label_propagation(
     ≤ k on a mutual-kNN graph). Same join/agg iteration shape as
     :func:`pagerank`; labels are exact integers.
 
-    ITERATION HYGIENE: per-round eager localCheckpoint truncates
-    lineage; superseded blocks are cleaner-managed.
+    ITERATION HYGIENE (round-11): the evolving label table is
+    referenced exactly ONCE per round, so the unrolled plan grows
+    LINEARLY with ``rounds`` and — like :func:`pagerank` — needs no
+    per-round materialization job at all; one final job evaluates
+    every round exactly once. Long runs truncate lineage every
+    ``LPA_CKPT_EVERY`` rounds (eager localCheckpoint, one job per
+    segment; superseded blocks are cleaner-managed). The round-10
+    shape eagerly checkpointed EVERY round — ``rounds + 1`` driver
+    round trips and block writes where the data-path needs none.
     """
     sym = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
@@ -703,7 +732,7 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(
         F.desc("cnt"), F.asc("label")
     )
-    for _ in range(rounds):
+    for r in range(1, rounds + 1):
         freq = (
             sym.join(
                 labels.select(
@@ -718,8 +747,10 @@ def label_propagation(
             freq.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
         )
+        if r % LPA_CKPT_EVERY == 0 and r < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint()
     sym.unpersist()
     return labels
 

@@ -18,14 +18,17 @@ Per merge iteration:
    the loop SHORT-CIRCUIT when pair counts run dry instead of
    cross-joining an empty argmax into the vocab, which would wipe
    every token array);
-3. greedy merge application WITHOUT sequential folding: a matching
-   position is VALID (merges) iff it is an even offset within its
-   run of consecutive matching positions — for left != right runs
-   are length 1 (every match valid); for left == right (e.g. "aaaa"
-   with merge a+a) the even-offset rule IS the greedy left-to-right
-   semantics. Runs come from one gaps-and-islands pass (row_number
-   over match positions), so the whole application is windows +
-   aggregates — engine-exact, no UDF, no recursion.
+3. greedy merge application as ONE bounded array fold per word
+   (whole-stage codegen, zero exchanges): a matching position merges
+   iff its left token was not consumed by the previous merge — which
+   accepts exactly the even offsets within each run of consecutive
+   matching positions (for left != right runs are length 1, every
+   match valid; for left == right, e.g. "aaaa" with merge a+a, the
+   even-offset rule IS the greedy left-to-right semantics). Matches
+   test the ORIGINAL token array, so merged output never re-matches
+   within the round — engine-exact, no UDF, no recursion, no
+   shuffle (round-11: this replaced a posexplode + three window
+   specs + collect_list reassembly per round).
 
 ALPHABETS — two initial segmentations, both engine-exact:
 
@@ -131,43 +134,55 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     """Greedily merge the (left, right) pair in every token array via
-    the even-offset-in-run rule (see module docstring)."""
-    pos = vocab.select(
-        "w", "f", F.posexplode("toks").alias("i", "tok")
+    ONE bounded array fold per word — a narrow map, no shuffle.
+
+    The even-offset-in-run rule (see module docstring) IS greedy
+    left-to-right pairing: walking positions once, a match at i merges
+    iff position i was not consumed by a merge at i-1; within a run of
+    consecutive matches that accepts exactly the even offsets, and
+    matches are tested against the ORIGINAL token array (merged output
+    never re-matches in the same round), identical to the windowed
+    gaps-and-islands formulation this replaces. That formulation
+    posexploded every token position through three window specs + a
+    collect_list re-assembly PER MERGE ROUND — four shuffles of the
+    token-position table each round; the fold does the same work
+    inside whole-stage codegen with zero exchanges (guide §2.4).
+    Per-word cost is O(n_tokens^2) in the copy-on-append accumulator —
+    words are whitespace tokens, so n_tokens is small and bounded per
+    word, never document- or corpus-sized."""
+    toks = F.col("toks")
+    merged = F.lit(left + right)
+    out = F.aggregate(
+        F.sequence(F.lit(1), F.size(toks)),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"),
+        ),
+        lambda acc, i: F.when(
+            acc["skip"],
+            F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+        )
+        .when(
+            (F.element_at(toks, i) == F.lit(left))
+            & F.coalesce(
+                F.get(toks, i) == F.lit(right), F.lit(False)
+            ),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(True).alias("skip"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(
+                    acc["out"], F.array(F.element_at(toks, i))
+                ).alias("out"),
+                F.lit(False).alias("skip"),
+            )
+        ),
+        lambda acc: acc["out"],
     )
-    by_w = Window.partitionBy("w").orderBy("i")
-    pos = pos.withColumn("nxt", F.lead("tok").over(by_w)).withColumn(
-        "match",
-        (F.col("tok") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
-    )
-    match_rn = F.row_number().over(
-        Window.partitionBy("w", "match").orderBy("i")
-    )
-    pos = pos.withColumn(
-        "island", F.when(F.col("match"), F.col("i") - match_rn)
-    )
-    island_start = F.min("i").over(Window.partitionBy("w", "island"))
-    pos = pos.withColumn(
-        "valid",
-        F.col("match") & ((F.col("i") - island_start) % 2 == 0),
-    )
-    pos = pos.withColumn(
-        "consumed", F.coalesce(F.lag("valid").over(by_w), F.lit(False))
-    )
-    emitted = pos.filter(~F.col("consumed")).select(
-        "w",
-        "f",
-        "i",
-        F.when(
-            F.col("valid"), F.concat(F.col("tok"), F.col("nxt"))
-        ).otherwise(F.col("tok")).alias("tok"),
-    )
-    return emitted.groupBy("w", "f").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "tok"))),
-            lambda s: s.getField("tok"),
-        ).alias("toks")
-    )
+    return vocab.select("w", "f", out.alias("toks"))
 
 
 def bpe_learn(
@@ -270,7 +285,10 @@ def tokenize_with_vocab(
     """Tokenize a corpus against a (possibly re-read) segmented-word
     table: one explode + one vocabulary-sized join + one hash
     aggregate — the corpus is never re-segmented row by row. Returns
-    (doc_id, n_words, n_bpe_tokens)."""
+    (doc_id, n_words, n_bpe_tokens). (A broadcast map-row lookup was
+    tried and reverted in round 11: Spark map element_at is a linear
+    scan of the array-backed map — O(|vocab|) per word, not
+    scale-safe for a vocabulary-sized map.)"""
     sizes = vocab.select("w", F.size("toks").alias("nt"))
     doc_w = _doc_words(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
@@ -577,56 +595,58 @@ def unigram_vocab(
     )
 
 
-def _uv_pw(
-    short: DataFrame, vocab: DataFrame, maxlen: int
-) -> DataFrame:
-    """(w, e, l, p): packed per-candidate DP contributions — for every
-    candidate piece of length l ending at position e of word w,
-    p = (q - Q) * 256 - 1 if the piece is in the inventory, else the
-    UV_NEG sentinel. Shared by the score fold (unigram_word_stats) and
-    the path recovery (unigram_viterbi_pieces)."""
-    qtot = vocab.agg(
-        F.length(F.bin(F.sum("cnt"))).cast("long").alias("Qc")
-    )
-    return (
-        _wp_candidates(short, maxlen)
-        .join(F.broadcast(vocab.select("piece", "q")), "piece", "left")
-        .crossJoin(F.broadcast(qtot))
-        .select(
-            "w",
-            (F.col("i") + F.col("l") - 1).alias("e"),
-            "l",
-            F.when(
-                F.col("q").isNotNull(),
-                (F.col("q") - F.col("Qc")) * _UV_PACK - 1,
-            )
-            .otherwise(F.lit(UV_NEG))
-            .cast("long")
-            .alias("p"),
-        )
+def _uv_model_row(vocab: DataFrame) -> DataFrame:
+    """ONE row (_pq: map<piece, q>, Qc): the unigram-LM inventory as a
+    broadcastable constant — alphabet + <= k multigrams, bounded by
+    the vocab parameter, never data-proportional. Round-11: the DP
+    candidate table this replaces (_wp_candidates explode + broadcast
+    join + two groupBy exchanges per scoring pass) is now ONE in-row
+    expression over the distinct-word table (guide §2.4 — the map row
+    is the same memory class as the broadcast hash relation it
+    replaces)."""
+    return vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("q")))
+        ).alias("_pq"),
+        F.length(F.bin(F.sum("cnt"))).cast("long").alias("Qc"),
     )
 
 
-def _uv_elems(pw: DataFrame, maxlen: int) -> DataFrame:
-    """(w, es): per-word e-sorted DP element array, one struct per end
-    position with the best contribution p1..p{maxlen} per length."""
-    agg_p = [
-        F.coalesce(
-            F.max(F.when(F.col("l") == n, F.col("p"))),
-            F.lit(UV_NEG).cast("long"),
-        ).alias(f"p{n}")
-        for n in range(1, maxlen + 1)
-    ]
-    byend = pw.groupBy("w", "e").agg(*agg_p)
-    return byend.groupBy("w").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("e").cast("int").alias("e"),
-                    *[F.col(f"p{n}") for n in range(1, maxlen + 1)],
+def _uv_es(maxlen: int) -> F.Column:
+    """Per-word e-sorted DP element array — one struct per end
+    position e = 1..len(w) with the packed contribution
+    p_l = (q(substr ending at e, length l) - Qc) * 256 - 1 per length
+    (UV_NEG when the piece is out-of-inventory or l > e). Requires
+    columns ``w``, ``_pq``, ``Qc`` (crossJoin the broadcast
+    _uv_model_row first). Identical values to the former
+    candidates-join construction: a length-l window ending at e is
+    the unique substr(w, e-l+1, l), so the old per-(w,e,l) max was
+    over a single candidate."""
+    neg = F.lit(UV_NEG).cast("long")
+
+    def p_of(e: F.Column, n: int):
+        return F.when(
+            e >= n,
+            F.coalesce(
+                (
+                    F.try_element_at(
+                        F.col("_pq"),
+                        F.col("w").substr(e - (n - 1), F.lit(n)),
+                    )
+                    - F.col("Qc")
                 )
-            )
-        ).alias("es")
+                * _UV_PACK
+                - 1,
+                neg,
+            ).cast("long"),
+        ).otherwise(neg)
+
+    return F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda e: F.struct(
+            e.cast("int").alias("e"),
+            *[p_of(e, n).alias(f"p{n}") for n in range(1, maxlen + 1)],
+        ),
     )
 
 
@@ -661,8 +681,6 @@ def unigram_word_stats(
     WP_MAX_WORD chars mirror the wordpiece [UNK] discipline
     (1 piece, score 0)."""
     short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
-    pw = _uv_pw(short, vocab, maxlen)
-    elems = _uv_elems(pw, maxlen)
     neg = F.lit(UV_NEG).cast("long")
     seed = F.struct(
         neg.alias("d1"),
@@ -684,8 +702,11 @@ def unigram_word_stats(
             ).alias("d4"),
         )
 
-    folded = elems.select(
-        "w", F.aggregate("es", seed, step)["d4"].alias("packed")
+    # round-11: the DP elements are an in-row expression against the
+    # broadcast inventory row — no candidate explode, no join, no
+    # groupBy (the word table is the only thing that moves)
+    folded = short.crossJoin(F.broadcast(_uv_model_row(vocab))).select(
+        "w", F.aggregate(_uv_es(maxlen), seed, step)["d4"].alias("packed")
     )
     pieces = F.lit(_UV_PACK) - F.pmod(F.col("packed"), F.lit(_UV_PACK))
     seg = folded.select(
@@ -787,71 +808,59 @@ def unigram_viterbi_pieces(
 
     The recovered path's piece count and summed weight equal
     unigram_word_stats' n_pieces / lm_score_q exactly (asserted in
-    tests) — the two entries are views of the same DP."""
+    tests) — the two entries are views of the same DP.
+
+    Round-11 shape: the forward fold carries BACKPOINTERS — per end
+    position e it records the longest length l achieving
+    dp[e] = dp[e-l] + p_l (testing lengths 4..1, i.e. the same
+    max-l tie-break the former candidates/dp self-join derived) —
+    so path recovery is a second bounded fold over the in-row
+    backpointer array. The previous shape materialized the candidate
+    and dp tables (two eager localCheckpoints), self-joined them
+    twice, and re-assembled picks through two groupBys per call; all
+    of that is now a single zero-exchange map over the distinct-word
+    table against the broadcast inventory row (guide §2.4). An OOV /
+    out-of-range candidate (p = UV_NEG) can never satisfy the
+    equality: single-char coverage bounds dp[e] far above any
+    UV_NEG-carrying sum, exactly the argument the join form relied
+    on for its >= 1-pick-per-reachable-e invariant."""
     short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
-    # pw and dpfull are each consumed TWICE (elems + pick; pick's two
-    # sides) and sit upstream of the corpus-wide word aggregate —
-    # materialize them once (both are distinct-word-table-sized,
-    # bounded by vocabulary, so the checkpoint is small at any corpus
-    # scale) instead of recomputing the whole chain per consumer
-    pw = _uv_pw(short, vocab, maxlen).localCheckpoint(eager=True)
-    elems = _uv_elems(pw, maxlen)
     neg = F.lit(UV_NEG).cast("long")
-    seed = F.array(neg, neg, neg, F.lit(0).cast("long"))
-    folded = elems.select(
-        "w",
-        F.aggregate(
-            "es",
-            seed,
-            lambda acc, x: F.concat(
-                acc,
-                F.array(
-                    F.greatest(
-                        F.element_at(acc, -1) + x["p1"],
-                        F.element_at(acc, -2) + x["p2"],
-                        F.element_at(acc, -3) + x["p3"],
-                        F.element_at(acc, -4) + x["p4"],
-                    )
-                ),
-            ),
-        ).alias("dparr"),
+    seed = F.struct(
+        neg.alias("d1"),
+        neg.alias("d2"),
+        neg.alias("d3"),
+        F.lit(0).cast("long").alias("d4"),
+        F.array().cast("array<int>").alias("bl"),
     )
-    dpfull = folded.select(
-        "w",
-        F.posexplode(
-            F.slice("dparr", 4, F.size("dparr") - 3)
-        ).alias("e0", "dp"),
-    ).select(
-        "w", F.col("e0").cast("long").alias("e"), "dp"
-    ).localCheckpoint(eager=True)
-    pick = (
-        pw.alias("c")
-        .join(
-            dpfull.alias("de"),
-            (F.col("c.w") == F.col("de.w"))
-            & (F.col("c.e") == F.col("de.e")),
+
+    def step(acc, x):
+        best = F.greatest(
+            acc["d4"] + x["p1"],
+            acc["d3"] + x["p2"],
+            acc["d2"] + x["p3"],
+            acc["d1"] + x["p4"],
         )
-        .join(
-            dpfull.alias("dl"),
-            (F.col("c.w") == F.col("dl.w"))
-            & (F.col("dl.e") == F.col("c.e") - F.col("c.l")),
+        bl = (
+            F.when(acc["d1"] + x["p4"] == best, F.lit(4))
+            .when(acc["d2"] + x["p3"] == best, F.lit(3))
+            .when(acc["d3"] + x["p2"] == best, F.lit(2))
+            .otherwise(F.lit(1))
         )
-        .filter(F.col("de.dp") == F.col("dl.dp") + F.col("c.p"))
-        .groupBy(F.col("c.w").alias("w"), F.col("c.e").alias("e"))
-        .agg(F.max("c.l").alias("lp"))
+        return F.struct(
+            acc["d2"].alias("d1"),
+            acc["d3"].alias("d2"),
+            acc["d4"].alias("d3"),
+            best.alias("d4"),
+            F.concat(acc["bl"], F.array(bl)).alias("bl"),
+        )
+
+    picked = short.crossJoin(F.broadcast(_uv_model_row(vocab))).select(
+        "w",
+        F.aggregate(_uv_es(maxlen), seed, step)["bl"].alias("bl"),
     )
-    pickmap = pick.groupBy("w").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("e").cast("int").alias("k"),
-                    F.col("lp").cast("int").alias("v"),
-                )
-            )
-        ).alias("pm")
-    )
-    lp_at = lambda e: F.element_at("pm", e)  # noqa: E731
-    bt = pickmap.select(
+    lp_at = lambda e: F.element_at("bl", e)  # noqa: E731
+    bt = picked.select(
         "w",
         F.aggregate(
             F.sequence(F.lit(1), F.lit(WP_MAX_WORD)),
