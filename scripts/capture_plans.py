@@ -14,7 +14,9 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import __spark_entry__ as E  # noqa: E402
 from yelp_streaming_etl_pipeline_spark.session import get_spark  # noqa: E402
