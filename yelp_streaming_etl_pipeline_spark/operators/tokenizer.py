@@ -429,37 +429,55 @@ def wordpiece_word_stats(
     The fold's struct fields are ordered readers-first/writers-last
     (np/sq/unk read only pre-update pos; pos writes last) so the
     DuckDB twin's list_reduce is correct under both its snapshot and
-    in-place-mutation semantics — see _sql_cusum_changepoints."""
+    in-place-mutation semantics — see _sql_cusum_changepoints.
+
+    Round-11 shape (the unigram-family discipline): the vocab is a
+    top-k CONSTANT (k = WP_VOCAB_K pieces), so it travels as ONE
+    broadcast map row (piece -> piece_w; the bounded-map linear scan
+    is a constant, unlike a vocabulary-sized map) and the per-(word,
+    position) packed best-match is an in-row expression — a length-l
+    window starting at i is the unique substr(w, i, l), so the
+    former _wp_candidates explode + broadcast join + two groupBys
+    per call disappear (guide §2.4)."""
     short = words.select("w").filter(F.length("w") <= WP_MAX_WORD)
-    best = (
-        _wp_candidates(short, maxlen)
-        .join(F.broadcast(vocab), "piece", "left")
-        .groupBy("w", "i")
-        .agg(
-            F.coalesce(
-                F.max(
-                    F.when(
-                        F.col("piece_w").isNotNull(),
-                        F.col("l").cast("long") * _WP_ENC
-                        + F.col("piece_w"),
-                    )
-                ),
-                F.lit(0).cast("long"),
-            ).alias("enc")
-        )
+    pmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("piece_w")))
+        ).alias("_wpm")
     )
-    elems = best.groupBy("w").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("i").cast("int").alias("i"),
-                    F.floor(F.col("enc") / _WP_ENC).cast("int").alias("bl"),
-                    F.pmod(F.col("enc"), F.lit(_WP_ENC))
-                    .cast("long")
-                    .alias("wq"),
-                )
+
+    def enc_of(i: F.Column):
+        cands = [
+            F.when(
+                i + (n - 1) <= F.length("w"),
+                F.lit(n).cast("long") * _WP_ENC
+                + F.try_element_at(
+                    F.col("_wpm"), F.col("w").substr(i, F.lit(n))
+                ),
             )
-        ).alias("es")
+            for n in range(1, maxlen + 1)
+        ]
+        best = cands[0] if len(cands) == 1 else F.greatest(*cands)
+        return F.coalesce(best, F.lit(0).cast("long"))
+
+    # two-stage transform so enc evaluates ONCE per position (the
+    # inner HOF lambda is interpreted — an inlined enc would re-run
+    # its map lookups per consuming field)
+    es = F.transform(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.struct(
+                i.cast("int").alias("i"), enc_of(i).alias("enc")
+            ),
+        ),
+        lambda x: F.struct(
+            x["i"].alias("i"),
+            F.floor(x["enc"] / _WP_ENC).cast("int").alias("bl"),
+            F.pmod(x["enc"], F.lit(_WP_ENC)).cast("long").alias("wq"),
+        ),
+    )
+    elems = short.crossJoin(F.broadcast(pmap)).select(
+        "w", es.alias("es")
     )
     seed = F.struct(
         F.lit(0).cast("long").alias("np"),
