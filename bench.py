@@ -881,6 +881,31 @@ def main() -> None:
     top = dict(
         sorted(med.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
+    # carry over every query name the PREVIOUS round's compact line
+    # reported: a query that got FASTER must not fall out of the map
+    # (the round-over-round diff would read the absence as a drop —
+    # exactly what happened to 4 sped-up entries in round 11).
+    # Additions only; the slowest-20 selection above is unchanged.
+    carry: set = set()
+    try:
+        import glob
+
+        prev_arts = sorted(
+            glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*.json",
+                )
+            )
+        )
+        if prev_arts:
+            with open(prev_arts[-1]) as fh:
+                prev_parsed = json.load(fh).get("parsed") or {}
+            carry = set((prev_parsed.get("queries") or {})) & set(med)
+            for name in sorted(carry):
+                top.setdefault(name, med[name])
+    except Exception:
+        pass  # a malformed artifact must never break the bench line
     # the three decisive within-one-artifact signals, compact enough
     # for the stdout tail: fresh-session vs post-suite iso totals
     # (suite-context), and the suite-spanning probe envelope (host)
@@ -911,7 +936,14 @@ def main() -> None:
     }
     line = json.dumps(compact)
     while len(line) > 1500 and compact["queries"]:
-        compact["queries"].popitem()
+        # shed the FASTEST non-carryover entry first: carried-over
+        # names exist precisely so the round-over-round diff never
+        # sees a disappearance; drop them only as a last resort
+        shed_pool = [
+            n for n in compact["queries"] if n not in carry
+        ] or list(compact["queries"])
+        shed = min(shed_pool, key=lambda n: compact["queries"][n])
+        del compact["queries"][shed]
         line = json.dumps(compact)
     print(line)
 

@@ -61,8 +61,21 @@ def quantize_vec(vec: Column, qs: int = KMEANS_QS) -> Column:
     )
 
 
-def _sq_dist(a: Column, b: Column) -> Column:
-    """Exact integer squared-euclidean distance between long arrays."""
+def _sq_dist(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Exact integer squared-euclidean distance between long arrays.
+
+    With ``dim`` (statically known width) the fold unrolls into flat
+    codegen'd arithmetic — higher-order functions are CodegenFallback
+    (interpreted per element), which dominates when the expression
+    sits on an n_vecs x n_centroids joined table. Integer adds are
+    exact in any order, so the unrolled form is trivially identical;
+    only pass dim when every array is exactly that long."""
+    if dim is not None:
+        acc: Column = F.lit(0).cast("long")
+        for i in range(1, dim + 1):
+            d = F.element_at(a, i) - F.element_at(b, i)
+            acc = acc + d * d
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),

@@ -337,17 +337,35 @@ def dsir_importance(
     (n_buckets rows each — broadcast), the raw gram stream joins the
     broadcast weight map, and one per-doc aggregate finishes; the
     only data-sized shuffle keys on doc_id."""
+    # The raw gram stream collapses to per-(doc, bucket) COUNTS first
+    # — the exact state shape dsir_maintain_stream keeps (proven
+    # oracle-equal there): n_grams = sum(cnt), sw = sum(cnt * w), all
+    # long arithmetic, identical to counting occurrences. Both count
+    # tables are consumed twice downstream (c_t by the weight join
+    # and the corpus total, counts by c_r and the score join) under
+    # different keys, so each is materialized once (lazy
+    # localCheckpoint) — without that every consumer re-runs the full
+    # gram explode + hash of its corpus.
     t_grams = _hashed_gram_buckets(target, text_col, id_col, n_buckets)
     r_grams = _hashed_gram_buckets(raw, text_col, id_col, n_buckets)
-    c_t = t_grams.groupBy("b").agg(F.count("*").alias("ct"))
-    c_r = r_grams.groupBy("b").agg(F.count("*").alias("cr"))
+    c_t = (
+        t_grams.groupBy("b")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint(eager=False)  # <= n_buckets rows
+    )
+    counts = (
+        r_grams.groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)  # <= |docs| x n_buckets narrow rows
+    )
+    c_r = counts.groupBy("b").agg(F.sum("cnt").cast("long").alias("cr"))
     weights, const = _dsir_weights(c_t, c_r, n_buckets)
     return (
-        r_grams.join(F.broadcast(weights), "b")
+        counts.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("w").alias("_sw"),
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("w")).alias("_sw"),
         )
         .crossJoin(F.broadcast(const))
         .select(
@@ -369,6 +387,10 @@ def _dsir_weights(
     maintenance form must re-derive per epoch (both move with
     raw-corpus totals while the target side stays fixed). Both
     outputs are n_buckets-bounded / 1-row — broadcast material."""
+    # c_r feeds both the corpus total and the weight join; it is
+    # <= n_buckets rows but its lineage re-aggregates the raw count
+    # table per consumer — pin it once (no caller checkpoints it)
+    c_r = c_r.localCheckpoint(eager=False)
     tot = (
         c_t.agg(F.sum("ct").alias("tt"))
         .crossJoin(c_r.agg(F.sum("cr").alias("rr")))
@@ -580,6 +602,11 @@ def dsir_budget_pack(
                 F.expr(f"(dsir_score - mn) div {step}"),
             ).cast("long"),
         )
+        # consumed by both the per-bin window and the bin-offset
+        # aggregate under different keys; the subtree contains the
+        # token-count scan + score join, so each extra consumer
+        # re-tokenizes the corpus — materialize the narrow table once
+        .localCheckpoint(eager=False)
     )
     local_w = (
         Window.partitionBy("_bin")
@@ -692,6 +719,11 @@ def _dsir_mixture_pack_from_scores(
                 F.expr(f"(dsir_score - mn) div {step}"),
             ).cast("long"),
         )
+        # THREE consumers (allocation counts, per-(source, bin)
+        # window, bin-offset aggregate) under different keys; the
+        # subtree contains the token-count scan + score join —
+        # materialize once (see dsir_budget_pack)
+        .localCheckpoint(eager=False)
     )
     counts = base.groupBy("g").agg(
         F.sum("tokens").cast("long").alias("w")

@@ -598,6 +598,15 @@ def bigram_lm_scores(
         _doc_bigrams(reference, text_col, id_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("cb"))
+        # the readout consumes the model table three times (prefix
+        # totals, the weight join's build side, the OOV floor), and
+        # different downstream keys defeat exchange reuse — without
+        # this the reference-corpus bigram extraction executes three
+        # times per scoring pass. Distinct-bigram-sized (vocabulary,
+        # not corpus), post-exchange: the winning checkpoint class.
+        # The streaming form maintains its own eager-checkpointed
+        # state table and bypasses this builder.
+        .localCheckpoint(eager=False)
     )
     return _bigram_lm_readout(
         counts, _doc_bigrams(scored, text_col, id_col)
@@ -779,6 +788,13 @@ def kn_bigram_scores(
         _doc_bigrams(reference, text_col, id_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("cb"))
+        # _kn_readout consumes the pair-count table four times (uni
+        # totals/fanouts, fanins, type count, the scored join) under
+        # different keys — materialize the vocabulary-sized table once
+        # so the reference bigram extraction runs once, not four
+        # times. The streaming form passes its own eager-checkpointed
+        # state and bypasses this builder.
+        .localCheckpoint(eager=False)
     )
     return _kn_readout(big, _doc_bigrams(scored, text_col, id_col))
 
@@ -975,6 +991,11 @@ def score_roc_table(
             F.sum(F.col("y").cast("long")).alias("n_pos"),
             F.sum((~F.col("y")).cast("long")).alias("n_neg"),
         )
+        # consumed twice (totals + sweep) under different shapes, so
+        # exchange reuse never fires and the whole upstream scored
+        # build would execute twice; <= n_bins rows — materializing is
+        # free relative to one rescore of the corpus
+        .localCheckpoint(eager=False)
     )
     tot = binned.agg(
         F.coalesce(F.sum("n_pos"), F.lit(0)).alias("pp"),
@@ -1047,6 +1068,9 @@ def quality_cut_mix_shift(
         )
         .groupBy("g", "bin")
         .agg(F.count("*").cast("long").alias("n"))
+        # consumed twice (per-group totals + sweep); bounded at
+        # |groups| x n_bins rows — same rationale as score_roc_table
+        .localCheckpoint(eager=False)
     )
     tot = binned.groupBy("g").agg(
         F.sum("n").cast("long").alias("n_docs")
@@ -1114,6 +1138,15 @@ def quality_quota_sample(
     1024 x 8 range the chosen cut sits in the occupied interior."""
     from .sampling import stratified_budget_alloc
 
+    # the scored input feeds THREE independent consumers (threshold
+    # binning, survivor counts, the ranked draw) whose differing keys
+    # defeat exchange reuse — without this the whole upstream scoring
+    # pipeline (e.g. a full bigram-LM model build + readout) executes
+    # three times per call. Materialize the narrow projection once;
+    # doc-sized but only three columns wide.
+    df = df.select(score_col, group_col, unit_col).localCheckpoint(
+        eager=False
+    )
     binned = (
         df.select(
             F.least(F.lit(n_bins - 1), F.expr(f"{score_col} div {step}"))

@@ -33,7 +33,25 @@ from pyspark.sql import functions as F
 from ..functions.rounding import stable_round
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two numeric arrays in double space.
+
+    With ``dim`` (a statically known vector width) the fold unrolls
+    into a flat arithmetic expression: higher-order functions
+    (zip_with/aggregate) are CodegenFallback — evaluated interpreted,
+    per element — which dominates CPU when the expression sits on an
+    n_vecs x n_centroids joined table. The unrolled form is
+    bit-identical to the fold: same 0.0 seed, same left-associated
+    addition order, same per-element double casts. Callers pass dim
+    only when every array is exactly that long (out-of-range
+    element_at would throw under ANSI)."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(
+                b, i
+            ).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -41,7 +59,14 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _sqnorm(a: Column) -> Column:
+def _sqnorm(a: Column, dim: int | None = None) -> Column:
+    """Sum of squares; ``dim`` unrolls exactly like _dot."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            e = F.element_at(a, i).cast("double")
+            acc = acc + e * e
+        return acc
     return F.aggregate(
         a,
         F.lit(0.0),
@@ -49,8 +74,8 @@ def _sqnorm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / F.sqrt(_sqnorm(a) * _sqnorm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / F.sqrt(_sqnorm(a, dim) * _sqnorm(b, dim))
 
 
 def cosine_topk(
@@ -206,13 +231,26 @@ def ivf_topk(
     a probe touches only matching partitions; the quadratic term never
     materializes. Recall < 1.0 by design (cosine_topk is the exact
     baseline)."""
+    # centroid norms computed once per broadcast row, vector norms once
+    # per corpus/query row — not once per (vec, centroid) pair; c_sim
+    # stays dot / sqrt(n_v * n_c), bit-identical (same doubles through
+    # the same combining expression), one dim-wide fold per pair
+    # instead of three
     cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        _sqnorm(F.col(vec_col)).alias("_c_nrm"),
     )
 
     def cent_scored(df: DataFrame) -> DataFrame:
-        return df.crossJoin(F.broadcast(cent)).withColumn(
-            "c_sim", cosine(F.col("vec"), F.col("cent_vec"))
+        return (
+            df.withColumn("_v_nrm", _sqnorm(F.col("vec")))
+            .crossJoin(F.broadcast(cent))
+            .withColumn(
+                "c_sim",
+                _dot(F.col("vec"), F.col("cent_vec"))
+                / F.sqrt(F.col("_v_nrm") * F.col("_c_nrm")),
+            )
         )
 
     # List assignment is the scale-critical step: an argmax AGGREGATE
@@ -1104,8 +1142,16 @@ def _residual(vec: Column, cent: Column) -> Column:
     )
 
 
-def _l2(a: Column, b: Column) -> Column:
-    """Squared L2 distance, index-ordered fold (engine-identical)."""
+def _l2(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Squared L2 distance of two double arrays, index-ordered
+    (engine-identical). ``dim`` unrolls the fold into flat codegen'd
+    arithmetic — bit-identical (same seed/order), see _dot."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            d = F.element_at(a, i) - F.element_at(b, i)
+            acc = acc + d * d
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1113,8 +1159,13 @@ def _l2(a: Column, b: Column) -> Column:
     )
 
 
-def _ddot(a: Column, b: Column) -> Column:
-    """Dot of two double arrays, index-ordered fold."""
+def _ddot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot of two double arrays, index-ordered; ``dim`` as in _dot."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i) * F.element_at(b, i)
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -1132,21 +1183,37 @@ def _coarse_residuals(
     centroid_mod: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Coarse-quantizer stage shared by ivfpq_topk and
     pq_kmeans_codebooks: deterministic centroid subsample
     (id % centroid_mod == 0), argmax-cosine assignment via a
     partial-aggregate max_by over the broadcast centroid table, and
     the per-doc RESIDUAL vec - centroid. Returns (centroids,
-    assigned) where assigned = (nid, centroid_id, res, vec)."""
+    assigned) where assigned = (nid, centroid_id, res, vec).
+
+    The norms of both cosine operands are computed ONCE PER SIDE
+    (per corpus row / per broadcast centroid row) instead of once per
+    (vec, centroid) pair — same double values, same combining
+    expression dot / sqrt(n_a * n_b), so c_sim is bit-identical while
+    the per-pair fold work drops from three dim-wide passes to one."""
     cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
+        _sqnorm(F.col(vec_col), dim).alias("_c_nrm"),
     )
     assigned = (
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("vec"),
+            _sqnorm(F.col(vec_col), dim).alias("_v_nrm"),
+        )
         .crossJoin(F.broadcast(cent))
-        .withColumn("c_sim", cosine(F.col("vec"), F.col("cent_vec")))
+        .withColumn(
+            "c_sim",
+            _dot(F.col("vec"), F.col("cent_vec"), dim)
+            / F.sqrt(F.col("_v_nrm") * F.col("_c_nrm")),
+        )
         .groupBy("nid")
         .agg(
             F.max_by(
@@ -1214,8 +1281,13 @@ def ivfpq_topk(
     n_centroids of it."""
     # 1. coarse assign + residuals (argmax cosine over broadcast
     # centroids via partial-agg max_by; shared with
-    # pq_kmeans_codebooks)
-    cent, assigned = _coarse_residuals(corpus, centroid_mod, id_col, vec_col)
+    # pq_kmeans_codebooks). dim = n_sub * sub by construction
+    # (_subspaces slices the full vector into n_sub sub-wide pieces),
+    # so every vector fold below unrolls into codegen'd arithmetic.
+    dim = n_sub * sub
+    cent, assigned = _coarse_residuals(
+        corpus, centroid_mod, id_col, vec_col
+    )
 
     # 2. codebooks: one row per (m, code_id, codeword)
     cb = (
@@ -1234,7 +1306,7 @@ def ivfpq_topk(
             F.posexplode(_subspaces(F.col("res"), n_sub, sub)).alias("m", "sv"),
         )
         .join(F.broadcast(cb), "m")
-        .withColumn("d2", _l2(F.col("sv"), F.col("cw")))
+        .withColumn("d2", _l2(F.col("sv"), F.col("cw"), dim=sub))
         .groupBy("nid", "m")
         .agg(
             F.max_by(
@@ -1260,13 +1332,12 @@ def ivfpq_topk(
             "qid",
             "centroid_id",
             "qv",
+            # _dot(qv, cent_vec, dim) casts each element to double,
+            # producing the same products in the same order as the old
+            # _ddot over two transform(cast)-ed copies — bit-identical,
+            # without materializing the cast arrays per pair
             F.floor(
-                _ddot(
-                    F.transform(F.col("qv"), lambda x: x.cast("double")),
-                    F.transform(
-                        F.col("cent_vec"), lambda x: x.cast("double")
-                    ),
-                )
+                _dot(F.col("qv"), F.col("cent_vec"))
                 * F.lit(float(PQ_ADC_SCALE))
                 + F.lit(0.5)
             ).cast("long").alias("base_i"),
@@ -1292,7 +1363,7 @@ def ivfpq_topk(
             "qid", "centroid_id", "base_i", "m",
             F.col("code_id").alias("code"),
             F.floor(
-                _ddot(F.col("q_sub"), F.col("cw"))
+                _ddot(F.col("q_sub"), F.col("cw"), dim=sub)
                 * F.lit(float(PQ_ADC_SCALE))
                 + F.lit(0.5)
             ).cast("long").alias("part_i"),
@@ -1387,7 +1458,9 @@ def pq_kmeans_codebooks(
             "pq_kmeans_codebooks: iters must be >= 1 (n_members comes "
             "from the assignment that produced the final centroids)"
         )
-    _, assigned = _coarse_residuals(corpus, centroid_mod, id_col, vec_col)
+    _, assigned = _coarse_residuals(
+        corpus, centroid_mod, id_col, vec_col
+    )
     subs = assigned.select(
         "nid",
         F.posexplode(_subspaces(F.col("res"), n_sub, sub)).alias("m", "sv"),
@@ -1400,7 +1473,7 @@ def pq_kmeans_codebooks(
     cent = subs.filter(F.col("nid") % cb_mod == 0).select(
         "m", F.col("nid").alias("cid"), F.col("qvec").alias("cvec")
     )
-    sq = _sq_dist(F.col("qvec"), F.col("cvec"))
+    sq = _sq_dist(F.col("qvec"), F.col("cvec"), dim=sub)
     for _ in range(iters):
         best = (
             subs.join(F.broadcast(cent), "m")
